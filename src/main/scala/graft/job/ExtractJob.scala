@@ -1,0 +1,180 @@
+package graft.job
+
+import graft.extract.Extractor
+import graft.model._
+import graft.reflow.ExtractConfig
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+
+/** The corpus-dimension driver (SURVEY.md §2.11 C1, §4): Iceberg/parquet
+  * scan -> resume anti-join -> skew-aware repartition -> batched
+  * mapPartitions extraction -> output + metrics sinks.
+  *
+  * Scale design (north_rule):
+  *  - the unit of parallelism is the document row; extraction is
+  *    embarrassingly parallel, so the only shuffles are the explicit
+  *    repartition and (on resume) the anti-join;
+  *  - skew: documents with span counts >= `bigDocSpanThreshold` are split
+  *    into their own partition set sized one-doc-per-partition, so a
+  *    handful of pathological documents never serialize a task (the
+  *    reference has the same hot spot: per-PDF runtime dominated by LM
+  *    calls, development/notes/03_notes.md);
+  *  - resume: the corpus is processed in `chunks` deterministic slices
+  *    (pmod(xxhash64(doc_id), chunks)); each completed chunk appends its
+  *    output and a metrics row transactionally-enough for parquet (chunk
+  *    directory committed before the metrics row); on restart, chunks with
+  *    a 'done' metrics row are skipped — exact resume, verified by the
+  *    resume-equivalence test (FIXTURES.md §4). On Iceberg the same flow
+  *    maps to append snapshots + the metrics table.
+  */
+final case class JobConfig(
+    inputPath: String,
+    outputPath: String,
+    metricsPath: String,
+    runId: String = "run-0",
+    numPartitions: Int = 32,
+    chunks: Int = 1,
+    bigDocSpanThreshold: Int = 20000,
+    format: String = "parquet",
+    extract: ExtractConfig = ExtractConfig())
+
+object ExtractJob {
+
+  /** Read the docs table as a typed Dataset. Column pruning to
+    * (doc_id, spans) is explicit so the scan never reads extra columns.
+    */
+  def readDocs(spark: SparkSession, cfg: JobConfig): Dataset[DocRow] = {
+    import spark.implicits._
+    spark.read.format(cfg.format).load(cfg.inputPath)
+      .select("doc_id", "spans")
+      .as[DocRow]
+  }
+
+  /** Skew-aware repartition: big docs one-per-partition, small docs
+    * hash-distributed on xxhash64(doc_id) (north_star requirement).
+    */
+  def repartitionSkewAware(
+      docs: Dataset[DocRow],
+      numPartitions: Int,
+      bigThreshold: Int): Dataset[DocRow] = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
+    val withSize = docs.withColumn("__n", size(col("spans")))
+    val small = withSize.filter(col("__n") < bigThreshold)
+      .repartition(numPartitions, pmod(xxhash64(col("doc_id")), lit(numPartitions)))
+      .drop("__n").as[DocRow]
+    val big = withSize.filter(col("__n") >= bigThreshold)
+      .repartition(numPartitions, xxhash64(col("doc_id"), lit(1)))
+      .drop("__n").as[DocRow]
+    small.union(big)
+  }
+
+  /** Extract one chunk: returns the output Dataset; metrics are gathered
+    * through an accumulator (one row per partition — per-partition lineage).
+    */
+  def extractChunk(
+      docs: Dataset[DocRow],
+      cfg: JobConfig,
+      chunkId: Int,
+      metricsAcc: CollectionAccumulator[PartitionMetric]): Dataset[ExtractedDoc] = {
+    import docs.sparkSession.implicits._
+    val ecfg = cfg.extract
+    val runId = cfg.runId
+    docs.mapPartitions { it =>
+      val t0 = System.currentTimeMillis()
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var nDocs = 0L
+      var nFailed = 0L
+      var spansIn = 0L
+      var spansOut = 0L
+      var firstError: String = ""
+      val out = it.flatMap { row =>
+        nDocs += 1
+        spansIn += row.spans.length
+        try {
+          val r = Extractor.extractRow(row, ecfg)
+          spansOut += r.spans.length
+          Some(r)
+        } catch {
+          case e: ExtractionException =>
+            nFailed += 1
+            if (firstError.isEmpty) firstError = s"${row.doc_id}: ${e.getMessage}"
+            None
+        }
+      }
+      new Iterator[ExtractedDoc] {
+        private var metricEmitted = false
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && !metricEmitted) {
+            metricEmitted = true
+            metricsAcc.add(PartitionMetric(
+              runId, chunkId, pid, nDocs, nFailed, spansIn, spansOut,
+              graft.lm.Scorer.lmCallCount, System.currentTimeMillis() - t0,
+              if (nFailed == 0) "done" else "done_with_failures",
+              firstError, System.currentTimeMillis()))
+          }
+          h
+        }
+        def next(): ExtractedDoc = out.next()
+      }
+    }
+  }
+
+  /** Chunk ids already recorded complete in the metrics table (resume). */
+  def completedChunks(spark: SparkSession, cfg: JobConfig): Set[Int] = {
+    try {
+      val df = spark.read.format(cfg.format).load(cfg.metricsPath)
+      df.filter(col("run_id") === cfg.runId && col("status").startsWith("done"))
+        .select("chunk_id").distinct()
+        .collect().map(_.getInt(0)).toSet
+    } catch { case _: Exception => Set.empty }
+  }
+
+  /** Run the job end-to-end with checkpointed resume. */
+  def run(spark: SparkSession, cfg: JobConfig): Unit = {
+    import spark.implicits._
+    val done = if (cfg.chunks > 1) completedChunks(spark, cfg) else Set.empty[Int]
+    val docs = readDocs(spark, cfg)
+
+    (0 until cfg.chunks).foreach { chunk =>
+      if (!done.contains(chunk)) {
+        val slice =
+          if (cfg.chunks == 1) docs
+          else docs.filter(pmod(xxhash64(col("doc_id")), lit(cfg.chunks)) === chunk)
+        val part = repartitionSkewAware(slice, cfg.numPartitions, cfg.bigDocSpanThreshold)
+        val acc = spark.sparkContext.collectionAccumulator[PartitionMetric](s"metrics-$chunk")
+        val out = extractChunk(part, cfg, chunk, acc)
+        out.write.mode(SaveMode.Append).format(cfg.format)
+          .save(s"${cfg.outputPath}/chunk=$chunk")
+        // chunk committed -> record completion (exact resume boundary)
+        val rows = scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq
+        val metricRows =
+          if (rows.nonEmpty) rows
+          else Seq(PartitionMetric(cfg.runId, chunk, -1, 0, 0, 0, 0, 0, 0,
+            "done", "", System.currentTimeMillis()))
+        spark.createDataset(metricRows).write.mode(SaveMode.Append)
+          .format(cfg.format).save(cfg.metricsPath)
+      }
+    }
+  }
+
+  /** Read the combined output of all chunks. */
+  def readOutput(spark: SparkSession, cfg: JobConfig): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+    spark.read.format(cfg.format).load(s"${cfg.outputPath}/chunk=*")
+      .select("doc_id", "spans", "text").as[ExtractedDoc]
+  }
+
+  /** Oracle comparison join (J5): rows whose span sequence differs from
+    * the expected table under (kind, text, media_ref, order) — plain
+    * Catalyst array-of-struct equality, broadcast-friendly.
+    */
+  def diffAgainstExpected(out: DataFrame, expected: DataFrame): DataFrame = {
+    out.alias("o")
+      .join(expected.alias("e"), Seq("doc_id"), "inner")
+      .filter(!(col("o.spans") === col("e.spans")))
+      .select(col("doc_id"), col("o.spans").as("actual"), col("e.spans").as("expected"))
+  }
+}

