@@ -74,6 +74,11 @@ object Fixtures {
     Line(lineId, Box(l, t, math.rint(width * 10) / 10, h), ws)
   }
 
+  /** Public line builder for specs that need explicit layout control. */
+  def justifiedLine(lineId: String, text: Seq[String], font: String,
+      l: Double, t: Double, h: Double, width: Double): Line =
+    mkWords(lineId, text, font, l, t, h, Some(width))
+
   /** Build a paragraph element of `texts` lines starting at top `t0`.
     * All lines except the last are justified to the paragraph width.
     */

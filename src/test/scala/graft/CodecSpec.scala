@@ -1,0 +1,71 @@
+package graft
+
+import graft.codec.SpanCodec
+import graft.fixtures.Fixtures
+import graft.model._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CodecSpec extends AnyFunSuite {
+
+  test("encode/decode round-trips the flagship fixture") {
+    val row = Fixtures.flagshipDoc
+    val tree = SpanCodec.decode(row.spans, fast = false)
+    val re = SpanCodec.encode(tree)
+    assert(re == row.spans.toVector)
+  }
+
+  test("fast mode drops image/drawing spans but keeps tables") {
+    val spans = Vector(
+      Span("page", "", "", 0),
+      Span("para", "box=0.0,0.0,10.0,5.0", "e1", 1),
+      Span("line", "box=0.0,0.0,10.0,5.0", "l1", 2),
+      Span("word", "hi", "font=f1;box=0.0,0.0,4.0,5.0", 3),
+      Span("image", "", "blob://x", 4),
+      Span("table", "a,b\n1,2", "t1", 5))
+    val fast = SpanCodec.decode(spans, fast = true)
+    assert(fast.pages.head.elements.map(_.typ) == Vector("paragraph", "table"))
+    val full = SpanCodec.decode(spans, fast = false)
+    assert(full.pages.head.elements.map(_.typ) == Vector("paragraph", "image", "table"))
+    assert(full.pages.head.elements(1).mediaRef == "blob://x")
+    assert(full.pages.head.elements(2).payload == "a,b\n1,2")
+  }
+
+  test("hdr/ftr spans flag the innermost open element") {
+    val spans = Vector(
+      Span("page", "", "", 0),
+      Span("para", "box=0.0,0.0,10.0,5.0", "h1", 1),
+      Span("hdr", "", "", 2),
+      Span("line", "box=0.0,0.0,10.0,5.0", "l1", 3),
+      Span("word", "top", "font=f1;box=0.0,0.0,4.0,5.0", 4),
+      Span("para", "box=0.0,20.0,10.0,5.0", "b1", 5),
+      Span("line", "box=0.0,20.0,10.0,5.0", "l2", 6),
+      Span("word", "body", "font=f1;box=0.0,20.0,4.0,5.0", 7))
+    val t = SpanCodec.decode(spans, fast = false)
+    val es = t.pages.head.elements
+    assert(es(0).isHeader && !es(1).isHeader)
+  }
+
+  test("offset is the ordering authority (shuffled input decodes the same)") {
+    val row = Fixtures.flagshipDoc
+    val shuffled = new scala.util.Random(7).shuffle(row.spans.toVector)
+    assert(SpanCodec.decode(shuffled, fast = true) ==
+      SpanCodec.decode(row.spans, fast = true))
+  }
+
+  test("property: random fixture trees round-trip through the codec") {
+    (0L until 50L).foreach { seed =>
+      val rng = new Fixtures.Rng(seed)
+      val row = Fixtures.compositeDoc(s"g-$seed", 1 + rng.nextInt(4), rng,
+        1 + rng.nextInt(4), withMedia = seed % 2 == 0)
+      val tree = SpanCodec.decode(row.spans, fast = false)
+      assert(SpanCodec.encode(tree) == row.spans.toVector, s"seed=$seed")
+    }
+  }
+
+  test("fmt renders one fractional digit, locale-free") {
+    assert(SpanCodec.fmt(1.0) == "1.0")
+    assert(SpanCodec.fmt(1.25) == "1.2") // rint: banker's rounding
+    assert(SpanCodec.fmt(123.456) == "123.5")
+    assert(SpanCodec.fmt(0.05) == "0.0")
+  }
+}

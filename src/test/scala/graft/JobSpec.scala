@@ -1,0 +1,146 @@
+package graft
+
+import graft.fixtures.Fixtures
+import graft.job.{ExtractJob, JobConfig}
+import graft.model._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-dimension tests: the Spark job around the kernel — distribution,
+  * checkpointed resume, oracle diff (FIXTURES.md §4 properties).
+  */
+class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-jobspec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  private lazy val dir: String =
+    java.nio.file.Files.createTempDirectory("graft-jobspec").toString
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def corpus(n: Int): Seq[DocRow] = Fixtures.corpus(n, seed = 7L)
+
+  test("end-to-end: all docs extracted once, output deterministic") {
+    import spark.implicits._
+    val docs = corpus(60)
+    spark.createDataset(docs).write.mode("overwrite").parquet(s"$dir/in1")
+    val cfg = JobConfig(s"$dir/in1", s"$dir/out1", s"$dir/m1",
+      runId = "r1", numPartitions = 4, chunks = 1)
+    ExtractJob.run(spark, cfg)
+    val out = ExtractJob.readOutput(spark, cfg).collect()
+    assert(out.length == docs.length)
+    assert(out.map(_.doc_id).distinct.length == docs.length)
+    // offsets strictly increasing per row (order preservation property)
+    out.foreach { d =>
+      assert(d.spans.map(_.offset) == d.spans.indices.map(identity))
+    }
+    // footnotes reordered last within the rendered element kinds
+    out.foreach { d =>
+      val kinds = d.spans.map(_.kind)
+      val lastBody = kinds.lastIndexOf("body")
+      val firstFn = kinds.indexOf("footnotes")
+      if (firstFn >= 0 && lastBody >= 0) assert(firstFn > lastBody)
+    }
+  }
+
+  test("chunked run produces identical output to single-chunk run") {
+    import spark.implicits._
+    val docs = corpus(60)
+    spark.createDataset(docs).write.mode("overwrite").parquet(s"$dir/in2")
+    val cfg1 = JobConfig(s"$dir/in2", s"$dir/out2a", s"$dir/m2a",
+      runId = "r2a", numPartitions = 4, chunks = 1)
+    val cfg4 = JobConfig(s"$dir/in2", s"$dir/out2b", s"$dir/m2b",
+      runId = "r2b", numPartitions = 4, chunks = 4)
+    ExtractJob.run(spark, cfg1)
+    ExtractJob.run(spark, cfg4)
+    val a = ExtractJob.readOutput(spark, cfg1).collect().sortBy(_.doc_id)
+    val b = ExtractJob.readOutput(spark, cfg4).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("resume-equivalence: kill-after-half + resume == full run") {
+    import spark.implicits._
+    val docs = corpus(50)
+    spark.createDataset(docs).write.mode("overwrite").parquet(s"$dir/in3")
+    val full = JobConfig(s"$dir/in3", s"$dir/out3a", s"$dir/m3a",
+      runId = "r3", numPartitions = 4, chunks = 2)
+    ExtractJob.run(spark, full)
+
+    // interrupted run: process only chunk 0, "crash", then resume
+    val half = JobConfig(s"$dir/in3", s"$dir/out3b", s"$dir/m3b",
+      runId = "r3", numPartitions = 4, chunks = 2)
+    val docsDs = ExtractJob.readDocs(spark, half)
+    import org.apache.spark.sql.functions._
+    val chunk0 = docsDs.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 0)
+    val part = ExtractJob.repartitionSkewAware(chunk0, 4, half.bigDocSpanThreshold)
+    val acc = spark.sparkContext.collectionAccumulator[PartitionMetric]("m")
+    ExtractJob.extractChunk(part, half, 0, acc)
+      .write.parquet(s"${half.outputPath}/chunk=0")
+    spark.createDataset(
+      scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq)
+      .write.mode("append").parquet(half.metricsPath)
+    // resume: run() must skip chunk 0 and complete chunk 1 only
+    ExtractJob.run(spark, half)
+
+    val a = ExtractJob.readOutput(spark, full).collect().sortBy(_.doc_id)
+    val b = ExtractJob.readOutput(spark, half).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+    // chunk 0 was not reprocessed: exactly one metrics batch for chunk 0
+    val m = spark.read.parquet(half.metricsPath)
+    val perChunkPartitions = m.filter(col("chunk_id") === 0).count()
+    assert(perChunkPartitions <= 8) // one pass worth of partition rows
+  }
+
+  test("failed docs go to metrics, not output") {
+    import spark.implicits._
+    val docs = corpus(10) :+ DocRow("bad-doc", Seq(Span("page", "", "", 0)))
+    spark.createDataset(docs).write.mode("overwrite").parquet(s"$dir/in4")
+    val cfg = JobConfig(s"$dir/in4", s"$dir/out4", s"$dir/m4",
+      runId = "r4", numPartitions = 2, chunks = 1)
+    ExtractJob.run(spark, cfg)
+    assert(ExtractJob.readOutput(spark, cfg).count() == 10)
+    val m = spark.read.parquet(s"$dir/m4")
+    import org.apache.spark.sql.functions._
+    assert(m.agg(sum("n_failed")).head.getLong(0) == 1L)
+    assert(m.filter(col("error").contains("bad-doc")).count() == 1)
+  }
+
+  test("oracle diff join: output equals itself; detects a mutation") {
+    import spark.implicits._
+    val docs = corpus(10)
+    val out = spark.createDataset(docs.map(d =>
+      graft.extract.Extractor.extractRow(d, graft.reflow.ExtractConfig())))
+    assert(ExtractJob.diffAgainstExpected(out.toDF, out.toDF).count() == 0)
+    val mutated = out.map(d =>
+      d.copy(spans = d.spans.map(s => s.copy(text = s.text + "!"))))
+    assert(ExtractJob.diffAgainstExpected(out.toDF, mutated.toDF).count() == 10)
+  }
+
+  test("skew-aware repartition isolates big docs from the small-doc partitions") {
+    import spark.implicits._
+    val small = corpus(40)
+    val big = Fixtures.compositeDoc("big-doc", 60, new Fixtures.Rng(1), 4)
+    assert(big.spans.length > 5000)
+    val ds = spark.createDataset(small :+ big)
+    val part = ExtractJob.repartitionSkewAware(ds, 4, bigThreshold = 5000)
+    val sizes = part.mapPartitions(it => Iterator.single(it.map(_.spans.length.toLong).sum))
+      .collect()
+    // union of two 4-partition sets
+    assert(sizes.length == 8)
+    // the big doc sits alone in its partition
+    val bigPartitions = part.mapPartitions { it =>
+      val ids = it.map(_.doc_id).toVector
+      Iterator.single(ids)
+    }.collect().filter(_.contains("big-doc"))
+    assert(bigPartitions.length == 1 && bigPartitions.head == Vector("big-doc"))
+  }
+}

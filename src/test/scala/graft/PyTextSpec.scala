@@ -1,0 +1,87 @@
+package graft
+
+import graft.text.{LinkedCounter, PyText}
+import org.scalatest.funsuite.AnyFunSuite
+
+class PyTextSpec extends AnyFunSuite {
+
+  test("string.punctuation is the exact CPython 32-char set") {
+    assert(PyText.Punctuation.size == 32)
+    assert("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".forall(PyText.Punctuation))
+    assert(!PyText.Punctuation(' ') && !PyText.Punctuation('a') && !PyText.Punctuation('§'))
+  }
+
+  test("pyStrip strips unicode whitespace incl NBSP like Python str.strip") {
+    assert(PyText.pyStrip("  a b\t\n") == "a b")
+    assert(PyText.pyStrip(" x ") == "x")
+    assert(PyText.pyStrip("") == "")
+    assert(PyText.pyStrip("\n\n") == "")
+  }
+
+  test("isNumeric matches Python str.isnumeric on the classes we use") {
+    assert(PyText.isNumeric("123"))
+    assert(PyText.isNumeric("²")) // superscript: Python isnumeric True
+    assert(!PyText.isNumeric("12a"))
+    assert(!PyText.isNumeric(""))
+    assert(!PyText.isNumeric("1.2")) // dot not numeric
+  }
+
+  test("stripSpacesLineEnd mirrors the recursive reference semantics") {
+    // string_utils.py docstring cases
+    assert(PyText.stripSpacesLineEnd("the text  \n") == "the text\n")
+    assert(PyText.stripSpacesLineEnd("the text\n") == "the text\n")
+    assert(PyText.stripSpacesLineEnd("x") == "x")
+    assert(PyText.stripSpacesLineEnd(" \n") == "\n")
+    assert(PyText.stripSpacesLineEnd("a \n") == "a\n")
+    // only strips before a FINAL newline, one space per recursion step
+    assert(PyText.stripSpacesLineEnd("a \nb") == "a \nb")
+  }
+
+  test("jaccardChars is multiset char jaccard (textdistance default)") {
+    assert(PyText.jaccardChars("abc", "abc") == 1.0)
+    assert(PyText.jaccardChars("aab", "ab") == 2.0 / 3.0)
+    assert(PyText.jaccardChars("abc", "xyz") == 0.0)
+    // the footer case that drives fx dedup behavior
+    assert(PyText.jaccardChars("Seite 1 von 2", "Seite 2 von 2") > 0.8)
+  }
+
+  test("median matches Python statistics.median") {
+    assert(PyText.median(Seq(1, 3, 2)) == 2.0)
+    assert(PyText.median(Seq(1, 2, 3, 4)) == 2.5)
+    assert(PyText.median(Seq(5)) == 5.0)
+    assert(PyText.medianFromCounter(Seq(1.0 -> 2, 10.0 -> 1)) == 1.0)
+  }
+
+  test("argminFirst takes the first minimum (scores.index(min(scores)))") {
+    assert(PyText.argminFirst(Seq(2.0, 1.0, 1.0)) == 1)
+    assert(PyText.argminFirst(Seq(1.0, 1.0, 1.0)) == 0)
+  }
+
+  test("LinkedCounter.mostCommon1 breaks ties by insertion order") {
+    val c = new LinkedCounter[String]
+    c.update(Seq("b", "a", "a", "b"))
+    assert(c.mostCommon1 == "b") // both count 2, b first inserted
+    c.add("a", 1)
+    assert(c.mostCommon1 == "a")
+  }
+
+  test("cleanNoPunct lowers, transliterates, strips punctuation") {
+    assert(PyText.cleanNoPunct("Hällo, Wörld!") == "hallo world")
+    assert(PyText.cleanNoPunct("...") == "")
+    assert(PyText.cleanNoPunct("§12a") == "12a")
+  }
+
+  test("cleanNoPunctNoNumber removes digit runs (page-number predicate)") {
+    assert(PyText.cleanNoPunctNoNumber("Seite 3 von 10") == "seite von")
+    val cleaned = PyText.cleanNoPunctNoNumber("Seite 3 von 10")
+      .replace("seite", "").replace("von", "")
+    assert(PyText.pyStrip(cleaned) == "")
+  }
+
+  test("fixBadUnicode repairs latin1-read utf8 mojibake and NFC-normalizes") {
+    assert(PyText.fixBadUnicode("fÃ¼r") == "für")
+    assert(PyText.fixBadUnicode("plain ascii") == "plain ascii")
+    // NFC: combining umlaut composed
+    assert(PyText.fixBadUnicode("ü") == "ü")
+  }
+}
