@@ -1,13 +1,361 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.extract.Extractor
+import graft.fixtures.Fixtures
+import graft.model._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.reflow.ExtractConfig
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Two query families:
+  *  - `x*` extraction queries: run the pd3f-semantics pipeline over a
+  *    deterministic synthetic docs corpus (BASELINE.json input_hint shape —
+  *    the driver-provided TPC-H tables don't have that shape, FIXTURES.md
+  *    §5) and expose observable facets. Not SQL-expressible -> rows-only
+  *    checks (no oracle entries).
+  *  - `q*` corpus/training-pipeline queries over the driver's parquet
+  *    tables, each with a DuckDB oracle where the semantics are
+  *    SQL-expressible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------- helpers ----------
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic synthetic docs corpus (seed fixed; size small enough
+    * for the per-query budget, big enough to exercise every code path).
+    */
+  def docsCorpus(s: SparkSession, n: Int = 80): Dataset[DocRow] = {
+    import s.implicits._
+    s.createDataset(Fixtures.corpus(n, seed = 42L, tailPermille = 0))
+  }
+
+  def extracted(s: SparkSession, cfg: ExtractConfig = ExtractConfig()): DataFrame = {
+    import s.implicits._
+    docsCorpus(s).mapPartitions(_.flatMap { row =>
+      try Some(Extractor.extractRow(row, cfg))
+      catch { case _: ExtractionException => None }
+    }).toDF()
+  }
+
+  private def explodedSpans(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("s.kind").as("kind"), col("s.text").as("text"),
+        col("s.media_ref").as("media_ref"), col("s.offset").as("offset"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val one = spark.createDataset(Seq(Fixtures.flagshipDoc))
+    explodedSpans(one.map(Extractor.extractRow(_, ExtractConfig())).toDF())
+  }
+
+  // ---------- the query surface ----------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational / corpus-dimension operators (oracle-checked) ----
+    "q01_pricing_agg" -> ((s, dir) => {
+      val l = table(s, dir, "lineitem")
+      l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(24,6)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+    "q03_events_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = table(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.select(col("event_id"), col("user_id"), col("event_type"),
+        row_number().over(w).cast("long").as("seq"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+        .orderBy(col("user_id"), col("seq"))
+    }),
+    "q04_customers_without_orders" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q05_median_quantity" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q06_top_event_type_per_user" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = table(s, dir, "events")
+      val counts = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy(col("user_id"))
+    }),
+    // ---- dedup / text-analysis operators over `documents` ----
+    "q07_exact_dup_groups" -> ((s, dir) =>
+      Dedup.exactDuplicateGroups(table(s, dir, "documents"))
+        .orderBy(col("fp"))),
+    "q08_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(table(s, dir, "documents"))
+        .select(col("doc_id"),
+          col("ws_tokens").cast("long").as("ws_tokens"),
+          col("bpe_tokens").cast("long").as("bpe_tokens"),
+          col("chars").cast("long").as("chars"))
+        .orderBy(col("doc_id"))),
+    "q09_quality_scores" -> ((s, dir) =>
+      TextAnalysis.qualityScore(table(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+    "q10_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(table(s, dir, "documents"))
+        .select(col("doc_id"), col("lang_pred"),
+          col("lang_hits").cast("long").as("lang_hits"))
+        .orderBy(col("doc_id"))),
+    "q11_minhash_dup_pairs" -> ((s, dir) =>
+      Dedup.minHashDuplicatePairs(table(s, dir, "documents"),
+        Dedup.MinHashParams(jaccardThreshold = 0.5))),
+    "q12_simhash_dup_pairs" -> ((s, dir) =>
+      Dedup.simHashDuplicatePairs(table(s, dir, "documents"), maxHamming = 16)),
+    "q13_ann_bruteforce_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+    }),
+    "q14_ann_lsh_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 10)
+    }),
+    "q15_cosine_neardup_pairs" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(table(s, dir, "embeddings"), threshold = 0.9)),
+    "q16_winnow_fingerprints" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      table(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          val sig = TextAnalysis.winnowSignature(t)
+          (id, sig.length.toLong, sig.min, sig.max)
+        }
+        .toDF("doc_id", "sig_len", "sig_min", "sig_max")
+        .orderBy(col("doc_id"))
+    }),
+    // ---- multimodal plumbing (stub codec; Spark-side shape real) ----
+    "q17_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.syntheticMediaFor(
+        extractedWithMedia(s).select(col("doc_id"), col("spans")))
+      Multimodal.extractMeta(media).orderBy(col("doc_id"), col("media_ref"))
+    }),
+    "q18_multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.syntheticMediaFor(
+        extractedWithMedia(s).select(col("doc_id"), col("spans")))
+      Multimodal.sampleFrames(media, stride = 2)
+        .orderBy(col("doc_id"), col("media_ref"), col("frame_idx"))
+    }),
+    // ---- extraction pipeline facets (rows-only; SURVEY.md §2) ----
+    "x01_extract_spans" -> ((s, dir) =>
+      explodedSpans(extracted(s)).orderBy(col("doc_id"), col("offset"))),
+    "x02_doc_stats" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      docsCorpus(s).map { row =>
+        val tree = graft.codec.SpanCodec.decode(row.spans, fast = true)
+        val info = new graft.stats.DocInfo(tree)
+        (row.doc_id, info.bodyFont, info.medianLineWidth, info.medianLineHeight,
+          info.medianLineSpace, info.medianLineLeft)
+      }.toDF("doc_id", "body_font", "median_w", "median_h", "median_space", "median_left")
+        .orderBy(col("doc_id"))
+    }),
+    "x03_header_dedup" -> ((s, dir) => {
+      val cfg = ExtractConfig(pageNumberTypeBugCompat = false)
+      explodedSpans(extracted(s, cfg)).filter(col("kind") === "header")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_headers"))
+        .orderBy(col("doc_id"))
+    }),
+    "x04_footnotes" -> ((s, dir) =>
+      explodedSpans(extracted(s)).filter(col("kind") === "footnotes")
+        .orderBy(col("doc_id"), col("offset"))),
+    "x05_dehyphen_bodies" -> ((s, dir) =>
+      explodedSpans(extracted(s))
+        .filter(col("kind") === "body" && col("text").contains("finanziellen"))
+        .orderBy(col("doc_id"), col("offset"))),
+    "x06_media_passthrough" -> ((s, dir) =>
+      explodedSpans(extractedWithMedia(s))
+        .filter(col("kind").isin("image", "drawing", "table"))
+        .orderBy(col("doc_id"), col("offset"))),
+    "x07_page_number_strip" -> ((s, dir) => {
+      val cfg = ExtractConfig(pageNumberTypeBugCompat = false)
+      explodedSpans(extracted(s, cfg)).filter(col("kind") === "footer")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_footers"))
+        .orderBy(col("doc_id"))
+    }),
+    "x08_failed_docs" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val bad = sp.createDataset(Seq(
+        DocRow("bad-1", Seq(Span("page", "", "", 0))),
+        Fixtures.flagshipDoc))
+      bad.map { row =>
+        try { Extractor.extractRow(row, ExtractConfig()); (row.doc_id, "ok", "") }
+        catch { case e: ExtractionException => (row.doc_id, "failed", e.getMessage) }
+      }.toDF("doc_id", "status", "error").orderBy(col("doc_id"))
+    }))
+
+  private def extractedWithMedia(s: SparkSession): DataFrame =
+    extracted(s, ExtractConfig(fast = false))
+
+  /** DuckDB oracle SQL (dialect: DuckDB) for every SQL-expressible query
+    * above; same column names and ordering as the Spark results.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q03_events_window" ->
+      """SELECT event_id, user_id, event_type,
+        |  row_number() OVER w AS seq,
+        |  lag(event_type, 1) OVER w AS prev_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, seq""".stripMargin,
+    "q04_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q05_median_quantity" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q06_top_event_type_per_user" ->
+      """SELECT user_id, event_type, n FROM (
+        |  SELECT user_id, event_type, count(*) AS n,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+        |  FROM events GROUP BY user_id, event_type
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q07_exact_dup_groups" ->
+      """SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper FROM (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |) GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+    "q08_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q09_quality_scores" -> QualityOracle.sql,
+    "q10_lang_id" -> LangIdOracle.sql,
+    "q13_ann_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.qid AS query_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 6) AS score
+        |  FROM embeddings e CROSS JOIN q
+        |)
+        |SELECT query_id, vec_id, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM s
+        |) WHERE rn <= 10 ORDER BY query_id, score DESC, vec_id""".stripMargin)
+}
+
+/** q09 oracle: the exact DuckDB rendition of TextAnalysis.qualityScore. */
+private object QualityOracle {
+  private val stops = TextAnalysis.Stopwords.values.flatten.toSeq.distinct
+    .map(w => s"'$w'").mkString(", ")
+  val sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS DOUBLE) AS n_tok,
+       |    CAST(length(text) AS DOUBLE) AS n_char,
+       |    CAST(length(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g')) AS DOUBLE) AS alpha,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) AS punct,
+       |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digit,
+       |    CAST(len(list_filter(list_transform(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), t -> lower(t)),
+       |         t -> list_contains([$stops], t))) AS DOUBLE) AS stop_hits
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, n_tok,
+       |    greatest(n_tok, 1.0) AS safe_tok, greatest(n_char, 1.0) AS safe_char,
+       |    alpha, punct, digit, stop_hits,
+       |    (n_char - (n_tok - 1)) / greatest(n_tok, 1.0) AS mwl,
+       |    CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END AS len_band
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tok AS n_tokens,
+       |  round(alpha / safe_char, 6) AS alpha_ratio,
+       |  round(punct / safe_char, 6) AS punct_ratio,
+       |  round(digit / safe_char, 6) AS digit_ratio,
+       |  round(stop_hits / safe_tok, 6) AS stopword_ratio,
+       |  round(len_band * 0.2
+       |    + least(alpha / safe_char * 1.25, 1.0) * 0.3
+       |    + least(stop_hits / safe_tok * 2.5, 1.0) * 0.3
+       |    + (1.0 - least(punct / safe_char * 5.0, 1.0)) * 0.1
+       |    + (CASE WHEN mwl BETWEEN 2.0 AND 14.0 THEN 1.0 ELSE 0.0 END) * 0.1, 6) AS quality
+       |FROM r ORDER BY doc_id""".stripMargin
+}
+
+/** q10 oracle: stopword-hit language ID with the reverse-alphabetical
+  * tie-break (equals Spark's greatest-over-structs).
+  */
+private object LangIdOracle {
+  private def lst(l: String) =
+    TextAnalysis.Stopwords(l).map(w => s"'$w'").mkString(", ")
+  val sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(toks, t -> list_contains([${lst("de")}], t))) AS BIGINT) AS h_de,
+       |    CAST(len(list_filter(toks, t -> list_contains([${lst("en")}], t))) AS BIGINT) AS h_en,
+       |    CAST(len(list_filter(toks, t -> list_contains([${lst("es")}], t))) AS BIGINT) AS h_es,
+       |    CAST(len(list_filter(toks, t -> list_contains([${lst("fr")}], t))) AS BIGINT) AS h_fr
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       |       WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+       |       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+       |       WHEN h_en >= h_de THEN 'en'
+       |       ELSE 'de' END AS lang_pred,
+       |  greatest(h_de, h_en, h_es, h_fr) AS lang_hits
+       |FROM h ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline, each designed
+  * around its shuffle profile at 100 TB:
+  *
+  *  - exact: one shuffle on a 16-byte fingerprint (not the text);
+  *  - MinHash+LSH: per-doc signatures computed map-side in one pass (no
+  *    shingle explosion across the shuffle), then one shuffle on
+  *    (band, bandHash) buckets, pair generation inside buckets only;
+  *  - SimHash: one 64-bit signature per doc, candidate pairs via 4
+  *    rotated-band self-joins (hamming<=3 guarantee within 4 bands of 16
+  *    bits), verified by exact hamming distance.
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact duplicate groups: normalize -> md5 -> groupBy fingerprint.
+    * The shuffle key is the hash, so shuffled bytes ~ 50/row regardless of
+    * document size.
+    */
+  def exactDuplicateGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_docs") > 1)
+
+  /** Exact-dedup'd corpus: keep the min doc_id per fingerprint (window-free
+    * formulation: aggregate keeper then semi-join — two narrow shuffles on
+    * the hash, no row_number over the full corpus).
+    */
+  def dedupExact(docs: DataFrame): DataFrame = {
+    val withFp = docs.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val keepers = withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    withFp.join(keepers, Seq("fp", "doc_id"), "left_semi").drop("fp")
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  final case class MinHashParams(
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      jaccardThreshold: Double = 0.8)
+
+  /** Word shingles (n-grams) of the normalized text. */
+  def shingles(text: String, n: Int): Set[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Set(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** MinHash signature: min over shingle hashes per seeded permutation —
+    * computed in one pass per document (numHashes mins updated per
+    * shingle), map-side only.
+    */
+  def minHashSignature(sh: Set[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    sh.foreach { s =>
+      val base = Hashing.fnv1a(s)
+      var i = 0
+      while (i < numHashes) {
+        val h = Hashing.seeded(base, i.toLong)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  final case class BandKey(doc_id: Long, band: Int, band_hash: Long)
+
+  /** (doc, band, bandHash) rows: numHashes/bands rows per doc — the only
+    * thing that crosses the shuffle (no shingles, no text).
+    */
+  def minHashBands(docs: DataFrame, p: MinHashParams = MinHashParams()): Dataset[BandKey] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = p.numHashes / p.bands
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val sig = minHashSignature(shingles(text, p.shingleSize), p.numHashes)
+          (0 until p.bands).iterator.map { b =>
+            var h = 0xcbf29ce484222325L
+            var i = b * rows
+            while (i < (b + 1) * rows) { h = Hashing.mix(h ^ sig(i)); i += 1 }
+            BandKey(id, b, h)
+          }
+        }
+      }
+  }
+
+  /** Candidate pairs from LSH buckets (distinct (a,b) with a<b), then
+    * verified with exact shingle Jaccard by joining the texts back in.
+    * The self-join is per-bucket; bucket sizes are bounded by real
+    * duplicate-cluster sizes, not corpus size.
+    */
+  def minHashDuplicatePairs(docs: DataFrame, p: MinHashParams = MinHashParams()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = minHashBands(docs, p)
+    val l = bands.toDF("a", "band", "h")
+    val r = bands.toDF("b", "band", "h")
+    val candidates = l.join(r, Seq("band", "h"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val texts = docs.select(col("doc_id").cast("long").as("id"), col("text"))
+    val verified = candidates
+      .join(texts.withColumnRenamed("id", "a").withColumnRenamed("text", "text_a"), "a")
+      .join(texts.withColumnRenamed("id", "b").withColumnRenamed("text", "text_b"), "b")
+      .select(col("a"), col("b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, ta, tb) =>
+        val sa = shingles(ta, p.shingleSize)
+        val sb = shingles(tb, p.shingleSize)
+        val inter = sa.intersect(sb).size.toDouble
+        val union = sa.union(sb).size.toDouble
+        (a, b, if (union == 0) 0.0 else inter / union)
+      }.toDF("doc_a", "doc_b", "jaccard")
+    verified.filter(col("jaccard") >= p.jaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash over whitespace tokens (weight 1 each). */
+  def simHash(text: String): Long = {
+    val v = new Array[Int](64)
+    text.toLowerCase.split("\\s+").foreach { t =>
+      if (t.nonEmpty) {
+        val h = Hashing.fnv1a(t)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) v(i) += 1 else v(i) -= 1
+          i += 1
+        }
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (v(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Near-duplicate pairs by SimHash: 4 x 16-bit band blocking (any pair
+    * with hamming <= 3 shares at least one exact band), verified by exact
+    * hamming <= maxHamming.
+    */
+  def simHashDuplicatePairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, simHash(t)) }
+      .toDF("id", "sig")
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+        .as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    val l = banded.toDF("a", "sig_a", "band", "key")
+    val r = banded.toDF("b", "sig_b", "band", "key")
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("sig_a"), col("sig_b")).distinct()
+      .as[(Long, Long, Long, Long)]
+      .map { case (a, b, sa, sb) => (a, b, hamming(sa, sb)) }
+      .toDF("doc_a", "doc_b", "hamming")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

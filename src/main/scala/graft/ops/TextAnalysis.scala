@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, all
+  * expressed as native Catalyst columns (whole-stage-codegen'd, no UDFs):
+  * tokenization, token counting, language ID, quality scoring,
+  * fingerprinting. Input: a `documents`-shaped table with a `text` column.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (matches the DuckDB oracle
+    * formulation: list_filter(string_split_regex(text,'\s+'), ...)).
+    */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, single other
+    * non-space chars — the usual byte-pair pre-split shape. ASCII classes
+    * so the regex means the same thing in Spark (Java regex) and DuckDB
+    * (RE2) for the oracle.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCounts(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)))
+        .as("bpe_tokens"),
+      length(col("text")).as("chars"))
+
+  /** Per-language stopword lists (tiny embedded sets — the heuristic only
+    * needs relative counts).
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "den", "mit", "für", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "des", "est", "une", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "es", "por"))
+
+  /** stopword hit count for one language over a token array column —
+    * keeps multiplicity (array_intersect would dedup).
+    */
+  def stopwordHits(tokens: Column, lang: String): Column = {
+    val words = Stopwords(lang)
+    size(filter(tokens, t => words.map(w => t === w).reduce(_ || _)))
+  }
+
+  /** n-gram-free language ID heuristic: language with the most stopword
+    * hits; "und" for undetermined (no hits).
+    */
+  def langId(df: DataFrame): DataFrame = {
+    val toks = lower(col("text"))
+    val tokens = wsTokens(toks)
+    val langs = Stopwords.keys.toSeq.sorted
+    val scored = df.select(
+      (Seq(col("doc_id"), col("text")) ++
+        langs.map(l => stopwordHits(tokens, l).as(s"hits_$l"))): _*)
+    val best = langs.map(l =>
+      struct(col(s"hits_$l").as("hits"), lit(l).as("lang")))
+    scored.select(
+      col("doc_id"),
+      greatest(best: _*).getField("lang").as("lang_pred"),
+      greatest(best: _*).getField("hits").as("lang_hits"))
+      .withColumn("lang_pred",
+        when(col("lang_hits") === 0, lit("und")).otherwise(col("lang_pred")))
+  }
+
+  /** Quality signals + a composite score in [0,1] — length band, alpha
+    * ratio, punct/digit ratios, stopword ratio, mean word length band.
+    * Each signal is a plain Column expression (pushdown/codegen friendly).
+    */
+  def qualityScore(df: DataFrame): DataFrame = {
+    val text = col("text")
+    val tokens = wsTokens(text)
+    val nTok = size(tokens).cast("double")
+    val nChar = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-zÀ-ÿ]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double")
+    val digit = length(regexp_replace(text, "[^0-9]", "")).cast("double")
+    val allLangStops = Stopwords.values.flatten.toSeq.distinct
+    val stopHits = size(filter(transform(tokens, t => lower(t)),
+      t => allLangStops.map(w => t === w).reduce(_ || _))).cast("double")
+
+    val safeTok = greatest(nTok, lit(1.0))
+    val safeChar = greatest(nChar, lit(1.0))
+    val meanWordLen = (nChar - (nTok - 1)) / safeTok
+
+    val lenBand = when(nTok.between(5, 100000), 1.0).otherwise(0.0)
+    val alphaRatio = alpha / safeChar
+    val punctRatio = punct / safeChar
+    val digitRatio = digit / safeChar
+    val stopRatio = stopHits / safeTok
+    val wordLenBand = when(meanWordLen.between(2.0, 14.0), 1.0).otherwise(0.0)
+
+    df.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      round(alphaRatio, 6).as("alpha_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(digitRatio, 6).as("digit_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round((lenBand * lit(0.2)
+        + least(alphaRatio * lit(1.25), lit(1.0)) * lit(0.3)
+        + least(stopRatio * lit(2.5), lit(1.0)) * lit(0.3)
+        + (lit(1.0) - least(punctRatio * lit(5.0), lit(1.0))) * lit(0.1)
+        + wordLenBand * lit(0.1)), 6).as("quality"))
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercased text
+    * — the exact-dedup key, portable to the DuckDB oracle verbatim.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Winnowing-style robust fingerprint: k-gram rolling hashes, minimum
+    * per window, distinct — near-dup-robust document signature (computed
+    * per-row in a typed map; the signature never exceeds ~text/window
+    * longs).
+    */
+  def winnowSignature(text: String, k: Int = 8, window: Int = 16): Vector[Long] = {
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (norm.length < k) return Vector(Hashing.fnv1a(norm))
+    val hashes = new Array[Long](norm.length - k + 1)
+    var i = 0
+    while (i + k <= norm.length) {
+      hashes(i) = Hashing.fnv1a(norm.substring(i, i + k))
+      i += 1
+    }
+    val out = Vector.newBuilder[Long]
+    var last = Long.MinValue
+    var j = 0
+    while (j + window <= hashes.length || j == 0) {
+      val end = math.min(j + window, hashes.length)
+      var m = Long.MaxValue
+      var x = j
+      while (x < end) { if (hashes(x) < m) m = hashes(x); x += 1 }
+      if (m != last) { out += m; last = m }
+      j += window
+    }
+    out.result()
+  }
+}
