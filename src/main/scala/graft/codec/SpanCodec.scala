@@ -47,110 +47,38 @@ object SpanCodec {
     *             unclassified elements simply never materialize here).
     */
   def decode(spans: Seq[Span], fast: Boolean): DocTree = {
-    val sorted = spans.sortBy(_.offset)
-    val fonts = Vector.newBuilder[FontDef]
-    val pages = Vector.newBuilder[Page]
-
-    var curPage: ArrayBuffer[Elem] = null
-    // open element state
-    var elemId: String = null
-    var elemTyp: String = null
-    var elemBox: Box = EmptyBox
-    var elemLevel: Int = 0
-    var elemHdr = false
-    var elemFtr = false
-    var elemLines: ArrayBuffer[Line] = null
-    // open line state
-    var lineId: String = null
-    var lineBox: Box = EmptyBox
-    var lineWords: ArrayBuffer[Word] = null
-
-    def flushLine(): Unit = {
-      if (lineId != null) {
-        elemLines += Line(lineId, lineBox, lineWords.toVector)
-        lineId = null; lineWords = null
+    // offset is the ordering authority; fixture encoders emit in order, so
+    // only pay for the sort when the stream actually arrives shuffled
+    val isSorted = {
+      var ok = true
+      var prev = Int.MinValue
+      val it = spans.iterator
+      while (ok && it.hasNext) {
+        val o = it.next().offset
+        if (o < prev) ok = false else prev = o
       }
+      ok
     }
-    def flushElem(): Unit = {
-      flushLine()
-      if (elemId != null) {
-        curPage += Elem(elemId, elemTyp, elemBox, elemLevel, elemHdr, elemFtr,
-          elemLines.toVector, "", "")
-        elemId = null; elemLines = null
-      }
-    }
-    def flushPage(): Unit = {
-      flushElem()
-      if (curPage != null) {
-        pages += Page(curPage.toVector)
-        curPage = null
-      }
-    }
-
-    def parseKv(s: String): Map[String, String] =
-      s.split(";").iterator.filter(_.nonEmpty).map { kv =>
-        val i = kv.indexOf('=')
-        if (i < 0) (kv, "") else (kv.substring(0, i), kv.substring(i + 1))
-      }.toMap
-
-    sorted.foreach { sp =>
-      sp.kind match {
-        case "font" =>
-          val size = parseKv(sp.text).getOrElse("size", "0").toDouble
-          fonts += FontDef(sp.media_ref, size)
-        case "page" =>
-          flushPage()
-          curPage = ArrayBuffer.empty[Elem]
-        case "para" | "heading" =>
-          flushElem()
-          if (curPage == null) curPage = ArrayBuffer.empty[Elem]
-          val kv = parseKv(sp.text)
-          elemId = sp.media_ref
-          elemTyp = if (sp.kind == "para") "paragraph" else "heading"
-          elemBox = kv.get("box").map(parseBox).getOrElse(EmptyBox)
-          elemLevel = kv.get("level").map(_.toInt).getOrElse(0)
-          elemHdr = false; elemFtr = false
-          elemLines = ArrayBuffer.empty[Line]
-        case "hdr" =>
-          if (elemId != null) elemHdr = true
-        case "ftr" =>
-          if (elemId != null) elemFtr = true
-        case "line" =>
-          flushLine()
-          if (elemLines == null) { // tolerate stray line outside element
-            elemId = "auto-" + sp.offset; elemTyp = "paragraph"
-            elemBox = EmptyBox; elemLevel = 0; elemHdr = false; elemFtr = false
-            elemLines = ArrayBuffer.empty[Line]
-            if (curPage == null) curPage = ArrayBuffer.empty[Elem]
-          }
-          lineId = sp.media_ref
-          lineBox = parseKv(sp.text).get("box").map(parseBox).getOrElse(EmptyBox)
-          lineWords = ArrayBuffer.empty[Word]
-        case "word" =>
-          if (lineWords != null) {
-            val kv = parseKv(sp.media_ref)
-            val font = kv.getOrElse("font", "")
-            val box = kv.get("box").map(parseBox).getOrElse(EmptyBox)
-            lineWords += Word(sp.text, font, box)
-          }
-        case "image" | "drawing" =>
-          if (!fast) {
-            flushElem()
-            if (curPage == null) curPage = ArrayBuffer.empty[Elem]
-            curPage += Elem("media-" + sp.offset, sp.kind, EmptyBox, 0,
-              isHeader = false, isFooter = false, Vector.empty, sp.media_ref, "")
-          }
-        case "table" =>
-          flushElem()
-          if (curPage == null) curPage = ArrayBuffer.empty[Elem]
-          curPage += Elem(sp.media_ref, "table", EmptyBox, 0,
-            isHeader = false, isFooter = false, Vector.empty, sp.media_ref, sp.text)
-        case _ => // unknown kinds ignored (forward compat)
-      }
-    }
-    flushPage()
-    DocTree(fonts.result(), pages.result())
+    val sorted = if (isSorted) spans else spans.sortBy(_.offset)
+    val b = new TreeBuilder(fast)
+    sorted.foreach(sp => feed(b, sp.kind, sp.text, sp.media_ref, sp.offset))
+    b.result()
   }
+
+  def feed(b: TreeBuilder, kind: String, text: String, ref: String, offset: Int): Unit =
+    kind match {
+      case "word" => b.onWord(text, ref)
+      case "line" => b.onLine(text, ref)
+      case "para" => b.onElem(isHeading = false, text, ref)
+      case "heading" => b.onElem(isHeading = true, text, ref)
+      case "page" => b.onPage()
+      case "hdr" => b.onHdr()
+      case "ftr" => b.onFtr()
+      case "font" => b.onFont(text, ref)
+      case "image" | "drawing" => b.onMedia(kind, ref, offset)
+      case "table" => b.onTable(text, ref)
+      case _ => // unknown kinds ignored (forward compat)
+    }
 
   /** Encode a tree back to a span stream (fixture builder + round-trip
     * property tests).

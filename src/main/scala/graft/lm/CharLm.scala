@@ -7,47 +7,122 @@ package graft.lm
   * north_star sanctions: "dictionary + character-n-gram language-model
   * scoring". Design constraints:
   *
-  *  - bit-stable across JVMs/partitions: counts are integers, log-probs are
-  *    computed with StrictMath and quantized to 1/1024 units (Long), so a
-  *    score comparison never depends on platform FP or summation order;
-  *  - one model per executor: the n-gram table is built lazily once per JVM
-  *    from the embedded corpus (the reference loads one Flair model per
+  *  - bit-stable across JVMs/partitions: counts are integers, log-probs
+  *    are computed with StrictMath and quantized to 1/1024 units (Long),
+  *    so a score comparison never depends on platform FP or summation
+  *    order;
+  *  - one model per executor: the table is built lazily once per JVM from
+  *    the embedded corpus (the reference loads one Flair model per
   *    process, dehyphen_wrapper.py:18-31 — same singleton shape);
-  *  - lower score = more likely (reference uses perplexity; only the
-  *    ordering of scores is consumed: dehyphen_wrapper.py:58-60, 137-139).
+  *  - allocation-free scoring: n-grams are packed into Long keys (4 chars
+  *    x 16 bits) probed against open-addressing long->long tables — no
+  *    substring garbage in the hot loop, so 32 executor threads scale
+  *    without GC contention;
+  *  - lower score = more likely (the reference uses perplexity; only the
+  *    ordering of scores is consumed: dehyphen_wrapper.py:58-60).
   *
-  * Model: order-4 (trigram context) add-k smoothed with backoff-free
-  * interpolation of orders 4..1, over a lowercased char alphabet.
+  * Model: order-4, add-1/2 smoothed, interpolated over orders 4..1 with
+  * fixed weights 8:4:3:1 (/16).
   */
 object CharLm {
 
   private val Order = 4
   private val BOS = '\u0002'
   private val Quantum = 1024L
-  // interpolation weights (fixed-point /16): orders 4,3,2,1
-  private val W: Array[Long] = Array(8, 4, 3, 1)
+  private val W: Array[Double] = Array(8, 4, 3, 1)
+
+  /** Minimal open-addressing long->long hash map (power-of-2 capacity,
+    * linear probing). Key 0 is the empty slot marker; packed gram keys are
+    * never 0 because every key carries a nonzero order tag in the top
+    * bits.
+    */
+  private final class LongLongMap(initialCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCap) * 2)
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var n = 0
+
+    private def idx(k: Long): Int = {
+      var h = k * -7046029254386353131L
+      h ^= (h >>> 32)
+      (h & (cap - 1)).toInt
+    }
+
+    def addTo(k: Long, d: Long): Unit = {
+      var i = idx(k)
+      var continue = true
+      while (continue) {
+        val kk = keys(i)
+        if (kk == k) { vals(i) += d; continue = false }
+        else if (kk == 0L) {
+          keys(i) = k; vals(i) = d; n += 1
+          if (n * 4 > cap * 3) grow()
+          continue = false
+        } else i = (i + 1) & (cap - 1)
+      }
+    }
+
+    def get(k: Long): Long = {
+      var i = idx(k)
+      while (true) {
+        val kk = keys(i)
+        if (kk == k) return vals(i)
+        if (kk == 0L) return 0L
+        i = (i + 1) & (cap - 1)
+      }
+      0L
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap = cap * 2
+      keys = new Array[Long](cap)
+      vals = new Array[Long](cap)
+      n = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != 0L) addTo(ok(i), ov(i))
+        i += 1
+      }
+    }
+  }
 
   private lazy val model: Model = new Model(TrainingCorpus.text)
 
   private final class Model(corpus: String) {
-    val counts: Array[java.util.HashMap[String, Int]] =
-      Array.fill(Order)(new java.util.HashMap[String, Int]())
-    val ctxTotals: Array[java.util.HashMap[String, Int]] =
-      Array.fill(Order)(new java.util.HashMap[String, Int]())
+    val grams: Array[LongLongMap] = Array.fill(Order)(new LongLongMap(1 << 14))
+    val ctxs: Array[LongLongMap] = Array.fill(Order)(new LongLongMap(1 << 12))
     var vocab = 0
+
+    /** pack chars text[i-n+1..i] into a Long (4 x 16-bit chars max) with
+      * an order tag in bits 60+ so no packed key is ever 0.
+      */
+    @inline def pack(text: CharSequence, i: Int, n: Int): Long = {
+      var k = 0L
+      var j = i - n + 1
+      while (j <= i) {
+        k = (k << 16) | text.charAt(j).toLong
+        j += 1
+      }
+      // no order tag needed: maps are separate per order and the last
+      // char of any real gram is nonzero, so k != 0 (0 = empty slot)
+      k
+    }
+
+    @inline def packCtx(text: CharSequence, i: Int, n: Int): Long =
+      if (n == 1) 1L << 59 // the single empty context
+      else pack(text, i - 1, n - 1)
 
     locally {
       val text = BOS.toString * (Order - 1) + normalize(corpus)
-      val seen = new java.util.HashSet[Char]()
+      val seen = new java.util.HashSet[Character]()
       var i = Order - 1
       while (i < text.length) {
         seen.add(text.charAt(i))
         var n = 1
         while (n <= Order) {
-          val gram = text.substring(i - n + 1, i + 1)
-          val ctx = gram.substring(0, n - 1)
-          counts(n - 1).merge(gram, 1, (a, b) => a + b)
-          ctxTotals(n - 1).merge(ctx, 1, (a, b) => a + b)
+          grams(n - 1).addTo(pack(text, i, n), 1L)
+          ctxs(n - 1).addTo(packCtx(text, i, n), 1L)
           n += 1
         }
         i += 1
@@ -55,18 +130,15 @@ object CharLm {
       vocab = seen.size + 1
     }
 
-    /** Quantized negative log2 prob of char at position i of text. */
-    def negLog2Q(text: String, i: Int): Long = {
-      // interpolated probability in fixed point: p = sum(w_n * p_n) / 16
+    /** Quantized negative log2 prob of char at position i. */
+    def negLog2Q(text: CharSequence, i: Int): Long = {
       var num = 0.0
       var n = Order
       var wi = 0
       while (n >= 1) {
-        val gram = text.substring(i - n + 1, i + 1)
-        val ctx = gram.substring(0, n - 1)
-        val c = counts(n - 1).getOrDefault(gram, 0)
-        val t = ctxTotals(n - 1).getOrDefault(ctx, 0)
-        // add-k smoothing, k=1/2 in fixed arithmetic: (2c+1)/(2t+vocab*1... )
+        val c = grams(n - 1).get(pack(text, i, n))
+        val t = ctxs(n - 1).get(packCtx(text, i, n))
+        // add-k smoothing, k=1/2: (2c+1)/(2t+vocab)
         val p = (2.0 * c + 1.0) / (2.0 * t + vocab.toDouble)
         num += W(wi) * p
         n -= 1
@@ -86,15 +158,23 @@ object CharLm {
   def score(text: String): Double = {
     if (text == null || text.isEmpty) return Double.PositiveInfinity
     val m = model
-    val padded = BOS.toString * (Order - 1) + normalize(text)
+    val padded = new PaddedSeq(normalize(text), Order - 1)
     var sum = 0L
     var i = Order - 1
-    while (i < padded.length) {
+    val end = padded.length
+    while (i < end) {
       sum += m.negLog2Q(padded, i)
       i += 1
     }
-    // average in the quantized domain, then one division — deterministic
-    (sum.toDouble / (padded.length - Order + 1)) / Quantum.toDouble
+    (sum.toDouble / (end - Order + 1)) / Quantum.toDouble
+  }
+
+  /** CharSequence view `BOS*pad + s` — no concatenation garbage. */
+  private final class PaddedSeq(s: String, pad: Int) extends CharSequence {
+    def length: Int = s.length + pad
+    def charAt(i: Int): Char = if (i < pad) BOS else s.charAt(i - pad)
+    def subSequence(a: Int, b: Int): CharSequence =
+      throw new UnsupportedOperationException
   }
 }
 

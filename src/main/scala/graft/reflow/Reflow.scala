@@ -77,10 +77,20 @@ object Reflow {
   }
 
   /** no_alphanum_char (export.py:398-402) — despite the name, returns true
-    * when the cleaned text HAS an alphanumeric char.
+    * when the cleaned text HAS an alphanumeric char. Fast path: an ASCII
+    * letter/digit survives cleaning (lowercase/translit/punct-strip)
+    * unchanged, so its presence decides without allocating.
     */
-  def hasAlnumAfterClean(text: String): Boolean =
+  def hasAlnumAfterClean(text: String): Boolean = {
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9')) return true
+      i += 1
+    }
     PyText.cleanNoPunct(text).exists(PyText.isAlnumChar)
+  }
 
   /** add_linebreak (export.py:328-385): the hand-ordered heuristic cascade
     * deciding newline vs space between consecutive lines. Rule order and

@@ -51,6 +51,8 @@ object PyText {
     * fixtures is implemented (FIXTURES.md §6 keeps fixtures inside it).
     */
   def fixBadUnicode(s: String): String = {
+    // fast path: pure-ASCII text is mojibake-free and NFC by construction
+    if (isAscii(s)) return s
     val repaired =
       if (looksMojibake(s)) {
         try {
@@ -63,6 +65,15 @@ object PyText {
         } catch { case _: Exception => s }
       } else s
     java.text.Normalizer.normalize(repaired, java.text.Normalizer.Form.NFC)
+  }
+
+  def isAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 0x80) return false
+      i += 1
+    }
+    true
   }
 
   /** Heuristic: contains a UTF-8 lead byte char (0xC2-0xF4 range as chars)

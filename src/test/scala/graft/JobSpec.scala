@@ -97,7 +97,8 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     // chunk 0 was not reprocessed: exactly one metrics batch for chunk 0
     val m = spark.read.parquet(half.metricsPath)
     val perChunkPartitions = m.filter(col("chunk_id") === 0).count()
-    assert(perChunkPartitions <= 8) // one pass worth of partition rows
+    // one pass worth of partition rows (reprocessing would double it)
+    assert(perChunkPartitions <= 4 * ExtractJob.SaltFactor)
   }
 
   test("failed docs go to metrics, not output") {
@@ -125,22 +126,28 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractJob.diffAgainstExpected(out.toDF, mutated.toDF).count() == 10)
   }
 
-  test("skew-aware repartition isolates big docs from the small-doc partitions") {
+  test("skew-aware repartition: single shuffle, salted spread, deterministic") {
     import spark.implicits._
     val small = corpus(40)
-    val big = Fixtures.compositeDoc("big-doc", 60, new Fixtures.Rng(1), 4)
-    assert(big.spans.length > 5000)
-    val ds = spark.createDataset(small :+ big)
+    val bigs = (0 until 5).map(i =>
+      Fixtures.compositeDoc(s"big-doc-$i", 40, new Fixtures.Rng(100 + i), 4))
+    bigs.foreach(b => assert(b.spans.length > 5000))
+    val ds = spark.createDataset(small ++ bigs)
     val part = ExtractJob.repartitionSkewAware(ds, 4, bigThreshold = 5000)
-    val sizes = part.mapPartitions(it => Iterator.single(it.map(_.spans.length.toLong).sum))
-      .collect()
-    // union of two 4-partition sets
-    assert(sizes.length == 8)
-    // the big doc sits alone in its partition
-    val bigPartitions = part.mapPartitions { it =>
-      val ids = it.map(_.doc_id).toVector
-      Iterator.single(ids)
-    }.collect().filter(_.contains("big-doc"))
-    assert(bigPartitions.length == 1 && bigPartitions.head == Vector("big-doc"))
+    assert(part.rdd.getNumPartitions == 4 * ExtractJob.SaltFactor)
+    def layout = part.mapPartitions { it =>
+      Iterator.single(it.map(_.doc_id).toVector.sorted)
+    }.collect().toVector
+    val l1 = layout
+    // all docs exactly once
+    assert(l1.flatten.sorted == (small ++ bigs).map(_.doc_id).sorted.toVector)
+    // the 5 long docs don't pile into one partition (size-salted keys)
+    val bigParts = l1.zipWithIndex.filter(_._1.exists(_.startsWith("big-doc")))
+    assert(bigParts.map(_._2).distinct.length >= 2)
+    // deterministic placement (resume requirement)
+    assert(layout == l1)
+    // single scan of the input: exactly one Scan node in the physical plan
+    val plan = part.queryExecution.executedPlan.toString
+    assert("Scan ".r.findAllIn(plan).length == 1, plan)
   }
 }
