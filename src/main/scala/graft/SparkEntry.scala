@@ -141,6 +141,8 @@ object SparkEntry {
         Dedup.MinHashParams(jaccardThreshold = 0.5))),
     "q12_simhash_dup_pairs" -> ((s, dir) =>
       Dedup.simHashDuplicatePairs(table(s, dir, "documents"), maxHamming = 16)),
+    "q19_ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, threshold = 0.2)),
     "q13_ann_bruteforce_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
@@ -281,6 +283,28 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
         |  CAST(length(text) AS BIGINT) AS chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q19_ngram_jaccard_pairs" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM t
+        |), e AS (SELECT id, unnest(sh) AS g FROM s),
+        |sz AS (SELECT id, len(sh) AS n FROM s),
+        |p AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, CAST(count(*) AS DOUBLE) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM p JOIN sz sa ON sa.id = doc_a JOIN sz sb ON sb.id = doc_b
+        |WHERE inter / (sa.n + sb.n - inter) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q09_quality_scores" -> QualityOracle.sql,
     "q10_lang_id" -> LangIdOracle.sql,
     "q13_ann_bruteforce_topk" ->

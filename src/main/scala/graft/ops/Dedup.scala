@@ -125,6 +125,57 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---------- exact n-gram Jaccard ----------
+
+  /** Exact n-gram-Jaccard near-duplicate pairs via an inverted index:
+    *
+    *  1. explode each doc to distinct shingle-hash rows (hash, not the
+    *     shingle text, crosses the shuffle);
+    *  2. self-join on the hash and count per (a, b) — the count IS the
+    *     intersection size, so pair texts are never materialized;
+    *  3. jaccard = inter / (|A| + |B| - inter) from per-doc set sizes
+    *     (broadcast-joined when small).
+    *
+    * `maxDocFreq` drops shingles present in more than that many documents
+    * before the self-join — stop-shingles ("of the", boilerplate) are what
+    * makes the inverted-index join quadratic at corpus scale, and a shingle
+    * shared by >F docs can only matter for pairs whose similarity is
+    * carried by rarer shingles too (standard ppjoin-style frequency cut;
+    * set it to Int.MaxValue for the exact-against-oracle configuration).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val exploded = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        shingles(t, n).iterator.map(s => (id, Hashing.fnv1a(s)))
+      }
+      .toDF("id", "g")
+    val filtered =
+      if (maxDocFreq == Int.MaxValue) exploded
+      else {
+        val hot = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select(col("g"))
+        exploded.join(broadcast(hot), Seq("g"), "left_anti")
+      }
+    val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = filtered.toDF("a", "g")
+      .join(filtered.toDF("b", "g"), Seq("g"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.toDF("a", "na")), "a")
+      .join(broadcast(sizes.toDF("b", "nb")), "b")
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over whitespace tokens (weight 1 each). */

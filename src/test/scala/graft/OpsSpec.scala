@@ -1,0 +1,220 @@
+package graft
+
+import graft.ops.{Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-pipeline operators: hand-computed vectors + cross-checks
+  * between the approximate (LSH-bucketed) and exact formulations.
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-opsspec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.collection.immutable.Seq
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---------- exact dedup ----------
+
+  test("exactDuplicateGroups: whitespace/case-insensitive groups, min keeper") {
+    val df = docsDf(Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "unique text"),
+      (4L, " HELLO\tWORLD ")))
+    val groups = Dedup.exactDuplicateGroups(df).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n_docs") == 3)
+    assert(groups(0).getAs[Long]("keeper") == 1L)
+    val kept = Dedup.dedupExact(df).select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  // ---------- shingles + jaccard ----------
+
+  test("shingles: word 3-grams, distinct; degenerate short text") {
+    assert(Dedup.shingles("a b c d", 3) == Set("a b c", "b c d"))
+    assert(Dedup.shingles("a b", 3) == Set("a b"))
+    assert(Dedup.shingles("", 3) == Set(""))
+    assert(Dedup.shingles("x y z x y z x y z", 3).size == 3) // distinct
+  }
+
+  test("ngramJaccardPairs: hand-computed jaccard, threshold honored") {
+    // doc1: shingles {a b c, b c d}  doc2: {a b c, b c e}
+    // inter=1, union=3 -> jaccard=1/3
+    val df = docsDf(Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "totally different words here")))
+    val pairs = Dedup.ngramJaccardPairs(df, n = 3, threshold = 0.3).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("doc_a") == 1L)
+    assert(pairs(0).getAs[Long]("doc_b") == 2L)
+    assert(math.abs(pairs(0).getAs[Double]("jaccard") - 0.333333) < 1e-6)
+    assert(Dedup.ngramJaccardPairs(df, n = 3, threshold = 0.5).collect().isEmpty)
+  }
+
+  test("ngramJaccardPairs: maxDocFreq cut drops boilerplate-only pairs") {
+    // the shared shingle appears in all 4 docs -> cut at maxDocFreq=3
+    val df = docsDf(Seq(
+      (1L, "common boiler plate one"), (2L, "common boiler plate two"),
+      (3L, "common boiler plate three"), (4L, "common boiler plate four")))
+    val exact = Dedup.ngramJaccardPairs(df, n = 3, threshold = 0.3)
+    assert(exact.count() == 6) // every pair shares "common boiler plate"
+    val cut = Dedup.ngramJaccardPairs(df, n = 3, threshold = 0.3, maxDocFreq = 3)
+    assert(cut.count() == 0)
+  }
+
+  // ---------- minhash ----------
+
+  test("minHash: near-identical docs pair up, distinct docs don't") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val nearDup = base.replace("word7", "word7x")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val df = docsDf(Seq((1L, base), (2L, nearDup), (3L, other)))
+    val pairs = Dedup.minHashDuplicatePairs(df,
+      Dedup.MinHashParams(jaccardThreshold = 0.5)).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // exact jaccard of (1,2): 38 shingles each, 35 shared with 41 union
+    val j = pairs(0).getAs[Double]("jaccard")
+    assert(j > 0.5 && j < 1.0)
+  }
+
+  // ---------- simhash ----------
+
+  test("simHash: identical text -> hamming 0; small edit -> small hamming") {
+    val a = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val b = a.replace("tok31", "tok31x")
+    assert(Dedup.hamming(Dedup.simHash(a), Dedup.simHash(a)) == 0)
+    val d = Dedup.hamming(Dedup.simHash(a), Dedup.simHash(b))
+    assert(d > 0 && d <= 16, s"hamming was $d")
+  }
+
+  test("simHashDuplicatePairs: banding finds hamming<=3 pairs") {
+    val a = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val b = a.replace("tok31", "tok31x") // a few flipped bits
+    val c = (1 to 80).map(i => s"other$i").mkString(" ")
+    val df = docsDf(Seq((1L, a), (2L, b), (3L, c)))
+    val pairs = Dedup.simHashDuplicatePairs(df, maxHamming = 16).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  // ---------- similarity ----------
+
+  private def vecsDf(rows: Seq[(Long, Array[Float])]) = {
+    val sp = spark
+    import sp.implicits._
+    rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+  }
+
+  test("cosine: unit axes orthogonal, identical = 1") {
+    val x = Array(1f, 0f, 0f); val y = Array(0f, 1f, 0f)
+    assert(Similarity.cosine(x, x) == 1.0)
+    assert(Similarity.cosine(x, y) == 0.0)
+  }
+
+  test("bruteForceTopK: exact ranking on constructed vectors") {
+    // corpus vectors at known angles to the query (1,0)
+    val corpus = vecsDf(Seq(
+      (10L, Array(1f, 0f)), (11L, Array(1f, 1f)), (12L, Array(0f, 1f)),
+      (13L, Array(-1f, 0f))))
+    val queries = vecsDf(Seq((0L, Array(1f, 0f))))
+    val top = Similarity.bruteForceTopK(corpus, queries, k = 2).collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq == Seq(10L, 11L))
+    assert(top(0).getAs[Double]("score") == 1.0)
+    assert(math.abs(top(1).getAs[Double]("score") - 0.707107) < 1e-6)
+  }
+
+  test("lshTopK: recall vs brute force on clustered vectors") {
+    val rng = new graft.fixtures.Fixtures.Rng(1234L)
+    def randVec(dim: Int): Array[Float] =
+      Array.fill(dim)((rng.nextDouble * 2 - 1).toFloat)
+    val dim = 16
+    val centers = (0 until 5).map(_ => randVec(dim))
+    // 20 points near each center
+    val corpus = (0 until 100).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.zip(randVec(dim)).map { case (a, b) => a + 0.05f * b })
+    }
+    val queries = centers.zipWithIndex.map { case (c, i) => (1000L + i, c) }
+    val bf = Similarity.bruteForceTopK(vecsDf(corpus), vecsDf(queries), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(vecsDf(corpus), vecsDf(queries), k = 5,
+      bits = 8, probes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.8, s"LSH recall $recall")
+  }
+
+  test("cosineNearDupPairs: finds the planted near-duplicate") {
+    val rng = new graft.fixtures.Fixtures.Rng(99L)
+    val base = Array.fill(16)((rng.nextDouble * 2 - 1).toFloat)
+    val near = base.map(v => v + 0.01f)
+    val far = Array.fill(16)((rng.nextDouble * 2 - 1).toFloat)
+    val pairs = Similarity.cosineNearDupPairs(
+      vecsDf(Seq((1L, base), (2L, near), (3L, far))), threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  // ---------- text analysis ----------
+
+  test("tokenCounts / langId / quality on known strings") {
+    val df = docsDf(Seq(
+      (1L, "Der Hund und die Katze sind in dem Haus"),
+      (2L, "The quick brown fox and the lazy dog in the house")))
+    val tc = TextAnalysis.tokenCounts(df).orderBy("doc_id").collect()
+    assert(tc(0).getAs[Number]("ws_tokens").longValue == 9L)
+    assert(tc(1).getAs[Number]("ws_tokens").longValue == 11L)
+    val li = TextAnalysis.langId(df).orderBy("doc_id").collect()
+    assert(li(0).getAs[String]("lang_pred") == "de")
+    assert(li(1).getAs[String]("lang_pred") == "en")
+    val q = TextAnalysis.qualityScore(df).orderBy("doc_id").collect()
+    q.foreach { r =>
+      val v = r.getAs[Double]("quality")
+      assert(v > 0.5 && v <= 1.0, s"quality $v")
+    }
+  }
+
+  test("winnowSignature: deterministic, shift-invariant prefix property") {
+    val t = "the winnowing algorithm selects minima over rolling hash windows"
+    val s1 = TextAnalysis.winnowSignature(t)
+    val s2 = TextAnalysis.winnowSignature(t)
+    assert(s1 == s2 && s1.nonEmpty)
+    // a local edit changes only a bounded region of the fingerprint set
+    val edited = t.replace("algorithm", "algorithmX")
+    val s3 = TextAnalysis.winnowSignature(edited).toSet
+    assert((s1.toSet intersect s3).nonEmpty)
+  }
+
+  // ---------- multimodal plumbing ----------
+
+  test("multimodal: meta decode + frame sampling shapes") {
+    val payload = Multimodal.fakePayload(seed = 5L, w = 8, h = 6, frames = 4)
+    val (w, h, f) = Multimodal.decodeHeader(payload)
+    assert((w, h, f) == (8, 6, 4))
+    val sp = spark
+    import sp.implicits._
+    val media = Seq(Multimodal.MediaRow("d1", "m1", "video", payload)).toDF()
+    val meta = Multimodal.extractMeta(media).collect()
+    assert(meta.length == 1)
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.length == 2) // frames 0, 2
+  }
+}
