@@ -102,7 +102,10 @@ object Dedup {
   def minHashDuplicatePairs(docs: DataFrame, p: MinHashParams = MinHashParams()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // persisted: both sides of the bucket self-join read the signatures;
+    // without it every doc is scanned + minhashed twice
     val bands = minHashBands(docs, p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bands.toDF("a", "band", "h")
     val r = bands.toDF("b", "band", "h")
     val candidates = l.join(r, Seq("band", "h"))
@@ -147,12 +150,17 @@ object Dedup {
       threshold: Double = 0.5, maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // persisted: the (id, shingle-hash) index is read 3x (sizes + both
+    // sides of the self-join) and Catalyst does not dedupe identical
+    // DataFrame subtrees — without this the text is re-scanned and
+    // re-shingled per use. 16 bytes/shingle, far smaller than the corpus.
     val exploded = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         shingles(t, n).iterator.map(s => (id, Hashing.fnv1a(s)))
       }
       .toDF("id", "g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered =
       if (maxDocFreq == Int.MaxValue) exploded
       else {
@@ -209,7 +217,8 @@ object Dedup {
     val sigs = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, simHash(t)) }
       .toDF("id", "sig")
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))

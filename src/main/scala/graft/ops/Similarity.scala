@@ -166,10 +166,12 @@ object Similarity {
     import spark.implicits._
     val dim = vecs.select(col("embedding")).as[Seq[Float]].head().length
     val pb = spark.sparkContext.broadcast(hyperplanes(dim, bits, seed))
+    // persisted: both sides of the bucket self-join read the signatures
     val bucketed = vecs.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .map { case (id, e) => (signSignature(asArray(e), pb.value), id, e) }
       .toDF("bucket", "id", "e")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bucketed.toDF("bucket", "a", "ea")
     val r = bucketed.toDF("bucket", "b", "eb")
     l.join(r, "bucket").filter(col("a") < col("b"))
