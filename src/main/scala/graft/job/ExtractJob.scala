@@ -195,4 +195,45 @@ object ExtractJob {
       .filter(!(col("o.spans") === col("e.spans")))
       .select(col("doc_id"), col("o.spans").as("actual"), col("e.spans").as("expected"))
   }
+
+  /** spark-submit entrypoint (north_rule: "run via spark-submit"):
+    *
+    *   spark-submit --class graft.job.ExtractJob <jar> \
+    *     --input <path> --output <path> --metrics <path> \
+    *     [--run-id r] [--partitions n] [--chunks k] [--format parquet] \
+    *     [--big-doc-spans n] [--fast true|false]
+    *
+    * The session is taken from spark-submit's conf (master, executors,
+    * AQE, shuffle partitions come from the cluster submit, not the code).
+    */
+  def main(args: Array[String]): Unit = {
+    val kv = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    def req(k: String): String =
+      kv.getOrElse(k, sys.error(s"missing required --$k <value>"))
+    val cfg = JobConfig(
+      inputPath = req("input"),
+      outputPath = req("output"),
+      metricsPath = req("metrics"),
+      runId = kv.getOrElse("run-id", "run-0"),
+      numPartitions = kv.getOrElse("partitions", "32").toInt,
+      chunks = kv.getOrElse("chunks", "1").toInt,
+      bigDocSpanThreshold = kv.getOrElse("big-doc-spans", "20000").toInt,
+      format = kv.getOrElse("format", "parquet"),
+      extract = graft.reflow.ExtractConfig(
+        fast = kv.getOrElse("fast", "true").toBoolean))
+    val builder = SparkSession.builder()
+      .appName(s"graft-extract-${cfg.runId}")
+      .config("spark.sql.adaptive.enabled", "true")
+    // on a cluster, spark-submit provides the master; fall back for
+    // local/dev invocation
+    val withMaster =
+      if (sys.props.contains("spark.master")) builder
+      else builder.master(kv.getOrElse("master", "local[32]"))
+        .config("spark.sql.shuffle.partitions", kv.getOrElse("partitions", "32"))
+    val spark = withMaster.getOrCreate()
+    run(spark, cfg)
+    spark.stop()
+  }
 }
