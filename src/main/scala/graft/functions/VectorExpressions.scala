@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Static vector kernels referenced from generated code (a top-level
+  * object with no companion class gets JVM static forwarders, so
+  * `graft.functions.VectorOps.cosine(a, b)` is valid generated Java).
+  */
+object VectorOps {
+  /** Cosine similarity of two float vectors held as Catalyst ArrayData —
+    * no boxing, no encoder round-trip. 0.0 when either norm is 0.
+    * FP order matches graft.ops.Similarity.cosine bit-for-bit (per-element
+    * double multiply, double accumulate) so expression and kernel agree.
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.min(na, nb)
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    var sa = 0.0
+    i = 0
+    while (i < na) { val v = a.getFloat(i).toDouble; sa += v * v; i += 1 }
+    var sb = 0.0
+    i = 0
+    while (i < nb) { val v = b.getFloat(i).toDouble; sb += v * v; i += 1 }
+    val denom = math.sqrt(sa) * math.sqrt(sb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i) * b.getFloat(i); i += 1 }
+    s
+  }
+}
+
+/** `cosine_sim(array<float>, array<float>) -> double` as a native Catalyst
+  * expression: stays inside whole-stage codegen (the generated code calls
+  * the static kernel directly on ArrayData), vs a Scala UDF which would
+  * deserialize both arrays to Seq[Float] per row.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration: directly on a session, or via SparkSessionExtensions
+  * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`).
+  */
+object GraftFunctions {
+  val cosineSimInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, null, "cosine_sim",
+    "_FUNC_(a, b) - cosine similarity of two float vectors", "")
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      GraftFunctions.cosineSimInfo,
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+}

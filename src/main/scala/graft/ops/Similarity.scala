@@ -174,13 +174,14 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bucketed.toDF("bucket", "a", "ea")
     val r = bucketed.toDF("bucket", "b", "eb")
+    // exact verification via the native cosine_sim expression — stays in
+    // whole-stage codegen, no encoder round-trip of the embedding arrays
+    graft.functions.GraftFunctions.register(spark)
     l.join(r, "bucket").filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("ea"), col("eb"))
-      .as[(Long, Long, Seq[Float], Seq[Float])]
-      .map { case (a, b, ea, eb) => (a, b, cosine(asArray(ea), asArray(eb))) }
-      .toDF("vec_a", "vec_b", "cosine")
+      .withColumn("cosine", expr("cosine_sim(ea, eb)"))
       .filter(col("cosine") >= threshold)
-      .withColumn("cosine", round(col("cosine"), 6))
+      .select(col("a").as("vec_a"), col("b").as("vec_b"),
+        round(col("cosine"), 6).as("cosine"))
       .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
   }

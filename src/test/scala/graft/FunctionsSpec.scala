@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.{GraftFunctions, VectorOps}
+import graft.ops.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native cosine_sim Catalyst expression: kernel agreement, codegen path,
+  * SQL registration (direct + SparkSessionExtensions), null/type handling.
+  */
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-functionsspec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("VectorOps.cosine agrees bit-for-bit with Similarity.cosine") {
+    val rng = new graft.fixtures.Fixtures.Rng(7L)
+    (1 to 50).foreach { _ =>
+      val a = Array.fill(24)((rng.nextDouble * 2 - 1).toFloat)
+      val b = Array.fill(24)((rng.nextDouble * 2 - 1).toFloat)
+      val expected = Similarity.cosine(a, b)
+      val got = VectorOps.cosine(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      assert(got == expected) // bit equality, not approx
+    }
+  }
+
+  test("cosine_sim through DataFrame codegen equals the kernel") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rng = new graft.fixtures.Fixtures.Rng(13L)
+    val rows = (1 to 20).map { i =>
+      (i.toLong,
+        Array.fill(8)((rng.nextDouble * 2 - 1).toFloat).toSeq,
+        Array.fill(8)((rng.nextDouble * 2 - 1).toFloat).toSeq)
+    }
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("c", expr("cosine_sim(a, b)"))
+    val got = df.select("id", "c").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      assert(got(id) == Similarity.cosine(a.toArray, b.toArray), s"row $id")
+    }
+  }
+
+  test("cosine_sim is available via SparkSessionExtensions (no explicit register)") {
+    val v = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      .head().getDouble(0)
+    assert(v == 1.0)
+  }
+
+  test("null inputs -> null; wrong types -> analysis error") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((Some(Seq(1f, 0f)), Option.empty[Seq[Float]])).toDF("a", "b")
+      .withColumn("c", expr("cosine_sim(a, b)"))
+    assert(df.head().isNullAt(2))
+    val err = intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b").withColumn("c", expr("cosine_sim(a, b)")).head()
+    }
+    assert(err.getMessage.toLowerCase.contains("array") ||
+      err.getMessage.toLowerCase.contains("type"))
+  }
+
+  test("zero-norm and empty vectors -> 0.0") {
+    assert(VectorOps.cosine(
+      ArrayData.toArrayData(Array(0f, 0f)), ArrayData.toArrayData(Array(1f, 2f))) == 0.0)
+    assert(VectorOps.cosine(
+      ArrayData.toArrayData(Array.empty[Float]), ArrayData.toArrayData(Array.empty[Float])) == 0.0)
+  }
+}
