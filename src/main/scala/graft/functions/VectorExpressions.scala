@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Static vector kernels referenced from generated code (a top-level
   * object with no companion class gets JVM static forwarders, so
@@ -80,6 +81,37 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static LM kernel for generated code. */
+object LmOps {
+  def score(text: UTF8String): Double = graft.lm.Scorer.singleScore(text.toString)
+}
+
+/** `lm_score(string) -> double`: the deterministic char-n-gram LM score
+  * (lower = more likely; +Infinity for single-char text, mirroring the
+  * reference's `single_score`, dehyphen_wrapper.py:63-69) exposed for
+  * ad-hoc SQL debugging of extraction decisions — SURVEY.md §4's optional
+  * scalar function (b). Deterministic and codegen'd; the LM table is a
+  * lazy per-executor singleton, the LRU a thread-local.
+  */
+case class LmScore(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lm_score expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "lm_score"
+
+  override protected def nullSafeEval(s: Any): Any =
+    LmOps.score(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.LmOps.score($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): LmScore =
+    copy(child = newChild)
+}
+
 /** Registration: directly on a session, or via SparkSessionExtensions
   * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`).
   */
@@ -88,15 +120,27 @@ object GraftFunctions {
     classOf[CosineSimilarity].getName, null, "cosine_sim",
     "_FUNC_(a, b) - cosine similarity of two float vectors", "")
 
-  def register(spark: SparkSession): Unit =
+  val lmScoreInfo = new ExpressionInfo(
+    classOf[LmScore].getName, null, "lm_score",
+    "_FUNC_(text) - deterministic char-n-gram LM score (lower = more likely)", "")
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lm_score", exprs => LmScore(exprs.head), "built-in")
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       GraftFunctions.cosineSimInfo,
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("lm_score"),
+      GraftFunctions.lmScoreInfo,
+      (exprs: Seq[Expression]) => LmScore(exprs.head)))
+  }
 }

@@ -77,6 +77,20 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       err.getMessage.toLowerCase.contains("type"))
   }
 
+  test("lm_score: SQL surface matches Scorer.singleScore; ordering sensible") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rows = Seq("die bedeutung der finanziellen", "qqxz zxqq jjkk", "a")
+      .toDF("t").withColumn("s", expr("lm_score(t)")).collect()
+    val byText = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Seq("die bedeutung der finanziellen", "qqxz zxqq jjkk", "a").foreach { t =>
+      assert(byText(t) == graft.lm.Scorer.singleScore(t))
+    }
+    // German-like text scores better (lower) than consonant noise
+    assert(byText("die bedeutung der finanziellen") < byText("qqxz zxqq jjkk"))
+    assert(byText("a").isPosInfinity) // single-char special case
+  }
+
   test("zero-norm and empty vectors -> 0.0") {
     assert(VectorOps.cosine(
       ArrayData.toArrayData(Array(0f, 0f)), ArrayData.toArrayData(Array(1f, 2f))) == 0.0)
