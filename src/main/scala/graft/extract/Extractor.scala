@@ -17,13 +17,25 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Extractor {
 
-  /** extract one document row (entry point used by the Spark job). */
-  def extractRow(row: DocRow, cfg: ExtractConfig): ExtractedDoc = {
-    val doc = SpanCodec.decode(row.spans, cfg.fast)
-    val out = extractTree(doc, cfg)
-    val spans = emitSpans(out)
-    ExtractedDoc(row.doc_id, spans, out.text())
-  }
+  /** extract one document row (entry point used by the Spark job).
+    *
+    * Contract: valid ExtractedDoc or ExtractionException, never any other
+    * throwable — at 10^12 rows every malformed span stream WILL occur, and
+    * a raw NumberFormatException from a bad `box=`/`size=` attribute must
+    * fail the DOCUMENT (routed to the metrics table), not the task.
+    */
+  def extractRow(row: DocRow, cfg: ExtractConfig): ExtractedDoc =
+    try {
+      val doc = SpanCodec.decode(row.spans, cfg.fast)
+      val out = extractTree(doc, cfg)
+      val spans = emitSpans(out)
+      ExtractedDoc(row.doc_id, spans, out.text())
+    } catch {
+      case e: ExtractionException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new ExtractionException(
+          s"malformed document: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
 
   /** The Export.__init__ / export() flow (export.py:203-326). */
   def extractTree(doc0: DocTree, cfg: ExtractConfig): DocumentOutput = {

@@ -114,7 +114,9 @@ object ExtractJob {
           spansOut += r.spans.length
           Some(r)
         } catch {
-          case e: ExtractionException =>
+          // malformed documents fail the row and land in the metrics
+          // table, never the task (at 10^12 rows every garbage shape occurs)
+          case scala.util.control.NonFatal(e) =>
             nFailed += 1
             if (firstError.isEmpty) firstError = s"$docId: ${e.getMessage}"
             None

@@ -103,7 +103,10 @@ object FastScan {
         val out: DocumentOutput = Extractor.extractTree(tree, cfg)
         Some(ExtractedDoc(docId, Extractor.emitSpans(out), out.text()))
       } catch {
+        // same contract as Extractor.extractRow: any malformed document
+        // fails the row, never the task
         case _: ExtractionException => None
+        case scala.util.control.NonFatal(_) => None
       }
     })
     spark.createDataset(rdd)

@@ -1,0 +1,86 @@
+package graft
+
+import graft.extract.Extractor
+import graft.fixtures.Fixtures
+import graft.model._
+import graft.reflow.ExtractConfig
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial robustness: at corpus scale every malformed row WILL occur.
+  * The kernel contract is: valid ExtractedDoc or ExtractionException —
+  * never any other throwable — and deterministic output.
+  */
+class FuzzSpec extends AnyFunSuite {
+
+  private val kinds = Vector("word", "line", "para", "heading", "page",
+    "hdr", "ftr", "font", "image", "drawing", "table", "garbage", "")
+
+  private val texts = Vector("", "a", "box=1,2,3,4", "box=", "font=f1",
+    "size=12", "size=x", "k=v;k2", ";;;", "word-", "-", "\n", " ",
+    "box=0.0,0.0,0.0,0.0", "font=f1;box=1.0,2.0,3.0,4.0",
+    "äüß", "box=NaN,1,2,3", "level=9", "level=x")
+
+  private def randomSpans(rng: Fixtures.Rng, n: Int): Seq[Span] =
+    (0 until n).map { i =>
+      Span(kinds(rng.nextInt(kinds.length)), texts(rng.nextInt(texts.length)),
+        if (rng.nextInt(3) == 0) "" else s"ref-${rng.nextInt(5)}", i)
+    }
+
+  test("random span garbage: ExtractedDoc or ExtractionException, deterministic") {
+    val cfg = ExtractConfig()
+    var ok = 0
+    var failed = 0
+    (0L until 500L).foreach { seed =>
+      val rng = new Fixtures.Rng(0xF00D + seed)
+      val row = DocRow(s"fuzz-$seed", randomSpans(rng, 1 + rng.nextInt(60)))
+      val first =
+        try Right(Extractor.extractRow(row, cfg))
+        catch {
+          case e: ExtractionException => Left(e.getMessage)
+          case e: Throwable => fail(s"seed=$seed unexpected ${e.getClass}: ${e.getMessage}")
+        }
+      val second =
+        try Right(Extractor.extractRow(row, cfg))
+        catch { case e: ExtractionException => Left(e.getMessage) }
+      assert(first == second, s"seed=$seed nondeterministic")
+      first match {
+        case Right(doc) =>
+          ok += 1
+          // emission invariants: offsets are the emission index; kinds
+          // are from the output vocabulary
+          doc.spans.zipWithIndex.foreach { case (sp, i) =>
+            assert(sp.offset == i, s"seed=$seed offset")
+            assert(Set("header", "body", "heading", "footnotes", "footer",
+              "table", "image", "drawing").contains(sp.kind), s"seed=$seed kind=${sp.kind}")
+          }
+        case Left(_) => failed += 1
+      }
+    }
+    // both outcomes must actually occur, or the fuzz isn't exercising much
+    assert(ok > 0 && failed > 0, s"ok=$ok failed=$failed")
+  }
+
+  test("structured-but-degenerate shapes never escape the contract") {
+    val cfg = ExtractConfig()
+    val shapes: Seq[Seq[Span]] = Seq(
+      Seq.empty,
+      Seq(Span("page", "", "", 0)),
+      Seq(Span("word", "orphan", "font=f1", 0)),
+      Seq(Span("line", "box=1,2,3,4", "l1", 0)),
+      Seq(Span("para", "", "p1", 0)),
+      Seq(Span("font", "size=12", "f1", 0)),
+      Seq(Span("hdr", "", "", 0), Span("ftr", "", "", 1)),
+      Seq(Span("table", "a,b\n1,2", "t1", 0)),
+      // duplicate offsets
+      Seq(Span("page", "", "", 0), Span("page", "", "", 0)),
+      // negative offset
+      Seq(Span("page", "", "", -1), Span("para", "", "p", -1)))
+    shapes.zipWithIndex.foreach { case (spans, i) =>
+      try Extractor.extractRow(DocRow(s"shape-$i", spans), cfg)
+      catch {
+        case _: ExtractionException => // contract-conform
+        case e: Throwable => fail(s"shape $i: unexpected ${e.getClass}: ${e.getMessage}")
+      }
+    }
+  }
+}
