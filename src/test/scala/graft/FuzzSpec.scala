@@ -60,6 +60,35 @@ class FuzzSpec extends AnyFunSuite {
     assert(ok > 0 && failed > 0, s"ok=$ok failed=$failed")
   }
 
+  test("span conservation: without hyphenation every body word survives to the text") {
+    val cfg = ExtractConfig()
+    (0L until 30L).foreach { seed =>
+      val rng = new Fixtures.Rng(0xBEEF + seed)
+      val row = Fixtures.compositeDoc(s"cons-$seed", 1 + rng.nextInt(3), rng,
+        parasPerPage = 3, withMedia = false)
+      val inWords = row.spans.filter(_.kind == "word").map(_.text.toLowerCase)
+      val doc = Extractor.extractRow(row, cfg)
+      val outText = doc.text.toLowerCase
+      val outTokens = outText.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      // every input body word reaches the output as a whole token, except:
+      //  - header/footer words (separated + page-number-stripped profile)
+      //  - the builder's known hyphen pair, which must arrive REPAIRED
+      val inCounts = inWords.groupBy(identity).view.mapValues(_.length).toMap
+      val stripped = Set("seite", "von", "stellungnahme", "zum", "entwurf")
+      inCounts.foreach { case (w, n) =>
+        if (!stripped.contains(w) && !w.forall(_.isDigit) &&
+          w != "finan-" && w != "ziellen")
+          assert(outTokens.getOrElse(w, 0) > 0,
+            s"seed=$seed word '$w' in=$n missing\n$outText")
+      }
+      val nHyphenPairs = inCounts.getOrElse("finan-", 0)
+      if (nHyphenPairs > 0)
+        assert(outTokens.getOrElse("finanziellen", 0) >= nHyphenPairs,
+          s"seed=$seed dehyphenation lost a join")
+    }
+  }
+
   test("structured-but-degenerate shapes never escape the contract") {
     val cfg = ExtractConfig()
     val shapes: Seq[Seq[Span]] = Seq(
