@@ -143,6 +143,9 @@ object SparkEntry {
       Dedup.simHashDuplicatePairs(table(s, dir, "documents"), maxHamming = 16)),
     "q19_ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, threshold = 0.2)),
+    "q20_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, threshold = 0.2))),
     "q13_ann_bruteforce_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
@@ -305,6 +308,36 @@ object SparkEntry {
         |FROM p JOIN sz sa ON sa.id = doc_a JOIN sz sb ON sb.id = doc_b
         |WHERE inter / (sa.n + sb.n - inter) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q20_dup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM t
+        |), e AS (SELECT id, unnest(sh) AS g FROM s),
+        |sz AS (SELECT id, len(sh) AS n FROM s),
+        |p AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, CAST(count(*) AS DOUBLE) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.id < b.id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM p JOIN sz sa ON sa.id = doc_a JOIN sz sb ON sb.id = doc_b
+        |  WHERE inter / (sa.n + sb.n - inter) >= 0.2
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), walk(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.id
+        |)
+        |SELECT id AS doc_id, min(lbl) AS cluster FROM walk
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
     "q09_quality_scores" -> QualityOracle.sql,
     "q10_lang_id" -> LangIdOracle.sql,
     "q13_ann_bruteforce_topk" ->

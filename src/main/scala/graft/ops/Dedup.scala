@@ -184,6 +184,54 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---------- duplicate clusters (connected components) ----------
+
+  /** Assign every document touched by a near-dup pair to a duplicate
+    * CLUSTER: connected components over the pair graph by iterative
+    * min-label propagation (each round every node adopts the smallest
+    * label among itself and its neighbors; O(log n) rounds on real dup
+    * clusters, which are short-diameter). Returns (doc_id, cluster) where
+    * cluster = smallest doc_id in the component — the canonical keeper.
+    *
+    * Scale shape: each round is one join + one aggregate on the (small)
+    * pair set, not the corpus; checkpointing every round keeps the plan
+    * from growing (lineage cut via persist).
+    */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst"))
+      .union(pairs.select(col("doc_b").cast("long").as("src"),
+        col("doc_a").cast("long").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      // neighbor's current label, propagated across each edge
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("cluster"))
+      val next = labels.select(col("id"), col("cluster"))
+        .union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over whitespace tokens (weight 1 each). */

@@ -80,6 +80,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cut.count() == 0)
   }
 
+  test("duplicateClusters: chain and separate components get min-id labels") {
+    val sp = spark
+    import sp.implicits._
+    // chain 1-2-3-4 (needs multi-round propagation) + pair 7-9
+    val pairs = Seq((2L, 3L, 0.9), (1L, 2L, 0.9), (3L, 4L, 0.9), (9L, 7L, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   // ---------- minhash ----------
 
   test("minHash: near-identical docs pair up, distinct docs don't") {
