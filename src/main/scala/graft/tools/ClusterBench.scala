@@ -1,0 +1,39 @@
+package graft.tools
+
+import graft.reflow.ExtractConfig
+import org.apache.spark.sql.SparkSession
+
+/** Multi-executor-JVM throughput probe: run under spark-submit with
+  * --master local-cluster[N,cores,mem] — real separate executor JVMs,
+  * the closest sandbox substitution for "N vs 4N executors".
+  *
+  *   spark-submit --master 'local-cluster[4,4,4096]' \
+  *     --class graft.tools.ClusterBench target/scala-2.13/<jar> <corpus>
+  */
+object ClusterBench {
+  def main(args: Array[String]): Unit = {
+    val corpusPath = args.headOption.getOrElse("/root/repo/target/bench/docs_120000")
+    val spark = SparkSession.builder().appName("graft-cluster-bench").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // defaultParallelism undercounts before executors register — take the
+    // real total from the caller (local-cluster[N,c,m] -> N*c)
+    val totalCores = args.lift(1).map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("clusterbench").toString
+    def once(tag: String): Double = {
+      val docs = spark.read.parquet(corpusPath)
+        .select("doc_id", "spans").as[graft.model.DocRow]
+      val part = graft.job.ExtractJob.repartitionSkewAware(docs, totalCores, 20000)
+      val t0 = System.nanoTime()
+      graft.job.FastScan.extract(part.toDF(), ExtractConfig())
+        .write.mode("overwrite").parquet(s"$out/$tag")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val n = spark.read.parquet(corpusPath).count()
+    once("warm")
+    val best = Seq(once("t1"), once("t2")).min
+    println(f"[cluster] cores=$totalCores docs=$n best=$best%.2f s (${n / best}%.0f docs/s)")
+    spark.stop()
+  }
+}
