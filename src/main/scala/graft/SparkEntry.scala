@@ -146,6 +146,9 @@ object SparkEntry {
     "q20_dup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(
         Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, threshold = 0.2))),
+    "q21_repetition_metrics" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(table(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     "q13_ann_bruteforce_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
@@ -340,6 +343,26 @@ object SparkEntry {
         |GROUP BY id ORDER BY doc_id""".stripMargin,
     "q09_quality_scores" -> QualityOracle.sql,
     "q10_lang_id" -> LangIdOracle.sql,
+    "q21_repetition_metrics" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) > 1
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END AS grams
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  round(CASE WHEN n > 0
+        |    THEN CAST(n - len(list_distinct(toks)) AS DOUBLE) / n ELSE 0.0 END, 6)
+        |    AS dup_word_ratio,
+        |  round(CASE WHEN n > 1
+        |    THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |    ELSE 0.0 END, 6) AS dup_2gram_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q13_ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |s AS (

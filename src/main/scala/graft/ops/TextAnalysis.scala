@@ -16,6 +16,29 @@ object TextAnalysis {
   def wsTokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** Repetition metrics (Gopher-style quality rules): fraction of
+    * duplicate words and duplicate word-2-grams per document. Pure Column
+    * expressions — whole-stage codegen, zero shuffle, linear per row —
+    * the shape that survives 100 TB (an explode+groupBy formulation would
+    * shuffle every token).
+    */
+  def repetitionMetrics(df: DataFrame): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val n = size(toks)
+    val grams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      round(when(n > 0, (n - size(array_distinct(toks))).cast("double") / n)
+        .otherwise(0.0), 6).as("dup_word_ratio"),
+      round(when(n > 1,
+        (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
+        .otherwise(0.0), 6).as("dup_2gram_ratio"))
+  }
+
   /** BPE-ish pre-tokenization: letter runs, digit runs, single other
     * non-space chars — the usual byte-pair pre-split shape. ASCII classes
     * so the regex means the same thing in Spark (Java regex) and DuckDB

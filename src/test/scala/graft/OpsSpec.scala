@@ -203,6 +203,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("repetitionMetrics: hand-computed ratios, degenerate inputs") {
+    // "a b a b": 4 toks, 2 distinct -> dup_word 0.5;
+    // 2grams [a b, b a, a b]: 3 total, 2 distinct -> dup_2gram 1/3
+    val df = docsDf(Seq((1L, "a b a b"), (2L, "x"), (3L, ""), (4L, "u v w")))
+    val m = TextAnalysis.repetitionMetrics(df).orderBy("doc_id").collect()
+    assert(m(0).getAs[Double]("dup_word_ratio") == 0.5)
+    assert(math.abs(m(0).getAs[Double]("dup_2gram_ratio") - 0.333333) < 1e-6)
+    assert(m(1).getAs[Double]("dup_2gram_ratio") == 0.0) // single token
+    assert(m(2).getAs[Long]("n_tokens") == 0L)           // empty text
+    assert(m(3).getAs[Double]("dup_word_ratio") == 0.0)  // all distinct
+  }
+
   test("winnowSignature: deterministic, shift-invariant prefix property") {
     val t = "the winnowing algorithm selects minima over rolling hash windows"
     val s1 = TextAnalysis.winnowSignature(t)
