@@ -352,7 +352,7 @@ object Bench {
       lines ++= "same parquet input for every level; e2e = scan -> skew-aware\n"
       lines ++= "repartition -> mapPartitions(extract) -> parquet write.\n\n"
       lines ++= (if (mode == "local-cluster")
-        "Mode: **local-cluster** — each level runs REAL separate executor\nJVMs via spark-submit (level 4 = 1 executor x 4 cores, level 16 = 4\nexecutors x 4 cores): the faithful sandbox substitution for the\nnorth_rule's \"N vs 4N executors\".\n\n"
+        "Mode: **local-cluster** — each level runs REAL separate executor\nJVMs via spark-submit (level 4 = 1 executor x 4 cores, level 16 = 4\nexecutors x 4 cores): the faithful sandbox substitution for the\nnorth_rule's \"N vs 4N executors\". Note the structural bias: the 4N\nconfiguration pays inter-executor (cross-JVM) shuffle transfer for\n~3/4 of the data while the single-executor N configuration shuffles\nentirely in-process — on a real cluster BOTH sizes pay network\nshuffle, so the efficiency measured here is a LOWER bound on the\nequal-footing value. (Alternatives measured and rejected: 4x1 vs\n16x1 executors = 0.50, 16 one-core JVMs drown in per-JVM overhead;\nthread-mode local[4] vs local[16] = 0.41-0.69, shared heap/GC.)\n\n"
       else
         "Mode: **threads** (single-JVM local[N] fallback).\n\n")
       lines ++= "Levels are INTERLEAVED across rounds (4,16,4,16,...) so ambient load\n"
