@@ -273,13 +273,13 @@ object Bench {
       .map { case (k, v) => "\"n" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    val hist = mergeHistory(throughput.toMap, cal.toMap, mode)
+    val hist = mergeHistory(throughput.toMap, cal.toMap, nDocs, mode)
     val best: Option[(Double, Double)] = {
       val sortedL = levels.sorted
       if (sortedL.length < 2) None
       else for {
-        e4 <- hist.get(s"e2e.$mode.v2.n${sortedL(0)}")
-        e16 <- hist.get(s"e2e.$mode.v2.n${sortedL(1)}")
+        e4 <- hist.get(s"e2e.$mode.v2d$nDocs.n${sortedL(0)}")
+        e16 <- hist.get(s"e2e.$mode.v2d$nDocs.n${sortedL(1)}")
         k4 <- hist.get(s"kernel.n${sortedL(0)}"); k16 <- hist.get(s"kernel.n${sortedL(1)}")
       } yield {
         val ratio = sortedL(1).toDouble / sortedL(0)
@@ -309,7 +309,7 @@ object Bench {
     * window fluctuates run to run; persisting per-level maxima (same code,
     * same input) records what the pipeline achieves in a quiet window.
     */
-  private def mergeHistory(tp: Map[Int, Double], cal: Map[Int, Double],
+  private def mergeHistory(tp: Map[Int, Double], cal: Map[Int, Double], nDocs: Int,
       mode: String): Map[String, Double] = {
     val path = java.nio.file.Paths.get("/root/repo/BENCH/history.properties")
     val prev: Map[String, Double] =
@@ -329,7 +329,7 @@ object Bench {
       else Map.empty
     // e2e keys are tagged with mode AND corpus shape so values from
     // different measurement setups never merge
-    val cur = tp.map { case (k, v) => s"e2e.$mode.v2.n$k" -> v } ++
+    val cur = tp.map { case (k, v) => s"e2e.$mode.v2d$nDocs.n$k" -> v } ++
       cal.map { case (k, v) => s"kernel.n$k" -> v }
     val merged = (prev.keySet ++ cur.keySet).map { k =>
       k -> math.max(prev.getOrElse(k, 0.0), cur.getOrElse(k, 0.0))
@@ -369,7 +369,7 @@ object Bench {
       val sorted = levels.sorted
       if (sorted.length >= 2) {
         val (lo, hi) = (sorted(0), sorted(1))
-        for (e4 <- hist.get(s"e2e.$mode.v2.n$lo"); e16 <- hist.get(s"e2e.$mode.v2.n$hi");
+        for (e4 <- hist.get(s"e2e.$mode.v2d$nDocs.n$lo"); e16 <- hist.get(s"e2e.$mode.v2d$nDocs.n$hi");
              k4 <- hist.get(s"kernel.n$lo"); k16 <- hist.get(s"kernel.n$hi")) {
           val bEff = (e16 / e4) / (hi.toDouble / lo)
           val bCeil = (k16 / k4) / (hi.toDouble / lo)
