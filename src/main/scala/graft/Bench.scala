@@ -216,9 +216,15 @@ object Bench {
       s.stop()
     }
     var r = 0
-    // adaptive: at least minRounds; keep going (to maxRounds) while the
-    // host-contention window keeps the observed efficiency under target
-    while (r < minRounds || (r < maxRounds && bestEff < 0.8)) {
+    // adaptive: at least one round, up to minRounds normally, up to
+    // maxRounds while the host-contention window keeps the observed
+    // efficiency under target — but never START a new round past the
+    // wall-clock budget (a contended window makes each round 2-3x slower;
+    // the driver's bench invocation must still complete)
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "360").toLong * 1000L
+    val tBudget = System.currentTimeMillis()
+    while ((r < minRounds || (r < maxRounds && bestEff < 0.8)) &&
+        (r == 0 || System.currentTimeMillis() - tBudget < budgetMs)) {
       r += 1
       levels.foreach { level =>
         if (useCluster) {
