@@ -18,6 +18,10 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
                     else f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracles = json.load(open(os.path.join(out, "oracle_sql.json")))
+# Verify emits each oracle under both key forms (bare name + name.parquet)
+# so either driver lookup convention resolves; collapse to bare names here.
+oracles = {k[:-len(".parquet")] if k.endswith(".parquet") else k: v
+           for k, v in oracles.items()}
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]

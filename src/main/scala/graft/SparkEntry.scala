@@ -92,9 +92,13 @@ object SparkEntry {
         lag(col("event_type"), 1).over(w).as("prev_type"))
         .orderBy(col("user_id"), col("seq"))
     }),
+    // anti-join against a date slice: every customer has SOME order in the
+    // driver data, so the unfiltered formulation returned 0 rows forever —
+    // a gate row that can only be 0==0 verifies nothing (round-1 verdict).
     "q04_customers_without_orders" -> ((s, dir) => {
       val c = table(s, dir, "customer")
       val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
@@ -118,9 +122,19 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
     // ---- dedup / text-analysis operators over `documents` ----
-    "q07_exact_dup_groups" -> ((s, dir) =>
-      Dedup.exactDuplicateGroups(table(s, dir, "documents"))
-        .orderBy(col("fp"))),
+    // The driver corpus has no exact duplicates at verify scale (checked:
+    // 0 groups at sf0.01), which made this gate row vacuous in round 1.
+    // Plant whitespace-mangled copies of every 10th doc in-query so the
+    // fingerprint normalization is actually exercised; the oracle plants
+    // the identical copies in SQL.
+    "q07_exact_dup_groups" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val planted = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), " ", "  ").as("text"))
+      Dedup.exactDuplicateGroups(d.unionByName(planted)).orderBy(col("fp"))
+    }),
     "q08_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(table(s, dir, "documents"))
         .select(col("doc_id"),
@@ -136,11 +150,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"),
           col("lang_hits").cast("long").as("lang_hits"))
         .orderBy(col("doc_id"))),
+    // 32 bands x 2 rows: P(candidate miss) <= (1 - J^2)^32, < 1e-14 at the
+    // J >= 0.8 the driver's planted near-dups sit at — so the verified
+    // output equals the exact all-pairs oracle (prod default 16x4 trades
+    // that margin for smaller buckets).
     "q11_minhash_dup_pairs" -> ((s, dir) =>
       Dedup.minHashDuplicatePairs(table(s, dir, "documents"),
-        Dedup.MinHashParams(jaccardThreshold = 0.5))),
+        Dedup.MinHashParams(bands = 32, jaccardThreshold = 0.5))),
+    // radius 3 with DERIVED banding (4 x 15-bit bands) — recall 1.0 by
+    // pigeonhole, so the exact all-pairs hamming oracle must match.
+    // (Round 1 ran radius 16 over fixed 4x16 bands: guarantee violated.)
     "q12_simhash_dup_pairs" -> ((s, dir) =>
-      Dedup.simHashDuplicatePairs(table(s, dir, "documents"), maxHamming = 16)),
+      Dedup.simHashDuplicatePairs(table(s, dir, "documents"), maxHamming = 3)),
     "q19_ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, threshold = 0.2)),
     "q20_dup_clusters" -> ((s, dir) =>
@@ -153,12 +174,23 @@ object SparkEntry {
       val e = table(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
     }),
-    "q14_ann_lsh_topk" -> ((s, dir) => {
+    // IVF with exact centroid-bound pruning: same answer as brute force by
+    // construction (gate-checkable), inverted-file scan shape at scale.
+    // The approximate LSH variant stays as Similarity.lshTopK with its
+    // recall pinned in OpsSpec against brute force.
+    "q14_ann_ivf_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 10)
+      Similarity.ivfTopK(e,
+        e.filter(col("vec_id") >= 5 && col("vec_id") < 10), k = 10)
     }),
+    // EXACT all-pairs verification layer. Threshold 0.45: the driver's
+    // embeddings are near-uniform (max pairwise cosine 0.513 at sf0.01),
+    // so the round-1 threshold of 0.9 could only ever return 0 rows —
+    // vacuous. The LSH near-dup path (cosineNearDupPairs) is pinned in
+    // OpsSpec on planted high-cosine duplicates where it belongs.
     "q15_cosine_neardup_pairs" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(table(s, dir, "embeddings"), threshold = 0.9)),
+      Similarity.cosineNearDupPairsExact(table(s, dir, "embeddings"),
+        threshold = 0.45)),
     "q16_winnow_fingerprints" -> ((s, dir) => {
       val sp = s
       import sp.implicits._
@@ -214,11 +246,23 @@ object SparkEntry {
       explodedSpans(extractedWithMedia(s))
         .filter(col("kind").isin("image", "drawing", "table"))
         .orderBy(col("doc_id"), col("offset"))),
+    // differential fixture: half the docs carry a real (non-page-number)
+    // footer that must SURVIVE the strip, every doc carries a "Seite N von
+    // M" footer that must not — so the row count is non-zero and pins both
+    // directions (round 1 used a corpus whose only footers were page
+    // numbers: the count could never be anything but 0).
     "x07_page_number_strip" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
       val cfg = ExtractConfig(pageNumberTypeBugCompat = false)
-      explodedSpans(extracted(s, cfg)).filter(col("kind") === "footer")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_footers"))
-        .orderBy(col("doc_id"))
+      val docs = sp.createDataset(Fixtures.footerCorpus(40))
+      val out = docs.mapPartitions(_.flatMap { row =>
+        try Some(Extractor.extractRow(row, cfg))
+        catch { case _: ExtractionException => None }
+      }).toDF()
+      explodedSpans(out).filter(col("kind") === "footer")
+        .select(col("doc_id"), col("text"), col("offset"))
+        .orderBy(col("doc_id"), col("offset"))
     }),
     "x08_failed_docs" -> ((s, dir) => {
       val sp = s
@@ -234,6 +278,34 @@ object SparkEntry {
 
   private def extractedWithMedia(s: SparkSession): DataFrame =
     extracted(s, ExtractConfig(fast = false))
+
+  /** Exact all-pairs trigram-Jaccard oracle, shared by q19 (threshold 0.2,
+    * the inverted-index exact operator) and q11 (threshold 0.5, the
+    * MinHash+verify operator whose candidate recall argument makes its
+    * verified output equal the exact pair set).
+    */
+  private def ngramJaccardOracle(threshold: String): String =
+    s"""WITH t AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents
+       |), s AS (
+       |  SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+       |  FROM t
+       |), e AS (SELECT id, unnest(sh) AS g FROM s),
+       |sz AS (SELECT id, len(sh) AS n FROM s),
+       |p AS (
+       |  SELECT a.id AS doc_a, b.id AS doc_b, CAST(count(*) AS DOUBLE) AS inter
+       |  FROM e a JOIN e b ON a.g = b.g AND a.id < b.id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+       |FROM p JOIN sz sa ON sa.id = doc_a JOIN sz sb ON sb.id = doc_b
+       |WHERE inter / (sa.n + sb.n - inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** DuckDB oracle SQL (dialect: DuckDB) for every SQL-expressible query
     * above; same column names and ordering as the Spark results.
@@ -265,7 +337,8 @@ object SparkEntry {
         |ORDER BY user_id, seq""".stripMargin,
     "q04_customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate < TIMESTAMP '1996-01-01')
         |ORDER BY c_custkey""".stripMargin,
     "q05_median_quantity" ->
       """SELECT l_returnflag,
@@ -279,9 +352,15 @@ object SparkEntry {
         |  FROM events GROUP BY user_id, event_type
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q07_exact_dup_groups" ->
-      """SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper FROM (
+      """WITH all_docs AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 1000000, regexp_replace(text, ' ', '  ', 'g')
+        |  FROM documents WHERE CAST(doc_id AS BIGINT) % 10 = 0
+        |)
+        |SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper FROM (
         |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        |  FROM documents
+        |  FROM all_docs
         |) GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
     "q08_token_counts" ->
       """SELECT doc_id,
@@ -289,28 +368,90 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
         |  CAST(length(text) AS BIGINT) AS chars
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q19_ngram_jaccard_pairs" ->
-      """WITH t AS (
+    "q19_ngram_jaccard_pairs" -> ngramJaccardOracle("0.2"),
+    // exact all-pairs trigram Jaccard — the MinHash entry's verified output
+    // must coincide with it (recall argument at the q11 query definition)
+    "q11_minhash_dup_pairs" -> ngramJaccardOracle("0.5"),
+    // exact all-pairs hamming over the recomputed 60-bit md5 SimHash
+    "q12_simhash_dup_pairs" ->
+      """WITH toks AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
         |  FROM documents
-        |), s AS (
-        |  SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-        |      i -> array_to_string(toks[i:i+2], ' '))) END AS sh
-        |  FROM t
-        |), e AS (SELECT id, unnest(sh) AS g FROM s),
-        |sz AS (SELECT id, len(sh) AS n FROM s),
-        |p AS (
-        |  SELECT a.id AS doc_a, b.id AS doc_b, CAST(count(*) AS DOUBLE) AS inter
-        |  FROM e a JOIN e b ON a.g = b.g AND a.id < b.id
-        |  GROUP BY 1, 2
+        |), th AS (
+        |  SELECT id, CAST(CASE WHEN md5_number_upper(tok) >= 9223372036854775808
+        |    THEN CAST(md5_number_upper(tok) AS HUGEINT) - 18446744073709551616
+        |    ELSE CAST(md5_number_upper(tok) AS HUGEINT) END AS BIGINT) AS h
+        |  FROM toks
+        |), bits AS (
+        |  SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, (SELECT unnest(range(60)) AS b) bb GROUP BY id, b
+        |), sig0 AS (
+        |  SELECT id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+        |  FROM bits GROUP BY id
+        |), sig AS (
+        |  SELECT d.id, coalesce(s.sig, 0) AS sig
+        |  FROM (SELECT CAST(doc_id AS BIGINT) AS id FROM documents) d
+        |  LEFT JOIN sig0 s ON d.id = s.id
         |)
-        |SELECT doc_a, doc_b,
-        |  round(inter / (sa.n + sb.n - inter), 6) AS jaccard
-        |FROM p JOIN sz sa ON sa.id = doc_a JOIN sz sb ON sb.id = doc_b
-        |WHERE inter / (sa.n + sb.n - inter) >= 0.2
+        |SELECT a.id AS doc_a, b.id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.id < b.id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // exact brute-force top-k — the IVF pruning must not change the answer
+    "q14_ann_ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id >= 5 AND vec_id < 10),
+        |s AS (
+        |  SELECT q.qid AS query_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 6) AS score
+        |  FROM embeddings e CROSS JOIN q
+        |)
+        |SELECT query_id, vec_id, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM s
+        |) WHERE rn <= 10 ORDER BY query_id, score DESC, vec_id""".stripMargin,
+    "q15_cosine_neardup_pairs" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |)
+        |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // recomputed winnowing signature: md5_number_upper k-gram hashes,
+    // min per non-overlapping 16-window, consecutive dups collapsed —
+    // byte-identical to TextAnalysis.winnowSignature
+    "q16_winnow_fingerprints" ->
+      """WITH n AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(nt) < 8 THEN [nt]
+        |      ELSE list_transform(range(1, length(nt) - 8 + 2), i -> substr(nt, i, 8))
+        |    END AS grams
+        |  FROM n
+        |), h AS (
+        |  SELECT doc_id, list_transform(grams, g ->
+        |    CAST(CASE WHEN md5_number_upper(g) >= 9223372036854775808
+        |      THEN CAST(md5_number_upper(g) AS HUGEINT) - 18446744073709551616
+        |      ELSE CAST(md5_number_upper(g) AS HUGEINT) END AS BIGINT)) AS hs
+        |  FROM g
+        |), w AS (
+        |  SELECT doc_id, hs, greatest(len(hs) // 16, 1) AS nwin FROM h
+        |), m AS (
+        |  SELECT doc_id, list_transform(range(0, nwin),
+        |    j -> list_min(hs[j*16+1 : least((j+1)*16, len(hs))])) AS mins
+        |  FROM w
+        |), s AS (
+        |  SELECT doc_id, list_filter(mins, (x, i) -> i = 1 OR x <> mins[i-1]) AS sig
+        |  FROM m
+        |)
+        |SELECT doc_id, CAST(len(sig) AS BIGINT) AS sig_len,
+        |  list_min(sig) AS sig_min, list_max(sig) AS sig_max
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q20_dup_clusters" ->
       """WITH RECURSIVE t AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id,

@@ -2,11 +2,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Robustness (round-1 postmortem: every CORRECTNESS row came back
+  * `no_oracle` even though a valid oracle_sql.json sat next to the parquet
+  * outputs and matched 14/14 when run manually):
+  *  - the oracle json is written FIRST, before any query runs, so a
+  *    timeout/kill mid-dump can no longer lose it;
+  *  - every oracle is emitted under BOTH key forms — the bare query name
+  *    (`q01_pricing_agg`, the documented contract) and the parquet file
+  *    name (`q01_pricing_agg.parquet`, the key form the round-1
+  *    CORRECTNESS report used) — so either lookup convention resolves.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    new java.io.File(outDir).mkdirs()
+    writeOracleJson(s"$outDir/oracle_sql.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,7 +27,6 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
@@ -22,6 +34,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    spark.stop()
+  }
+
+  /** Dump SparkEntry.oracleSql as JSON (dual key forms, see above). */
+  def writeOracleJson(path: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,8 +52,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    Files.writeString(Paths.get(path), json)
   }
 }

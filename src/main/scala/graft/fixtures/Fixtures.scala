@@ -111,7 +111,8 @@ object Fixtures {
     */
   def compositeDoc(docId: String, nPages: Int, rng: Rng,
       parasPerPage: Int = 3, withMedia: Boolean = true,
-      hyphenEvery: Int = 3): DocRow = {
+      hyphenEvery: Int = 3,
+      extraFooter: Option[Seq[String]] = None): DocRow = {
     val pages = (0 until nPages).map { p =>
       val elems = Vector.newBuilder[Elem]
       // repeated header (same text + box on every page -> J1 dedup)
@@ -146,6 +147,12 @@ object Fixtures {
       elems += paragraph(s"$docId-p$p-ftr",
         Seq(Seq("Seite", s"${p + 1}", "von", s"$nPages")),
         "font3", t0 = 800.0, w = 120.0, h = 10.0, isFooter = true)
+      // optional persistent footer (x07 differential: must SURVIVE the
+      // page-number strip while the "Seite N von M" one is removed)
+      extraFooter.foreach { txt =>
+        elems += paragraph(s"$docId-p$p-ftr2", Seq(txt),
+          "font3", t0 = 815.0, w = 180.0, h = 10.0, isFooter = true)
+      }
       Page(elems.result())
     }.toVector
     DocRow(docId, SpanCodec.encode(DocTree(fonts, pages)))
@@ -165,6 +172,18 @@ object Fixtures {
       compositeDoc(f"doc-$i%08d", pages, rng, withMedia = i % 5 == 0)
     }
   }
+
+  /** Footer-differential corpus (x07): every doc has page-number footers;
+    * every second doc additionally carries a real footer that must survive
+    * the page-number strip.
+    */
+  def footerCorpus(n: Int, seed: Long = 7L): IndexedSeq[DocRow] =
+    (0 until n).map { i =>
+      val rng = new Rng(seed + i)
+      compositeDoc(f"fdoc-$i%05d", 1 + rng.nextInt(3), rng, withMedia = false,
+        extraFooter =
+          if (i % 2 == 0) Some(Seq("Alle", "Rechte", "vorbehalten")) else None)
+    }
 
   /** The flagship single document used by SparkEntry.entry (SURVEY.md
     * §7.2 minimum slice): 2 pages, repeated header, one hyphen-drop break

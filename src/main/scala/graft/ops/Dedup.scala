@@ -125,6 +125,7 @@ object Dedup {
         (a, b, if (union == 0) 0.0 else inter / union)
       }.toDF("doc_a", "doc_b", "jaccard")
     verified.filter(col("jaccard") >= p.jaccardThreshold)
+      .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -187,17 +188,22 @@ object Dedup {
   // ---------- duplicate clusters (connected components) ----------
 
   /** Assign every document touched by a near-dup pair to a duplicate
-    * CLUSTER: connected components over the pair graph by iterative
-    * min-label propagation (each round every node adopts the smallest
-    * label among itself and its neighbors; O(log n) rounds on real dup
-    * clusters, which are short-diameter). Returns (doc_id, cluster) where
-    * cluster = smallest doc_id in the component — the canonical keeper.
+    * CLUSTER: connected components over the pair graph by min-label
+    * propagation WITH pointer jumping — each round a node adopts the
+    * smallest of (its label, its neighbors' labels, its label's label).
+    * The label-of-label step halves pointer chains, so convergence is
+    * O(log diameter) rounds, not O(diameter) (plain propagation moves one
+    * hop per round and silently mislabels any chain longer than the round
+    * cap — templated/boilerplate corpora produce exactly those chains).
+    * Runs to FIXPOINT; `maxRounds` is a safety valve that raises instead
+    * of returning wrong labels. Returns (doc_id, cluster) where cluster =
+    * smallest doc_id in the component — the canonical keeper.
     *
-    * Scale shape: each round is one join + one aggregate on the (small)
-    * pair set, not the corpus; checkpointing every round keeps the plan
-    * from growing (lineage cut via persist).
+    * Scale shape: each round is two joins + one aggregate on the (small)
+    * pair set, not the corpus; persist-per-round cuts the lineage so the
+    * plan never grows.
     */
-  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // undirected edge list, both directions
@@ -207,23 +213,34 @@ object Dedup {
         col("doc_a").cast("long").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist): the pointer-jumping round references
+    // `labels` three times, so without a REAL lineage cut the logical plan
+    // grows ~3^rounds and plan stringification alone OOMs the driver
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
       .select(col("src").as("id"), least(col("src"), col("m")).as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var changed = 1L
     var round = 0
-    while (changed > 0 && round < maxRounds) {
+    while (changed > 0) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"duplicateClusters did not converge in $maxRounds rounds " +
+            "(pointer jumping needs ~log2(diameter); raise maxRounds)")
       // neighbor's current label, propagated across each edge
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("cluster"))
+      // pointer jumping: the label of my label
+      val viaPointer = labels.toDF("id", "lbl")
+        .join(labels.toDF("lbl", "lbl2"), "lbl")
+        .select(col("id"), col("lbl2").as("cluster"))
       val next = labels.select(col("id"), col("cluster"))
         .union(viaNeighbor)
+        .union(viaPointer)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") < col("old")).count()
-      labels.unpersist()
       labels = next
       round += 1
     }
@@ -234,14 +251,24 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash over whitespace tokens (weight 1 each). */
+  /** Signature width. 60 (not 64) so every bit of the signature and every
+    * shifted band key stays in the positive BIGINT range of the DuckDB
+    * oracle that recomputes it (no sign-bit special cases on either side).
+    */
+  val SimHashBits = 60
+
+  /** 60-bit SimHash over whitespace tokens (weight 1 each, multiplicity
+    * kept). Token hash = Hashing.md5Long — bit-for-bit recomputable in SQL
+    * (DuckDB md5_number_upper), which is what makes the q12 gate oracle an
+    * exact all-pairs hamming check rather than a rows-only count.
+    */
   def simHash(text: String): Long = {
-    val v = new Array[Int](64)
+    val v = new Array[Int](SimHashBits)
     text.toLowerCase.split("\\s+").foreach { t =>
       if (t.nonEmpty) {
-        val h = Hashing.fnv1a(t)
+        val h = Hashing.md5Long(t)
         var i = 0
-        while (i < 64) {
+        while (i < SimHashBits) {
           if (((h >>> i) & 1L) == 1L) v(i) += 1 else v(i) -= 1
           i += 1
         }
@@ -249,27 +276,44 @@ object Dedup {
     }
     var out = 0L
     var i = 0
-    while (i < 64) { if (v(i) > 0) out |= (1L << i); i += 1 }
+    while (i < SimHashBits) { if (v(i) > 0) out |= (1L << i); i += 1 }
     out
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** Near-duplicate pairs by SimHash: 4 x 16-bit band blocking (any pair
-    * with hamming <= 3 shares at least one exact band), verified by exact
-    * hamming <= maxHamming.
+  /** Near-duplicate pairs by SimHash with a banding scheme DERIVED from the
+    * requested radius: (maxHamming + 1) bands, so by pigeonhole any pair
+    * with hamming <= maxHamming is identical in at least one band — recall
+    * is 1.0 by construction, then candidates are verified by exact hamming.
+    * (Round-1 bug: fixed 4x16 banding only guarantees hamming <= 3 but was
+    * called with maxHamming = 16 — pairs whose differing bits straddled all
+    * four bands were silently missed.)
+    *
+    * Scale note: the band key width is SimHashBits/(maxHamming+1); a tight
+    * radius (h <= 3, the near-dup regime) gives 15-bit bands whose buckets
+    * stay small at corpus scale. Wide radii produce narrow bands with huge
+    * buckets — the guarantee still holds but the candidate join degrades,
+    * so prod configs should keep h small.
     */
   def simHashDuplicatePairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < SimHashBits, s"maxHamming=$maxHamming")
     val spark = docs.sparkSession
     import spark.implicits._
+    val nBands = maxHamming + 1
+    // near-even band widths covering all SimHashBits bits
+    val widths = Array.tabulate(nBands)(b =>
+      SimHashBits / nBands + (if (b < SimHashBits % nBands) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
     val sigs = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, simHash(t)) }
       .toDF("id", "sig")
     val banded = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .select(col("id"), col("sig"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+          shiftright(col("sig"), starts(b))
+            .bitwiseAND(lit((1L << widths(b)) - 1)).as("key"))): _*))
         .as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
     val l = banded.toDF("a", "sig_a", "band", "key")
@@ -279,7 +323,7 @@ object Dedup {
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         col("sig_a"), col("sig_b")).distinct()
       .as[(Long, Long, Long, Long)]
-      .map { case (a, b, sa, sb) => (a, b, hamming(sa, sb)) }
+      .map { case (a, b, sa, sb) => (a, b, hamming(sa, sb).toLong) }
       .toDF("doc_a", "doc_b", "hamming")
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))

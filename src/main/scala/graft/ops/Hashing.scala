@@ -33,4 +33,26 @@ object Hashing {
   def seeded(s: String, seed: Long): Long = mix(fnv1a(s) ^ mix(seed))
 
   def seeded(h: Long, seed: Long): Long = mix(h ^ mix(seed))
+
+  private val md5Digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 bytes of md5(UTF-8 bytes), little-endian, as a signed Long.
+    *
+    * This exact convention is what DuckDB's `md5_number_upper(s)` returns
+    * (as UBIGINT), so every operator keyed on it — SimHash features,
+    * winnowing k-gram hashes — can be recomputed verbatim inside a SQL
+    * oracle and gate-checked for exact equality. Slower than fnv1a; use
+    * only where oracle-reproducibility is the point.
+    */
+  def md5Long(s: String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 7
+    while (i >= 0) { h = (h << 8) | (b(i) & 0xFFL); i -= 1 }
+    h
+  }
 }

@@ -138,18 +138,20 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
-  /** Winnowing-style robust fingerprint: k-gram rolling hashes, minimum
-    * per window, distinct — near-dup-robust document signature (computed
-    * per-row in a typed map; the signature never exceeds ~text/window
-    * longs).
+  /** Winnowing-style robust fingerprint: k-gram hashes, minimum per
+    * (non-overlapping) window, consecutive duplicates collapsed — a
+    * near-dup-robust document signature (computed per-row in a typed map;
+    * the signature never exceeds ~text/window longs). The k-gram hash is
+    * Hashing.md5Long so the whole signature is recomputable inside the
+    * DuckDB gate oracle (md5_number_upper + list window mins).
     */
   def winnowSignature(text: String, k: Int = 8, window: Int = 16): Vector[Long] = {
     val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
-    if (norm.length < k) return Vector(Hashing.fnv1a(norm))
+    if (norm.length < k) return Vector(Hashing.md5Long(norm))
     val hashes = new Array[Long](norm.length - k + 1)
     var i = 0
     while (i + k <= norm.length) {
-      hashes(i) = Hashing.fnv1a(norm.substring(i, i + k))
+      hashes(i) = Hashing.md5Long(norm.substring(i, i + k))
       i += 1
     }
     val out = Vector.newBuilder[Long]

@@ -91,6 +91,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("duplicateClusters: 64-node chain converges (pointer jumping)") {
+    val sp = spark
+    import sp.implicits._
+    // a 64-hop path: plain one-hop propagation needs 63 rounds and the
+    // round-1 implementation capped at 20 and returned WRONG labels;
+    // pointer jumping converges in ~log2(63) rounds
+    val pairs = (1L until 64L).map(i => (i, i + 1, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.duplicateClusters(pairs, maxRounds = 12).collect()
+    assert(got.length == 64)
+    assert(got.forall(_.getLong(1) == 1L))
+  }
+
   // ---------- minhash ----------
 
   test("minHash: near-identical docs pair up, distinct docs don't") {
@@ -182,6 +195,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       vecsDf(Seq((1L, base), (2L, near), (3L, far))), threshold = 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("cosineNearDupPairs(LSH) recall == 1.0 vs exact on planted dups") {
+    val rng = new graft.fixtures.Fixtures.Rng(4242L)
+    def randVec(dim: Int): Array[Float] =
+      Array.fill(dim)((rng.nextDouble * 2 - 1).toFloat)
+    // 40 random vectors, 10 of which get a planted high-cosine twin
+    val base = (0 until 40).map(i => (i.toLong, randVec(32)))
+    val twins = (0 until 10).map { i =>
+      (100L + i, base(i)._2.map(v => v + 0.02f * (rng.nextDouble.toFloat - 0.5f)))
+    }
+    val df = vecsDf(base ++ twins)
+    val exact = Similarity.cosineNearDupPairsExact(df, threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupPairs(df, threshold = 0.98,
+      bits = 8, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && lsh == exact, s"lsh=$lsh exact=$exact")
+  }
+
+  test("ivfTopK: exact — identical to bruteForceTopK on clustered vectors") {
+    val rng = new graft.fixtures.Fixtures.Rng(77L)
+    def randVec(dim: Int): Array[Float] =
+      Array.fill(dim)((rng.nextDouble * 2 - 1).toFloat)
+    val dim = 16
+    val centers = (0 until 6).map(_ => randVec(dim))
+    val corpus = (0 until 120).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.zip(randVec(dim)).map { case (a, b) => a + 0.1f * b })
+    }
+    val queries = (0 until 4).map(i => (1000L + i, randVec(dim)))
+    val bf = Similarity.bruteForceTopK(vecsDf(corpus), vecsDf(queries), k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ivf = Similarity.ivfTopK(vecsDf(corpus), vecsDf(queries), k = 7,
+      nClusters = 8, kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(ivf == bf)
   }
 
   // ---------- text analysis ----------
