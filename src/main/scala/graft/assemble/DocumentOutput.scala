@@ -51,7 +51,10 @@ final class DocumentOutput(
     data0: List[OutElement],
     val header: List[OutElement],
     val footer: List[OutElement],
-    val order: Vector[Vector[String]]) {
+    val order: Vector[Vector[String]],
+    /** carried like the reference's DocumentOutput.lang (doc_output.py:
+      * 14-27); selects the LM for reverse_page_break decisions. */
+    val lang: String = "multi") {
 
   val data: ArrayBuffer[OutElement] = ArrayBuffer.from(data0)
   /** merged_elements redirect map (doc_output.py:21, 95). */
@@ -87,7 +90,7 @@ final class DocumentOutput(
         case (Some(last), Some(next))
             if last.typ != "heading" && next.typ != "heading" &&
               !last.endsNewline && (last ne next) =>
-          Scorer.joinSplitLines(last.lines.last, next.lines.head) match {
+          Scorer.joinSplitLines(last.lines.last, next.lines.head, lang) match {
             case None => // not a split paragraph
             case Some(junction) =>
               val merged = new OutElement(

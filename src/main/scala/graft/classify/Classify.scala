@@ -56,7 +56,8 @@ object Classify {
     * quirk we replicate, SURVEY.md §7.4); when the earlier one wins, the
     * later page contributes an empty list.
     */
-  def removeDuplicates(pageItems: Vector[Seq[Elem]]): Vector[Seq[Elem]] = {
+  def removeDuplicates(pageItems: Vector[Seq[Elem]],
+      lang: String = "multi"): Vector[Seq[Elem]] = {
     if (pageItems.isEmpty) return pageItems
     val results = scala.collection.mutable.ArrayBuffer[Seq[Elem]](pageItems.head)
     pageItems.tail.foreach { elements =>
@@ -66,7 +67,8 @@ object Classify {
       while (i < results.length && !break) {
         val r = results(i)
         if (r.nonEmpty && superSimiliar(r, elements)) {
-          if (Scorer.singleScore(onlyText(r)) <= Scorer.singleScore(onlyText(elements))) {
+          if (Scorer.singleScore(onlyText(r), lang) <=
+            Scorer.singleScore(onlyText(elements), lang)) {
             // previous got a better/equal score -> skip this one
             cool = false
             break = true

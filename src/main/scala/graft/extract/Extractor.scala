@@ -53,8 +53,8 @@ object Extractor {
       var headers: Vector[Seq[Elem]] = doc.pages.map(_.elements.filter(_.isHeader))
       var footers: Vector[Seq[Elem]] = doc.pages.map(_.elements.filter(_.isFooter))
       if (cfg.removeDuplicateHeaderFooter) {
-        headers = Classify.removeDuplicates(headers)
-        footers = Classify.removeDuplicates(footers)
+        headers = Classify.removeDuplicates(headers, cfg.lang)
+        footers = Classify.removeDuplicates(footers, cfg.lang)
       }
       // zip truncates to the shorter list when removeDuplicates shrank one
       // side — the reference quirk (export.py:243-245) replicated; idx_page
@@ -125,7 +125,8 @@ object Extractor {
     }
 
     val docOut = new DocumentOutput(
-      cleanedData.result(), cleanedHeader, cleanedFooter, info.orderPage)
+      cleanedData.result(), cleanedHeader, cleanedFooter, info.orderPage,
+      cfg.lang)
     if (cfg.footnotesLast) docOut.reorderFootnotes()
     // only if footnotes are reordered (export.py:325-326)
     if (cfg.footnotesLast && cfg.removeHyphens) docOut.reversePageBreak()
@@ -210,7 +211,8 @@ object Extractor {
         }
       }
       var validLines: List[List[String]] = lines.valid.map(_.toList).toList
-      if (cfg.removeHyphens) validLines = Scorer.dehyphenParagraph(validLines)
+      if (cfg.removeHyphens)
+        validLines = Scorer.dehyphenParagraph(validLines, cfg.lang)
       Some(new OutElement(
         "body", validLines, paragraph.id, idxPage, numNewlines,
         endsNewline = endsNewline))

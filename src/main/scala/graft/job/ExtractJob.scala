@@ -21,12 +21,16 @@ import org.apache.spark.util.CollectionAccumulator
   *    reference has the same hot spot: per-PDF runtime dominated by LM
   *    calls, development/notes/03_notes.md);
   *  - resume: the corpus is processed in `chunks` deterministic slices
-  *    (pmod(xxhash64(doc_id), chunks)); each completed chunk appends its
-  *    output and a metrics row transactionally-enough for parquet (chunk
-  *    directory committed before the metrics row); on restart, chunks with
+  *    (pmod(xxhash64(doc_id), chunks)); each completed chunk OVERWRITES its
+  *    own chunk= directory (the retry unit — idempotent on any crash/retry
+  *    interleaving) and then appends a metrics row; on restart, chunks with
   *    a 'done' metrics row are skipped — exact resume, verified by the
-  *    resume-equivalence test (FIXTURES.md §4). On Iceberg the same flow
-  *    maps to append snapshots + the metrics table.
+  *    resume-equivalence test (FIXTURES.md §4). With `bucketedInput` the
+  *    input is laid out as bucket= partition dirs (bucketizeInput), so
+  *    chunk selection is partition pruning and a k-chunk run scans the
+  *    input ONCE total, not k times. On Iceberg the same flow maps to a
+  *    bucket partition transform + replacePartitions snapshots + the
+  *    metrics table.
   */
 final case class JobConfig(
     inputPath: String,
@@ -37,6 +41,16 @@ final case class JobConfig(
     chunks: Int = 1,
     bigDocSpanThreshold: Int = 20000,
     format: String = "parquet",
+    /** input laid out as bucket=N partition dirs (ExtractJob.bucketizeInput):
+      * chunk selection becomes partition PRUNING — a k-chunk run reads each
+      * input byte once, instead of k full scans of a pmod filter.
+      */
+    bucketedInput: Boolean = false,
+    /** set false when the input layout already distributes documents
+      * (ingest-time hash bucketing): extraction runs map-only, zero
+      * shuffle. Default true = explicit skew-aware repartition.
+      */
+    repartitionInput: Boolean = true,
     extract: ExtractConfig = ExtractConfig())
 
 object ExtractJob {
@@ -96,6 +110,7 @@ object ExtractJob {
     val rdd = docs.toDF().select("doc_id", "spans")
       .queryExecution.toRdd.mapPartitions { it =>
       val t0 = System.currentTimeMillis()
+      val lm0 = graft.lm.Scorer.threadLmCallCount // task = one thread
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var nDocs = 0L
       var nFailed = 0L
@@ -130,7 +145,8 @@ object ExtractJob {
             metricEmitted = true
             metricsAcc.add(PartitionMetric(
               runId, chunkId, pid, nDocs, nFailed, spansIn, spansOut,
-              graft.lm.Scorer.lmCallCount, System.currentTimeMillis() - t0,
+              graft.lm.Scorer.threadLmCallCount - lm0,
+              System.currentTimeMillis() - t0,
               if (nFailed == 0) "done" else "done_with_failures",
               firstError, System.currentTimeMillis()))
           }
@@ -142,34 +158,82 @@ object ExtractJob {
     spark.createDataset(rdd)
   }
 
-  /** Chunk ids already recorded complete in the metrics table (resume). */
+  /** Chunk ids already recorded complete in the metrics table (resume).
+    * A MISSING metrics table means a fresh run (empty set); an EXISTING
+    * table that cannot be read fails loudly — silently returning empty
+    * would reprocess every chunk and (pre-Overwrite) duplicate output.
+    */
   def completedChunks(spark: SparkSession, cfg: JobConfig): Set[Int] = {
-    try {
+    val p = new org.apache.hadoop.fs.Path(cfg.metricsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else try {
       val df = spark.read.format(cfg.format).load(cfg.metricsPath)
       df.filter(col("run_id") === cfg.runId && col("status").startsWith("done"))
         .select("chunk_id").distinct()
         .collect().map(_.getInt(0)).toSet
-    } catch { case _: Exception => Set.empty }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalStateException(
+          s"metrics table ${cfg.metricsPath} exists but is unreadable — " +
+            "refusing to guess the resume state", e)
+    }
+  }
+
+  /** Lay the input out as `bucket=N` partition directories keyed on
+    * pmod(xxhash64(doc_id), chunks) — one pass over the raw table. A
+    * chunked/resumed ExtractJob over this layout selects each chunk by
+    * partition PRUNING, so a k-chunk run scans each input byte exactly
+    * once (the unbucketed fallback filters the full input per chunk: k
+    * scans of a 100 TB table). On Iceberg this is the table's bucket
+    * partition transform, written once at ingest.
+    */
+  def bucketizeInput(spark: SparkSession, rawPath: String, bucketedPath: String,
+      chunks: Int, format: String = "parquet"): Unit = {
+    spark.read.format(format).load(rawPath)
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(chunks)))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .format(format).save(bucketedPath)
   }
 
   /** Run the job end-to-end with checkpointed resume. */
   def run(spark: SparkSession, cfg: JobConfig): Unit = {
     import spark.implicits._
-    val done = if (cfg.chunks > 1) completedChunks(spark, cfg) else Set.empty[Int]
-    val docs = readDocs(spark, cfg)
+    // consulted regardless of cfg.chunks: a rerun of an already-complete
+    // job (chunks=1 included) must be a no-op, not a second copy
+    val done = completedChunks(spark, cfg)
 
     (0 until cfg.chunks).foreach { chunk =>
       if (!done.contains(chunk)) {
         val slice =
-          if (cfg.chunks == 1) docs
-          else docs.filter(pmod(xxhash64(col("doc_id")), lit(cfg.chunks)) === chunk)
-        val part = repartitionSkewAware(slice, cfg.numPartitions, cfg.bigDocSpanThreshold)
+          if (cfg.bucketedInput) {
+            // partition pruning on the bucket= layout: only this chunk's
+            // files are scanned (JobSpec asserts the pushed filter)
+            import spark.implicits._
+            spark.read.format(cfg.format).load(cfg.inputPath)
+              .filter(col("bucket") === chunk)
+              .select("doc_id", "spans").as[DocRow]
+          } else {
+            val docs = readDocs(spark, cfg)
+            if (cfg.chunks == 1) docs
+            else docs.filter(pmod(xxhash64(col("doc_id")), lit(cfg.chunks)) === chunk)
+          }
+        val part =
+          if (cfg.repartitionInput)
+            repartitionSkewAware(slice, cfg.numPartitions, cfg.bigDocSpanThreshold)
+          else slice // ingest-time layout already distributes: map-only
         val acc = spark.sparkContext.collectionAccumulator[PartitionMetric](s"metrics-$chunk")
         val out = extractChunk(part, cfg, chunk, acc)
-        out.write.mode(SaveMode.Append).format(cfg.format)
+        // Overwrite, not Append: the chunk directory is the retry unit, so
+        // a crashed-after-partial-commit attempt (committer v2, speculative
+        // tasks) is simply replaced on resume — idempotent by construction
+        out.write.mode(SaveMode.Overwrite).format(cfg.format)
           .save(s"${cfg.outputPath}/chunk=$chunk")
-        // chunk committed -> record completion (exact resume boundary)
-        val rows = scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq
+        // chunk committed -> record completion (exact resume boundary);
+        // dedupe on partition id: task retries/speculation can fire an
+        // accumulator update more than once per partition
+        val rows = scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala
+          .groupBy(_.partition_id).map(_._2.head).toSeq
         val metricRows =
           if (rows.nonEmpty) rows
           else Seq(PartitionMetric(cfg.runId, chunk, -1, 0, 0, 0, 0, 0, 0,
@@ -203,7 +267,8 @@ object ExtractJob {
     *   spark-submit --class graft.job.ExtractJob <jar> \
     *     --input <path> --output <path> --metrics <path> \
     *     [--run-id r] [--partitions n] [--chunks k] [--format parquet] \
-    *     [--big-doc-spans n] [--fast true|false]
+    *     [--big-doc-spans n] [--fast true|false] \
+    *     [--bucketed-input true|false] [--repartition true|false]
     *
     * The session is taken from spark-submit's conf (master, executors,
     * AQE, shuffle partitions come from the cluster submit, not the code).
@@ -223,6 +288,8 @@ object ExtractJob {
       chunks = kv.getOrElse("chunks", "1").toInt,
       bigDocSpanThreshold = kv.getOrElse("big-doc-spans", "20000").toInt,
       format = kv.getOrElse("format", "parquet"),
+      bucketedInput = kv.getOrElse("bucketed-input", "false").toBoolean,
+      repartitionInput = kv.getOrElse("repartition", "true").toBoolean,
       extract = graft.reflow.ExtractConfig(
         fast = kv.getOrElse("fast", "true").toBoolean))
     val builder = SparkSession.builder()

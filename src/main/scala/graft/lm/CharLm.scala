@@ -87,7 +87,27 @@ object CharLm {
     }
   }
 
-  private lazy val model: Model = new Model(TrainingCorpus.text)
+  /** One model per language, built lazily per JVM — the reference loads
+    * one Flair model per process AND selects it by `lang` with a `-fast`
+    * suffix convention (dehyphen_wrapper.py:18-31); we mirror the
+    * selection: "de"/"en" pick the monolingual corpus, anything else
+    * (incl. "multi", "multi-v0-fast", unknown codes) the combined one,
+    * and a "-fast"/"-vN" suffix is ignored.
+    */
+  private val models =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  def canonicalLang(lang: String): String = {
+    val base = lang.toLowerCase.split("-")(0)
+    base match {
+      case "de" | "en" => base
+      case _ => "multi"
+    }
+  }
+
+  private def modelFor(lang: String): Model =
+    models.computeIfAbsent(canonicalLang(lang),
+      l => new Model(TrainingCorpus.forLang(l)))
 
   private final class Model(corpus: String) {
     val grams: Array[LongLongMap] = Array.fill(Order)(new LongLongMap(1 << 14))
@@ -155,9 +175,11 @@ object CharLm {
   /** Average negative log2 probability per character (quantized), padded
     * with begin-of-text context. Lower = better. Empty text scores +inf.
     */
-  def score(text: String): Double = {
+  def score(text: String): Double = score(text, "multi")
+
+  def score(text: String, lang: String): Double = {
     if (text == null || text.isEmpty) return Double.PositiveInfinity
-    val m = model
+    val m = modelFor(lang)
     val padded = new PaddedSeq(normalize(text), Order - 1)
     var sum = 0L
     var i = Order - 1
@@ -185,7 +207,11 @@ object CharLm {
   * breaks ties the heuristic cascade and the dictionary don't decide.
   */
 object TrainingCorpus {
-  val text: String =
+  /** German half. NOTE: `de + en` must concatenate to exactly the round-1
+    * combined corpus — the multi model's quantized scores pin the frozen
+    * goldens.
+    */
+  val de: String =
     """Die Bedeutung der finanziellen Interessen der Union ist in den
       |vergangenen Jahren stetig gewachsen. Auch andere Staaten, wie
       |beispielsweise Polen, haben entsprechende Regelungen getroffen.
@@ -204,7 +230,11 @@ object TrainingCorpus {
       |übermitteln der Kommission jährlich einen Bericht über die
       |Durchführung der Maßnahmen. Der Ausschuss empfiehlt die Annahme des
       |Entwurfs in der vorliegenden Fassung. Seite drei von zehn Seiten.
-      |The committee has reviewed the proposal and recommends adoption of
+      |""".stripMargin
+
+  /** English half. */
+  val en: String =
+    """The committee has reviewed the proposal and recommends adoption of
       |the amended draft. The financial interests of the member states are
       |protected by common rules and procedures. This report describes the
       |implementation of the regulation during the past year. Further
@@ -212,4 +242,13 @@ object TrainingCorpus {
       |group will continue its examination of the remaining questions.
       |A footnote provides additional context for the reader of the text.
       |""".stripMargin
+
+  /** Combined corpus (byte-identical to the round-1 single corpus). */
+  val text: String = de + en
+
+  def forLang(canonical: String): String = canonical match {
+    case "de" => de
+    case "en" => en
+    case _ => text
+  }
 }

@@ -25,19 +25,35 @@ object Scorer {
   // (the model itself is immutable after lazy init, so scoring is lock-free).
   private val cache = ThreadLocal.withInitial[Lru](() => new Lru(65536))
   private val lmCalls = new java.util.concurrent.atomic.LongAdder
+  // per-THREAD count: a Spark task runs single-threaded, so snapshotting
+  // this at partition start/end gives an exact per-partition delta (the
+  // JVM-global LongAdder can't — concurrent tasks interleave into it)
+  private val threadLmCalls =
+    ThreadLocal.withInitial[Array[Long]](() => Array(0L))
 
   def lmCallCount: Long = lmCalls.sum()
   def resetLmCallCount(): Unit = lmCalls.reset()
 
-  /** Raw LM score with LRU; lower = better. */
-  def score(text: String): Double = {
+  /** LM calls made by the CURRENT thread (monotonic; diff two snapshots
+    * for a per-task count).
+    */
+  def threadLmCallCount: Long = threadLmCalls.get()(0)
+
+  /** Raw LM score with LRU; lower = better. The `lang` selects the model
+    * (CharLm.canonicalLang), mirroring the reference's per-lang Flair
+    * model choice (dehyphen_wrapper.py:18-31); the LRU key carries the
+    * canonical lang so models never cross-contaminate.
+    */
+  def score(text: String, lang: String = "multi"): Double = {
     val c = cache.get()
-    val hit = c.get(text)
+    val key = CharLm.canonicalLang(lang) + "\u0000" + text
+    val hit = c.get(key)
     if (hit != null) hit.doubleValue()
     else {
       lmCalls.increment()
-      val v = CharLm.score(text)
-      c.put(text, v)
+      threadLmCalls.get()(0) += 1
+      val v = CharLm.score(text, lang)
+      c.put(key, v)
       v
     }
   }
@@ -45,17 +61,17 @@ object Scorer {
   /** `single_score` (dehyphen_wrapper.py:63-69): +inf for single-char
     * text, otherwise LM score.
     */
-  def singleScore(text: String): Double =
-    if (text.length == 1) Double.PositiveInfinity else score(text)
+  def singleScore(text: String, lang: String = "multi"): Double =
+    if (text.length == 1) Double.PositiveInfinity else score(text, lang)
 
-  /** `newline_or_not(l1, l2)` (dehyphen_wrapper.py:46-60): score
+  /** `newline_or_not(l1, l2, lang)` (dehyphen_wrapper.py:46-60): score
     * [l1, l2, l1 + " " + l2]; newline iff the concatenation is NOT the
     * (first) minimum. Single-char special cases preserved.
     */
-  def newlineOrNot(l1: String, l2: String): Boolean = {
+  def newlineOrNot(l1: String, l2: String, lang: String = "multi"): Boolean = {
     if (l1.length == 1) return true
     if (l2.length == 1) return false
-    val scores = Seq(score(l1), score(l2), score(l1 + " " + l2))
+    val scores = Seq(score(l1, lang), score(l2, lang), score(l1 + " " + l2, lang))
     PyText.argminFirst(scores) != 2
   }
 
@@ -80,7 +96,8 @@ object Scorer {
     * Unknown cases fall back to the char-LM: first minimum of
     * [drop-hyphen, keep-hyphen] wins (drop on tie).
     */
-  def mergeHyphenated(lastWordCore: String, nextWord: String): String = {
+  def mergeHyphenated(lastWordCore: String, nextWord: String,
+      lang: String = "multi"): String = {
     val (nextCore, nextGlue) = splitGlue(nextWord)
     val stem = lastWordCore.dropRight(1) // without trailing '-'
     val dropped = stem + nextCore
@@ -89,7 +106,7 @@ object Scorer {
       if (Dictionary.contains(lettersLower(dropped))) dropped
       else if (Dictionary.contains(lettersLower(stem)) &&
         Dictionary.contains(lettersLower(nextCore))) kept
-      else if (score(dropped) <= score(kept)) dropped
+      else if (score(dropped, lang) <= score(kept, lang)) dropped
       else kept
     merged + nextGlue
   }
@@ -103,7 +120,8 @@ object Scorer {
     * A merged line can itself end with '-' again, so the scan does not
     * advance past a merge.
     */
-  def dehyphenParagraph(lines: List[List[String]]): List[List[String]] = {
+  def dehyphenParagraph(lines: List[List[String]],
+      lang: String = "multi"): List[List[String]] = {
     val buf = scala.collection.mutable.ArrayBuffer.from(lines.map(_.toVector))
     var i = 0
     while (i < buf.length - 1) {
@@ -111,7 +129,7 @@ object Scorer {
       val nxt = buf(i + 1)
       val (core, _) = splitGlue(cur.last)
       if (core.length > 1 && core.endsWith("-") && nxt.nonEmpty) {
-        val merged = mergeHyphenated(core, nxt.head)
+        val merged = mergeHyphenated(core, nxt.head, lang)
         buf(i) = (cur.init :+ merged) ++ nxt.tail
         buf.remove(i + 1)
         // stay at i: the merged line may end hyphenated again
@@ -130,17 +148,18 @@ object Scorer {
     * the joined boundary line (hyphen-repaired when a ends with '-') or
     * None.
     */
-  def joinSplitLines(a: List[String], b: List[String]): Option[List[String]] = {
+  def joinSplitLines(a: List[String], b: List[String],
+      lang: String = "multi"): Option[List[String]] = {
     if (a.isEmpty || b.isEmpty) return None
     val ta = a.mkString(" ")
     val tb = b.mkString(" ")
     if (ta.length == 1 || tb.length == 1) return None
-    val scores = Seq(score(ta), score(tb), score(ta + " " + tb))
+    val scores = Seq(score(ta, lang), score(tb, lang), score(ta + " " + tb, lang))
     if (PyText.argminFirst(scores) != 2) None
     else {
       val (core, _) = splitGlue(a.last)
       if (core.length > 1 && core.endsWith("-"))
-        Some((a.init :+ Scorer.mergeHyphenated(core, b.head)) ++ b.tail)
+        Some((a.init :+ Scorer.mergeHyphenated(core, b.head, lang)) ++ b.tail)
       else Some(a ++ b)
     }
   }

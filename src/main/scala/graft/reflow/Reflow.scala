@@ -55,7 +55,13 @@ final case class ExtractConfig(
       * reference drops them from the text flow). */
     keepMedia: Boolean = true,
     /** disabled in the reference (export.py:199-201). */
-    considerFontSizeLinebreak: Boolean = false) {
+    considerFontSizeLinebreak: Boolean = false,
+    /** LM/model selection, mirroring the reference's per-lang Flair model
+      * choice incl. "-fast" suffix (dehyphen_wrapper.py:18-31; lang is
+      * carried on DocumentOutput, doc_output.py:14-27). "de"/"en" pick the
+      * monolingual char-LM corpus, anything else the combined one.
+      */
+    lang: String = "multi") {
   require(
     !(seperateHeaderFooter && (removeHeader || removeFooter)),
     "if seperate_header_footer=True cannot remove header/footer (export.py:194-197)")
@@ -151,7 +157,8 @@ object Reflow {
     // LM fallback (export.py:385, M1)
     graft.lm.Scorer.newlineOrNot(
       textLine.mkString(" "),
-      textNextLine.get.mkString(" "))
+      textNextLine.get.mkString(" "),
+      cfg.lang)
   }
 
   /** is_footnotes_paragraph (export.py:514-554). */

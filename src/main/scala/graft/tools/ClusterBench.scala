@@ -12,19 +12,27 @@ import org.apache.spark.sql.SparkSession
   */
 object ClusterBench {
   def main(args: Array[String]): Unit = {
-    val corpusPath = args.headOption.getOrElse("/root/repo/target/bench/docs_120000")
+    val corpusPath = args.headOption.getOrElse(
+      sys.error("usage: ClusterBench <corpus> [totalCores] [shuffle|maponly]"))
     val spark = SparkSession.builder().appName("graft-cluster-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // defaultParallelism undercounts before executors register — take the
     // real total from the caller (local-cluster[N,c,m] -> N*c)
     val totalCores = args.lift(1).map(_.toInt)
       .getOrElse(spark.sparkContext.defaultParallelism)
+    // "maponly" = the production layout: the input table was hash-bucketed
+    // (+ skew-salted) at INGEST, so extraction is scan -> extract -> write
+    // with zero shuffle (JobConfig.repartitionInput=false). "shuffle" keeps
+    // the explicit in-job repartition for unbucketed inputs.
+    val mode = args.lift(2).getOrElse("shuffle")
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("clusterbench").toString
     def once(tag: String): Double = {
       val docs = spark.read.parquet(corpusPath)
         .select("doc_id", "spans").as[graft.model.DocRow]
-      val part = graft.job.ExtractJob.repartitionSkewAware(docs, totalCores, 20000)
+      val part =
+        if (mode == "maponly") docs
+        else graft.job.ExtractJob.repartitionSkewAware(docs, totalCores, 20000)
       val t0 = System.nanoTime()
       graft.job.FastScan.extract(part.toDF(), ExtractConfig())
         .write.mode("overwrite").parquet(s"$out/$tag")
@@ -33,7 +41,7 @@ object ClusterBench {
     val n = spark.read.parquet(corpusPath).count()
     once("warm")
     val best = Seq(once("t1"), once("t2")).min
-    println(f"[cluster] cores=$totalCores docs=$n best=$best%.2f s (${n / best}%.0f docs/s)")
+    println(f"[cluster] mode=$mode cores=$totalCores docs=$n best=$best%.2f s (${n / best}%.0f docs/s)")
     spark.stop()
   }
 }

@@ -101,6 +101,83 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perChunkPartitions <= 4 * ExtractJob.SaltFactor)
   }
 
+  test("rerun of a completed job is a no-op — even with chunks=1") {
+    import spark.implicits._
+    val docs = corpus(20)
+    spark.createDataset(docs).write.mode("overwrite").parquet(s"$dir/in5")
+    val cfg = JobConfig(s"$dir/in5", s"$dir/out5", s"$dir/m5",
+      runId = "r5", numPartitions = 2, chunks = 1)
+    ExtractJob.run(spark, cfg)
+    val n1 = ExtractJob.readOutput(spark, cfg).count()
+    val m1 = spark.read.parquet(cfg.metricsPath).count()
+    ExtractJob.run(spark, cfg) // round-1 bug: this silently doubled output
+    assert(ExtractJob.readOutput(spark, cfg).count() == n1)
+    assert(spark.read.parquet(cfg.metricsPath).count() == m1)
+  }
+
+  test("crash between chunk write and metrics row: resume overwrites, no dup") {
+    import spark.implicits._
+    val docs = corpus(30)
+    spark.createDataset(docs).write.mode("overwrite").parquet(s"$dir/in6")
+    val cfg = JobConfig(s"$dir/in6", s"$dir/out6", s"$dir/m6",
+      runId = "r6", numPartitions = 2, chunks = 2)
+    // simulate the crash window: chunk 0's output committed but the 'done'
+    // metrics row never written
+    import org.apache.spark.sql.functions._
+    val chunk0 = ExtractJob.readDocs(spark, cfg)
+      .filter(pmod(xxhash64(col("doc_id")), lit(2)) === 0)
+    val acc = spark.sparkContext.collectionAccumulator[PartitionMetric]("m6a")
+    ExtractJob.extractChunk(
+      ExtractJob.repartitionSkewAware(chunk0, 2, cfg.bigDocSpanThreshold),
+      cfg, 0, acc)
+      .write.parquet(s"${cfg.outputPath}/chunk=0")
+    // resume: chunk 0 is NOT in the done set, so it reprocesses — the
+    // per-chunk Overwrite makes that idempotent instead of doubling rows
+    ExtractJob.run(spark, cfg)
+    val out = ExtractJob.readOutput(spark, cfg).collect()
+    assert(out.length == docs.length)
+    assert(out.map(_.doc_id).distinct.length == docs.length)
+  }
+
+  test("bucketed input: chunk = partition pruning, output unchanged") {
+    import spark.implicits._
+    val docs = corpus(40)
+    spark.createDataset(docs).write.mode("overwrite").parquet(s"$dir/in7raw")
+    ExtractJob.bucketizeInput(spark, s"$dir/in7raw", s"$dir/in7", chunks = 4)
+    val plain = JobConfig(s"$dir/in7raw", s"$dir/out7a", s"$dir/m7a",
+      runId = "r7a", numPartitions = 2, chunks = 4)
+    val bucketed = JobConfig(s"$dir/in7", s"$dir/out7b", s"$dir/m7b",
+      runId = "r7b", numPartitions = 2, chunks = 4, bucketedInput = true)
+    ExtractJob.run(spark, plain)
+    ExtractJob.run(spark, bucketed)
+    val a = ExtractJob.readOutput(spark, plain).collect().sortBy(_.doc_id)
+    val b = ExtractJob.readOutput(spark, bucketed).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+    // the chunk filter reaches the scan as a PARTITION filter (pruning):
+    // a k-chunk run reads each input byte once, not k full scans
+    import org.apache.spark.sql.functions.col
+    val slice = spark.read.parquet(s"$dir/in7").filter(col("bucket") === 2)
+      .select("doc_id", "spans")
+    val plan = slice.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    assert(!plan.contains("PushedFilters: [IsNotNull(bucket"), plan)
+  }
+
+  test("unreadable metrics table fails loudly instead of resetting resume") {
+    import spark.implicits._
+    val docs = corpus(5)
+    spark.createDataset(docs).write.mode("overwrite").parquet(s"$dir/in8")
+    val cfg = JobConfig(s"$dir/in8", s"$dir/out8", s"$dir/m8",
+      runId = "r8", numPartitions = 2, chunks = 2)
+    // metrics path exists but holds garbage (not the metrics schema)
+    new java.io.File(s"$dir/m8").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/m8/part-00000.parquet"), "not parquet")
+    intercept[IllegalStateException] {
+      ExtractJob.completedChunks(spark, cfg)
+    }
+  }
+
   test("failed docs go to metrics, not output") {
     import spark.implicits._
     val docs = corpus(10) :+ DocRow("bad-doc", Seq(Span("page", "", "", 0)))

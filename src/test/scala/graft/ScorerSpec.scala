@@ -79,4 +79,29 @@ class ScorerSpec extends AnyFunSuite {
     // the dedup tie case: '1' and '2' are both unseen digits -> same score
     assert(Scorer.score("Seite 1 von 2") == Scorer.score("Seite 2 von 2"))
   }
+
+  test("lang selection: monolingual models prefer their own language") {
+    // German sentence scores better (lower) under the de model than en
+    val deText = "die bedeutung der finanziellen interessen"
+    assert(Scorer.score(deText, "de") < Scorer.score(deText, "en"))
+    // English sentence scores better under the en model than de
+    val enText = "the committee has reviewed the proposal"
+    assert(Scorer.score(enText, "en") < Scorer.score(enText, "de"))
+    // default/multi behavior unchanged (goldens pin these scores)
+    assert(Scorer.score(deText) == Scorer.score(deText, "multi"))
+  }
+
+  test("lang canonicalization mirrors the reference's -fast suffix scheme") {
+    import graft.lm.CharLm
+    // dehyphen_wrapper.py:18-31: lang + optional -fast pick the model
+    assert(CharLm.canonicalLang("de") == "de")
+    assert(CharLm.canonicalLang("de-fast") == "de")
+    assert(CharLm.canonicalLang("en-fast") == "en")
+    assert(CharLm.canonicalLang("multi-v0-fast") == "multi")
+    assert(CharLm.canonicalLang("fr") == "multi") // unknown -> combined
+    // the per-lang kernels: a German hyphenation decided under lang=de
+    assert(Scorer.dehyphenParagraph(
+      List(List("der", "finan- "), List("ziellen", "betrag")), "de-fast")
+      == List(List("der", "finanziellen", "betrag")))
+  }
 }
