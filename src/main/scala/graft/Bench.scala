@@ -280,6 +280,17 @@ object Bench {
 
     // ---- per-query wall times on sfDir at full parallelism ----
     val spark = newSession(cpus)
+    locally {
+      // neutral warmup: session/codegen/JIT + parquet reader & writer
+      // codepaths on throwaway data — the benchmark tables themselves are
+      // NOT touched, so no page-cache preload; without this the first
+      // query absorbs ~5s of one-time session cost and the per-query
+      // numbers misattribute it
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warm").toString
+      spark.range(0, 100000).selectExpr("id", "cast(id as string) AS s")
+        .write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).selectExpr("count(distinct s)", "sum(id)").collect()
+    }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -51,6 +51,16 @@ final case class JobConfig(
       * shuffle. Default true = explicit skew-aware repartition.
       */
     repartitionInput: Boolean = true,
+    /** "chunk" (default): a crashed chunk is re-extracted whole and its
+      * directory atomically Overwritten — exactly-once under any retry
+      * interleaving. "doc": SURVEY §2.3 J4's doc-granular resume — an
+      * incomplete chunk's surviving output rows are left-anti-joined
+      * against the input by doc_id and only the missing documents are
+      * re-extracted and Appended (requires job-level output commit,
+      * parquet committer v1 / Iceberg snapshot, so a crashed append is
+      * invisible; with task-level commits use "chunk").
+      */
+    resumeGranularity: String = "chunk",
     extract: ExtractConfig = ExtractConfig())
 
 object ExtractJob {
@@ -218,17 +228,39 @@ object ExtractJob {
             if (cfg.chunks == 1) docs
             else docs.filter(pmod(xxhash64(col("doc_id")), lit(cfg.chunks)) === chunk)
           }
+        val chunkDir = s"${cfg.outputPath}/chunk=$chunk"
+        // doc-granular resume (J4): keep the docs a crashed attempt already
+        // committed, re-extract only the missing ones (left-anti on doc_id)
+        val docLevel = cfg.resumeGranularity == "doc"
+        val survivors: Option[org.apache.spark.sql.DataFrame] =
+          if (!docLevel) None
+          else {
+            val p = new org.apache.hadoop.fs.Path(chunkDir)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p))
+              scala.util.Try(spark.read.format(cfg.format).load(chunkDir)
+                .select("doc_id")).toOption
+            else None
+          }
+        val sliceTodo = survivors match {
+          case Some(done) =>
+            // broadcast when small; AQE/sort-merge otherwise — doc_id is
+            // the join key on both sides, no wide rows cross the shuffle
+            slice.join(done, Seq("doc_id"), "left_anti").as[DocRow]
+          case None => slice
+        }
         val part =
           if (cfg.repartitionInput)
-            repartitionSkewAware(slice, cfg.numPartitions, cfg.bigDocSpanThreshold)
-          else slice // ingest-time layout already distributes: map-only
+            repartitionSkewAware(sliceTodo, cfg.numPartitions, cfg.bigDocSpanThreshold)
+          else sliceTodo // ingest-time layout already distributes: map-only
         val acc = spark.sparkContext.collectionAccumulator[PartitionMetric](s"metrics-$chunk")
         val out = extractChunk(part, cfg, chunk, acc)
-        // Overwrite, not Append: the chunk directory is the retry unit, so
+        // chunk mode: Overwrite — the chunk directory is the retry unit, so
         // a crashed-after-partial-commit attempt (committer v2, speculative
-        // tasks) is simply replaced on resume — idempotent by construction
-        out.write.mode(SaveMode.Overwrite).format(cfg.format)
-          .save(s"${cfg.outputPath}/chunk=$chunk")
+        // tasks) is simply replaced on resume — idempotent by construction.
+        // doc mode: Append of exactly the anti-joined remainder.
+        val mode = if (survivors.isDefined) SaveMode.Append else SaveMode.Overwrite
+        out.write.mode(mode).format(cfg.format).save(chunkDir)
         // chunk committed -> record completion (exact resume boundary);
         // dedupe on partition id: task retries/speculation can fire an
         // accumulator update more than once per partition

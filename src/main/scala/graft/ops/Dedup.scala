@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   *  - MinHash+LSH: per-doc signatures computed map-side in one pass (no
   *    shingle explosion across the shuffle), then one shuffle on
   *    (band, bandHash) buckets, pair generation inside buckets only;
-  *  - SimHash: one 64-bit signature per doc, candidate pairs via 4
-  *    rotated-band self-joins (hamming<=3 guarantee within 4 bands of 16
-  *    bits), verified by exact hamming distance.
+  *  - SimHash: one 60-bit signature per doc, candidate pairs via
+  *    (maxHamming+1) band self-joins (complete by pigeonhole for the
+  *    requested radius), verified by exact hamming distance.
   */
 object Dedup {
 
@@ -148,7 +148,8 @@ object Dedup {
     * set it to Int.MaxValue for the exact-against-oracle configuration).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.5, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.5, maxDocFreq: Int = Int.MaxValue,
+      sortOutput: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // persisted: the (id, shingle-hash) index is read 3x (sizes + both
@@ -174,7 +175,7 @@ object Dedup {
       .join(filtered.toDF("b", "g"), Seq("g"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(broadcast(sizes.toDF("a", "na")), "a")
       .join(broadcast(sizes.toDF("b", "nb")), "b")
       .withColumn("jaccard",
@@ -182,8 +183,25 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         round(col("jaccard"), 6).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // global sort is for the deterministic gate dump; prod skips it (a
+    // total order over all pairs is a needless full-shuffle at scale)
+    if (sortOutput) pairs.orderBy(col("doc_a"), col("doc_b")) else pairs
   }
+
+  /** PRODUCTION near-dup configuration: the frequency cut is ON. The gate
+    * entry runs maxDocFreq=Int.MaxValue because its DuckDB oracle is the
+    * exact pair set; at corpus scale that setting lets one boilerplate
+    * shingle ("terms of service", a license header) shared by millions of
+    * documents turn the inverted-index self-join quadratic. The cut drops
+    * shingles whose doc-frequency exceeds the bound BEFORE the self-join —
+    * pairs supported only by such stop-shingles are noise for near-dup
+    * purposes (standard ppjoin-style prefix-frequency reasoning), and
+    * everything that survives is still verified by exact Jaccard on the
+    * kept shingles. No global sort.
+    */
+  def ngramJaccardPairsAtScale(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8, maxDocFreq: Int = 5000): DataFrame =
+    ngramJaccardPairs(docs, n, threshold, maxDocFreq, sortOutput = false)
 
   // ---------- duplicate clusters (connected components) ----------
 

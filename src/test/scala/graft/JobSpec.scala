@@ -163,6 +163,32 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("PushedFilters: [IsNotNull(bucket"), plan)
   }
 
+  test("doc-level resume (J4): anti-join keeps survivors, extracts the rest") {
+    import spark.implicits._
+    val docs = corpus(30)
+    spark.createDataset(docs).write.mode("overwrite").parquet(s"$dir/in9")
+    val cfg = JobConfig(s"$dir/in9", s"$dir/out9", s"$dir/m9",
+      runId = "r9", numPartitions = 2, chunks = 1, resumeGranularity = "doc")
+    // a crashed attempt committed the first 15 docs
+    val half = docs.take(15).map(d =>
+      graft.extract.Extractor.extractRow(d, graft.reflow.ExtractConfig()))
+    spark.createDataset(half).write.parquet(s"${cfg.outputPath}/chunk=0")
+    ExtractJob.run(spark, cfg)
+    val out = ExtractJob.readOutput(spark, cfg).collect()
+    assert(out.length == docs.length)
+    assert(out.map(_.doc_id).distinct.length == docs.length)
+    // the resume pass extracted ONLY the 15 missing docs (survivors kept)
+    import org.apache.spark.sql.functions.sum
+    val m = spark.read.parquet(cfg.metricsPath)
+    assert(m.agg(sum("n_docs")).head.getLong(0) == 15L)
+    // output matches a from-scratch run row-for-row
+    val cleanCfg = cfg.copy(outputPath = s"$dir/out9c", metricsPath = s"$dir/m9c",
+      runId = "r9c")
+    ExtractJob.run(spark, cleanCfg)
+    val clean = ExtractJob.readOutput(spark, cleanCfg).collect().sortBy(_.doc_id)
+    assert(out.sortBy(_.doc_id).toSeq == clean.toSeq)
+  }
+
   test("unreadable metrics table fails loudly instead of resetting resume") {
     import spark.implicits._
     val docs = corpus(5)
