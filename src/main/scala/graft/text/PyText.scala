@@ -45,26 +45,64 @@ object PyText {
   /** Python per-char `isalnum`: alpha or numeric. */
   def isAlnumChar(c: Char): Boolean = Character.isLetter(c) || isNumericChar(c)
 
+  /** Inverse of the windows-1252 decode for the 0x80-0x9F gap: cp1252
+    * mojibake ("â€™" for a right quote) round-trips through these chars,
+    * which Latin-1 alone cannot encode (€ has no Latin-1 byte). Built
+    * programmatically from the JDK's own cp1252 decoder.
+    */
+  private val Cp1252Inverse: Map[Char, Int] =
+    (0x80 to 0x9F).map { b =>
+      new String(Array(b.toByte), java.nio.charset.Charset.forName("windows-1252"))
+        .charAt(0) -> b
+    }.toMap
+
+  /** chars -> the byte sequence a Latin-1/cp1252 misread would have come
+    * from; None when some char fits neither (then it was not mojibake).
+    */
+  private def sloppyBytes(s: String): Option[Array[Byte]] = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x100) out(i) = c.toByte
+      else Cp1252Inverse.get(c) match {
+        case Some(b) => out(i) = b.toByte
+        case None => return None
+      }
+      i += 1
+    }
+    Some(out)
+  }
+
   /** Deterministic subset of ftfy's `fix_bad_unicode` (called via cleantext
-    * at export.py:392, doc_info.py:88): repair the common UTF-8-read-as-
-    * Latin-1 mojibake, then NFC-normalize. Only the subset exercised by our
-    * fixtures is implemented (FIXTURES.md §6 keeps fixtures inside it).
+    * at export.py:392, doc_info.py:88): repair UTF-8-read-as-Latin-1/cp1252
+    * mojibake ("Ã¼" -> "ü", "â€™" -> "’"), iterated to fixpoint so
+    * double-encoded text ("ÃƒÂ¼") also repairs, then NFC-normalize. A
+    * repair is applied only when the whole string strictly re-decodes as
+    * UTF-8 — ftfy's own "don't make it worse" principle; fixtures stay
+    * inside this subset (FIXTURES.md §6).
     */
   def fixBadUnicode(s: String): String = {
     // fast path: pure-ASCII text is mojibake-free and NFC by construction
     if (isAscii(s)) return s
-    val repaired =
-      if (looksMojibake(s)) {
+    var cur = s
+    var rounds = 0
+    while (rounds < 3 && looksMojibake(cur)) {
+      val redecoded = sloppyBytes(cur).flatMap { bytes =>
         try {
-          val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           val dec = java.nio.charset.StandardCharsets.UTF_8
             .newDecoder()
             .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
             .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-          dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-        } catch { case _: Exception => s }
-      } else s
-    java.text.Normalizer.normalize(repaired, java.text.Normalizer.Form.NFC)
+          Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+        } catch { case _: Exception => None }
+      }
+      redecoded match {
+        case Some(r) if r != cur => cur = r; rounds += 1
+        case _ => rounds = 3 // not repairable further
+      }
+    }
+    java.text.Normalizer.normalize(cur, java.text.Normalizer.Form.NFC)
   }
 
   def isAscii(s: String): Boolean = {
@@ -77,14 +115,18 @@ object PyText {
   }
 
   /** Heuristic: contains a UTF-8 lead byte char (0xC2-0xF4 range as chars)
-    * followed by a continuation-range char (0x80-0xBF).
+    * followed by a continuation-range char — either a raw 0x80-0xBF char
+    * (Latin-1 misread) or a cp1252 gap char like € / ™ (cp1252 misread,
+    * whose source bytes 0x80-0x9F are all in the continuation range).
     */
   private def looksMojibake(s: String): Boolean = {
     var i = 0
     while (i < s.length - 1) {
       val a = s.charAt(i).toInt
-      val b = s.charAt(i + 1).toInt
-      if (a >= 0xC2 && a <= 0xF4 && b >= 0x80 && b <= 0xBF) return true
+      val bc = s.charAt(i + 1)
+      val b = bc.toInt
+      if (a >= 0xC2 && a <= 0xF4 &&
+        ((b >= 0x80 && b <= 0xBF) || Cp1252Inverse.contains(bc))) return true
       i += 1
     }
     false

@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan discipline: the scale claims the operators make —
+  * pushdown, pruning, broadcast, zero-shuffle — pinned as assertions so a
+  * refactor that silently de-optimizes a plan fails the suite, not a
+  * 100 TB run. Uses the driver-provided sf0.001 tables (skipped when the
+  * directory is absent).
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-planspec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def sfPresent = new java.io.File(sf).exists()
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q01: date filter pushed to the parquet scan, columns pruned") {
+    assume(sfPresent)
+    val p = plan(SparkEntry.queries("q01_pricing_agg")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // projection pruning: untouched wide columns never reach the scan
+    assert(!p.contains("l_comment") && !p.contains("l_shipinstruct"), p)
+  }
+
+  test("q02: both dimension joins are broadcast, fact side never shuffled for the join") {
+    assume(sfPresent)
+    val p = plan(SparkEntry.queries("q02_revenue_by_nation")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tokenCounts / qualityScore / repetitionMetrics: zero shuffle, columnar scan") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Seq(
+      TextAnalysis.tokenCounts(docs),
+      TextAnalysis.qualityScore(docs),
+      TextAnalysis.repetitionMetrics(docs)).foreach { df =>
+      val p = plan(df)
+      // one projection over a vectorized scan; no Exchange anywhere (the
+      // higher-order-function lambdas run outside codegen by design —
+      // Spark has no codegen for them — but nothing shuffles)
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("Batched: true"), p)
+    }
+  }
+
+  test("map-only extraction (ingest-bucketed layout) has zero Exchange") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("planspec").toString
+    spark.createDataset(graft.fixtures.Fixtures.corpus(8, seed = 3L))
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir).select("doc_id", "spans")
+      .as[graft.model.DocRow]
+    val out = graft.job.FastScan.extract(docs.toDF(), graft.reflow.ExtractConfig())
+    val p = plan(out.toDF())
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("exact-dedup groups shuffle the 16-byte fingerprint, not the text") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Dedup.exactDuplicateGroups(docs))
+    // partial (map-side) aggregation before the exchange
+    assert(p.contains("HashAggregate"), p)
+    // the exchange key is the fingerprint; text is projected away before it
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(fp")
+    assert(exchangeIdx >= 0, p)
+  }
+}

@@ -84,4 +84,28 @@ class PyTextSpec extends AnyFunSuite {
     // NFC: combining umlaut composed
     assert(PyText.fixBadUnicode("ü") == "ü")
   }
+
+  test("fixBadUnicode repairs cp1252-read mojibake (ftfy's common case)") {
+    // UTF-8 bytes E2 80 99 (right single quote) read as cp1252 -> \u00e2\u20ac\u2122
+    assert(PyText.fixBadUnicode("it\u00e2\u20ac\u2122s") == "it\u2019s")
+    // E2 80 9C / E2 80 9D curly double quotes
+    assert(PyText.fixBadUnicode("\u00e2\u20ac\u0153quo\u00e2\u20ac\u009d")
+      == "\u201cquo\u201d")
+    // E2 82 AC euro sign read as cp1252 -> \u00e2\u201a\u00ac
+    assert(PyText.fixBadUnicode("5\u00e2\u201a\u00ac") == "5\u20ac")
+  }
+
+  test("fixBadUnicode repairs double-encoded mojibake to fixpoint") {
+    // "\u00fc" double-encoded: UTF-8 C3 BC -> misread cp1252 "\u00c3\u00bc" ->
+    // re-encoded C3 83 C2 BC -> misread again "\u00c3\u0192\u00c2\u00bc"
+    assert(PyText.fixBadUnicode("f\u00c3\u0192\u00c2\u00bcr") == "f\u00fcr")
+  }
+
+  test("fixBadUnicode leaves legitimate non-mojibake text untouched") {
+    // real German with ordinary non-ASCII but no lead+continuation pattern
+    assert(PyText.fixBadUnicode("\u00dcberpr\u00fcfung l\u00e4uft") == "\u00dcberpr\u00fcfung l\u00e4uft")
+    // a string that LOOKS like a lead byte but does not strictly re-decode
+    // as UTF-8 must be returned unchanged (ftfy: don't make it worse)
+    assert(PyText.fixBadUnicode("\u00e2\u00b7 broken x") == "\u00e2\u00b7 broken x")
+  }
 }
