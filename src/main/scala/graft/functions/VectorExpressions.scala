@@ -44,8 +44,25 @@ object VectorOps {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getFloat(i) * b.getFloat(i); i += 1 }
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
     s
+  }
+
+  /** Euclidean norm, FP-order-identical to the per-side factors inside
+    * `cosine` (per-element double multiply, double accumulate, one sqrt) —
+    * so cosine == dot(a,b) / (norm(a) * norm(b)) BIT-FOR-BIT, and a plan
+    * that precomputes norms once per vector (instead of re-traversing both
+    * arrays per pair) returns byte-identical results.
+    */
+  def vecNorm(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val v = a.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
   }
 }
 
@@ -79,6 +96,59 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
+}
+
+/** `dot_product(array<float>, array<float>) -> double`: the raw inner
+  * product as a codegen'd expression. Together with `vec_norm` it lets
+  * all-pairs similarity plans hoist the per-vector norm OUT of the pair
+  * loop (cosine_sim re-traverses both arrays per pair — 3x the work).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `vec_norm(array<float>) -> double` (see VectorOps.vecNorm). */
+case class VecNorm(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"vec_norm expects array<float>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.vecNorm(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.vecNorm($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
 }
 
 /** Static LM kernel for generated code. */
@@ -129,6 +199,10 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lm_score", exprs => LmScore(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_norm", exprs => VecNorm(exprs.head), "built-in")
   }
 }
 
@@ -142,5 +216,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lm_score"),
       GraftFunctions.lmScoreInfo,
       (exprs: Seq[Expression]) => LmScore(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, null, "dot_product",
+        "_FUNC_(a, b) - inner product of two float vectors", ""),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VecNorm].getName, null, "vec_norm",
+        "_FUNC_(a) - euclidean norm of a float vector", ""),
+      (exprs: Seq[Expression]) => VecNorm(exprs.head)))
   }
 }

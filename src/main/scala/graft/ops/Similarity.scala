@@ -403,10 +403,17 @@ object Similarity extends Serializable {
   def cosineNearDupPairsExact(vecs: DataFrame, threshold: Double): DataFrame = {
     val spark = vecs.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    // norms hoisted OUT of the O(n^2) pair loop: vec_norm is FP-identical
+    // to the per-side factors inside cosine_sim, so dot/(na*nb) returns
+    // bit-equal cosines at a third of the array traversals per pair
     val l = vecs.select(col("vec_id").cast("long").as("a"), col("embedding").as("ea"))
+      .withColumn("na", expr("vec_norm(ea)"))
     val r = vecs.select(col("vec_id").cast("long").as("b"), col("embedding").as("eb"))
+      .withColumn("nb", expr("vec_norm(eb)"))
     l.join(org.apache.spark.sql.functions.broadcast(r), col("a") < col("b"))
-      .withColumn("cosine", round(expr("cosine_sim(ea, eb)"), 6))
+      .withColumn("cosine", round(
+        when(col("na") * col("nb") === 0.0, lit(0.0))
+          .otherwise(expr("dot_product(ea, eb)") / (col("na") * col("nb"))), 6))
       .filter(col("cosine") >= threshold)
       .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))

@@ -174,6 +174,22 @@ class ExtractorSpec extends AnyFunSuite {
     assert(footers.head.text.startsWith("Vertraulich behandeln"))
   }
 
+  test("fx-footer-corpus: extraFooter survives strip, page numbers don't") {
+    val cfg = ExtractConfig(pageNumberTypeBugCompat = false)
+    val docs = graft.fixtures.Fixtures.footerCorpus(6)
+    docs.zipWithIndex.foreach { case (row, i) =>
+      val out = graft.extract.Extractor.extractRow(row, cfg)
+      val footers = out.spans.filter(_.kind == "footer")
+      if (i % 2 == 0) {
+        assert(footers.nonEmpty, s"doc $i should keep its real footer")
+        assert(footers.forall(_.text.contains("Alle Rechte vorbehalten")))
+      } else {
+        assert(footers.isEmpty, s"doc $i has only page-number footers")
+      }
+      assert(!out.spans.exists(s => s.kind == "footer" && s.text.contains("Seite")))
+    }
+  }
+
   // ---- fx-hdr-demote (P4/A5) ----
 
   test("fx-hdr-demote: body-statistics paragraph flagged isHeader is demoted") {

@@ -97,4 +97,29 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VectorOps.cosine(
       ArrayData.toArrayData(Array.empty[Float]), ArrayData.toArrayData(Array.empty[Float])) == 0.0)
   }
+
+  test("dot_product / vec_norm: hoisted-norm cosine is bit-equal to cosine_sim") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rng = new graft.fixtures.Fixtures.Rng(99L)
+    val rows = (1 to 30).map { i =>
+      (i.toLong,
+        Array.fill(16)((rng.nextDouble * 2 - 1).toFloat).toSeq,
+        Array.fill(16)((rng.nextDouble * 2 - 1).toFloat).toSeq)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.selectExpr(
+      "cosine_sim(a, b) AS direct",
+      "dot_product(a, b) / (vec_norm(a) * vec_norm(b)) AS hoisted").collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // bit equality, not approx
+    }
+    // zero-vector convention matches the kernel (0.0, not NaN) when guarded
+    val z = Seq((1L, Seq(0f, 0f), Seq(1f, 2f))).toDF("id", "a", "b")
+      .selectExpr("cosine_sim(a, b) AS c",
+        "CASE WHEN vec_norm(a) * vec_norm(b) = 0.0 THEN 0.0 " +
+          "ELSE dot_product(a, b) / (vec_norm(a) * vec_norm(b)) END AS h")
+      .collect()(0)
+    assert(z.getDouble(0) == 0.0 && z.getDouble(1) == 0.0)
+  }
 }

@@ -112,4 +112,28 @@ class FuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mojibake round-trip property: fix(mojibake(x)) == x on clean text") {
+    val rng = new graft.fixtures.Fixtures.Rng(2024L)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz \u00e4\u00f6\u00fc\u00df\u00c4\u00d6\u00dc\u00e9\u2019\u201c\u201d\u20ac."
+    (1 to 200).foreach { _ =>
+      val len = 1 + rng.nextInt(40)
+      val clean = (0 until len)
+        .map(_ => alphabet.charAt(rng.nextInt(alphabet.length))).mkString
+      val nfc = java.text.Normalizer.normalize(clean, java.text.Normalizer.Form.NFC)
+      // simulate the misread: UTF-8 bytes decoded as cp1252 (latin-1 for
+      // the bytes cp1252 leaves undefined) — the classic mojibake source
+      val bytes = nfc.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+      val mojibake = new String(bytes.map { b =>
+        val one = new String(Array(b), cp1252)
+        if (one.charAt(0) == '\ufffd') new String(Array(b),
+          java.nio.charset.StandardCharsets.ISO_8859_1) else one
+      }.mkString.toCharArray)
+      assert(graft.text.PyText.fixBadUnicode(mojibake) == nfc,
+        s"clean=$nfc mojibake=$mojibake")
+      // idempotence on already-clean text
+      assert(graft.text.PyText.fixBadUnicode(nfc) == nfc)
+    }
+  }
 }
