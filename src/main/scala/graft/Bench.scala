@@ -53,17 +53,21 @@ object Bench {
     * multi-page administrative reports (largest golden text 41,530 bytes),
     * not 1-page stubs; granularity sweeps showed this shape is also where
     * per-doc scheduling overhead stops dominating the scaling measurement.
+    * Written through the INGEST layout the map-only mode claims: the
+    * skew-aware doc_id-hash repartition (ExtractJob.repartitionSkewAware),
+    * not a round-robin — so the measured map-only job reads exactly what
+    * bucketizeInput-at-ingest would have produced.
     */
   private def ensureCorpus(spark: SparkSession, n: Int, path: String): Unit = {
     import spark.implicits._
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
-      spark.range(0, n)
+      val docs = spark.range(0, n)
         .map { i =>
           val rng = new Fixtures.Rng(42L + i)
           val pages = if (i % 1000 == 0) 60 else 4 + rng.nextInt(5)
           Fixtures.compositeDoc(f"doc-$i%08d", pages, rng, withMedia = i % 5 == 0)
         }
-        .repartition(32)
+      graft.job.ExtractJob.repartitionSkewAware(docs, 8, 20000)
         .write.mode("overwrite").parquet(path)
     }
   }
@@ -197,7 +201,7 @@ object Bench {
     // cross-JVM shuffle transfer the 1-executor side didn't — a structural
     // bias the ingest-time layout removes for real, not just in the bench.
     val layout = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "maponly")
-    val corpusPath = s"$repoRoot/target/bench/docsv2_$nDocs"
+    val corpusPath = s"$repoRoot/target/bench/docsv3_$nDocs"
     val scratch = java.nio.file.Files.createTempDirectory("graft-bench").toString
 
     // ---- extraction throughput at N and 4N cores (same parquet input;
@@ -317,8 +321,8 @@ object Bench {
       val sortedL = levels.sorted
       if (sortedL.length < 2) None
       else for {
-        e4 <- hist.get(s"e2e.$mode.v2d$nDocs.n${sortedL(0)}")
-        e16 <- hist.get(s"e2e.$mode.v2d$nDocs.n${sortedL(1)}")
+        e4 <- hist.get(s"e2e.$mode.v3d$nDocs.n${sortedL(0)}")
+        e16 <- hist.get(s"e2e.$mode.v3d$nDocs.n${sortedL(1)}")
         k4 <- hist.get(s"kernel.n${sortedL(0)}"); k16 <- hist.get(s"kernel.n${sortedL(1)}")
       } yield {
         val ratio = sortedL(1).toDouble / sortedL(0)
@@ -368,7 +372,7 @@ object Bench {
       else Map.empty
     // e2e keys are tagged with mode AND corpus shape so values from
     // different measurement setups never merge
-    val cur = tp.map { case (k, v) => s"e2e.$mode.v2d$nDocs.n$k" -> v } ++
+    val cur = tp.map { case (k, v) => s"e2e.$mode.v3d$nDocs.n$k" -> v } ++
       cal.map { case (k, v) => s"kernel.n$k" -> v }
     val merged = (prev.keySet ++ cur.keySet).map { k =>
       k -> math.max(prev.getOrElse(k, 0.0), cur.getOrElse(k, 0.0))
@@ -410,7 +414,7 @@ object Bench {
       val sorted = levels.sorted
       if (sorted.length >= 2) {
         val (lo, hi) = (sorted(0), sorted(1))
-        for (e4 <- hist.get(s"e2e.$mode.v2d$nDocs.n$lo"); e16 <- hist.get(s"e2e.$mode.v2d$nDocs.n$hi");
+        for (e4 <- hist.get(s"e2e.$mode.v3d$nDocs.n$lo"); e16 <- hist.get(s"e2e.$mode.v3d$nDocs.n$hi");
              k4 <- hist.get(s"kernel.n$lo"); k16 <- hist.get(s"kernel.n$hi")) {
           val bEff = (e16 / e4) / (hi.toDouble / lo)
           val bCeil = (k16 / k4) / (hi.toDouble / lo)

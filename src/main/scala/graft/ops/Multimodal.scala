@@ -82,6 +82,50 @@ object Multimodal {
     }.toDF("doc_id", "media_ref", "frame_idx", "out_w", "out_h")
   }
 
+  /** STUB resize: binary-in / binary-out batch transform — re-encodes the
+    * payload with clamped dimensions (stands in for a real downscale; the
+    * body bytes are passed through). The shape that matters at scale:
+    * bytes transform inside one mapPartitions pass, never across a
+    * shuffle, output column is again opaque binary.
+    */
+  def resize(media: DataFrame, maxDim: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val (w, h, f) = decodeHeader(m.bytes)
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val nw = math.max(1, (w * scale).toInt)
+        val nh = math.max(1, (h * scale).toInt)
+        val bb = java.nio.ByteBuffer.allocate(m.bytes.length)
+        bb.put("GRFT".getBytes("US-ASCII"))
+        bb.putInt(nw); bb.putInt(nh); bb.putInt(f)
+        bb.put(m.bytes, 16, m.bytes.length - 16)
+        m.copy(bytes = bb.array())
+      }
+    }.toDF()
+  }
+
+  /** STUB feature extraction: binary -> dense Array[Float] embedding
+    * (hash-derived from the payload, deterministic — stands in for a CNN/
+    * CLIP forward pass). Output schema matches the `embeddings` table
+    * (vec-per-media), so it composes directly with Similarity.bruteForceTopK
+    * / ivfTopK / cosineNearDupPairs — the media near-dup path.
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].map { m =>
+      val base = Hashing.fnv1a(new String(
+        java.util.Base64.getEncoder.encode(m.bytes), "US-ASCII"))
+      val vec = Array.tabulate(dim) { i =>
+        // unit-scale deterministic pseudo-features
+        ((Hashing.seeded(base, i.toLong) >>> 11) * 1.1102230246251565e-16 * 2 - 1).toFloat
+      }
+      (m.doc_id, m.media_ref, vec.toSeq)
+    }.toDF("doc_id", "media_ref", "embedding")
+  }
+
   /** Deterministic synthetic media table derived from a docs table's media
     * spans (one row per image/drawing span).
     */

@@ -290,4 +290,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val frames = Multimodal.sampleFrames(media, stride = 2).collect()
     assert(frames.length == 2) // frames 0, 2
   }
+
+  test("multimodal: resize clamps dims, preserves frames; features compose with ANN") {
+    val sp = spark
+    import sp.implicits._
+    val media = Seq(
+      Multimodal.MediaRow("d1", "m1", "image",
+        Multimodal.fakePayload(seed = 9L, w = 100, h = 40, frames = 1)),
+      Multimodal.MediaRow("d1", "m2", "video",
+        Multimodal.fakePayload(seed = 10L, w = 20, h = 20, frames = 8))).toDF()
+    val resized = Multimodal.resize(media, maxDim = 50)
+    val metas = Multimodal.extractMeta(resized).orderBy("media_ref").collect()
+    assert(metas(0).getAs[Int]("width") == 50 && metas(0).getAs[Int]("height") == 20)
+    assert(metas(1).getAs[Int]("width") == 20) // already under maxDim: untouched
+    assert(metas(1).getAs[Int]("n_frames") == 8)
+    // features: deterministic, right dim, and feed the similarity operators
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+      .select(col("media_ref").as("vec_id_str"), col("embedding"))
+      .withColumn("vec_id",
+        when(col("vec_id_str") === "m1", 1L).otherwise(2L))
+    val f1 = feats.orderBy("vec_id").collect()
+    val f2 = Multimodal.extractFeatures(media, dim = 16).orderBy("media_ref").collect()
+    assert(f1(0).getAs[collection.Seq[Float]]("embedding").toVector ==
+      f2(0).getAs[collection.Seq[Float]]("embedding").toVector)
+    val top = Similarity.bruteForceTopK(
+      feats.select("vec_id", "embedding"),
+      feats.select("vec_id", "embedding").filter(col("vec_id") === 1L), k = 2)
+      .collect()
+    assert(top.length == 2 && top(0).getAs[Double]("score") == 1.0)
+  }
 }
