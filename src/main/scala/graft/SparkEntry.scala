@@ -3,7 +3,7 @@ package graft
 import graft.extract.Extractor
 import graft.fixtures.Fixtures
 import graft.model._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.reflow.ExtractConfig
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -203,6 +203,28 @@ object SparkEntry {
         .toDF("doc_id", "sig_len", "sig_min", "sig_max")
         .orderBy(col("doc_id"))
     }),
+    // ---- corpus-level pipeline operators (oracle-checked) ----
+    // eval set = every 20th doc; n=4 chosen so the synthetic corpus has
+    // BOTH contaminated and clean training docs (n=3 flags 84%, n=5 flags
+    // 2 docs — production uses n≈13 on real text).
+    "q22_decontaminate" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Corpus.decontaminate(
+        train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        eval = d.filter(pmod(col("doc_id"), lit(20)) === 0),
+        n = 4).orderBy(col("doc_id"))
+    }),
+    "q23_stratified_sample" -> ((s, dir) =>
+      Corpus.stratifiedSample(table(s, dir, "documents"), col("lang"),
+        rates = Map("en" -> 0.5, "de" -> 0.3), defaultRate = 0.1,
+        keyCol = col("doc_id"), salt = "graft-sample-v1")
+        .select(col("doc_id"), col("stratum"), col("sample_key"))
+        .orderBy(col("doc_id"))),
+    "q24_quality_filter" -> ((s, dir) =>
+      Corpus.gopherQualityFilter(table(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+    "q25_ngram_df_topk" -> ((s, dir) =>
+      Corpus.ngramDocFreqTopK(table(s, dir, "documents"), n = 2, k = 50)),
     // ---- multimodal plumbing (stub codec; Spark-side shape real) ----
     "q17_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.syntheticMediaFor(
@@ -504,6 +526,64 @@ object SparkEntry {
         |    THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
         |    ELSE 0.0 END, 6) AS dup_2gram_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+    // eval/train split + exact n-gram (n=4) overlap on gram STRINGS — the
+    // Spark side joins on md5_long(gram) hashes, so equality here also
+    // certifies the hash join introduced no collision at verify scale.
+    "q22_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+3], ' '))) END AS sh
+        |  FROM t
+        |), e AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 <> 0),
+        |h AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM tr WHERE g IN (SELECT g FROM e) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(h.n_overlap, 0) AS n_overlap,
+        |  coalesce(h.n_overlap, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // md5_number_upper == graft md5_long (same first-8-bytes-LE value), so
+    // the sampling decision is recomputed exactly: mask to 60 bits, mod
+    // 10000, compare to the per-stratum integer threshold.
+    "q23_stratified_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || 'graft-sample-v1') >= 9223372036854775808
+        |      THEN CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || 'graft-sample-v1') AS HUGEINT) - 18446744073709551616
+        |      ELSE CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || 'graft-sample-v1') AS HUGEINT) END AS BIGINT) AS h
+        |  FROM documents
+        |), sk AS (
+        |  SELECT doc_id, lang AS stratum,
+        |    (h & 1152921504606846975) % 10000 AS sample_key
+        |  FROM k
+        |)
+        |SELECT doc_id, stratum, sample_key FROM sk
+        |WHERE sample_key < CASE stratum WHEN 'en' THEN 5000 WHEN 'de' THEN 3000 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
+    // exact re-derivation of every Gopher rule input (token counts from
+    // raw text, dup ratios from lowercased tokens, the all-language stop
+    // list) — identical double arithmetic, so the booleans must agree.
+    "q24_quality_filter" -> GopherOracle.sql,
+    "q25_ngram_df_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(toks)),
+        |      i -> array_to_string(toks[i:i+1], ' '))) END AS sh
+        |  FROM t
+        |)
+        |SELECT gram, count(*) AS doc_freq FROM (SELECT unnest(sh) AS gram FROM s)
+        |GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 50""".stripMargin,
     "q13_ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |s AS (
@@ -549,6 +629,56 @@ private object QualityOracle {
        |    + least(stop_hits / safe_tok * 2.5, 1.0) * 0.3
        |    + (1.0 - least(punct / safe_char * 5.0, 1.0)) * 0.1
        |    + (CASE WHEN mwl BETWEEN 2.0 AND 14.0 THEN 1.0 ELSE 0.0 END) * 0.1, 6) AS quality
+       |FROM r ORDER BY doc_id""".stripMargin
+}
+
+/** q24 oracle: exact DuckDB rendition of Corpus.gopherQualityFilter with
+  * the default GopherThresholds. Token count / mean word length from RAW
+  * text tokens, dup ratios from LOWERCASED tokens, stop list = all
+  * languages distinct — mirroring the Spark column math term for term.
+  */
+private object GopherOracle {
+  private val stops = TextAnalysis.Stopwords.values.flatten.toSeq.distinct
+    .map(w => s"'$w'").mkString(", ")
+  val sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rtoks,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ltoks
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    len(rtoks) AS n,
+       |    CAST(len(rtoks) AS DOUBLE) AS nd,
+       |    CAST(length(text) AS DOUBLE) AS nchar,
+       |    CAST(length(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g')) AS DOUBLE) AS alpha,
+       |    CAST(len(list_filter(ltoks, x -> list_contains([$stops], x))) AS DOUBLE) AS stop_hits,
+       |    len(list_distinct(ltoks)) AS ndist,
+       |    CASE WHEN len(ltoks) > 1
+       |      THEN list_transform(range(1, len(ltoks)), i -> ltoks[i] || ' ' || ltoks[i+1])
+       |      ELSE [] END AS grams
+       |  FROM t
+       |), r AS (
+       |  SELECT doc_id, n,
+       |    (nchar - (nd - 1)) / greatest(nd, 1.0) AS mwl,
+       |    alpha / greatest(nchar, 1.0) AS alpha_ratio,
+       |    stop_hits / greatest(nd, 1.0) AS stop_ratio,
+       |    CASE WHEN n > 0 THEN CAST(n - ndist AS DOUBLE) / nd ELSE 0.0 END AS dwr,
+       |    CASE WHEN n > 1
+       |      THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+       |      ELSE 0.0 END AS d2g
+       |  FROM m
+       |)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  (n BETWEEN 50 AND 100000) AS word_count_ok,
+       |  (mwl BETWEEN 3.0 AND 10.0) AS mean_word_len_ok,
+       |  (dwr <= 0.5) AS dup_word_ok,
+       |  (d2g <= 0.05) AS dup_2gram_ok,
+       |  (stop_ratio >= 0.03) AS stopword_ok,
+       |  (alpha_ratio >= 0.6) AS alpha_ok,
+       |  ((n BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+       |    AND (dwr <= 0.5) AND (d2g <= 0.05)
+       |    AND (stop_ratio >= 0.03) AND (alpha_ratio >= 0.6)) AS passes
        |FROM r ORDER BY doc_id""".stripMargin
 }
 

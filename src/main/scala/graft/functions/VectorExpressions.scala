@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static vector kernels referenced from generated code (a top-level
@@ -156,6 +156,37 @@ object LmOps {
   def score(text: UTF8String): Double = graft.lm.Scorer.singleScore(text.toString)
 }
 
+/** Static hash kernel for generated code. */
+object HashOps {
+  def md5Long(s: UTF8String): Long = graft.ops.Hashing.md5Long(s.toString)
+}
+
+/** `md5_long(string) -> bigint`: first 8 bytes of md5, little-endian,
+  * signed — the exact value DuckDB's `md5_number_upper` returns (as
+  * UBIGINT), see graft.ops.Hashing.md5Long. Codegen'd, so hash-keyed
+  * operators (deterministic sampling, n-gram decontamination) stay inside
+  * whole-stage codegen AND remain bit-for-bit recomputable inside a SQL
+  * gate oracle.
+  */
+case class Md5Long(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_long expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_long"
+
+  override protected def nullSafeEval(s: Any): Any =
+    HashOps.md5Long(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HashOps.md5Long($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Long =
+    copy(child = newChild)
+}
+
 /** `lm_score(string) -> double`: the deterministic char-n-gram LM score
   * (lower = more likely; +Infinity for single-char text, mirroring the
   * reference's `single_score`, dehyphen_wrapper.py:63-69) exposed for
@@ -203,6 +234,8 @@ object GraftFunctions {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_norm", exprs => VecNorm(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_long", exprs => Md5Long(exprs.head), "built-in")
   }
 }
 
@@ -226,5 +259,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecNorm].getName, null, "vec_norm",
         "_FUNC_(a) - euclidean norm of a float vector", ""),
       (exprs: Seq[Expression]) => VecNorm(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("md5_long"),
+      new ExpressionInfo(classOf[Md5Long].getName, null, "md5_long",
+        "_FUNC_(s) - first 8 md5 bytes, little-endian, as signed bigint", ""),
+      (exprs: Seq[Expression]) => Md5Long(exprs.head)))
   }
 }

@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data-pipeline operators: benchmark
+  * decontamination, deterministic stratified sampling, composite quality
+  * filtering (Gopher-style rules, Rae et al. 2021, arXiv:2112.11446),
+  * and corpus n-gram document-frequency statistics.
+  *
+  * All column logic is plain Catalyst expressions (whole-stage codegen);
+  * the only custom piece is the codegen'd `md5_long` expression
+  * (graft.functions.Md5Long), chosen because DuckDB's `md5_number_upper`
+  * computes the identical value — every operator here is bit-for-bit
+  * recomputable inside a SQL gate oracle.
+  */
+object Corpus {
+
+  /** Distinct word n-grams per doc, as strings. Same construction as the
+    * dedup oracles (Dedup.ngramJaccardPairs): a doc shorter than n tokens
+    * contributes its whole token sequence as a single gram, so no document
+    * silently drops out of gram-keyed operators.
+    */
+  def wordGrams(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(grams))
+  }
+
+  /** (doc_id, g) rows: one row per DISTINCT n-gram hash per doc. Grams are
+    * deduped map-side (array_distinct) BEFORE the explode, and only the
+    * 8-byte md5_long hash leaves the projection — at corpus scale nothing
+    * wider than (int64, int64) ever crosses an exchange.
+    */
+  private def gramHashes(df: DataFrame, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val toks = TextAnalysis.wsTokens(lower(col("text")))
+    df.select(col("doc_id"), explode(wordGrams(toks, n)).as("gram"))
+      .select(col("doc_id"), call_function("md5_long", col("gram")).as("g"))
+  }
+
+  /** Benchmark decontamination (the published GPT-3 appendix-C shape:
+    * a training document is contaminated when it shares any word n-gram
+    * with the evaluation set; production uses n≈13, tests use smaller n so
+    * synthetic corpora actually overlap).
+    *
+    * Returns one row per training doc: (doc_id, n_overlap, contaminated).
+    *
+    * Scale shape: the eval side is reduced to a DISTINCT set of 8-byte
+    * hashes — for any real benchmark suite that is tiny relative to the
+    * corpus, so it is broadcast and the training side never shuffles
+    * (set `broadcastEval = false` to fall back to a hash-partitioned join
+    * when the "eval" side is itself a corpus). The final left join keys on
+    * doc_id only (count per doc, never gram rows).
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 13,
+      broadcastEval: Boolean = true): DataFrame = {
+    val evalGrams = gramHashes(eval, n).select("g").distinct()
+    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    // per-doc grams are already distinct and the eval side is distinct,
+    // so the inner join yields at most one row per (doc_id, g): count(*)
+    // IS the distinct-overlap count (no countDistinct shuffle needed).
+    val hits = gramHashes(train, n)
+      .join(evalSide, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    train.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Sampling keys are uniform in [0, SampleBuckets). */
+  val SampleBuckets = 10000L
+  private val Mask60 = 0x0FFFFFFFFFFFFFFFL // top 4 bits cleared -> non-negative
+
+  /** Deterministic per-row sample key in [0, 10000): md5 of (id || salt),
+    * masked to 60 bits (so the signed value is non-negative and `%` agrees
+    * between JVM and SQL), mod 10000. Same row + same salt => same key on
+    * every run, every cluster size, every engine — resumable sampling with
+    * no RNG state, and a different salt draws an independent sample.
+    */
+  def sampleKey(id: Column, salt: String): Column =
+    call_function("md5_long", concat(id.cast("string"), lit(salt)))
+      .bitwiseAND(lit(Mask60)) % SampleBuckets
+
+  /** Stratified sampling at a per-stratum rate (e.g. per language or per
+    * source, for corpus rebalancing). `rates` maps stratum value -> keep
+    * fraction; anything unlisted gets `defaultRate`. Purely map-side: a
+    * filter on a codegen'd hash — zero shuffle, trivially parallel, and
+    * the sample is a deterministic function of (keyCol, salt).
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      keyCol: Column, salt: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    def thresh(r: Double): Long = {
+      require(r >= 0.0 && r <= 1.0, s"rate $r out of [0,1]")
+      math.round(r * SampleBuckets)
+    }
+    val keepBelow = rates.foldLeft(lit(thresh(defaultRate))) {
+      case (acc, (s, r)) => when(stratum === s, lit(thresh(r))).otherwise(acc)
+    }
+    df.withColumn("stratum", stratum)
+      .withColumn("sample_key", sampleKey(keyCol, salt))
+      .filter(col("sample_key") < keepBelow)
+  }
+
+  /** Gopher-style quality-rule thresholds (Rae et al. 2021 table A1 uses
+    * 50..100k words, mean word length 3..10, plus symbol/stopword rules;
+    * the repetition bounds here play the role of its dup-line/dup-ngram
+    * fractions over our per-doc repetition metrics).
+    */
+  case class GopherThresholds(
+      minTokens: Long = 50,
+      maxTokens: Long = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxDupWordRatio: Double = 0.5,
+      maxDup2GramRatio: Double = 0.05,
+      minStopwordRatio: Double = 0.03,
+      minAlphaRatio: Double = 0.6)
+
+  /** Composite document quality filter: every rule as its own boolean
+    * column plus the conjunction (`passes`), so downstream jobs can both
+    * filter and audit WHICH rule killed a document. One projection over
+    * the text column — whole-stage codegen, zero shuffle, linear per row.
+    * Rule inputs reuse the exact formulations of TextAnalysis.qualityScore
+    * / repetitionMetrics so the filter is SQL-oracle-checkable.
+    */
+  def gopherQualityFilter(df: DataFrame,
+      t: GopherThresholds = GopherThresholds()): DataFrame = {
+    val text = col("text")
+    val rawToks = TextAnalysis.wsTokens(text)
+    val loToks = TextAnalysis.wsTokens(lower(text))
+    val nTok = size(rawToks)
+    val nTokD = nTok.cast("double")
+    val nChar = length(text).cast("double")
+    val safeTok = greatest(nTokD, lit(1.0))
+    val meanWordLen = (nChar - (nTokD - 1)) / safeTok
+    val alphaRatio =
+      length(regexp_replace(text, "[^A-Za-zÀ-ÿ]", "")).cast("double") /
+        greatest(nChar, lit(1.0))
+    val allLangStops = TextAnalysis.Stopwords.values.flatten.toSeq.distinct
+    val stopRatio = size(filter(loToks,
+      tok => allLangStops.map(w => tok === w).reduce(_ || _))).cast("double") /
+      safeTok
+    val dupWord = when(nTok > 0,
+      (nTok - size(array_distinct(loToks))).cast("double") / nTokD)
+      .otherwise(0.0)
+    val grams = zip_with(
+      slice(loToks, lit(1), greatest(nTok - 1, lit(0))),
+      slice(loToks, lit(2), greatest(nTok - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val dup2Gram = when(nTok > 1,
+      (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
+      .otherwise(0.0)
+
+    val wordCountOk = nTok.between(t.minTokens, t.maxTokens)
+    val meanWordLenOk = meanWordLen.between(t.minMeanWordLen, t.maxMeanWordLen)
+    val dupWordOk = dupWord <= t.maxDupWordRatio
+    val dup2GramOk = dup2Gram <= t.maxDup2GramRatio
+    val stopwordOk = stopRatio >= t.minStopwordRatio
+    val alphaOk = alphaRatio >= t.minAlphaRatio
+
+    df.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      wordCountOk.as("word_count_ok"),
+      meanWordLenOk.as("mean_word_len_ok"),
+      dupWordOk.as("dup_word_ok"),
+      dup2GramOk.as("dup_2gram_ok"),
+      stopwordOk.as("stopword_ok"),
+      alphaOk.as("alpha_ok"),
+      (wordCountOk && meanWordLenOk && dupWordOk && dup2GramOk &&
+        stopwordOk && alphaOk).as("passes"))
+  }
+
+  /** Corpus-level n-gram document frequency, top k. Counting is DF (one
+    * count per doc per distinct gram), the quantity dedup/decontamination
+    * reason about. Shape at scale: map-side dedup (array_distinct) ->
+    * partial count aggregation -> TakeOrderedAndProject for the top-k (a
+    * per-partition k-heap + single k-row merge at the driver — NOT a
+    * global sort). Ties break lexicographically so the result is total-
+    * order deterministic.
+    */
+  def ngramDocFreqTopK(df: DataFrame, n: Int = 2, k: Int = 50): DataFrame = {
+    val toks = TextAnalysis.wsTokens(lower(col("text")))
+    df.select(explode(wordGrams(toks, n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(k)
+  }
+}

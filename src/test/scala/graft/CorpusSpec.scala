@@ -1,0 +1,150 @@
+package graft
+
+import graft.ops.{Corpus, Hashing, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-level pipeline operators: decontamination, deterministic
+  * stratified sampling, Gopher-rule quality filter, n-gram DF top-k.
+  */
+class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-corpusspec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.collection.immutable.Seq
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---------- wordGrams ----------
+
+  test("wordGrams: distinct n-grams; short doc collapses to one gram") {
+    val df = docsDf(Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y x y x y")))
+    val out = df.select(col("doc_id"),
+      Corpus.wordGrams(TextAnalysis.wsTokens(col("text")), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(out(1L) == Set("a b c", "b c d"))
+    assert(out(2L) == Set("a b")) // shorter than n -> whole text
+    assert(out(3L) == Set("x y x", "y x y")) // distinct
+  }
+
+  // ---------- decontamination ----------
+
+  test("decontaminate: overlap counts, clean docs kept with zero") {
+    val eval = docsDf(Seq((100L, "the quick brown fox jumps")))
+    val train = docsDf(Seq(
+      (1L, "a quick brown fox runs"), // shares "quick brown fox"
+      (2L, "totally disjoint text here"),
+      (3L, "the quick brown fox jumps again"))) // shares 3 grams
+    val out = Corpus.decontaminate(train, eval, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 1L, true)))
+    assert(out(1) == ((2L, 0L, false)))
+    // doc3 grams: {the quick brown, quick brown fox, brown fox jumps,
+    //              fox jumps again} -> 3 overlap with eval
+    assert(out(2) == ((3L, 3L, true)))
+  }
+
+  test("decontaminate: every training doc appears exactly once") {
+    val eval = docsDf(Seq((100L, "zz yy xx")))
+    val train = docsDf((1L to 20L).map(i => (i, s"doc number $i words")))
+    val out = Corpus.decontaminate(train, eval, n = 3)
+    assert(out.count() == 20)
+    assert(out.select("doc_id").distinct().count() == 20)
+  }
+
+  // ---------- stratified sampling ----------
+
+  test("stratifiedSample: deterministic, rate-respecting, stratum-aware") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def run() = Corpus.stratifiedSample(df, col("lang"),
+      rates = Map("en" -> 0.5), defaultRate = 0.1,
+      keyCol = col("doc_id"), salt = "s1")
+    val a = run().select("doc_id").as[Long].collect().sorted.toSeq
+    val b = run().select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b) // deterministic
+    val en = run().filter(col("stratum") === "en").count().toDouble / 1000
+    val de = run().filter(col("stratum") === "de").count().toDouble / 1000
+    assert(math.abs(en - 0.5) < 0.08, s"en rate $en")
+    assert(math.abs(de - 0.1) < 0.05, s"de rate $de")
+    // a different salt draws a different sample
+    val c = Corpus.stratifiedSample(df, col("lang"), Map("en" -> 0.5), 0.1,
+      col("doc_id"), "s2").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a != c)
+  }
+
+  test("sampleKey matches Hashing.md5Long recomputation") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("42", "x")).toDF("id", "junk")
+    val got = df.select(Corpus.sampleKey(col("id"), "salty").as("k"))
+      .collect()(0).getLong(0)
+    val want = (Hashing.md5Long("42salty") & 0x0FFFFFFFFFFFFFFFL) %
+      Corpus.SampleBuckets
+    assert(got == want)
+  }
+
+  // ---------- quality filter ----------
+
+  test("gopherQualityFilter: each rule fires on its designed violation") {
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") // 60 distinct tokens
+    val tiny = "only four words here"
+    val repeated = (1 to 60).map(_ => "spam spam").mkString(" ")
+    val longWords = (1 to 60).map(_ => "incomprehensibilities").mkString(" ")
+    val df = docsDf(Seq(
+      (1L, good), (2L, tiny), (3L, repeated), (4L, longWords)))
+    val out = Corpus.gopherQualityFilter(df,
+      Corpus.GopherThresholds(minStopwordRatio = 0.0, minAlphaRatio = 0.0))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("passes"))
+    assert(!out(2L).getAs[Boolean]("word_count_ok"))
+    assert(!out(3L).getAs[Boolean]("dup_word_ok"))
+    assert(!out(3L).getAs[Boolean]("dup_2gram_ok"))
+    assert(!out(4L).getAs[Boolean]("mean_word_len_ok")) // 21-char words
+    assert(!out(2L).getAs[Boolean]("passes"))
+  }
+
+  test("gopherQualityFilter: stopword and alpha rules") {
+    val stopRich = ("the and of to in " * 12).trim   // all stopwords
+    val symbols = ("@# $% ^& *! () " * 12).trim      // no letters
+    val df = docsDf(Seq((1L, stopRich), (2L, symbols)))
+    val out = Corpus.gopherQualityFilter(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("stopword_ok"))
+    assert(out(1L).getAs[Boolean]("alpha_ok"))
+    assert(!out(2L).getAs[Boolean]("stopword_ok"))
+    assert(!out(2L).getAs[Boolean]("alpha_ok"))
+  }
+
+  // ---------- n-gram document frequency ----------
+
+  test("ngramDocFreqTopK: counts are per-doc-distinct, ties break on gram") {
+    val df = docsDf(Seq(
+      (1L, "a b a b"),   // grams {a b, b a} — dup "a b" counted once
+      (2L, "a b c"),     // {a b, b c}
+      (3L, "b c d")))    // {b c, c d}
+    val out = Corpus.ngramDocFreqTopK(df, n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a b", 2L), ("b c", 2L), ("b a", 1L)))
+  }
+}

@@ -83,4 +83,46 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(fp")
     assert(exchangeIdx >= 0, p)
   }
+
+  test("decontaminate: eval gram set broadcast; training grams never shuffled for the join") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Corpus.decontaminate(
+      train = docs.filter(org.apache.spark.sql.functions.expr("doc_id % 20 <> 0")),
+      eval = docs.filter(org.apache.spark.sql.functions.expr("doc_id % 20 = 0")),
+      n = 4))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only hash exchanges are the small sides: eval-gram distinct and
+    // the per-doc count/final join keys — never the exploded train grams
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("stratifiedSample: pure map-side filter, zero Exchange") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Corpus.stratifiedSample(
+      docs, org.apache.spark.sql.functions.col("lang"),
+      rates = Map("en" -> 0.5), defaultRate = 0.1,
+      keyCol = org.apache.spark.sql.functions.col("doc_id"), salt = "s"))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Batched: true"), p)
+  }
+
+  test("gopherQualityFilter: one projection, zero Exchange") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Corpus.gopherQualityFilter(docs))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("ngramDocFreqTopK: TakeOrderedAndProject, not a global sort") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Corpus.ngramDocFreqTopK(docs, n = 2, k = 50))
+    // top-k folds into per-partition heaps + driver merge
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    // partial aggregation runs before the single hash exchange
+    assert(p.contains("HashAggregate"), p)
+  }
 }
