@@ -225,6 +225,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "q25_ngram_df_topk" -> ((s, dir) =>
       Corpus.ngramDocFreqTopK(table(s, dir, "documents"), n = 2, k = 50)),
+    // the COMPOSED pipeline: quality gate -> exact dedup -> minhash
+    // near-dedup -> decontamination -> stratified sample, end-to-end
+    // against one DuckDB query that re-derives all five stages.
+    // Thresholds are corpus-tuned so every stage is differential at
+    // verify scale (quality 475->338, near-dup drops from 17 pairs,
+    // 40 contaminated, then ~9000/7000/5000-per-10k sampling).
+    "q26_corpus_prep" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      graft.pipeline.CorpusPrep.prepare(
+        docs = d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        evalCorpus = Some(d.filter(pmod(col("doc_id"), lit(20)) === 0)),
+        cfg = graft.pipeline.CorpusPrep.PrepConfig(
+          quality = Some(Corpus.GopherThresholds(minTokens = 20,
+            maxDupWordRatio = 0.7, maxDup2GramRatio = 0.15,
+            minStopwordRatio = 0.01, minAlphaRatio = 0.6)),
+          nearDedup = Some(Dedup.MinHashParams(bands = 32,
+            jaccardThreshold = 0.5)),
+          decontaminateN = 4,
+          sampleRates = Map("en" -> 0.9, "de" -> 0.7),
+          sampleDefaultRate = 0.5))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // ---- multimodal plumbing (stub codec; Spark-side shape real) ----
     "q17_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.syntheticMediaFor(
@@ -571,6 +593,11 @@ object SparkEntry {
     // raw text, dup ratios from lowercased tokens, the all-language stop
     // list) — identical double arithmetic, so the booleans must agree.
     "q24_quality_filter" -> GopherOracle.sql,
+    // ALL FIVE pipeline stages re-derived in one query: quality rules,
+    // md5-fingerprint exact dedup, exact trigram-Jaccard>=0.5 pairs (==
+    // the minhash-verified pair set, q11 argument) + recursive-CTE
+    // components, 4-gram decontamination, md5-keyed sampling.
+    "q26_corpus_prep" -> CorpusPrepOracle.sql,
     "q25_ngram_df_topk" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -680,6 +707,100 @@ private object GopherOracle {
        |    AND (dwr <= 0.5) AND (d2g <= 0.05)
        |    AND (stop_ratio >= 0.03) AND (alpha_ratio >= 0.6)) AS passes
        |FROM r ORDER BY doc_id""".stripMargin
+}
+
+/** q26 oracle: the five CorpusPrep stages re-derived in one DuckDB query
+  * (quality thresholds 20/0.7/0.15/0.01/0.6 as configured in the q26
+  * entry; near-dedup as exact trigram Jaccard >= 0.5 — equal to the
+  * minhash-verified pair set by the q11 recall argument; sampling
+  * thresholds 9000/7000/5000 per 10000).
+  */
+private object CorpusPrepOracle {
+  private val stops = TextAnalysis.Stopwords.values.flatten.toSeq.distinct
+    .map(w => s"'$w'").mkString(", ")
+  val sql: String =
+    s"""WITH RECURSIVE docs0 AS (
+       |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 20 <> 0
+       |), tq AS (
+       |  SELECT doc_id, text, lang,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rtoks,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ltoks
+       |  FROM docs0
+       |), mq AS (
+       |  SELECT doc_id, text, lang, len(rtoks) AS n, CAST(len(rtoks) AS DOUBLE) AS nd,
+       |    CAST(length(text) AS DOUBLE) AS nchar,
+       |    CAST(length(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g')) AS DOUBLE) AS alpha,
+       |    CAST(len(list_filter(ltoks, x -> list_contains([$stops], x))) AS DOUBLE) AS stop_hits,
+       |    len(list_distinct(ltoks)) AS ndist,
+       |    CASE WHEN len(ltoks) > 1
+       |      THEN list_transform(range(1, len(ltoks)), i -> ltoks[i] || ' ' || ltoks[i+1])
+       |      ELSE [] END AS grams
+       |  FROM tq
+       |), qpass AS (
+       |  SELECT doc_id, text, lang FROM mq
+       |  WHERE (n BETWEEN 20 AND 100000)
+       |    AND ((nchar - (nd - 1)) / greatest(nd, 1.0) BETWEEN 3.0 AND 10.0)
+       |    AND (CASE WHEN n > 0 THEN CAST(n - ndist AS DOUBLE) / nd ELSE 0.0 END <= 0.7)
+       |    AND (CASE WHEN n > 1 THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) ELSE 0.0 END <= 0.15)
+       |    AND (stop_hits / greatest(nd, 1.0) >= 0.01)
+       |    AND (alpha / greatest(nchar, 1.0) >= 0.6)
+       |), ed AS (
+       |  SELECT min(doc_id) AS doc_id FROM (
+       |    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |    FROM qpass
+       |  ) GROUP BY fp
+       |), base AS (SELECT q.doc_id, q.text, q.lang FROM qpass q JOIN ed USING (doc_id)),
+       |sh3 AS (
+       |  SELECT doc_id AS id,
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |        i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM base)
+       |), e3 AS (SELECT id, unnest(sh) AS g FROM sh3),
+       |sz3 AS (SELECT id, len(sh) AS n FROM sh3),
+       |p3 AS (
+       |  SELECT a.id AS doc_a, b.id AS doc_b, CAST(count(*) AS DOUBLE) AS inter
+       |  FROM e3 a JOIN e3 b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM p3 JOIN sz3 sa ON sa.id = doc_a JOIN sz3 sb ON sb.id = doc_b
+       |  WHERE inter / (sa.n + sb.n - inter) >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), walk(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.id
+       |), losers AS (
+       |  SELECT id AS doc_id FROM walk GROUP BY id HAVING id <> min(lbl)
+       |), nd2 AS (
+       |  SELECT doc_id, text, lang FROM base
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |), s4 AS (
+       |  SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_distinct(list_transform(range(1, len(toks) - 2),
+       |      i -> array_to_string(toks[i:i+3], ' '))) END AS sh
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents)
+       |), ev AS (SELECT DISTINCT unnest(sh) AS g FROM s4 WHERE doc_id % 20 = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT u.doc_id
+       |  FROM (SELECT s4.doc_id, unnest(s4.sh) AS g FROM s4 JOIN nd2 USING (doc_id)) u
+       |  WHERE u.g IN (SELECT g FROM ev)
+       |), dc AS (
+       |  SELECT doc_id, lang FROM nd2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |), sk AS (
+       |  SELECT doc_id, lang,
+       |    (CAST(CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || 'corpus-prep-v1') >= 9223372036854775808
+       |      THEN CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || 'corpus-prep-v1') AS HUGEINT) - 18446744073709551616
+       |      ELSE CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || 'corpus-prep-v1') AS HUGEINT) END AS BIGINT)
+       |      & 1152921504606846975) % 10000 AS skey
+       |  FROM dc
+       |)
+       |SELECT doc_id FROM sk
+       |WHERE skey < CASE lang WHEN 'en' THEN 9000 WHEN 'de' THEN 7000 ELSE 5000 END
+       |ORDER BY doc_id""".stripMargin
 }
 
 /** q10 oracle: stopword-hit language ID with the reverse-alphabetical

@@ -122,15 +122,11 @@ object Corpus {
       minStopwordRatio: Double = 0.03,
       minAlphaRatio: Double = 0.6)
 
-  /** Composite document quality filter: every rule as its own boolean
-    * column plus the conjunction (`passes`), so downstream jobs can both
-    * filter and audit WHICH rule killed a document. One projection over
-    * the text column — whole-stage codegen, zero shuffle, linear per row.
-    * Rule inputs reuse the exact formulations of TextAnalysis.qualityScore
-    * / repetitionMetrics so the filter is SQL-oracle-checkable.
+  /** The quality rules as (name, boolean Column) over a `text` column —
+    * the shared core of gopherQualityFilter (audit projection) and
+    * CorpusPrep (in-line filter with no join-back).
     */
-  def gopherQualityFilter(df: DataFrame,
-      t: GopherThresholds = GopherThresholds()): DataFrame = {
+  def gopherRules(t: GopherThresholds = GopherThresholds()): Seq[(String, Column)] = {
     val text = col("text")
     val rawToks = TextAnalysis.wsTokens(text)
     val loToks = TextAnalysis.wsTokens(lower(text))
@@ -157,24 +153,36 @@ object Corpus {
       (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
       .otherwise(0.0)
 
-    val wordCountOk = nTok.between(t.minTokens, t.maxTokens)
-    val meanWordLenOk = meanWordLen.between(t.minMeanWordLen, t.maxMeanWordLen)
-    val dupWordOk = dupWord <= t.maxDupWordRatio
-    val dup2GramOk = dup2Gram <= t.maxDup2GramRatio
-    val stopwordOk = stopRatio >= t.minStopwordRatio
-    val alphaOk = alphaRatio >= t.minAlphaRatio
+    Seq(
+      "word_count_ok" -> nTok.between(t.minTokens, t.maxTokens),
+      "mean_word_len_ok" -> meanWordLen.between(t.minMeanWordLen, t.maxMeanWordLen),
+      "dup_word_ok" -> (dupWord <= t.maxDupWordRatio),
+      "dup_2gram_ok" -> (dup2Gram <= t.maxDup2GramRatio),
+      "stopword_ok" -> (stopRatio >= t.minStopwordRatio),
+      "alpha_ok" -> (alphaRatio >= t.minAlphaRatio))
+  }
 
+  /** Conjunction of all quality rules — usable directly as a filter
+    * predicate (map-only, no join-back).
+    */
+  def gopherPasses(t: GopherThresholds = GopherThresholds()): Column =
+    gopherRules(t).map(_._2).reduce(_ && _)
+
+  /** Composite document quality filter: every rule as its own boolean
+    * column plus the conjunction (`passes`), so downstream jobs can both
+    * filter and audit WHICH rule killed a document. One projection over
+    * the text column — whole-stage codegen, zero shuffle, linear per row.
+    * Rule inputs reuse the exact formulations of TextAnalysis.qualityScore
+    * / repetitionMetrics so the filter is SQL-oracle-checkable.
+    */
+  def gopherQualityFilter(df: DataFrame,
+      t: GopherThresholds = GopherThresholds()): DataFrame = {
+    val rules = gopherRules(t)
     df.select(
-      col("doc_id"),
-      nTok.cast("long").as("n_tokens"),
-      wordCountOk.as("word_count_ok"),
-      meanWordLenOk.as("mean_word_len_ok"),
-      dupWordOk.as("dup_word_ok"),
-      dup2GramOk.as("dup_2gram_ok"),
-      stopwordOk.as("stopword_ok"),
-      alphaOk.as("alpha_ok"),
-      (wordCountOk && meanWordLenOk && dupWordOk && dup2GramOk &&
-        stopwordOk && alphaOk).as("passes"))
+      (Seq(col("doc_id"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens")) ++
+        rules.map { case (name, c) => c.as(name) } :+
+        rules.map(_._2).reduce(_ && _).as("passes")): _*)
   }
 
   /** Corpus-level n-gram document frequency, top k. Counting is DF (one

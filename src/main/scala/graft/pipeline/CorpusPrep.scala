@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import graft.ops.{Corpus, Dedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus preparation: the composed corpus-wide pass a user
+  * runs between extraction and training — quality gate, exact dedup,
+  * near-dedup, benchmark decontamination, stratified downsampling. Every
+  * stage is an individually oracle-checked operator (q24, q07, q11+q20,
+  * q22, q23); this object wires them with the staging and drop semantics,
+  * and the COMPOSITION is itself gate-checked end-to-end (q26: one DuckDB
+  * query re-derives all five stages and must produce the same survivors).
+  *
+  * Stage order is chosen for scale: the map-only quality gate runs first
+  * and shrinks every later shuffle; exact dedup (cheap 16-byte-hash
+  * shuffle) runs before the near-dedup bucket join; both dedups run
+  * before decontamination so duplicate docs don't inflate the n-gram
+  * join; sampling runs last so rates apply to the cleaned corpus.
+  *
+  * Drop-lists (near-dup losers, contaminated docs) are applied with
+  * left_anti joins WITHOUT a broadcast hint: they are usually tiny (AQE
+  * converts to broadcast at runtime) but can be corpus-sized on a
+  * pathological input, where a forced broadcast would OOM the driver.
+  */
+object CorpusPrep {
+
+  final case class PrepConfig(
+      quality: Option[Corpus.GopherThresholds] = Some(Corpus.GopherThresholds()),
+      exactDedup: Boolean = true,
+      nearDedup: Option[Dedup.MinHashParams] = Some(Dedup.MinHashParams()),
+      decontaminateN: Int = 13,
+      sampleRates: Map[String, Double] = Map.empty,
+      sampleDefaultRate: Double = 1.0,
+      sampleStratum: String = "lang",
+      sampleSalt: String = "corpus-prep-v1")
+
+  /** The cumulative pipeline: (stage name, surviving rows AFTER that
+    * stage), first entry is the input. Lazy DataFrames — nothing runs
+    * until an action; `prepare` takes the last, `audit` counts each.
+    */
+  def stages(docs: DataFrame, evalCorpus: Option[DataFrame] = None,
+      cfg: PrepConfig = PrepConfig()): Seq[(String, DataFrame)] = {
+    val out = Seq.newBuilder[(String, DataFrame)]
+    var cur = docs
+    out += ("input" -> cur)
+    cfg.quality.foreach { th =>
+      cur = cur.filter(Corpus.gopherPasses(th))
+      out += ("quality" -> cur)
+    }
+    if (cfg.exactDedup) {
+      cur = Dedup.dedupExact(cur)
+      out += ("exact_dedup" -> cur)
+    }
+    cfg.nearDedup.foreach { p =>
+      val clusters =
+        Dedup.duplicateClusters(Dedup.minHashDuplicatePairs(cur, p))
+      val losers = clusters.filter(col("doc_id") =!= col("cluster"))
+        .select("doc_id")
+      cur = cur.join(losers, Seq("doc_id"), "left_anti")
+      out += ("near_dedup" -> cur)
+    }
+    evalCorpus.foreach { ev =>
+      val contaminated = Corpus.decontaminate(cur, ev, cfg.decontaminateN)
+        .filter(col("contaminated")).select("doc_id")
+      cur = cur.join(contaminated, Seq("doc_id"), "left_anti")
+      out += ("decontaminate" -> cur)
+    }
+    if (cfg.sampleRates.nonEmpty || cfg.sampleDefaultRate < 1.0) {
+      cur = Corpus.stratifiedSample(cur, col(cfg.sampleStratum),
+        cfg.sampleRates, cfg.sampleDefaultRate, col("doc_id"), cfg.sampleSalt)
+        .drop("stratum", "sample_key")
+      out += ("sample" -> cur)
+    }
+    out.result()
+  }
+
+  /** Surviving rows (original schema preserved). */
+  def prepare(docs: DataFrame, evalCorpus: Option[DataFrame] = None,
+      cfg: PrepConfig = PrepConfig()): DataFrame =
+    stages(docs, evalCorpus, cfg).last._2
+
+  /** Per-stage survivor counts — an audit mode (one count() action per
+    * stage), not the hot path.
+    */
+  def audit(docs: DataFrame, evalCorpus: Option[DataFrame] = None,
+      cfg: PrepConfig = PrepConfig()): Seq[(String, Long)] =
+    stages(docs, evalCorpus, cfg).map { case (n, df) => (n, df.count()) }
+}
