@@ -33,7 +33,16 @@ object CorpusPrep {
       sampleRates: Map[String, Double] = Map.empty,
       sampleDefaultRate: Double = 1.0,
       sampleStratum: String = "lang",
-      sampleSalt: String = "corpus-prep-v1")
+      sampleSalt: String = "corpus-prep-v1",
+      /** Persist the corpus after the narrowing stages (quality + exact
+        * dedup): the near-dedup stage alone traverses it three times
+        * (minhash bands, then both sides of the candidate-verify join)
+        * and decontamination twice more — without a persist the quality
+        * scan re-runs each time. MEMORY_AND_DISK, so it degrades to
+        * spill, never OOM; callers own the lifetime (unpersist via
+        * spark.catalog.clearCache() or the returned plan's lineage).
+        */
+      persistIntermediate: Boolean = true)
 
   /** The cumulative pipeline: (stage name, surviving rows AFTER that
     * stage), first entry is the input. Lazy DataFrames — nothing runs
@@ -52,6 +61,9 @@ object CorpusPrep {
       cur = Dedup.dedupExact(cur)
       out += ("exact_dedup" -> cur)
     }
+    if (cfg.persistIntermediate &&
+        (cfg.nearDedup.nonEmpty || evalCorpus.nonEmpty))
+      cur = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cfg.nearDedup.foreach { p =>
       val clusters =
         Dedup.duplicateClusters(Dedup.minHashDuplicatePairs(cur, p))
