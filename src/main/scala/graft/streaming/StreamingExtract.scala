@@ -67,6 +67,24 @@ object StreamingExtract {
       .outputMode("append")
   }
 
+  /** Streaming exact dedup for continuous ingest: drop any document whose
+    * content fingerprint was already seen within the watermark horizon.
+    * State holds the 16-byte md5 fingerprint (plus event time), never the
+    * text, and `dropDuplicatesWithinWatermark` evicts state older than
+    * the watermark — so state size is bounded by (dedup horizon x ingest
+    * rate), not corpus size. Cross-all-time exact dedup remains the batch
+    * operator (Dedup.dedupExact) run as a periodic compaction; this is
+    * the standard split for dedup-on-arrival at corpus scale.
+    */
+  def dedupExactStream(docs: DataFrame, eventTimeCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("fp", graft.ops.TextAnalysis.fingerprint(
+        org.apache.spark.sql.functions.col("text")))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+
   /** Drain everything currently available and stop (Trigger.AvailableNow):
     * the incremental-batch mode — repeated invocations process only new
     * files. Returns after the stream terminates.

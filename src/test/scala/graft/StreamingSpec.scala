@@ -61,4 +61,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s.spans == b.spans && s.text == b.text, s"mismatch for ${b.doc_id}")
     }
   }
+
+  test("streaming exact dedup: duplicates dropped across micro-batches, state on the fingerprint") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = mem.toDF.toDF("doc_id", "text", "ts")
+    val q = StreamingExtract.dedupExactStream(src, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    // batch 1: docs 1 and 2 are whitespace/case variants (same fingerprint)
+    mem.addData((1L, "hello world", ts(0)), (2L, "Hello  WORLD", ts(1)),
+      (3L, "unique alpha", ts(1)))
+    q.processAllAvailable()
+    // batch 2: doc 4 repeats the batch-1 fingerprint -> dropped via state
+    mem.addData((4L, "hello world", ts(2)), (5L, "unique beta", ts(3)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT doc_id FROM dedup_out")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(3L) && ids.contains(5L), ids)
+    assert(!ids.contains(4L), s"cross-batch duplicate survived: $ids")
+    assert(Set(1L, 2L).intersect(ids).size == 1,
+      s"exactly one of the in-batch duplicates should survive: $ids")
+    assert(ids.size == 3, ids)
+  }
 }
