@@ -138,6 +138,80 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---------- n-gram document frequency ----------
 
+  // ---------- randomized cross-checks vs brute-force Scala ----------
+
+  private def gramsOf(text: String, n: Int): Set[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    if (toks.length < n) Set(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private def randomCorpus(seed: Long, nDocs: Int): Seq[(Long, String)] = {
+    val rng = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    (1L to nDocs.toLong).map { i =>
+      val len = 1 + rng.nextInt(12)
+      (i, Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+  }
+
+  test("decontaminate == brute-force gram-set overlap on random corpora") {
+    (0L until 5L).foreach { seed =>
+      val trainRows = randomCorpus(1000 + seed, 40)
+      val evalRows = randomCorpus(2000 + seed, 6)
+      val n = 2 + (seed % 3).toInt // n in 2..4
+      val evalGrams = evalRows.flatMap(r => gramsOf(r._2, n)).toSet
+      val expected = trainRows.map { case (id, t) =>
+        val ov = gramsOf(t, n).count(evalGrams.contains)
+        id -> ((id, ov.toLong, ov > 0))
+      }.toMap
+      val got = Corpus.decontaminate(docsDf(trainRows.toList),
+        docsDf(evalRows.toList), n)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(0), r.getLong(1),
+          r.getBoolean(2)))).toMap
+      assert(got.keySet == expected.keySet, s"seed=$seed doc set")
+      expected.foreach { case (id, e) =>
+        assert(got(id) == e, s"seed=$seed doc=$id got=${got(id)} want=$e")
+      }
+    }
+  }
+
+  test("stratifiedSample == per-row md5Long recomputation on random corpora") {
+    val sp = spark
+    import sp.implicits._
+    (0L until 3L).foreach { seed =>
+      val rng = new scala.util.Random(3000 + seed)
+      val langs = Vector("en", "de", "zh")
+      val rows = (1L to 300L).map(i => (i, langs(rng.nextInt(3))))
+      val rates = Map("en" -> 0.4, "de" -> 0.8)
+      val salt = s"fuzz-$seed"
+      def thresh(lang: String): Long =
+        math.round(rates.getOrElse(lang, 0.15) * Corpus.SampleBuckets)
+      val expected = rows.filter { case (id, lang) =>
+        ((Hashing.md5Long(s"$id$salt") & 0x0FFFFFFFFFFFFFFFL) %
+          Corpus.SampleBuckets) < thresh(lang)
+      }.map(_._1).toSet
+      val got = Corpus.stratifiedSample(rows.toDF("doc_id", "lang"),
+        col("lang"), rates, 0.15, col("doc_id"), salt)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected, s"seed=$seed diff=${got.diff(expected)} / ${expected.diff(got)}")
+    }
+  }
+
+  test("ngramDocFreqTopK == brute-force document frequency on random corpora") {
+    (0L until 3L).foreach { seed =>
+      val rows = randomCorpus(4000 + seed, 50)
+      val k = 15
+      val df = rows.flatMap(r => gramsOf(r._2, 2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = df.toSeq.sortBy { case (g, c) => (-c, g) }.take(k)
+      val got = Corpus.ngramDocFreqTopK(docsDf(rows.toList), n = 2, k = k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == expected, s"seed=$seed\ngot=$got\nwant=$expected")
+    }
+  }
+
   test("ngramDocFreqTopK: counts are per-doc-distinct, ties break on gram") {
     val df = docsDf(Seq(
       (1L, "a b a b"),   // grams {a b, b a} — dup "a b" counted once
