@@ -221,7 +221,8 @@ object Dedup {
     * pair set, not the corpus; persist-per-round cuts the lineage so the
     * plan never grows.
     */
-  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 64,
+      driverUnionFindMax: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // undirected edge list, both directions
@@ -231,6 +232,37 @@ object Dedup {
         col("doc_a").cast("long").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Hybrid: the pair set is tiny relative to the corpus for any sane
+    // near-dup threshold (it's the DUPLICATES, not the documents), so up
+    // to `driverUnionFindMax` edges (16 bytes each — the cap is ~16 MB)
+    // a driver-side union-find with path compression replaces the whole
+    // iterative job: one collect instead of 2 joins + 1 agg + 1 count PER
+    // ROUND. The distributed pointer-jumping loop below remains the path
+    // for genuinely huge duplicate graphs (boilerplate-heavy corpora).
+    val edgeCount = edges.count()
+    if (edgeCount <= driverUnionFindMax) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p) // path halving
+          x = parent(x)
+        }
+        x
+      }
+      edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min root wins -> cluster = smallest doc_id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          parent.getOrElseUpdate(math.min(ra, rb), math.min(ra, rb))
+        }
+      }
+      val out = parent.keys.map(id => (id, find(id))).toSeq.sorted
+      edges.unpersist()
+      return spark.createDataset(out).toDF("doc_id", "cluster")
+        .orderBy(col("doc_id"))
+    }
     // localCheckpoint (not persist): the pointer-jumping round references
     // `labels` three times, so without a REAL lineage cut the logical plan
     // grows ~3^rounds and plan stringification alone OOMs the driver

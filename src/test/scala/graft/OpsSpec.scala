@@ -86,9 +86,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // chain 1-2-3-4 (needs multi-round propagation) + pair 7-9
     val pairs = Seq((2L, 3L, 0.9), (1L, 2L, 0.9), (3L, 4L, 0.9), (9L, 7L, 0.9))
       .toDF("doc_a", "doc_b", "jaccard")
-    val got = Dedup.duplicateClusters(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+    // both paths: driver union-find (default for small pair sets) and the
+    // distributed pointer-jumping loop (forced with threshold 0)
+    Seq(1000000L, 0L).foreach { uf =>
+      val got = Dedup.duplicateClusters(pairs, driverUnionFindMax = uf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L),
+        s"driverUnionFindMax=$uf")
+    }
   }
 
   test("duplicateClusters: 64-node chain converges (pointer jumping)") {
@@ -99,9 +104,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pointer jumping converges in ~log2(63) rounds
     val pairs = (1L until 64L).map(i => (i, i + 1, 0.9))
       .toDF("doc_a", "doc_b", "jaccard")
-    val got = Dedup.duplicateClusters(pairs, maxRounds = 12).collect()
+    val got = Dedup.duplicateClusters(pairs, maxRounds = 12,
+      driverUnionFindMax = 0L).collect()
     assert(got.length == 64)
     assert(got.forall(_.getLong(1) == 1L))
+    // and the union-find path agrees on the same chain
+    val uf = Dedup.duplicateClusters(pairs).collect()
+    assert(uf.length == 64 && uf.forall(_.getLong(1) == 1L))
   }
 
   // ---------- minhash ----------
