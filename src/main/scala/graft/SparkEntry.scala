@@ -259,6 +259,26 @@ object SparkEntry {
       Multimodal.sampleFrames(media, stride = 2)
         .orderBy(col("doc_id"), col("media_ref"), col("frame_idx"))
     }),
+    // media near-dup: the stub feature extractor composing with the exact
+    // cosine layer (embeddings-table schema end to end). Payload
+    // duplicates planted in-query (fixture media refs are unique per
+    // doc), so every planted copy must pair with its original at cosine
+    // 1.0. rows-only: the stub codec's fnv1a features are not
+    // SQL-recomputable (q13-q15 gate the cosine layer itself).
+    "q27_media_neardup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val media = Multimodal.syntheticMediaFor(
+        extractedWithMedia(s).select(col("doc_id"), col("spans")))
+      val planted = media
+        .filter(pmod(call_function("md5_long", col("media_ref")), lit(2)) === 0)
+        .withColumn("doc_id", concat(lit("dup-"), col("doc_id")))
+        .withColumn("media_ref", concat(lit("dup-"), col("media_ref")))
+      val feats = Multimodal.extractFeatures(media.unionByName(planted))
+        .withColumn("vec_id", call_function("md5_long",
+          concat(col("doc_id"), lit(":"), col("media_ref"))))
+      Similarity.cosineNearDupPairsExact(
+        feats.select(col("vec_id"), col("embedding")), threshold = 0.999)
+    }),
     // ---- extraction pipeline facets (rows-only; SURVEY.md §2) ----
     "x01_extract_spans" -> ((s, dir) =>
       explodedSpans(extracted(s)).orderBy(col("doc_id"), col("offset"))),

@@ -328,4 +328,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(top.length == 2 && top(0).getAs[Double]("score") == 1.0)
   }
+
+  test("media near-dup: identical payloads pair at cosine 1.0, distinct payloads don't") {
+    val sp = spark
+    import sp.implicits._
+    graft.functions.GraftFunctions.register(sp)
+    val p1 = Multimodal.fakePayload(seed = 1L, w = 64, h = 64, frames = 1)
+    val p2 = Multimodal.fakePayload(seed = 2L, w = 80, h = 48, frames = 1)
+    val media = Seq(
+      Multimodal.MediaRow("d1", "r1", "image", p1),
+      Multimodal.MediaRow("d2", "r2", "image", p1), // duplicate payload
+      Multimodal.MediaRow("d3", "r3", "image", p2)).toDF()
+    val feats = Multimodal.extractFeatures(media)
+      .withColumn("vec_id", call_function("md5_long",
+        concat(col("doc_id"), lit(":"), col("media_ref"))))
+    val pairs = Similarity.cosineNearDupPairsExact(
+      feats.select(col("vec_id"), col("embedding")), threshold = 0.999)
+      .collect()
+    assert(pairs.length == 1, pairs.mkString(","))
+    assert(pairs(0).getAs[Double]("cosine") == 1.0)
+  }
 }
