@@ -74,35 +74,150 @@ object PyText {
     Some(out)
   }
 
-  /** Deterministic subset of ftfy's `fix_bad_unicode` (called via cleantext
-    * at export.py:392, doc_info.py:88): repair UTF-8-read-as-Latin-1/cp1252
-    * mojibake ("Ã¼" -> "ü", "â€™" -> "’"), iterated to fixpoint so
-    * double-encoded text ("ÃƒÂ¼") also repairs, then NFC-normalize. A
-    * repair is applied only when the whole string strictly re-decodes as
-    * UTF-8 — ftfy's own "don't make it worse" principle; fixtures stay
-    * inside this subset (FIXTURES.md §6).
+  /** Deterministic subset of ftfy's `fix_text` defaults, which is what
+    * cleantext's `fix_bad_unicode` is (called at export.py:392,
+    * doc_info.py:88). Steps, in ftfy's order:
+    *
+    *  1. fix_encoding: repair UTF-8-read-as-Latin-1/cp1252 mojibake
+    *     ("Ã¼" -> "ü", "â€™" -> curly quote), iterated to fixpoint so
+    *     double-encoded text ("ÃƒÂ¼") also repairs. A repair is applied
+    *     only when the whole string strictly re-decodes as UTF-8 — ftfy's
+    *     "don't make it worse" principle.
+    *  2. unescape_html (named subset + numeric entities),
+    *  3. remove_terminal_escapes (ANSI CSI sequences),
+    *  4. fix_character_width (fullwidth forms FF01-FF5E -> ASCII),
+    *  5. uncurl_quotes (curly -> straight),
+    *  6. fix_line_breaks (\r\n, \r, NEL, LS, PS, VT, FF -> \n),
+    *  7. remove_control_chars (Cc except \n and \t; plus BOM),
+    *  8. NFC normalization.
+    *
+    * Not covered (documented): ftfy's full HTML5 entity table, surrogate
+    * repair, half-width-katakana widening, Latin ligature decomposition
+    * (NFKC-only in ftfy too). Fixtures stay inside this subset
+    * (FIXTURES.md §6).
     */
   def fixBadUnicode(s: String): String = {
-    // fast path: pure-ASCII text is mojibake-free and NFC by construction
-    if (isAscii(s)) return s
     var cur = s
-    var rounds = 0
-    while (rounds < 3 && looksMojibake(cur)) {
-      val redecoded = sloppyBytes(cur).flatMap { bytes =>
-        try {
-          val dec = java.nio.charset.StandardCharsets.UTF_8
-            .newDecoder()
-            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-          Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
-        } catch { case _: Exception => None }
-      }
-      redecoded match {
-        case Some(r) if r != cur => cur = r; rounds += 1
-        case _ => rounds = 3 // not repairable further
+    if (!isAscii(cur)) {
+      var rounds = 0
+      while (rounds < 3 && looksMojibake(cur)) {
+        val redecoded = sloppyBytes(cur).flatMap { bytes =>
+          try {
+            val dec = java.nio.charset.StandardCharsets.UTF_8
+              .newDecoder()
+              .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+              .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+            Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+          } catch { case _: Exception => None }
+        }
+        redecoded match {
+          case Some(r) if r != cur => cur = r; rounds += 1
+          case _ => rounds = 3 // not repairable further
+        }
       }
     }
-    java.text.Normalizer.normalize(cur, java.text.Normalizer.Form.NFC)
+    cur = unescapeHtml(cur)
+    cur = removeTerminalEscapes(cur)
+    cur = fixCharacterWidth(cur)
+    cur = uncurlQuotes(cur)
+    cur = fixLineBreaks(cur)
+    cur = removeControlChars(cur)
+    // every step above is a no-op returning the same reference on clean
+    // input, so clean ASCII strings pass through allocation-free
+    if (isAscii(cur)) cur
+    else java.text.Normalizer.normalize(cur, java.text.Normalizer.Form.NFC)
+  }
+
+  /** Named-entity subset (the common ones in web/OCR corpora); unknown
+    * entities are left untouched rather than guessed.
+    */
+  private val NamedEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> "\u00a0", "auml" -> "ä", "ouml" -> "ö", "uuml" -> "ü",
+    "Auml" -> "Ä", "Ouml" -> "Ö", "Uuml" -> "Ü", "szlig" -> "ß",
+    "eacute" -> "é", "egrave" -> "è", "agrave" -> "à", "ccedil" -> "ç",
+    "ndash" -> "–", "mdash" -> "—", "hellip" -> "…",
+    "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“",
+    "rdquo" -> "”", "euro" -> "€", "deg" -> "°",
+    "sect" -> "§", "middot" -> "·", "copy" -> "©",
+    "reg" -> "®", "trade" -> "™")
+
+  private val EntityRe =
+    "&(#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|[a-zA-Z][a-zA-Z0-9]{1,30});".r
+
+  private def unescapeHtml(s: String): String = {
+    if (s.indexOf('&') < 0 || s.indexOf(';') < 0) return s
+    def codePoint(cp: Int, orig: String): String =
+      if (cp >= 0x20 && cp <= 0x10FFFF &&
+        !(cp >= 0xD800 && cp <= 0xDFFF)) new String(Character.toChars(cp))
+      else orig
+    EntityRe.replaceAllIn(s, m => {
+      val body = m.group(1)
+      val rep =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          codePoint(Integer.parseInt(body.substring(2), 16), m.matched)
+        else if (body.startsWith("#"))
+          codePoint(body.substring(1).toInt, m.matched)
+        else NamedEntities.getOrElse(body, m.matched)
+      scala.util.matching.Regex.quoteReplacement(rep)
+    })
+  }
+
+  private val AnsiRe = "\u001b\\[[0-9;]*[A-Za-z]".r
+
+  private def removeTerminalEscapes(s: String): String =
+    if (s.indexOf(0x1b) < 0) s else AnsiRe.replaceAllIn(s, "")
+
+  private def fixCharacterWidth(s: String): String = {
+    if (!s.exists(c => c >= 0xFF01 && c <= 0xFF5E)) return s
+    val sb = new StringBuilder(s.length)
+    s.foreach { c =>
+      if (c >= 0xFF01 && c <= 0xFF5E) sb.append((c - 0xFEE0).toChar)
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def uncurlQuotes(s: String): String = {
+    if (!s.exists(c => c == '‘' || c == '’' ||
+      c == '“' || c == '”')) return s
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '‘' | '’' => sb.append('\'')
+      case '“' | '”' => sb.append('"')
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def isLineBreakChar(c: Char): Boolean =
+    c == '\r' || c == '\u000b' || c == '\u000c' ||
+      c == '\u0085' || c == '\u2028' || c == '\u2029'
+
+  private def fixLineBreaks(s: String): String = {
+    if (!s.exists(isLineBreakChar)) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\r' && i + 1 < s.length && s.charAt(i + 1) == '\n') {
+        sb.append('\n'); i += 2
+      } else {
+        sb.append(if (isLineBreakChar(c)) '\n' else c); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def isStrippedControl(c: Char): Boolean =
+    (Character.getType(c) == Character.CONTROL && c != '\n' && c != '\t') ||
+      c == '\ufeff'
+
+  private def removeControlChars(s: String): String = {
+    if (!s.exists(isStrippedControl)) return s
+    val sb = new StringBuilder(s.length)
+    s.foreach(c => if (!isStrippedControl(c)) sb.append(c))
+    sb.toString
   }
 
   def isAscii(s: String): Boolean = {

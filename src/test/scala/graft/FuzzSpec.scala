@@ -130,10 +130,14 @@ class FuzzSpec extends AnyFunSuite {
         if (one.charAt(0) == '\ufffd') new String(Array(b),
           java.nio.charset.StandardCharsets.ISO_8859_1) else one
       }.mkString.toCharArray)
-      assert(graft.text.PyText.fixBadUnicode(mojibake) == nfc,
+      // the full fix_text subset also uncurls quotes after the repair
+      val expected = nfc
+        .replace('‘', '\'').replace('’', '\'')
+        .replace('“', '"').replace('”', '"')
+      assert(graft.text.PyText.fixBadUnicode(mojibake) == expected,
         s"clean=$nfc mojibake=$mojibake")
-      // idempotence on already-clean text
-      assert(graft.text.PyText.fixBadUnicode(nfc) == nfc)
+      // idempotence: a fixed string is a fixpoint
+      assert(graft.text.PyText.fixBadUnicode(expected) == expected)
     }
   }
 }

@@ -86,13 +86,45 @@ class PyTextSpec extends AnyFunSuite {
   }
 
   test("fixBadUnicode repairs cp1252-read mojibake (ftfy's common case)") {
-    // UTF-8 bytes E2 80 99 (right single quote) read as cp1252 -> \u00e2\u20ac\u2122
-    assert(PyText.fixBadUnicode("it\u00e2\u20ac\u2122s") == "it\u2019s")
-    // E2 80 9C / E2 80 9D curly double quotes
+    // UTF-8 bytes E2 80 99 (right single quote) read as cp1252 ->
+    // \u00e2\u20ac\u2122; repaired to the curly quote, then uncurled
+    // (ftfy fix_text default uncurl_quotes=True)
+    assert(PyText.fixBadUnicode("it\u00e2\u20ac\u2122s") == "it's")
+    // E2 80 9C / E2 80 9D curly double quotes -> straight after uncurl
     assert(PyText.fixBadUnicode("\u00e2\u20ac\u0153quo\u00e2\u20ac\u009d")
-      == "\u201cquo\u201d")
+      == "\"quo\"")
     // E2 82 AC euro sign read as cp1252 -> \u00e2\u201a\u00ac
     assert(PyText.fixBadUnicode("5\u00e2\u201a\u00ac") == "5\u20ac")
+  }
+
+  test("fixBadUnicode: html entities (named subset + numeric), unknown kept") {
+    assert(PyText.fixBadUnicode("a &amp; b &lt;3") == "a & b <3")
+    assert(PyText.fixBadUnicode("K&#228;se &#x20AC;5") == "K\u00e4se \u20ac5")
+    assert(PyText.fixBadUnicode("&bogusentity; stays") == "&bogusentity; stays")
+    assert(PyText.fixBadUnicode("AT&T; no entity") == "AT&T; no entity")
+  }
+
+  test("fixBadUnicode: terminal escapes, control chars, BOM removed; \\n and \\t kept") {
+    assert(PyText.fixBadUnicode("\u001b[31mred\u001b[0m") == "red")
+    assert(PyText.fixBadUnicode("a\u0000b\u0007c") == "abc")
+    assert(PyText.fixBadUnicode("\ufeffbom") == "bom")
+    assert(PyText.fixBadUnicode("keep\tthis\nboth") == "keep\tthis\nboth")
+  }
+
+  test("fixBadUnicode: fullwidth forms narrowed, line breaks normalized") {
+    assert(PyText.fixBadUnicode("\uff26\uff35\uff2c\uff2c\uff01") == "FULL!")
+    assert(PyText.fixBadUnicode("a\r\nb\rc\u2028d\u0085e") == "a\nb\nc\nd\ne")
+  }
+
+  test("fixBadUnicode: straight quotes from curly input; idempotent") {
+    assert(PyText.fixBadUnicode("don\u2019t \u201cquote\u201d") == "don't \"quote\"")
+    // idempotence on a mixed repair (mojibake + entity + CRLF). Note the
+    // whole-string-redecode subset boundary: unlike ftfy (which segments
+    // text), mojibake mixed with legitimate non-Latin-1 chars in the SAME
+    // string is left unrepaired rather than risk making it worse.
+    val once = PyText.fixBadUnicode("f\u00c3\u0192\u00c2\u00bcr &amp; x\r\n")
+    assert(once == "f\u00fcr & x\n")
+    assert(PyText.fixBadUnicode(once) == once)
   }
 
   test("fixBadUnicode repairs double-encoded mojibake to fixpoint") {
