@@ -94,7 +94,7 @@ object PyText {
     * Not covered (documented): ftfy's full HTML5 entity table, surrogate
     * repair, half-width-katakana widening, Latin ligature decomposition
     * (NFKC-only in ftfy too). Fixtures stay inside this subset
-    * (FIXTURES.md §6).
+    * (FIXTURES.md §7).
     */
   def fixBadUnicode(s: String): String = {
     var cur = s
