@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   * left_anti joins WITHOUT a broadcast hint: they are usually tiny (AQE
   * converts to broadcast at runtime) but can be corpus-sized on a
   * pathological input, where a forced broadcast would OOM the driver.
+  *
+  * The dedup stages key on a NUMERIC 64-bit `doc_id` (pair symmetry and
+  * cluster min-labels need a total order that shuffles as 8 bytes).
+  * String-keyed corpora derive a surrogate first —
+  * `withColumn("doc_id", call_function("md5_long", col("doc_id")))` —
+  * with collision odds n^2 / 2^64 (PipelineSpec pins the pattern).
   */
 object CorpusPrep {
 

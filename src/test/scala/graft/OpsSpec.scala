@@ -329,6 +329,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.length == 2 && top(0).getAs[Double]("score") == 1.0)
   }
 
+  test("pairRecall audit: LSH near-dup vs exact on a deterministic sample") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(99L)
+    val base = Array.fill(16)(rng.nextFloat() * 2 - 1)
+    // ids 1..6 identical (guaranteed same LSH buckets), 7..40 random
+    val vecs = ((1L to 6L).map(i => (i, base.toSeq)) ++
+      (7L to 40L).map(i => (i, Array.fill(16)(rng.nextFloat() * 2 - 1).toSeq)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val audit = graft.ops.Audit.pairRecall(
+      vecs, col("vec_id"), sampleRate = 1.0, salt = "audit-test",
+      aCol = "vec_a", bCol = "vec_b")(
+      approx = s => Similarity.cosineNearDupPairs(s, threshold = 0.999),
+      exact = s => Similarity.cosineNearDupPairsExact(s, threshold = 0.999))
+      .collect()(0)
+    assert(audit.getAs[Long]("sampled_rows") == 40)
+    assert(audit.getAs[Long]("exact_pairs") == 15) // C(6,2) identical pairs
+    assert(audit.getAs[Double]("recall") == 1.0)   // same vec -> same buckets
+    // and a strict subsample still audits deterministically
+    val sub = graft.ops.Audit.pairRecall(
+      vecs, col("vec_id"), sampleRate = 0.5, salt = "audit-test",
+      aCol = "vec_a", bCol = "vec_b")(
+      approx = s => Similarity.cosineNearDupPairs(s, threshold = 0.999),
+      exact = s => Similarity.cosineNearDupPairsExact(s, threshold = 0.999))
+      .collect()(0)
+    assert(sub.getAs[Long]("sampled_rows") < 40)
+    assert(sub.getAs[Double]("recall") == 1.0)
+  }
+
   test("media near-dup: identical payloads pair at cosine 1.0, distinct payloads don't") {
     val sp = spark
     import sp.implicits._

@@ -107,6 +107,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(n1 - 200L) < 40, s"got $n1 of 400 at rate 0.5")
   }
 
+  test("extraction output feeds CorpusPrep directly (one-library path)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(sp)
+    val docs = sp.createDataset(graft.fixtures.Fixtures.corpus(24, seed = 7L))
+    val extracted = graft.streaming.StreamingExtract.transform(docs.toDF()).toDF()
+      // the dedup stages key on a numeric 64-bit doc id; string-keyed
+      // corpora derive a surrogate via md5_long (collision odds n^2/2^64)
+      .withColumn("doc_id",
+        org.apache.spark.sql.functions.call_function("md5_long", col("doc_id")))
+    val base = extracted.select(col("doc_id"), col("text"))
+    assert(base.select("text").distinct().count() == 24) // fixture sanity
+    // plant exact duplicates under fresh (negative) ids: the exact-dedup
+    // stage must collapse each planted/original pair to one survivor
+    val planted = base
+      .filter(org.apache.spark.sql.functions.pmod(col("doc_id"),
+        org.apache.spark.sql.functions.lit(5)) === 0)
+      .withColumn("doc_id", -col("doc_id"))
+    val nPlanted = planted.count()
+    assert(nPlanted > 0)
+    val prep = CorpusPrep.PrepConfig(
+      quality = Some(Corpus.GopherThresholds(minTokens = 5,
+        minStopwordRatio = 0.0, minAlphaRatio = 0.0,
+        maxDupWordRatio = 1.0, maxDup2GramRatio = 1.0)),
+      nearDedup = Some(Dedup.MinHashParams(bands = 32, jaccardThreshold = 0.95)))
+    val out = CorpusPrep.prepare(base.unionByName(planted), None, prep)
+    assert(out.count() == 24, s"expected 24 survivors of ${24 + nPlanted}")
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("stages without eval corpus or sampling: no such stage entries") {
     val names = CorpusPrep.stages(corpus, None,
       CorpusPrep.PrepConfig(sampleDefaultRate = 1.0)).map(_._1)
