@@ -225,6 +225,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "q25_ngram_df_topk" -> ((s, dir) =>
       Corpus.ngramDocFreqTopK(table(s, dir, "documents"), n = 2, k = 50)),
+    // corpus-wide boilerplate-line removal. Driver texts are single-line,
+    // so the boilerplate is planted in-query: every doc gains a banner
+    // line (df=500) and every 3rd a copyright line (df~167), both over
+    // the maxDocFreq=50 cut; original lines have df=1 (texts are unique
+    // at verify scale). Stripping must therefore reproduce the original
+    // table exactly — which is what the oracle checks.
+    "q28_boilerplate_strip" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val withBp = d.select(col("doc_id"),
+        concat(col("text"), lit("\nSUBSCRIBE NOW"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("\nCOPYRIGHT 2026 EXAMPLE")).otherwise(lit(""))).as("text"))
+      Corpus.removeBoilerplateLines(withBp, maxDocFreq = 50)
+        .orderBy(col("doc_id"))
+    }),
     // the COMPOSED pipeline: quality gate -> exact dedup -> minhash
     // near-dedup -> decontamination -> stratified sample, end-to-end
     // against one DuckDB query that re-derives all five stages.
@@ -613,6 +628,10 @@ object SparkEntry {
     // raw text, dup ratios from lowercased tokens, the all-language stop
     // list) — identical double arithmetic, so the booleans must agree.
     "q24_quality_filter" -> GopherOracle.sql,
+    // the planted boilerplate (and nothing else) must come back out:
+    // the stripped table equals the original documents table
+    "q28_boilerplate_strip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
     // ALL FIVE pipeline stages re-derived in one query: quality rules,
     // md5-fingerprint exact dedup, exact trigram-Jaccard>=0.5 pairs (==
     // the minhash-verified pair set, q11 argument) + recursive-CTE

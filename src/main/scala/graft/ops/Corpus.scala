@@ -185,6 +185,35 @@ object Corpus {
         rules.map(_._2).reduce(_ && _).as("passes")): _*)
   }
 
+  /** Corpus-level boilerplate-line removal (the RefinedWeb/CCNet line-dedup
+    * shape): a line occurring in more than `maxDocFreq` distinct documents
+    * is boilerplate (nav text, cookie banners, signatures) and is dropped
+    * from every document; remaining lines are reassembled in order.
+    *
+    * Scale shape: lines are deduped per doc map-side and only the 8-byte
+    * md5_long line hash crosses the frequency shuffle; the hot-line set is
+    * tiny by construction (it's the boilerplate), so the drop is a
+    * broadcast-able left_anti on the hash. Reassembly shuffles each doc's
+    * surviving (pos, line) pairs once — the one unavoidable full-text
+    * shuffle, keyed by doc_id. Exact-by-construction, so the gate oracle
+    * re-derives it line for line.
+    */
+  def removeBoilerplateLines(docs: DataFrame, maxDocFreq: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", call_function("md5_long", col("line")))
+    val hot = lines.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") > maxDocFreq)
+      .select("h")
+    lines.join(hot, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("text"))
+  }
+
   /** Corpus-level n-gram document frequency, top k. Counting is DF (one
     * count per doc per distinct gram), the quantity dedup/decontamination
     * reason about. Shape at scale: map-side dedup (array_distinct) ->

@@ -138,6 +138,28 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---------- n-gram document frequency ----------
 
+  // ---------- boilerplate line removal ----------
+
+  test("removeBoilerplateLines: hot lines dropped, order kept, all-boilerplate doc vanishes") {
+    val df = docsDf(Seq(
+      (1L, "unique one\nFOOTER\nmore one"),
+      (2L, "FOOTER\nunique two"),
+      (3L, "unique three\nFOOTER"),
+      (4L, "FOOTER"))) // nothing but boilerplate
+    val out = Corpus.removeBoilerplateLines(df, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "unique one\nmore one",
+      2L -> "unique two",
+      3L -> "unique three"))
+    // per-doc repeats do not inflate the document frequency
+    val df2 = docsDf(Seq(
+      (1L, "x\nx\nx"), (2L, "y"))) // "x" df=1 (one doc), under the cut
+    val out2 = Corpus.removeBoilerplateLines(df2, maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(1L) == "x\nx\nx")
+  }
+
   // ---------- randomized cross-checks vs brute-force Scala ----------
 
   private def gramsOf(text: String, n: Int): Set[String] = {
