@@ -40,11 +40,19 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
+  /** `maxBucketSize` caps LSH bucket membership: a bucket with more docs
+    * than this is skipped entirely before the self-join (pair count in a
+    * bucket is quadratic, and at corpus scale a mega-bucket means
+    * corpus-wide boilerplate — which belongs to removeBoilerplateLines /
+    * exact dedup, not pair enumeration). Int.MaxValue (default) keeps the
+    * exact-vs-oracle behavior; production sets a bound.
+    */
   final case class MinHashParams(
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3,
-      jaccardThreshold: Double = 0.8)
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Int = Int.MaxValue)
 
   /** Word shingles (n-grams) of the normalized text. */
   def shingles(text: String, n: Int): Set[String] = {
@@ -104,8 +112,21 @@ object Dedup {
     import spark.implicits._
     // persisted: both sides of the bucket self-join read the signatures;
     // without it every doc is scanned + minhashed twice
-    val bands = minHashBands(docs, p)
+    val allBands = minHashBands(docs, p)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // opt-in mega-bucket cut (see MinHashParams.maxBucketSize): one extra
+    // aggregation on the 16-byte band keys, only when a bound is set
+    val bands =
+      if (p.maxBucketSize == Int.MaxValue) allBands.toDF()
+      else {
+        val ok = allBands.toDF().groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("n")).filter(col("n") <= p.maxBucketSize)
+          .select("band", "band_hash")
+        allBands.toDF().join(ok, Seq("band", "band_hash"), "left_semi")
+          // the join puts its keys first; restore BandKey column order for
+          // the positional toDF renames below
+          .select("doc_id", "band", "band_hash")
+      }
     val l = bands.toDF("a", "band", "h")
     val r = bands.toDF("b", "band", "h")
     val candidates = l.join(r, Seq("band", "h"))

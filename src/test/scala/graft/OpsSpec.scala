@@ -329,6 +329,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.length == 2 && top(0).getAs[Double]("score") == 1.0)
   }
 
+  test("minHash maxBucketSize: mega-buckets skipped, small buckets still pair") {
+    val boiler = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val pairBase = (31 to 60).map(i => s"word$i").mkString(" ")
+    val docs = docsDf(
+      (1L to 12L).map(i => (i, boiler)) ++    // 12 identical -> mega bucket
+        Seq((20L, pairBase), (21L, pairBase + " extra")))
+    val p = Dedup.MinHashParams(bands = 32, jaccardThreshold = 0.5)
+    val unbounded = Dedup.minHashDuplicatePairs(docs, p).count()
+    assert(unbounded >= 66 + 1) // C(12,2) boiler pairs + the small pair
+    val capped = Dedup.minHashDuplicatePairs(docs,
+      p.copy(maxBucketSize = 5)).collect()
+    // boilerplate bucket (12 members in every band) skipped entirely;
+    // the 2-doc buckets survive the cap
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((20L, 21L)), capped.mkString(","))
+  }
+
   test("pairRecall audit: LSH near-dup vs exact on a deterministic sample") {
     val sp = spark
     import sp.implicits._
