@@ -225,6 +225,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "q25_ngram_df_topk" -> ((s, dir) =>
       Corpus.ngramDocFreqTopK(table(s, dir, "documents"), n = 2, k = 50)),
+    "q29_corpus_summary" -> ((s, dir) =>
+      Corpus.corpusSummary(table(s, dir, "documents"), col("lang"))),
     // corpus-wide boilerplate-line removal. Driver texts are single-line,
     // so the boilerplate is planted in-query: every doc gains a banner
     // line (df=500) and every 3rd a copyright line (df~167), both over
@@ -632,6 +634,23 @@ object SparkEntry {
     // the stripped table equals the original documents table
     "q28_boilerplate_strip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    // exact integer sums + one final division — order-independent, so
+    // Spark partial aggregation and DuckDB agree bit for bit
+    "q29_corpus_summary" ->
+      """WITH t AS (
+        |  SELECT lang AS stratum,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    CAST(length(text) AS BIGINT) AS n_char,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      - len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_dup
+        |  FROM documents
+        |)
+        |SELECT stratum, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_char) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS avg_tokens,
+        |  round(CAST(sum(n_dup) AS DOUBLE) / greatest(CAST(sum(n_tok) AS BIGINT), 1), 6) AS dup_word_rate
+        |FROM t GROUP BY stratum ORDER BY stratum""".stripMargin,
     // ALL FIVE pipeline stages re-derived in one query: quality rules,
     // md5-fingerprint exact dedup, exact trigram-Jaccard>=0.5 pairs (==
     // the minhash-verified pair set, q11 argument) + recursive-CTE

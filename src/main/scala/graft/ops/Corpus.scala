@@ -185,6 +185,34 @@ object Corpus {
         rules.map(_._2).reduce(_ && _).as("passes")): _*)
   }
 
+  /** Per-stratum corpus report (the dashboard/reporting query of a
+    * training-data pipeline): doc counts, token mass, mean quality score,
+    * mean dup-word ratio per stratum. One pass: every metric is a plain
+    * column expression feeding a hash aggregate with map-side partials —
+    * shuffle traffic is (strata x 5 numbers), independent of corpus size.
+    */
+  def corpusSummary(docs: DataFrame, stratum: Column): DataFrame = {
+    val toks = TextAnalysis.wsTokens(col("text"))
+    val loToks = TextAnalysis.wsTokens(lower(col("text")))
+    val n = size(toks)
+    // all aggregates are EXACT integer sums; ratios divide two longs at
+    // the end — no order-dependent double summation, so the result is
+    // bit-identical on any partitioning (and to the SQL oracle)
+    docs.select(stratum.as("stratum"), n.cast("long").as("n_tok"),
+      length(col("text")).cast("long").as("n_char"),
+      (n - size(array_distinct(loToks))).cast("long").as("n_dup"))
+      .groupBy(col("stratum"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_char")).as("total_chars"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 6)
+          .as("avg_tokens"),
+        round(sum(col("n_dup")).cast("double") /
+          greatest(sum(col("n_tok")), lit(1L)), 6).as("dup_word_rate"))
+      .orderBy(col("stratum"))
+  }
+
   /** Corpus-level boilerplate-line removal (the RefinedWeb/CCNet line-dedup
     * shape): a line occurring in more than `maxDocFreq` distinct documents
     * is boilerplate (nav text, cookie banners, signatures) and is dropped
