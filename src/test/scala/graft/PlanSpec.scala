@@ -115,6 +115,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("corpusSummary: partial + final hash aggregate, one stratum exchange") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Corpus.corpusSummary(docs,
+      org.apache.spark.sql.functions.col("lang")))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // map-side partials
+    assert(p.contains("Exchange hashpartitioning(stratum"), p)
+  }
+
+  test("removeBoilerplateLines: frequency shuffle keyed on the line hash, not the line") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Corpus.removeBoilerplateLines(docs, maxDocFreq = 50))
+    assert(p.contains("Exchange hashpartitioning(h#") ||
+      p.contains("Exchange hashpartitioning(h,"), p)
+    // reassembly is the only shuffle that carries the line text
+    assert(p.contains("Exchange hashpartitioning(doc_id"), p)
+  }
+
   test("ngramDocFreqTopK: TakeOrderedAndProject, not a global sort") {
     assume(sfPresent)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
