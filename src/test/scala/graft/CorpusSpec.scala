@@ -178,6 +178,29 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("removeBoilerplateLines == brute force on random multi-line corpora") {
+    (0L until 4L).foreach { seed =>
+      val rng = new scala.util.Random(5000 + seed)
+      val lineVocab = Vector("aa bb", "cc dd", "ee ff", "gg hh", "ii jj",
+        "kk ll", "mm nn", "oo pp")
+      val rows = (1L to 30L).map { i =>
+        val nLines = 1 + rng.nextInt(5)
+        (i, Seq.fill(nLines)(lineVocab(rng.nextInt(lineVocab.size)))
+          .mkString("\n"))
+      }
+      val maxDf = 1 + rng.nextInt(10)
+      val df = rows.flatMap { case (_, t) => t.split("\n").distinct }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expected = rows.flatMap { case (id, t) =>
+        val kept = t.split("\n").filter(l => df(l) <= maxDf)
+        if (kept.isEmpty) None else Some(id -> kept.mkString("\n"))
+      }.toMap
+      val got = Corpus.removeBoilerplateLines(docsDf(rows.toList), maxDf)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected, s"seed=$seed maxDf=$maxDf")
+    }
+  }
+
   test("decontaminate == brute-force gram-set overlap on random corpora") {
     (0L until 5L).foreach { seed =>
       val trainRows = randomCorpus(1000 + seed, 40)
