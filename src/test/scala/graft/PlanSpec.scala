@@ -73,6 +73,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("Tungsten-direct FastScan == typed-encoder kernel path, span for span") {
+    import spark.implicits._
+    val docs = spark.createDataset(graft.fixtures.Fixtures.corpus(20, seed = 5L))
+    val cfg = graft.reflow.ExtractConfig()
+    val viaFast = graft.job.FastScan.extract(
+      docs.toDF().select("doc_id", "spans"), cfg)
+      .collect().map(d => d.doc_id -> d).toMap
+    val viaTyped = docs.collect().flatMap { row =>
+      try Some(graft.extract.Extractor.extractRow(row, cfg))
+      catch { case _: graft.model.ExtractionException => None }
+    }.map(d => d.doc_id -> d).toMap
+    assert(viaFast.keySet == viaTyped.keySet)
+    viaFast.foreach { case (id, f) =>
+      val t = viaTyped(id)
+      assert(f.spans == t.spans, s"spans diverge for $id")
+      assert(f.text == t.text, s"text diverges for $id")
+    }
+  }
+
   test("exact-dedup groups shuffle the 16-byte fingerprint, not the text") {
     assume(sfPresent)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
