@@ -227,6 +227,10 @@ object SparkEntry {
       Corpus.ngramDocFreqTopK(table(s, dir, "documents"), n = 2, k = 50)),
     "q29_corpus_summary" -> ((s, dir) =>
       Corpus.corpusSummary(table(s, dir, "documents"), col("lang"))),
+    // partial-containment pairs via shared winnow fingerprints (whole-doc
+    // Jaccard misses a paragraph quoted inside a larger doc)
+    "q30_winnow_overlap_pairs" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(table(s, dir, "documents"), minShared = 10)),
     // corpus-wide boilerplate-line removal. Driver texts are single-line,
     // so the boilerplate is planted in-query: every doc gains a banner
     // line (df=500) and every 3rd a copyright line (df~167), both over
@@ -533,6 +537,40 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(sig) AS BIGINT) AS sig_len,
         |  list_min(sig) AS sig_min, list_max(sig) AS sig_max
         |FROM s ORDER BY doc_id""".stripMargin,
+    // the q16 winnow-signature re-derivation, exploded to an inverted
+    // index and self-joined — exact shared-fingerprint counts
+    "q30_winnow_overlap_pairs" ->
+      """WITH n AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(nt) < 8 THEN [nt]
+        |      ELSE list_transform(range(1, length(nt) - 8 + 2), i -> substr(nt, i, 8))
+        |    END AS grams
+        |  FROM n
+        |), h AS (
+        |  SELECT doc_id, list_transform(grams, g ->
+        |    CAST(CASE WHEN md5_number_upper(g) >= 9223372036854775808
+        |      THEN CAST(md5_number_upper(g) AS HUGEINT) - 18446744073709551616
+        |      ELSE CAST(md5_number_upper(g) AS HUGEINT) END AS BIGINT)) AS hs
+        |  FROM g
+        |), w AS (
+        |  SELECT doc_id, hs, greatest(len(hs) // 16, 1) AS nwin FROM h
+        |), m AS (
+        |  SELECT doc_id, list_transform(range(0, nwin),
+        |    j -> list_min(hs[j*16+1 : least((j+1)*16, len(hs))])) AS mins
+        |  FROM w
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(mins, (x, i) -> i = 1 OR x <> mins[i-1])) AS sig
+        |  FROM m
+        |), e AS (SELECT doc_id, unnest(sig) AS f FROM s)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |FROM e a JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q20_dup_clusters" ->
       """WITH RECURSIVE t AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id,

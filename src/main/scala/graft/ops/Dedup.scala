@@ -320,6 +320,49 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---------- winnowing-fingerprint overlap (partial containment) ----------
+
+  /** Document pairs sharing at least `minShared` winnowing fingerprints
+    * (TextAnalysis.winnowSignature — MOSS-style, Schleimer et al. 2003).
+    * Whole-doc Jaccard misses PARTIAL containment (a paragraph quoted
+    * inside a larger doc); shared winnow fingerprints catch it, because
+    * winnowing guarantees every sufficiently long shared substring
+    * contributes at least one common fingerprint.
+    *
+    * Scale shape = the inverted-index n-gram join: signatures are bounded
+    * (~chars/window per doc), deduped map-side, and only the 8-byte
+    * fingerprint + doc id cross the shuffle. `maxDocFreq` cuts
+    * corpus-wide fingerprints (boilerplate) before the self-join, same
+    * rationale as ngramJaccardPairs.
+    */
+  def winnowOverlapPairs(docs: DataFrame, minShared: Int = 2,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TextAnalysis.winnowSignature(t).distinct.iterator.map(h => (id, h))
+      }
+      .toDF("id", "f")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept =
+      if (maxDocFreq == Int.MaxValue) sigs
+      else {
+        val ok = sigs.groupBy(col("f")).agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxDocFreq).select("f")
+        sigs.join(ok, Seq("f"), "left_semi").select("id", "f")
+      }
+    val l = kept.toDF("a", "f")
+    val r = kept.toDF("b", "f")
+    l.join(r, Seq("f")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("shared"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---------- SimHash ----------
 
   /** Signature width. 60 (not 64) so every bit of the signature and every

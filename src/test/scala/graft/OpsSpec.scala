@@ -329,6 +329,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.length == 2 && top(0).getAs[Double]("score") == 1.0)
   }
 
+  test("winnowOverlapPairs: embedded paragraph detected, disjoint docs not") {
+    val para = "the shared paragraph body that is embedded verbatim in the long document " * 3
+    val long = "intro words before the quote " + para + " trailing commentary after"
+    val other = (1 to 60).map(i => s"unrelated$i").mkString(" ")
+    val docs = docsDf(Seq((1L, para), (2L, long), (3L, other)))
+    val pairs = Dedup.winnowOverlapPairs(docs, minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length == 1, pairs.mkString(","))
+    assert(pairs(0)._1 == 1L && pairs(0)._2 == 2L)
+    assert(pairs(0)._3 >= 2) // winnowing guarantees shared fingerprints
+    // whole-doc trigram jaccard would miss this containment at 0.5
+    val j = {
+      val a = Dedup.shingles(para.toLowerCase, 3)
+      val b = Dedup.shingles(long.toLowerCase, 3)
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    assert(j < 0.9, s"fixture not a containment case: j=$j")
+  }
+
   test("minHash maxBucketSize: mega-buckets skipped, small buckets still pair") {
     val boiler = (1 to 30).map(i => s"tok$i").mkString(" ")
     val pairBase = (31 to 60).map(i => s"word$i").mkString(" ")
