@@ -3,7 +3,7 @@ package graft
 import graft.extract.Extractor
 import graft.fixtures.Fixtures
 import graft.model._
-import graft.ops.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Multimodal, Pii, SemDedup, Similarity, TextAnalysis}
 import graft.reflow.ExtractConfig
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -231,6 +231,35 @@ object SparkEntry {
     // Jaccard misses a paragraph quoted inside a larger doc)
     "q30_winnow_overlap_pairs" -> ((s, dir) =>
       Dedup.winnowOverlapPairs(table(s, dir, "documents"), minShared = 10)),
+    // PII scrub: driver texts are PII-free, so PII is planted in-query by
+    // the same deterministic expression the oracle uses — staged counts
+    // AND the fully redacted text are hash-compared.
+    "q31_pii_scrub" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" Contact: user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" see https://example.org/d/"),
+              col("doc_id").cast("string"), lit("?ref=x"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(lit(" host 10.0."),
+              pmod(col("doc_id"), lit(200)).cast("string"),
+              lit(".25"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(lit(" tel +1 555 01"),
+              (pmod(col("doc_id"), lit(100)) + 100).cast("string")))
+            .otherwise(lit(""))).as("text"))
+      Pii.piiScrub(d).orderBy(col("doc_id"))
+    }),
+    // SemDeDup (Abbas et al. 2023): deterministic seed centroids (the 8
+    // smallest vec_ids), argmax-cosine assignment, within-cluster
+    // lower-id near-dup marking; threshold 0.4 is corpus-tuned so the
+    // gate row is differential at verify scale (19 of 500 marked dup).
+    "q32_semdedup" -> ((s, dir) =>
+      SemDedup.semDedup(table(s, dir, "embeddings"), nClusters = 8,
+        threshold = 0.4)),
     // corpus-wide boilerplate-line removal. Driver texts are single-line,
     // so the boilerplate is planted in-query: every doc gains a banner
     // line (df=500) and every 3rd a copyright line (df~167), both over
@@ -716,7 +745,55 @@ object SparkEntry {
         |)
         |SELECT query_id, vec_id, score FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM s
-        |) WHERE rn <= 10 ORDER BY query_id, score DESC, vec_id""".stripMargin)
+        |) WHERE rn <= 10 ORDER BY query_id, score DESC, vec_id""".stripMargin,
+    // staged PII redaction re-derived literally (same decoration, same
+    // regexes — valid in both Java regex and RE2, see ops.Pii) — counts
+    // at each stage plus the final redacted text
+    "q31_pii_scrub" ->
+      s"""WITH d AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    text
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' Contact: user' || doc_id || '@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' see https://example.org/d/' || doc_id || '?ref=x' ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || (doc_id % 200) || '.25' ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0 THEN ' tel +1 555 01' || (100 + doc_id % 100) ELSE '' END AS t0
+         |  FROM documents
+         |), s1 AS (SELECT doc_id, t0, regexp_replace(t0, '${Pii.EmailPattern}', '${Pii.EmailToken}', 'g') AS t1 FROM d
+         |), s2 AS (SELECT *, regexp_replace(t1, '${Pii.UrlPattern}', '${Pii.UrlToken}', 'g') AS t2 FROM s1
+         |), s3 AS (SELECT *, regexp_replace(t2, '${Pii.Ipv4Pattern}', '${Pii.IpToken}', 'g') AS t3 FROM s2
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t0, '${Pii.EmailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t1, '${Pii.UrlPattern}')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(t2, '${Pii.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t3, '${Pii.PhonePattern}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(t3, '${Pii.PhonePattern}', '${Pii.PhoneToken}', 'g') AS clean_text
+         |FROM s3 ORDER BY doc_id""".stripMargin,
+    // SemDeDup re-derived exactly: seed centroids = 8 smallest vec_ids,
+    // argmax round6-cosine assignment (ties -> smallest centroid id),
+    // within-cluster lower-id near-dup rule
+    "q32_semdedup" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+        |a AS (
+        |  SELECT e.vec_id, c.cid,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e CROSS JOIN c
+        |), asn AS (
+        |  SELECT vec_id, cid AS cluster_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a
+        |  ) WHERE rn = 1
+        |), p AS (
+        |  SELECT x.vec_id AS v, min(y.vec_id) AS dup_of
+        |  FROM asn x JOIN asn y ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id
+        |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+        |  JOIN embeddings ey ON ey.vec_id = y.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[])), 6) >= 0.4
+        |  GROUP BY x.vec_id
+        |)
+        |SELECT asn.vec_id, CAST(asn.cluster_id AS BIGINT) AS cluster_id,
+        |  p.dup_of IS NOT NULL AS is_dup, p.dup_of
+        |FROM asn LEFT JOIN p ON asn.vec_id = p.v
+        |ORDER BY asn.vec_id""".stripMargin)
 }
 
 /** q09 oracle: the exact DuckDB rendition of TextAnalysis.qualityScore. */

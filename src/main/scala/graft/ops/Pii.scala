@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection + redaction for a training-data pipeline, expressed as
+  * pure Column expressions (whole-stage codegen, zero shuffle — per-row
+  * regex work scales linearly and never moves data).
+  *
+  * The patterns use explicit ASCII classes only, so each regex means the
+  * same thing in Spark (Java regex) and DuckDB (RE2) — that is what makes
+  * the operator exactly SQL-oracle-checkable (no lookbehind, no backrefs,
+  * both engines resolve these greedy classes identically).
+  *
+  * Redaction is STAGED — emails first, then URLs, then IPv4, then phones —
+  * and each count is taken on the text as it stood at that stage. The
+  * staging makes overlap semantics well-defined (an address inside a URL
+  * userinfo is an email; digits inside an already-redacted URL can no
+  * longer masquerade as an IP or phone).
+  */
+object Pii {
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern   = "https?://[A-Za-z0-9./_%?=&#:~-]+"
+  val Ipv4Pattern  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  /** international-ish: leading +, then >= 8 total digits with separators */
+  val PhonePattern = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+
+  val EmailToken = "<EMAIL>"
+  val UrlToken   = "<URL>"
+  val IpToken    = "<IP>"
+  val PhoneToken = "<PHONE>"
+
+  private def count(c: Column, pat: String): Column =
+    size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+
+  /** (doc_id, n_emails, n_urls, n_ips, n_phones, clean_text): staged
+    * counts + fully redacted text, from a `text` column.
+    */
+  def piiScrub(df: DataFrame): DataFrame = {
+    val t0 = col("text")
+    val t1 = regexp_replace(t0, EmailPattern, EmailToken)
+    val t2 = regexp_replace(t1, UrlPattern, UrlToken)
+    val t3 = regexp_replace(t2, Ipv4Pattern, IpToken)
+    val t4 = regexp_replace(t3, PhonePattern, PhoneToken)
+    df.select(
+      col("doc_id"),
+      count(t0, EmailPattern).as("n_emails"),
+      count(t1, UrlPattern).as("n_urls"),
+      count(t2, Ipv4Pattern).as("n_ips"),
+      count(t3, PhonePattern).as("n_phones"),
+      t4.as("clean_text"))
+  }
+}
