@@ -3,7 +3,7 @@ package graft
 import graft.extract.Extractor
 import graft.fixtures.Fixtures
 import graft.model._
-import graft.ops.{Corpus, Dedup, Multimodal, Pii, SemDedup, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Multimodal, Pii, SemDedup, Similarity, SubstringDedup, TextAnalysis}
 import graft.reflow.ExtractConfig
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -26,6 +26,14 @@ object SparkEntry {
 
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** q33's planted verbatim passages (15 and 20 tokens; vocabulary
+    * disjoint from the driver corpus so every match is a planted one).
+    */
+  private val SharedS1 =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+  private val SharedS2 =
+    "pi rho sigma tau upsilon phi chi psi omega uno dos tres cuatro cinco seis siete ocho nueve diez once"
 
   /** Deterministic synthetic docs corpus (seed fixed; size small enough
     * for the per-query budget, big enough to exercise every code path).
@@ -260,6 +268,20 @@ object SparkEntry {
     "q32_semdedup" -> ((s, dir) =>
       SemDedup.semDedup(table(s, dir, "embeddings"), nClusters = 8,
         threshold = 0.4)),
+    // exact duplicated-token-sequence runs (Lee et al. 2021). Driver texts
+    // are unique word soup, so verbatim passages are planted in-query: 20
+    // docs share a 15-token passage, 13 docs a 20-token passage, 3 docs
+    // both (their pairs merge into one 35-token run, passage boundary
+    // included — maximality is part of what the oracle checks).
+    "q33_shared_token_runs" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(25)) === 0, lit(" " + SharedS1))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(40)) === 0, lit(" " + SharedS2))
+            .otherwise(lit(""))).as("text"))
+      SubstringDedup.sharedTokenRuns(d, k = 8, minRunTokens = 12)
+    }),
     // corpus-wide boilerplate-line removal. Driver texts are single-line,
     // so the boilerplate is planted in-query: every doc gains a banner
     // line (df=500) and every 3rd a copyright line (df~167), both over
@@ -793,7 +815,45 @@ object SparkEntry {
         |SELECT asn.vec_id, CAST(asn.cluster_id AS BIGINT) AS cluster_id,
         |  p.dup_of IS NOT NULL AS is_dup, p.dup_of
         |FROM asn LEFT JOIN p ON asn.vec_id = p.v
-        |ORDER BY asn.vec_id""".stripMargin)
+        |ORDER BY asn.vec_id""".stripMargin,
+    // same decoration, then the full window-hash + diagonal
+    // gaps-and-islands derivation: every maximal shared run of >= 12
+    // tokens at 8-token window granularity
+    "q33_shared_token_runs" ->
+      s"""WITH d AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id,
+         |    text
+         |    || CASE WHEN doc_id % 25 = 0 THEN ' $SharedS1' ELSE '' END
+         |    || CASE WHEN doc_id % 40 = 0 THEN ' $SharedS2' ELSE '' END AS text
+         |  FROM documents
+         |), tok AS (
+         |  SELECT id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM d
+         |), w AS (
+         |  SELECT id, unnest(range(1, len(toks) - 8 + 2)) AS i, toks
+         |  FROM tok WHERE len(toks) >= 8
+         |), h0 AS (
+         |  SELECT id, i - 1 AS pos,
+         |    md5_number_upper(array_to_string(toks[i:i+7], ' ')) AS u
+         |  FROM w
+         |), h AS (
+         |  SELECT id, pos, CAST(CASE WHEN u >= 9223372036854775808
+         |    THEN CAST(u AS HUGEINT) - 18446744073709551616
+         |    ELSE CAST(u AS HUGEINT) END AS BIGINT) AS hh
+         |  FROM h0
+         |), j AS (
+         |  SELECT a.id AS doc_a, b.id AS doc_b, a.pos AS pa, b.pos AS pb,
+         |    a.pos - b.pos AS diag
+         |  FROM h a JOIN h b ON a.hh = b.hh AND a.id < b.id
+         |), g AS (
+         |  SELECT *, pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+         |  FROM j
+         |)
+         |SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+         |  CAST(count(*) + 7 AS BIGINT) AS run_tokens
+         |FROM g GROUP BY doc_a, doc_b, diag, grp
+         |HAVING count(*) + 7 >= 12
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin)
 }
 
 /** q09 oracle: the exact DuckDB rendition of TextAnalysis.qualityScore. */

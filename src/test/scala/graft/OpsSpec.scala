@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Hashing, Multimodal, Similarity, SubstringDedup, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -413,5 +413,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(pairs.length == 1, pairs.mkString(","))
     assert(pairs(0).getAs[Double]("cosine") == 1.0)
+  }
+
+  // ---------- shared token runs (exact substring dedup) ----------
+
+  private def runs(rows: Seq[(Long, String)], k: Int = 4, minRun: Int = 6,
+      maxDf: Int = Int.MaxValue) =
+    SubstringDedup.sharedTokenRuns(docsDf(rows), k, minRun, maxDf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("start_a"), r.getAs[Long]("start_b"),
+        r.getAs[Long]("run_tokens"))).toSeq
+
+  test("sharedTokenRuns: one maximal run, exact positions and length") {
+    val common = "c1 c2 c3 c4 c5 c6" // 6 tokens
+    val out = runs(Seq(
+      (1L, s"a1 a2 a3 $common a4 a5"),
+      (2L, s"b1 $common b2 b3 b4 b5")))
+    assert(out == Seq((1L, 2L, 3L, 1L, 6L)))
+  }
+
+  test("sharedTokenRuns: below-threshold runs excluded; window floor") {
+    val out = runs(Seq(
+      (1L, "a1 a2 c1 c2 c3 c4 c5 a3"), // 5-token share < minRun=6
+      (2L, "c1 c2 c3 c4 c5 b1 b2 b3")))
+    assert(out.isEmpty)
+  }
+
+  test("sharedTokenRuns: two distinct runs on different diagonals = two rows") {
+    val r1 = "p1 p2 p3 p4 p5 p6"
+    val r2 = "q1 q2 q3 q4 q5 q6 q7"
+    val out = runs(Seq(
+      (1L, s"$r1 x1 x2 x3 $r2"),
+      (2L, s"$r2 y1 $r1")))
+    assert(out == Seq((1L, 2L, 0L, 8L, 6L), (1L, 2L, 9L, 0L, 7L)))
+  }
+
+  test("sharedTokenRuns: repeated passage in one doc -> one row per alignment") {
+    val c = "c1 c2 c3 c4 c5 c6"
+    val out = runs(Seq(
+      (1L, s"$c z1 z2 $c"),
+      (2L, s"w1 $c")))
+    assert(out == Seq((1L, 2L, 0L, 1L, 6L), (1L, 2L, 8L, 1L, 6L)))
+  }
+
+  test("sharedTokenRuns: maxWindowDocFreq drops corpus-hot windows") {
+    val c = "c1 c2 c3 c4 c5 c6"
+    val four = Seq((1L, s"x $c"), (2L, s"y $c"), (3L, s"z $c"), (4L, s"w $c"))
+    assert(runs(four).length == 6) // all C(4,2) pairs found unbounded
+    assert(runs(four, maxDf = 2).isEmpty) // hot windows (df=4) cut
   }
 }

@@ -153,6 +153,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Exchange hashpartitioning(doc_id"), p)
   }
 
+  test("piiScrub: zero shuffle, one projection over the columnar scan") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Pii.piiScrub(docs))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Batched: true"), p)
+  }
+
+  test("semDedup: cluster assignment is map-side only (no Exchange)") {
+    assume(sfPresent)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ops.SemDedup.assignClusters(vecs, nClusters = 4))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("sharedTokenRuns: self-join shuffles on the 8-byte window hash") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // disable auto-broadcast so the pinned key is visible even at toy scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.ops.SubstringDedup.sharedTokenRuns(docs))
+      assert(p.contains("Exchange hashpartitioning(h#"), p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("ngramDocFreqTopK: TakeOrderedAndProject, not a global sort") {
     assume(sfPresent)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
