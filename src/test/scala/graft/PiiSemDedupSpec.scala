@@ -58,6 +58,48 @@ class PiiSemDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(5L).getAs[String]("clean_text") == "no pii here 1.2 out of 5")
   }
 
+  test("piiScrub fuzz: counts match planted PII; redaction is idempotent") {
+    val rng = new graft.fixtures.Fixtures.Rng(77L)
+    val words = Vector("lorem", "ipsum", "dolor", "sit", "amet", "verba", "textus")
+    def word() = words(rng.nextInt(words.size))
+    val docs: Seq[(Long, String, (Int, Int, Int, Int))] = (0L until 40L).map { i =>
+      val sb = new StringBuilder
+      var (e, u, ip, ph) = (0, 0, 0, 0)
+      (0 until 30).foreach { _ =>
+        if (sb.nonEmpty) sb += ' '
+        rng.nextInt(10) match {
+          case 0 => e += 1; sb ++= s"u${rng.nextInt(99)}@host${rng.nextInt(9)}.org"
+          case 1 => u += 1; sb ++= s"https://s${rng.nextInt(9)}.example.com/p/${rng.nextInt(999)}"
+          case 2 => ip += 1; sb ++= s"10.${rng.nextInt(256)}.${rng.nextInt(256)}.${rng.nextInt(256)}"
+          // a non-digit word always follows a phone so the greedy
+          // separator class can't swallow a neighboring number
+          case 3 => ph += 1; sb ++= s"+49 30 ${1000000 + rng.nextInt(999999)} ${word()}"
+          case _ => sb ++= word()
+        }
+      }
+      (i, sb.toString, (e, u, ip, ph))
+    }
+    val sp = spark
+    import sp.implicits._
+    val out = Pii.piiScrub(docs.map(d => (d._1, d._2)).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { case (id, _, (e, u, ip, ph)) =>
+      val r = out(id)
+      assert(r.getAs[Long]("n_emails") == e, s"emails doc $id")
+      assert(r.getAs[Long]("n_urls") == u, s"urls doc $id")
+      assert(r.getAs[Long]("n_ips") == ip, s"ips doc $id")
+      assert(r.getAs[Long]("n_phones") == ph, s"phones doc $id")
+    }
+    // idempotence: scrubbing the redacted text finds nothing
+    val again = Pii.piiScrub(out.toSeq.map { case (id, r) =>
+      (id, r.getAs[String]("clean_text")) }.toDF("doc_id", "text")).collect()
+    again.foreach { r =>
+      Seq("n_emails", "n_urls", "n_ips", "n_phones").foreach { c =>
+        assert(r.getAs[Long](c) == 0, s"$c after redaction")
+      }
+    }
+  }
+
   // ---------- SemDedup ----------
 
   private val vecs: Seq[(Long, Seq[Float])] = Seq(

@@ -88,4 +88,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exactly one of the in-batch duplicates should survive: $ids")
     assert(ids.size == 3, ids)
   }
+
+  test("stateless corpus ops (pii scrub, quality filter) run unchanged on a stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "mail a@b.co or visit https://x.org/1 from 10.0.0.1"),
+      (2L, "the quick brown fox jumps over the lazy dog and more"),
+      (3L, "call +1 555 0100 now"))
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF.toDF("doc_id", "text")
+    // pure-projection ops compose with readStream with no code changes —
+    // that IS the claim this test pins (no stateful operator sneaks in)
+    val q1 = graft.ops.Pii.piiScrub(src).writeStream.format("memory")
+      .queryName("pii_stream").outputMode("append").start()
+    val q2 = graft.ops.Corpus.gopherQualityFilter(src).writeStream
+      .format("memory").queryName("gopher_stream").outputMode("append").start()
+    mem.addData(rows: _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(sortedRows(spark.table("pii_stream")) ==
+      sortedRows(graft.ops.Pii.piiScrub(rows.toDF("doc_id", "text"))))
+    assert(sortedRows(spark.table("gopher_stream")) ==
+      sortedRows(graft.ops.Corpus.gopherQualityFilter(rows.toDF("doc_id", "text"))))
+  }
 }
