@@ -85,10 +85,116 @@ object SemDedup {
     * >= threshold (null when the vector is its group's representative).
     */
   def semDedup(vecs: DataFrame, nClusters: Int = 8,
+      threshold: Double = 0.9): DataFrame =
+    markWithinClusterDups(assignClusters(vecs, nClusters), threshold)
+
+  /** Production variant: same duplicate rule, but centroids refined by
+    * deterministic spherical k-means (Lloyd rounds on the unit sphere,
+    * seeded from the nClusters smallest vec_ids) — what the SemDeDup
+    * paper actually clusters with. Not SQL-oracle-checkable (iterative),
+    * so it is gate-checked indirectly: the spec pins that the dup rule
+    * equals a brute-force recomputation GIVEN the refined assignment, and
+    * the rule layer itself is the oracle-checked semDedup. `cluster_id`
+    * here is the centroid INDEX (refined centroids are synthetic points).
+    *
+    * Scale note: assignment is brute-force argmax over k broadcast
+    * centroids (O(k*dim) per row). Past k ~ 10^4, prune with the
+    * centroid-angular-bound trick in `Similarity.ivfTopK` instead.
+    */
+  def semDedupKmeans(vecs: DataFrame, nClusters: Int = 8, iters: Int = 3,
       threshold: Double = 0.9): DataFrame = {
     val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = refineCentroids(vecs, nClusters, iters)
+    if (cents.isEmpty)
+      return spark.emptyDataset[(Long, Long, Boolean, Option[Long])]
+        .toDF("vec_id", "cluster_id", "is_dup", "dup_of")
+    val cb = spark.sparkContext.broadcast(cents)
+    val asn = vecs.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = cb.value
+        it.map { case (id, e) =>
+          val v = e.toArray
+          val n = Similarity.norm(v)
+          var best = 0
+          var bestDot = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            var d = 0.0
+            var j = 0
+            val c = cs(i)
+            val m = math.min(c.length, v.length)
+            while (j < m) { d += c(j) * v(j); j += 1 }
+            val cos = if (n == 0) 0.0 else d / n // centroids are unit-norm
+            if (cos > bestDot) { bestDot = cos; best = i }
+            i += 1
+          }
+          (id, best.toLong, e)
+        }
+      }
+      .toDF("vec_id", "cluster_id", "embedding")
+    markWithinClusterDups(asn, threshold)
+  }
+
+  /** Deterministic spherical k-means: unit-normalized Lloyd rounds, init
+    * from the k smallest vec_ids; empty clusters keep their previous
+    * centroid. Returns unit-norm double centroids.
+    */
+  def refineCentroids(vecs: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def unit(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }
+    val corp = vecs.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Array[Array[Double]] = corp.orderBy(col("vec_id")).limit(k)
+      .collect().map { case (_, e) => unit(e.map(_.toDouble).toArray) }
+    (0 until iters).foreach { _ =>
+      val cb = spark.sparkContext.broadcast(cents)
+      val sums = corp.map { case (_, e) =>
+        val u = unit(e.map(_.toDouble).toArray)
+        val cs = cb.value
+        var best = 0; var bestDot = Double.NegativeInfinity; var i = 0
+        while (i < cs.length) {
+          var d = 0.0; var j = 0
+          val m = math.min(cs(i).length, u.length)
+          while (j < m) { d += cs(i)(j) * u(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = i }
+          i += 1
+        }
+        (best, u)
+      }.groupByKey(_._1)
+        .mapGroups { (c, it) =>
+          var acc: Array[Double] = null
+          it.foreach { case (_, u) =>
+            if (acc == null) acc = u.clone()
+            else { var i = 0; while (i < acc.length) { acc(i) += u(i); i += 1 } }
+          }
+          (c, acc)
+        }.collect()
+      val next = cents.map(_.clone())
+      sums.foreach { case (c, acc) => if (acc != null) next(c) = unit(acc) }
+      cents = next
+      cb.destroy()
+    }
+    corp.unpersist()
+    cents
+  }
+
+  /** The shared duplicate-marking layer over an assignment
+    * (vec_id, cluster_id, embedding): within-cluster self-join, exact
+    * cosine via the codegen'd dot_product/vec_norm with norms hoisted out
+    * of the pair loop, then min-lower-id aggregation.
+    */
+  private def markWithinClusterDups(assignment: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = assignment.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val asn = assignClusters(vecs, nClusters)
+    val asn = assignment
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = asn.select(col("cluster_id"), col("vec_id").as("a"),
       col("embedding").as("ea")).withColumn("na", expr("vec_norm(ea)"))

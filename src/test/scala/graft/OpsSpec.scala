@@ -456,6 +456,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1L, 2L, 0L, 1L, 6L), (1L, 2L, 8L, 1L, 6L)))
   }
 
+  test("pairRecall audits what the sharedTokenRuns hot-window cut loses") {
+    val hot = "h1 h2 h3 h4 h5 h6"  // planted in 6 docs (df = 6)
+    val rare = "r1 r2 r3 r4 r5 r6" // planted in 2 docs (df = 2)
+    val corpus = (0L until 6L).map(i => (i, s"u$i $hot")) ++
+      Seq((6L, s"v1 $rare"), (7L, s"v2 $rare"))
+    val df = docsDf(corpus)
+    val audit = graft.ops.Audit.pairRecall(df, col("doc_id"),
+      sampleRate = 1.0, salt = "runs-audit", aCol = "doc_a", bCol = "doc_b")(
+      approx = s => SubstringDedup.sharedTokenRuns(s, 4, 6, maxWindowDocFreq = 3),
+      exact = s => SubstringDedup.sharedTokenRuns(s, 4, 6)).collect().head
+    assert(audit.getAs[Long]("exact_pairs") == 16)  // C(6,2) hot + 1 rare
+    assert(audit.getAs[Long]("found_pairs") == 1)   // the cut keeps only rare
+    assert(math.abs(audit.getAs[Double]("recall") - 1.0 / 16) < 1e-9)
+  }
+
   test("sharedTokenRuns: maxWindowDocFreq drops corpus-hot windows") {
     val c = "c1 c2 c3 c4 c5 c6"
     val four = Seq((1L, s"x $c"), (2L, s"y $c"), (3L, s"z $c"), (4L, s"w $c"))

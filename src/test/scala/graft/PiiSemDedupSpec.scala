@@ -136,6 +136,53 @@ class PiiSemDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(1L, 2L, 3L).foreach(id => assert(!out(id).getAs[Boolean]("is_dup"), id))
   }
 
+  test("semDedupKmeans: refined centroids recover planted clusters; dup rule holds") {
+    val sp = spark
+    import sp.implicits._
+    // even ids point near (1,0), odd ids near (0,1); deltas spaced 0.1 so
+    // no accidental pair clears the 0.999 threshold
+    val a = (0 until 5).map(m => (2L * m, Seq(1f, 0.1f * m)))
+    val b = (0 until 5).map(m => (2L * m + 1, Seq(0.1f * m, 1f)))
+    val planted = Seq((10L, Seq(2f, 0.2f))) // = 2 x vec 2 -> exact dup
+    val out = SemDedup.semDedupKmeans((a ++ b ++ planted).toDF("vec_id", "embedding"),
+      nClusters = 2, iters = 3, threshold = 0.999)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val clusterOf = out.view.mapValues(_.getAs[Long]("cluster_id")).toMap
+    assert((0 until 5).map(m => clusterOf(2L * m)).toSet.size == 1, "group A split")
+    assert((0 until 5).map(m => clusterOf(2L * m + 1)).toSet.size == 1, "group B split")
+    assert(clusterOf(0L) != clusterOf(1L), "groups merged")
+    assert(clusterOf(10L) == clusterOf(2L))
+    assert(out(10L).getAs[Boolean]("is_dup") && out(10L).getAs[Long]("dup_of") == 2L)
+    (0L until 10L).foreach(id => assert(!out(id).getAs[Boolean]("is_dup"), id))
+  }
+
+  test("semDedupKmeans: dup rule == brute force GIVEN its own assignment") {
+    val rng = new graft.fixtures.Fixtures.Rng(4321L)
+    val rvecs: Seq[(Long, Seq[Float])] = (0L until 50L).map { i =>
+      (i, Seq.fill(6)((rng.nextDouble() * 2 - 1).toFloat))
+    }
+    val t = 0.5
+    val sp = spark
+    import sp.implicits._
+    val got = SemDedup.semDedupKmeans(rvecs.toDF("vec_id", "embedding"),
+      nClusters = 3, iters = 2, threshold = t).collect()
+    val cluster = got.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    val byId = rvecs.toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      Similarity.round6(Similarity.cosine(a.toArray, b.toArray))
+    var dups = 0
+    got.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val expected = rvecs.filter { case (j, w) =>
+        j < id && cluster(j) == cluster(id) && cos(byId(id), w) >= t
+      }.map(_._1).sorted.headOption
+      val dupOf = Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue())
+      assert(dupOf == expected, s"dup_of of $id")
+      if (expected.isDefined) dups += 1
+    }
+    assert(dups > 0, "vacuous: no dups in the random corpus")
+  }
+
   test("semDedup == brute-force recomputation of the rule (random vectors)") {
     val rng = new graft.fixtures.Fixtures.Rng(1234L)
     val rvecs: Seq[(Long, Seq[Float])] = (0L until 60L).map { i =>
