@@ -185,6 +185,29 @@ object Corpus {
         rules.map(_._2).reduce(_ && _).as("passes")): _*)
   }
 
+  /** CCNet-style language-model quality scoring: per-document score from
+    * the embedded deterministic char-n-gram LM (the same model the
+    * extraction kernel's dehyphenation uses), via the codegen'd
+    * `lm_score` Catalyst expression — no UDF, no external service, zero
+    * shuffle. Lower = more natural text; `kept` = score <= maxScore. The
+    * score column is kept so callers can threshold-sweep without
+    * recomputing. Not SQL-recomputable (the LM lives in the JVM), so the
+    * gate covers it rows-only; FunctionsSpec pins lm_score == the typed
+    * Scorer, and CorpusSpec pins the natural-vs-gibberish ordering.
+    *
+    * Scale note: the LM walk is O(chars) per row with a per-thread LRU —
+    * linear and embarrassingly parallel, but ~10x the cost of the regex
+    * quality rules; run gopherQualityFilter FIRST so the LM only scores
+    * survivors (the reference makes the same observation about its
+    * char-LM being the per-document hot spot).
+    */
+  def perplexityFilter(docs: DataFrame, maxScore: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      round(expr("lm_score(text)"), 6).as("lm_score"))
+      .withColumn("kept", col("lm_score") <= maxScore)
+  }
+
   /** Per-stratum corpus report (the dashboard/reporting query of a
     * training-data pipeline): doc counts, token mass, mean quality score,
     * mean dup-word ratio per stratum. One pass: every metric is a plain

@@ -34,6 +34,20 @@ object Pii {
   private def count(c: Column, pat: String): Column =
     size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
 
+  /** The fully staged redaction of a text column. */
+  def redacted(text: Column): Column = {
+    val t1 = regexp_replace(text, EmailPattern, EmailToken)
+    val t2 = regexp_replace(t1, UrlPattern, UrlToken)
+    val t3 = regexp_replace(t2, Ipv4Pattern, IpToken)
+    regexp_replace(t3, PhonePattern, PhoneToken)
+  }
+
+  /** Pipeline form: `text` replaced in place by its redaction, every
+    * other column untouched (what CorpusPrep's pii_redact stage applies).
+    */
+  def redactText(df: DataFrame): DataFrame =
+    df.withColumn("text", redacted(col("text")))
+
   /** (doc_id, n_emails, n_urls, n_ips, n_phones, clean_text): staged
     * counts + fully redacted text, from a `text` column.
     */
@@ -42,13 +56,12 @@ object Pii {
     val t1 = regexp_replace(t0, EmailPattern, EmailToken)
     val t2 = regexp_replace(t1, UrlPattern, UrlToken)
     val t3 = regexp_replace(t2, Ipv4Pattern, IpToken)
-    val t4 = regexp_replace(t3, PhonePattern, PhoneToken)
     df.select(
       col("doc_id"),
       count(t0, EmailPattern).as("n_emails"),
       count(t1, UrlPattern).as("n_urls"),
       count(t2, Ipv4Pattern).as("n_ips"),
       count(t3, PhonePattern).as("n_phones"),
-      t4.as("clean_text"))
+      redacted(t0).as("clean_text"))
   }
 }

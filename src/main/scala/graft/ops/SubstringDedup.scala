@@ -34,8 +34,16 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
+  /** Pipeline parameters (CorpusPrep's substring_dedup stage): production
+    * defaults — 50-token runs are the Lee et al. reporting threshold, and
+    * a bounded window doc-frequency keeps the self-join linear.
+    */
+  final case class RunParams(k: Int = 8, minRunTokens: Int = 50,
+      maxWindowDocFreq: Int = 5000)
+
   def sharedTokenRuns(docs: DataFrame, k: Int = 8, minRunTokens: Int = 12,
-      maxWindowDocFreq: Int = Int.MaxValue): DataFrame = {
+      maxWindowDocFreq: Int = Int.MaxValue,
+      sortOutput: Boolean = true): DataFrame = {
     require(k >= 1 && minRunTokens >= k, s"need 1 <= k <= minRunTokens")
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
@@ -61,7 +69,7 @@ object SubstringDedup {
       .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
         (col("pa") - col("pb")).as("diag"))
     val islands = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    hits.withColumn("grp", col("pa") - row_number().over(islands))
+    val runs = hits.withColumn("grp", col("pa") - row_number().over(islands))
       .groupBy("doc_a", "doc_b", "diag", "grp")
       .agg(min(col("pa")).cast("long").as("start_a"),
         min(col("pb")).cast("long").as("start_b"),
@@ -69,6 +77,8 @@ object SubstringDedup {
       .filter(col("run_tokens") >= minRunTokens)
       .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
         col("run_tokens"))
-      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+    if (sortOutput)
+      runs.orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+    else runs
   }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.ops.{Corpus, Dedup}
+import graft.ops.{Corpus, Dedup, Pii, SubstringDedup}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -32,9 +32,20 @@ import org.apache.spark.sql.functions._
 object CorpusPrep {
 
   final case class PrepConfig(
+      /** Redact PII in place BEFORE any metric sees the text, so quality
+        * scores, fingerprints and n-grams are computed over what will
+        * actually be trained on (map-only, zero extra shuffle).
+        */
+      piiRedact: Boolean = false,
       quality: Option[Corpus.GopherThresholds] = Some(Corpus.GopherThresholds()),
       exactDedup: Boolean = true,
       nearDedup: Option[Dedup.MinHashParams] = Some(Dedup.MinHashParams()),
+      /** Partial-containment layer after whole-doc near-dedup: drop the
+        * higher-id document of every pair sharing a verbatim token run
+        * (the Lee et al. duplicated-passage class that survives
+        * document-level Jaccard).
+        */
+      substringDedup: Option[SubstringDedup.RunParams] = None,
       decontaminateN: Int = 13,
       sampleRates: Map[String, Double] = Map.empty,
       sampleDefaultRate: Double = 1.0,
@@ -59,6 +70,10 @@ object CorpusPrep {
     val out = Seq.newBuilder[(String, DataFrame)]
     var cur = docs
     out += ("input" -> cur)
+    if (cfg.piiRedact) {
+      cur = Pii.redactText(cur)
+      out += ("pii_redact" -> cur)
+    }
     cfg.quality.foreach { th =>
       cur = cur.filter(Corpus.gopherPasses(th))
       out += ("quality" -> cur)
@@ -68,7 +83,8 @@ object CorpusPrep {
       out += ("exact_dedup" -> cur)
     }
     if (cfg.persistIntermediate &&
-        (cfg.nearDedup.nonEmpty || evalCorpus.nonEmpty))
+        (cfg.nearDedup.nonEmpty || cfg.substringDedup.nonEmpty ||
+          evalCorpus.nonEmpty))
       cur = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cfg.nearDedup.foreach { p =>
       val clusters =
@@ -77,6 +93,13 @@ object CorpusPrep {
         .select("doc_id")
       cur = cur.join(losers, Seq("doc_id"), "left_anti")
       out += ("near_dedup" -> cur)
+    }
+    cfg.substringDedup.foreach { p =>
+      val losers = SubstringDedup.sharedTokenRuns(cur, p.k, p.minRunTokens,
+        p.maxWindowDocFreq, sortOutput = false)
+        .select(col("doc_b").as("doc_id")).distinct()
+      cur = cur.join(losers, Seq("doc_id"), "left_anti")
+      out += ("substring_dedup" -> cur)
     }
     evalCorpus.foreach { ev =>
       val contaminated = Corpus.decontaminate(cur, ev, cfg.decontaminateN)

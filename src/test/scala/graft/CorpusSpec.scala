@@ -266,4 +266,17 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("a b", 2L), ("b c", 2L), ("b a", 1L)))
   }
+
+  test("perplexityFilter: natural text scores below gibberish; kept respects threshold") {
+    val df = docsDf(Seq(
+      (1L, "the cat sat on the mat and the dog was in the house"),
+      (2L, "zxq jwv qqq kxz vvq zzj wqx")))
+    val scores = Corpus.perplexityFilter(df, maxScore = Double.MaxValue)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("lm_score"))
+      .toMap
+    assert(scores(1L) < scores(2L), scores.toString)
+    val kept = Corpus.perplexityFilter(df, (scores(1L) + scores(2L)) / 2)
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+  }
 }

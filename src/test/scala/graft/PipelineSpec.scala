@@ -107,6 +107,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(n1 - 200L) < 40, s"got $n1 of 400 at rate 0.5")
   }
 
+  test("pii_redact and substring_dedup stages engage in order") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc 10 quotes a 12-token passage from doc 9 inside otherwise-unique
+    // text: whole-doc similarity is low, only the containment layer sees it
+    val passage = (1 to 12).map(i => s"quoted$i").mkString(" ")
+    val docs = Seq(
+      (9L, mk(words ++ stops) + " " + passage + " contact a@b.co", "en"),
+      (10L, mk(words2 ++ stops) + " " + passage, "en"),
+      (11L, mk(words3.take(50) ++ stops), "en"))
+      .toDF("doc_id", "text", "lang")
+    val c = CorpusPrep.PrepConfig(
+      piiRedact = true,
+      quality = Some(Corpus.GopherThresholds(minTokens = 5,
+        minStopwordRatio = 0.0, minAlphaRatio = 0.0,
+        maxDupWordRatio = 1.0, maxDup2GramRatio = 1.0)),
+      exactDedup = false, nearDedup = None,
+      substringDedup = Some(graft.ops.SubstringDedup.RunParams(
+        k = 8, minRunTokens = 12, maxWindowDocFreq = Int.MaxValue)))
+    val stages = CorpusPrep.stages(docs, None, c).toMap
+    // redaction runs FIRST, so every later stage sees the clean text
+    val redacted = stages("pii_redact").filter(col("doc_id") === 9L)
+      .select("text").collect().head.getString(0)
+    assert(redacted.contains("<EMAIL>") && !redacted.contains("a@b.co"))
+    // the containment layer drops the higher-id quoting doc only
+    val ids = CorpusPrep.prepare(docs, None, c)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(9L, 11L))
+  }
+
   test("extraction output feeds CorpusPrep directly (one-library path)") {
     val sp = spark
     import sp.implicits._
