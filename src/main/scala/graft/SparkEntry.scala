@@ -282,6 +282,14 @@ object SparkEntry {
             .otherwise(lit(""))).as("text"))
       SubstringDedup.sharedTokenRuns(d, k = 8, minRunTokens = 12)
     }),
+    // CCNet-style LM quality scores (rows-only gate: the char-LM lives in
+    // the JVM — FunctionsSpec pins lm_score == the typed Scorer, and
+    // CorpusSpec pins natural-vs-gibberish ordering). maxScore 4.53 sits
+    // at the driver-corpus median so `kept` is differential at verify
+    // scale (~half the docs each way).
+    "q34_perplexity_scores" -> ((s, dir) =>
+      Corpus.perplexityFilter(table(s, dir, "documents"), maxScore = 4.53)
+        .orderBy(col("doc_id"))),
     // corpus-wide boilerplate-line removal. Driver texts are single-line,
     // so the boilerplate is planted in-query: every doc gains a banner
     // line (df=500) and every 3rd a copyright line (df~167), both over
