@@ -410,7 +410,11 @@ object Bench {
       }
       lines ++= f"\n- raw N->4N scaling efficiency (e2e): **$eff%.3f**\n"
       lines ++= f"- pure-compute ceiling on this VM (kernel-only, no Spark/IO): **$ceiling%.3f**\n"
-      lines ++= f"- normalized efficiency (e2e / ceiling): **$normalized%.3f**\n\n"
+      lines ++= f"- normalized efficiency (e2e / ceiling): **$normalized%.3f**\n"
+      if (normalized > 1.0)
+        lines ++= "  (>1 = the e2e path out-scaled the kernel probe within this window's\n" +
+          "  noise — read it as \"at the ceiling\", not better than physics)\n"
+      lines ++= "\n"
       val sorted = levels.sorted
       if (sorted.length >= 2) {
         val (lo, hi) = (sorted(0), sorted(1))

@@ -21,10 +21,21 @@ import org.apache.spark.sql.functions._
 object Pii {
 
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlPattern   = "https?://[A-Za-z0-9./_%?=&#:~-]+"
-  val Ipv4Pattern  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  /** international-ish: leading +, then >= 8 total digits with separators */
-  val PhonePattern = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+  /** scheme matched case-insensitively via explicit classes (RE2 and Java
+    * both honor them; inline (?i) flags differ between the engines)
+    */
+  val UrlPattern   = "[Hh][Tt][Tt][Pp][Ss]?://[A-Za-z0-9./_%?=&#:~-]+"
+  /** octet-bounded (0-255): version strings like 10.24.300.1 are NOT IPs */
+  private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  val Ipv4Pattern  = s"\\b$Octet\\.$Octet\\.$Octet\\.$Octet\\b"
+  /** International-ish: leading +, then 8-20 total digits with space/()/-
+    * separators. DELIBERATELY greedy across single spaces: a digit group
+    * adjacent to a phone number ("+1 555 0100 2026") is absorbed into the
+    * redaction — over-redacting number-adjacent digits is the
+    * privacy-conservative failure mode, and RE2 has no lookahead with
+    * which to express a tighter boundary portably.
+    */
+  val PhonePattern = "\\+[0-9][0-9 ()-]{6,18}[0-9]"
 
   val EmailToken = "<EMAIL>"
   val UrlToken   = "<URL>"
@@ -62,6 +73,6 @@ object Pii {
       count(t1, UrlPattern).as("n_urls"),
       count(t2, Ipv4Pattern).as("n_ips"),
       count(t3, PhonePattern).as("n_phones"),
-      redacted(t0).as("clean_text"))
+      regexp_replace(t3, PhonePattern, PhoneToken).as("clean_text"))
   }
 }

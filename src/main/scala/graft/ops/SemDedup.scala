@@ -83,10 +83,14 @@ object SemDedup {
   /** (vec_id, cluster_id, is_dup, dup_of): within-cluster near-duplicate
     * marking. `dup_of` = smallest same-cluster vec_id with round6 cosine
     * >= threshold (null when the vector is its group's representative).
+    * Zero-norm embeddings are DEFINED as cosine 0.0 to everything (the
+    * SQL oracle's list_cosine_similarity has no such guard — the gate
+    * corpus contains none). `sortOutput=false` skips the gate-only global
+    * sort on the production path.
     */
   def semDedup(vecs: DataFrame, nClusters: Int = 8,
-      threshold: Double = 0.9): DataFrame =
-    markWithinClusterDups(assignClusters(vecs, nClusters), threshold)
+      threshold: Double = 0.9, sortOutput: Boolean = true): DataFrame =
+    markWithinClusterDups(assignClusters(vecs, nClusters), threshold, sortOutput)
 
   /** Production variant: same duplicate rule, but centroids refined by
     * deterministic spherical k-means (Lloyd rounds on the unit sphere,
@@ -99,10 +103,14 @@ object SemDedup {
     *
     * Scale note: assignment is brute-force argmax over k broadcast
     * centroids (O(k*dim) per row). Past k ~ 10^4, prune with the
-    * centroid-angular-bound trick in `Similarity.ivfTopK` instead.
+    * centroid-angular-bound trick in `Similarity.ivfTopK` instead. The
+    * refine loop scans the source once per Lloyd round (cached inside
+    * refineCentroids) and the assignment pass scans it once more — at
+    * 1e9-embedding scale persist `vecs` upstream; like
+    * CorpusPrep.persistIntermediate, callers own cache lifetime.
     */
   def semDedupKmeans(vecs: DataFrame, nClusters: Int = 8, iters: Int = 3,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9, sortOutput: Boolean = true): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val cents = refineCentroids(vecs, nClusters, iters)
@@ -134,12 +142,23 @@ object SemDedup {
         }
       }
       .toDF("vec_id", "cluster_id", "embedding")
-    markWithinClusterDups(asn, threshold)
+    markWithinClusterDups(asn, threshold, sortOutput)
   }
+
+  /** Fixed-point scale for centroid accumulation: unit-vector components
+    * (<= 1 in magnitude) quantize to ~2^28, so Long sums stay exact up to
+    * ~2^34 rows per cluster — and INTEGER addition is associative, which
+    * is what makes the Lloyd update bit-identical regardless of shuffle
+    * arrival order (double summation would drift in final ulps between
+    * runs on a real cluster and could flip a near-tie assignment).
+    */
+  private val FixedPointScale = 1L << 28
 
   /** Deterministic spherical k-means: unit-normalized Lloyd rounds, init
     * from the k smallest vec_ids; empty clusters keep their previous
-    * centroid. Returns unit-norm double centroids.
+    * centroid. Returns unit-norm double centroids. Deterministic on ANY
+    * cluster: per-partition fixed-point Long partial sums, merged with
+    * order-insensitive integer addition (see FixedPointScale).
     */
   def refineCentroids(vecs: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     val spark = vecs.sparkSession
@@ -155,29 +174,42 @@ object SemDedup {
       .collect().map { case (_, e) => unit(e.map(_.toDouble).toArray) }
     (0 until iters).foreach { _ =>
       val cb = spark.sparkContext.broadcast(cents)
-      val sums = corp.map { case (_, e) =>
-        val u = unit(e.map(_.toDouble).toArray)
+      // one pass: per-partition (cluster -> fixed-point component sums),
+      // tiny k x dim output per partition, Long-exact merge driver-side
+      val partials = corp.mapPartitions { it =>
         val cs = cb.value
-        var best = 0; var bestDot = Double.NegativeInfinity; var i = 0
-        while (i < cs.length) {
-          var d = 0.0; var j = 0
-          val m = math.min(cs(i).length, u.length)
-          while (j < m) { d += cs(i)(j) * u(j); j += 1 }
-          if (d > bestDot) { bestDot = d; best = i }
-          i += 1
-        }
-        (best, u)
-      }.groupByKey(_._1)
-        .mapGroups { (c, it) =>
-          var acc: Array[Double] = null
-          it.foreach { case (_, u) =>
-            if (acc == null) acc = u.clone()
-            else { var i = 0; while (i < acc.length) { acc(i) += u(i); i += 1 } }
+        val sums = Array.ofDim[Long](cs.length,
+          if (cs.isEmpty) 0 else cs(0).length)
+        val seen = new Array[Boolean](cs.length)
+        it.foreach { case (_, e) =>
+          val u = unit(e.map(_.toDouble).toArray)
+          var best = 0; var bestDot = Double.NegativeInfinity; var i = 0
+          while (i < cs.length) {
+            var d = 0.0; var j = 0
+            val m = math.min(cs(i).length, u.length)
+            while (j < m) { d += cs(i)(j) * u(j); j += 1 }
+            if (d > bestDot) { bestDot = d; best = i }
+            i += 1
           }
-          (c, acc)
-        }.collect()
+          seen(best) = true
+          val row = sums(best)
+          var j = 0
+          val m = math.min(row.length, u.length)
+          while (j < m) { row(j) += math.round(u(j) * FixedPointScale); j += 1 }
+        }
+        (0 until cs.length).iterator.filter(seen)
+          .map(c => (c, sums(c).toSeq))
+      }
+      // merge partials on executors: Long addition commutes/associates, so
+      // ANY reduce order gives bit-identical sums; k x dim reaches the driver
+      val sums = partials.groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          (a._1, a._2.zip(b._2).map { case (x, y) => x + y })
+        }.map(_._2).collect()
       val next = cents.map(_.clone())
-      sums.foreach { case (c, acc) => if (acc != null) next(c) = unit(acc) }
+      sums.foreach { case (c, acc) =>
+        next(c) = unit(acc.map(_.toDouble / FixedPointScale).toArray)
+      }
       cents = next
       cb.destroy()
     }
@@ -188,10 +220,13 @@ object SemDedup {
   /** The shared duplicate-marking layer over an assignment
     * (vec_id, cluster_id, embedding): within-cluster self-join, exact
     * cosine via the codegen'd dot_product/vec_norm with norms hoisted out
-    * of the pair loop, then min-lower-id aggregation.
+    * of the pair loop, then min-lower-id aggregation. The assignment is
+    * persisted (both join sides read it); the cache lives until the
+    * ContextCleaner GCs it or the caller clearCache()s — the same
+    * caller-owned-lifetime contract as CorpusPrep.persistIntermediate.
     */
   private def markWithinClusterDups(assignment: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, sortOutput: Boolean): DataFrame = {
     val spark = assignment.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val asn = assignment
@@ -206,9 +241,9 @@ object SemDedup {
           .otherwise(expr("dot_product(ea, eb)") / (col("na") * col("nb"))), 6))
       .filter(col("cosine") >= threshold)
       .groupBy(col("b").as("vec_id")).agg(min(col("a")).as("dup_of"))
-    asn.join(dupOf, Seq("vec_id"), "left")
+    val out = asn.join(dupOf, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster_id"),
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
-      .orderBy(col("vec_id"))
+    if (sortOutput) out.orderBy(col("vec_id")) else out
   }
 }

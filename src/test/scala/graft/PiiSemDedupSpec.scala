@@ -40,7 +40,9 @@ class PiiSemDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "see https://ex.org/a?b=1&c=2#f and http://10.1.2.3/x"),
       (3L, "server 192.168.0.1 port 8080"),
       (4L, "call +1 (555) 123-4567 now"),
-      (5L, "no pii here 1.2 out of 5")))
+      (5L, "no pii here 1.2 out of 5"),
+      (6L, "go to HTTPS://Example.COM/path now"),
+      (7L, "version 10.24.300.1 is not an address")))
     assert(out(1L).getAs[Long]("n_emails") == 1)
     assert(out(1L).getAs[String]("clean_text") == "write to <EMAIL> today")
     // the host-style IP inside the URL is redacted AS a URL (staging),
@@ -56,6 +58,12 @@ class PiiSemDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out(5L).getAs[Long](c) == 0, c)
     }
     assert(out(5L).getAs[String]("clean_text") == "no pii here 1.2 out of 5")
+    // scheme matching is case-insensitive
+    assert(out(6L).getAs[Long]("n_urls") == 1)
+    assert(out(6L).getAs[String]("clean_text") == "go to <URL> now")
+    // octet-bounded: a version string with a 300 octet is NOT an IP
+    assert(out(7L).getAs[Long]("n_ips") == 0)
+    assert(out(7L).getAs[String]("clean_text") == "version 10.24.300.1 is not an address")
   }
 
   test("piiScrub fuzz: counts match planted PII; redaction is idempotent") {
