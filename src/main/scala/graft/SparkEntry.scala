@@ -564,7 +564,7 @@ object SparkEntry {
         |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
     // recomputed winnowing signature: md5_number_upper k-gram hashes,
-    // min per non-overlapping 16-window, consecutive dups collapsed —
+    // min per SLIDING 16-window, consecutive dups collapsed —
     // byte-identical to TextAnalysis.winnowSignature
     "q16_winnow_fingerprints" ->
       """WITH n AS (
@@ -584,10 +584,10 @@ object SparkEntry {
         |      ELSE CAST(md5_number_upper(g) AS HUGEINT) END AS BIGINT)) AS hs
         |  FROM g
         |), w AS (
-        |  SELECT doc_id, hs, greatest(len(hs) // 16, 1) AS nwin FROM h
+        |  SELECT doc_id, hs, greatest(len(hs) - 16 + 1, 1) AS nwin FROM h
         |), m AS (
         |  SELECT doc_id, list_transform(range(0, nwin),
-        |    j -> list_min(hs[j*16+1 : least((j+1)*16, len(hs))])) AS mins
+        |    j -> list_min(hs[j+1 : least(j+16, len(hs))])) AS mins
         |  FROM w
         |), s AS (
         |  SELECT doc_id, list_filter(mins, (x, i) -> i = 1 OR x <> mins[i-1]) AS sig
@@ -616,10 +616,10 @@ object SparkEntry {
         |      ELSE CAST(md5_number_upper(g) AS HUGEINT) END AS BIGINT)) AS hs
         |  FROM g
         |), w AS (
-        |  SELECT doc_id, hs, greatest(len(hs) // 16, 1) AS nwin FROM h
+        |  SELECT doc_id, hs, greatest(len(hs) - 16 + 1, 1) AS nwin FROM h
         |), m AS (
         |  SELECT doc_id, list_transform(range(0, nwin),
-        |    j -> list_min(hs[j*16+1 : least((j+1)*16, len(hs))])) AS mins
+        |    j -> list_min(hs[j+1 : least(j+16, len(hs))])) AS mins
         |  FROM w
         |), s AS (
         |  SELECT doc_id,

@@ -30,11 +30,13 @@ object SpanCodec {
   }
 
   def fmt(d: Double): String = {
-    // fixed-point, one fractional digit (FIXTURES.md §2) — locale-free
+    // fixed-point, one fractional digit (FIXTURES.md §2) — locale-free.
+    // Sign is emitted explicitly: for values in (-1.0, 0) the integer part
+    // truncates to 0 and would silently swallow the minus.
     val scaled = math.rint(d * 10.0).toLong
-    val whole = scaled / 10
-    val frac = math.abs(scaled % 10)
-    s"$whole.$frac"
+    val sign = if (scaled < 0) "-" else ""
+    val abs = math.abs(scaled)
+    s"$sign${abs / 10}.${abs % 10}"
   }
 
   def fmtBox(b: Box): String = s"${fmt(b.l)},${fmt(b.t)},${fmt(b.w)},${fmt(b.h)}"

@@ -24,6 +24,14 @@ object Scorer {
   // Thread-local LRUs: no lock contention across the 32 executor threads
   // (the model itself is immutable after lazy init, so scoring is lock-free).
   private val cache = ThreadLocal.withInitial[Lru](() => new Lru(65536))
+  /** Texts longer than this bypass the LRU. The cache exists for the
+    * dehyphenation workload (short lines, heavy repetition); corpus-level
+    * `lm_score(text)` over full documents would otherwise retain up to
+    * 65536 entire document bodies PER THREAD — an unbounded-bytes cache
+    * masquerading as a bounded-entries one. Long texts repeat rarely, so
+    * skipping the cache costs nothing there.
+    */
+  val MaxCachedTextLen = 512
   private val lmCalls = new java.util.concurrent.atomic.LongAdder
   // per-THREAD count: a Spark task runs single-threaded, so snapshotting
   // this at partition start/end gives an exact per-partition delta (the
@@ -45,6 +53,11 @@ object Scorer {
     * canonical lang so models never cross-contaminate.
     */
   def score(text: String, lang: String = "multi"): Double = {
+    if (text.length > MaxCachedTextLen) {
+      lmCalls.increment()
+      threadLmCalls.get()(0) += 1
+      return CharLm.score(text, lang)
+    }
     val c = cache.get()
     val key = CharLm.canonicalLang(lang) + "\u0000" + text
     val hit = c.get(key)

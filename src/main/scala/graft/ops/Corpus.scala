@@ -258,11 +258,18 @@ object Corpus {
       .groupBy("h").agg(count(lit(1)).as("line_df"))
       .filter(col("line_df") > maxDocFreq)
       .select("h")
-    lines.join(hot, Seq("h"), "left_anti")
+    val rebuilt = lines.join(hot, Seq("h"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line")), "\n").as("text"))
+    // row-count preserving: a doc whose EVERY line is boilerplate has no
+    // surviving line rows and would otherwise vanish from the corpus —
+    // it must become an empty-text row instead (downstream joins key on
+    // doc_id; silently losing documents is not line removal)
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
   }
 
   /** Corpus-level n-gram document frequency, top k. Counting is DF (one

@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   *  - SimHash: one 60-bit signature per doc, candidate pairs via
   *    (maxHamming+1) band self-joins (complete by pigeonhole for the
   *    requested radius), verified by exact hamming distance.
+  *
+  * Cache lifetime: operators that persist an internal index (signatures,
+  * exploded shingles) return LAZY DataFrames that read that cache at
+  * action time, so they cannot unpersist before returning — the same
+  * caller-owned-lifetime contract as CorpusPrep.persistIntermediate
+  * (ContextCleaner GCs the blocks; long-lived sessions running many
+  * operator instances should spark.catalog.clearCache() between them).
   */
 object Dedup {
 
@@ -189,9 +196,17 @@ object Dedup {
       else {
         val hot = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select(col("g"))
-        exploded.join(broadcast(hot), Seq("g"), "left_anti")
+        // join on g moves the key to column 0 — restore (id, g) order,
+        // the positional toDF renames below depend on it
+        exploded.join(broadcast(hot), Seq("g"), "left_anti").select("id", "g")
       }
-    val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // sizes over the SAME filtered universe as the intersection: with the
+    // frequency cut on, jaccard is the similarity of the KEPT (rare)
+    // shingle sets. Deriving sizes from the unfiltered index would divide
+    // a kept-only intersection by full-set sizes — two exact duplicates
+    // that are mostly boilerplate would then score near 0 and slip the
+    // production near-dup net entirely.
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = filtered.toDF("a", "g")
       .join(filtered.toDF("b", "g"), Seq("g"))
       .filter(col("a") < col("b"))

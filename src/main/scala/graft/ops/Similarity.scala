@@ -278,11 +278,16 @@ object Similarity extends Serializable {
       .as[(Long, Seq[Float])].collect()
       .map { case (id, e) => (id, asArray(e), norm(asArray(e))) }
 
+    // unit query vectors hoisted out of the per-cluster bound loop
+    // (phase 1 + phase 2 evaluate the bound ~2*Q*C times; the conversion
+    // is invariant per query)
+    val qUnits: Map[Long, Array[Double]] =
+      qs.map(q => q._1 -> unit(q._2.toSeq, q._3)).toMap
+
     /** upper bound on cos(q, any member of cluster c) */
     def bound(q: (Long, Array[Float], Double), c: Int): Double = {
       if (q._3 == 0) return 1.0 // zero-norm query: scan everything
-      val u = unit(q._2.toSeq, q._3)
-      val theta = clampAcos(dotD(cb.value(c), u))
+      val theta = clampAcos(dotD(cb.value(c), qUnits(q._1)))
       math.cos(math.max(0.0, theta - radius.getOrElse(c, math.Pi)))
     }
 

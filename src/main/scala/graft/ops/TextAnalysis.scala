@@ -138,12 +138,20 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
-  /** Winnowing-style robust fingerprint: k-gram hashes, minimum per
-    * (non-overlapping) window, consecutive duplicates collapsed — a
-    * near-dup-robust document signature (computed per-row in a typed map;
-    * the signature never exceeds ~text/window longs). The k-gram hash is
-    * Hashing.md5Long so the whole signature is recomputable inside the
-    * DuckDB gate oracle (md5_number_upper + list window mins).
+  /** Winnowing fingerprint (Schleimer et al. 2003, MOSS): k-gram hashes,
+    * minimum over every SLIDING window of `window` hashes, consecutive
+    * duplicate minima collapsed. Sliding windows (not tiles) are what
+    * carry the winnowing guarantee: any shared substring of
+    * window + k - 1 chars fully contains some window, whose minimum is a
+    * function of content alone — so it appears in BOTH documents'
+    * signatures regardless of alignment offset. (A tiled variant cuts
+    * the two documents' windows at different phases and can share zero
+    * fingerprints on a genuinely quoted passage.) Expected signature
+    * density is 2/(window+1) of positions — bounded, like the tiles.
+    *
+    * O(n) via a monotonic deque; per-row in a typed map. The k-gram hash
+    * is Hashing.md5Long so the whole signature is recomputable inside the
+    * DuckDB gate oracle (md5_number_upper + sliding list window mins).
     */
   def winnowSignature(text: String, k: Int = 8, window: Int = 16): Vector[Long] = {
     val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
@@ -156,14 +164,28 @@ object TextAnalysis {
     }
     val out = Vector.newBuilder[Long]
     var last = Long.MinValue
-    var j = 0
-    while (j + window <= hashes.length || j == 0) {
-      val end = math.min(j + window, hashes.length)
+    val n = hashes.length
+    if (n <= window) {
       var m = Long.MaxValue
-      var x = j
-      while (x < end) { if (hashes(x) < m) m = hashes(x); x += 1 }
-      if (m != last) { out += m; last = m }
-      j += window
+      var x = 0
+      while (x < n) { if (hashes(x) < m) m = hashes(x); x += 1 }
+      out += m
+    } else {
+      // monotonic deque of indices; head = index of current window min
+      val dq = new Array[Int](n)
+      var head = 0
+      var tail = 0 // exclusive
+      var j = 0
+      while (j < n) {
+        while (tail > head && hashes(dq(tail - 1)) >= hashes(j)) tail -= 1
+        dq(tail) = j; tail += 1
+        if (dq(head) <= j - window) head += 1
+        if (j >= window - 1) {
+          val m = hashes(dq(head))
+          if (m != last) { out += m; last = m }
+        }
+        j += 1
+      }
     }
     out.result()
   }

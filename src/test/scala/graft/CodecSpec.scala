@@ -67,5 +67,11 @@ class CodecSpec extends AnyFunSuite {
     assert(SpanCodec.fmt(1.25) == "1.2") // rint: banker's rounding
     assert(SpanCodec.fmt(123.456) == "123.5")
     assert(SpanCodec.fmt(0.05) == "0.0")
+    // sign survives magnitudes below 1 (integer division used to truncate
+    // -0.3 to whole part 0 and silently drop the minus)
+    assert(SpanCodec.fmt(-0.3) == "-0.3")
+    assert(SpanCodec.fmt(-1.25) == "-1.2")
+    assert(SpanCodec.parseBox(SpanCodec.fmtBox(Box(-0.3, 2.5, -12.7, 0.0))) ==
+      Box(-0.3, 2.5, -12.7, 0.0))
   }
 }

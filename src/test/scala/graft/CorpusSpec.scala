@@ -140,7 +140,7 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---------- boilerplate line removal ----------
 
-  test("removeBoilerplateLines: hot lines dropped, order kept, all-boilerplate doc vanishes") {
+  test("removeBoilerplateLines: hot lines dropped, order kept, all-boilerplate doc becomes empty row") {
     val df = docsDf(Seq(
       (1L, "unique one\nFOOTER\nmore one"),
       (2L, "FOOTER\nunique two"),
@@ -148,10 +148,13 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "FOOTER"))) // nothing but boilerplate
     val out = Corpus.removeBoilerplateLines(df, maxDocFreq = 2)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // row-count preserving: doc 4 survives as an EMPTY row, it does not
+    // silently vanish from the corpus (downstream joins key on doc_id)
     assert(out == Map(
       1L -> "unique one\nmore one",
       2L -> "unique two",
-      3L -> "unique three"))
+      3L -> "unique three",
+      4L -> ""))
     // per-doc repeats do not inflate the document frequency
     val df2 = docsDf(Seq(
       (1L, "x\nx\nx"), (2L, "y"))) // "x" df=1 (one doc), under the cut
@@ -191,9 +194,9 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       val maxDf = 1 + rng.nextInt(10)
       val df = rows.flatMap { case (_, t) => t.split("\n").distinct }
         .groupBy(identity).view.mapValues(_.size).toMap
-      val expected = rows.flatMap { case (id, t) =>
-        val kept = t.split("\n").filter(l => df(l) <= maxDf)
-        if (kept.isEmpty) None else Some(id -> kept.mkString("\n"))
+      val expected = rows.map { case (id, t) =>
+        // all-hot docs survive as empty rows (row-count preserving)
+        id -> t.split("\n").filter(l => df(l) <= maxDf).mkString("\n")
       }.toMap
       val got = Corpus.removeBoilerplateLines(docsDf(rows.toList), maxDf)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

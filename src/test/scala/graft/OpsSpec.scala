@@ -274,6 +274,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(3).getAs[Double]("dup_word_ratio") == 0.0)  // all distinct
   }
 
+  test("winnowSignature: quoted passage shares fingerprints at EVERY alignment offset") {
+    // the winnowing guarantee (sliding windows): a shared substring of
+    // >= window + k - 1 chars fully contains some window in both docs, so
+    // its min appears in both signatures regardless of phase. A tiled
+    // scheme fails this for offsets not congruent mod the window size.
+    val para = "a distinctive quoted paragraph long enough to contain " +
+      "several full windows of kgram hashes in both documents"
+    (1 to 20).foreach { shift =>
+      val a = ("x" * shift) + " " + para
+      val b = "completely different preamble words here " + para
+      val shared = TextAnalysis.winnowSignature(a).toSet
+        .intersect(TextAnalysis.winnowSignature(b).toSet)
+      assert(shared.nonEmpty, s"shift $shift shares no fingerprints")
+    }
+  }
+
+  test("ngramJaccardPairsAtScale: boilerplate-dominated exact dups still pair (sizes from kept shingles)") {
+    val boiler = (1 to 30).map(i => s"terms$i of service$i common").mkString(" ")
+    val unique = "rare payload alpha beta gamma delta epsilon"
+    // 5 boilerplate-only docs push the boilerplate shingles over the cut;
+    // docs 6 and 7 are exact duplicates that are MOSTLY boilerplate
+    val docs = (0L until 5L).map(i => (i, s"pre$i $boiler")) ++
+      Seq((6L, s"$boiler $unique"), (7L, s"$boiler $unique"))
+    val pairs = Dedup.ngramJaccardPairsAtScale(docsDf(docs), n = 3,
+      threshold = 0.9, maxDocFreq = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    // jaccard over the KEPT (rare) shingles is 1.0; dividing by full-set
+    // sizes would score ~0 and drop the exact-dup pair
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((6L, 7L)), pairs.mkString(","))
+    assert(pairs(0)._3 == 1.0)
+  }
+
   test("winnowSignature: deterministic, shift-invariant prefix property") {
     val t = "the winnowing algorithm selects minima over rolling hash windows"
     val s1 = TextAnalysis.winnowSignature(t)
