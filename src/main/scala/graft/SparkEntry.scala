@@ -788,13 +788,13 @@ object SparkEntry {
          |    || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || (doc_id % 200) || '.25' ELSE '' END
          |    || CASE WHEN doc_id % 13 = 0 THEN ' tel +1 555 01' || (100 + doc_id % 100) ELSE '' END AS t0
          |  FROM documents
-         |), s1 AS (SELECT doc_id, t0, regexp_replace(t0, '${Pii.EmailPattern}', '${Pii.EmailToken}', 'g') AS t1 FROM d
-         |), s2 AS (SELECT *, regexp_replace(t1, '${Pii.UrlPattern}', '${Pii.UrlToken}', 'g') AS t2 FROM s1
+         |), s1 AS (SELECT doc_id, t0, regexp_replace(t0, '${Pii.UrlPattern}', '${Pii.UrlToken}', 'g') AS t1 FROM d
+         |), s2 AS (SELECT *, regexp_replace(t1, '${Pii.EmailPattern}', '${Pii.EmailToken}', 'g') AS t2 FROM s1
          |), s3 AS (SELECT *, regexp_replace(t2, '${Pii.Ipv4Pattern}', '${Pii.IpToken}', 'g') AS t3 FROM s2
          |)
          |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(t0, '${Pii.EmailPattern}')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(t1, '${Pii.UrlPattern}')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(t0, '${Pii.UrlPattern}')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(t1, '${Pii.EmailPattern}')) AS BIGINT) AS n_emails,
          |  CAST(len(regexp_extract_all(t2, '${Pii.Ipv4Pattern}')) AS BIGINT) AS n_ips,
          |  CAST(len(regexp_extract_all(t3, '${Pii.PhonePattern}')) AS BIGINT) AS n_phones,
          |  regexp_replace(t3, '${Pii.PhonePattern}', '${Pii.PhoneToken}', 'g') AS clean_text

@@ -177,7 +177,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.5, maxDocFreq: Int = Int.MaxValue,
-      sortOutput: Boolean = true): DataFrame = {
+      sortOutput: Boolean = true, minKeptShingles: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // persisted: the (id, shingle-hash) index is read 3x (sizes + both
@@ -217,6 +217,11 @@ object Dedup {
       .withColumn("jaccard",
         col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
+      // kept-set floor: a doc whose kept (rare) set shrank to a handful
+      // of shingles makes the ratio high-variance — {X} vs {X, u} scores
+      // 0.5 for genuinely different docs. Below the floor the evidence is
+      // too thin to call a near-dup.
+      .filter(col("na") >= minKeptShingles && col("nb") >= minKeptShingles)
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         round(col("jaccard"), 6).as("jaccard"))
     // global sort is for the deterministic gate dump; prod skips it (a
@@ -236,8 +241,10 @@ object Dedup {
     * kept shingles. No global sort.
     */
   def ngramJaccardPairsAtScale(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.8, maxDocFreq: Int = 5000): DataFrame =
-    ngramJaccardPairs(docs, n, threshold, maxDocFreq, sortOutput = false)
+      threshold: Double = 0.8, maxDocFreq: Int = 5000,
+      minKeptShingles: Int = 10): DataFrame =
+    ngramJaccardPairs(docs, n, threshold, maxDocFreq, sortOutput = false,
+      minKeptShingles = minKeptShingles)
 
   // ---------- duplicate clusters (connected components) ----------
 

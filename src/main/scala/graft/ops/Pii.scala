@@ -12,19 +12,23 @@ import org.apache.spark.sql.functions._
   * the operator exactly SQL-oracle-checkable (no lookbehind, no backrefs,
   * both engines resolve these greedy classes identically).
   *
-  * Redaction is STAGED — emails first, then URLs, then IPv4, then phones —
+  * Redaction is STAGED — URLs first, then emails, then IPv4, then phones —
   * and each count is taken on the text as it stood at that stage. The
-  * staging makes overlap semantics well-defined (an address inside a URL
-  * userinfo is an email; digits inside an already-redacted URL can no
-  * longer masquerade as an IP or phone).
+  * staging makes overlap semantics well-defined: an address in a URL's
+  * userinfo is part of the URL (redacting it as an email first would
+  * break the URL match and leave the path + query string — the classic
+  * credential/token vector — unredacted); digits inside an
+  * already-redacted URL can no longer masquerade as an IP or phone.
   */
 object Pii {
 
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   /** scheme matched case-insensitively via explicit classes (RE2 and Java
-    * both honor them; inline (?i) flags differ between the engines)
+    * both honor them; inline (?i) flags differ between the engines).
+    * '@' is in the class so userinfo URLs (https://user@host/...) match
+    * whole — the URL stage runs first precisely so these are one URL.
     */
-  val UrlPattern   = "[Hh][Tt][Tt][Pp][Ss]?://[A-Za-z0-9./_%?=&#:~-]+"
+  val UrlPattern   = "[Hh][Tt][Tt][Pp][Ss]?://[A-Za-z0-9./_%?=&#:~@-]+"
   /** octet-bounded (0-255): version strings like 10.24.300.1 are NOT IPs */
   private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
   val Ipv4Pattern  = s"\\b$Octet\\.$Octet\\.$Octet\\.$Octet\\b"
@@ -45,13 +49,26 @@ object Pii {
   private def count(c: Column, pat: String): Column =
     size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
 
+  /** The ONE definition of stage order: (pattern, token) in redaction
+    * sequence. Both redacted() and piiScrub() derive from this list so
+    * the overlap semantics cannot drift between them.
+    */
+  val Stages: Seq[(String, String, String)] = Seq(
+    ("n_urls", UrlPattern, UrlToken),
+    ("n_emails", EmailPattern, EmailToken),
+    ("n_ips", Ipv4Pattern, IpToken),
+    ("n_phones", PhonePattern, PhoneToken))
+
+  /** Text as it stands entering each stage: head = original, last = fully
+    * redacted.
+    */
+  private def stagedTexts(t0: Column): Seq[Column] =
+    Stages.scanLeft(t0) { case (t, (_, pat, tok)) =>
+      regexp_replace(t, pat, tok)
+    }
+
   /** The fully staged redaction of a text column. */
-  def redacted(text: Column): Column = {
-    val t1 = regexp_replace(text, EmailPattern, EmailToken)
-    val t2 = regexp_replace(t1, UrlPattern, UrlToken)
-    val t3 = regexp_replace(t2, Ipv4Pattern, IpToken)
-    regexp_replace(t3, PhonePattern, PhoneToken)
-  }
+  def redacted(text: Column): Column = stagedTexts(text).last
 
   /** Pipeline form: `text` replaced in place by its redaction, every
     * other column untouched (what CorpusPrep's pii_redact stage applies).
@@ -59,20 +76,16 @@ object Pii {
   def redactText(df: DataFrame): DataFrame =
     df.withColumn("text", redacted(col("text")))
 
-  /** (doc_id, n_emails, n_urls, n_ips, n_phones, clean_text): staged
-    * counts + fully redacted text, from a `text` column.
+  /** (doc_id, n_urls, n_emails, n_ips, n_phones, clean_text): staged
+    * counts + fully redacted text, from a `text` column. Each count is
+    * taken on the text as already redacted by the PRIOR stages.
     */
   def piiScrub(df: DataFrame): DataFrame = {
-    val t0 = col("text")
-    val t1 = regexp_replace(t0, EmailPattern, EmailToken)
-    val t2 = regexp_replace(t1, UrlPattern, UrlToken)
-    val t3 = regexp_replace(t2, Ipv4Pattern, IpToken)
+    val texts = stagedTexts(col("text"))
     df.select(
-      col("doc_id"),
-      count(t0, EmailPattern).as("n_emails"),
-      count(t1, UrlPattern).as("n_urls"),
-      count(t2, Ipv4Pattern).as("n_ips"),
-      count(t3, PhonePattern).as("n_phones"),
-      regexp_replace(t3, PhonePattern, PhoneToken).as("clean_text"))
+      (col("doc_id") +:
+        Stages.zip(texts.init).map { case ((name, pat, _), t) =>
+          count(t, pat).as(name)
+        }) :+ texts.last.as("clean_text"): _*)
   }
 }

@@ -167,11 +167,14 @@ object SemDedup {
       val n = math.sqrt(a.map(x => x * x).sum)
       if (n == 0) a else a.map(_ / n)
     }
+    // unit-normalized ONCE and persisted as doubles: every Lloyd round
+    // reads the converted form instead of re-normalizing per iteration
     val corp = vecs.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
+      .map { case (id, e) => (id, unit(e.map(_.toDouble).toArray)) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents: Array[Array[Double]] = corp.orderBy(col("vec_id")).limit(k)
-      .collect().map { case (_, e) => unit(e.map(_.toDouble).toArray) }
+    var cents: Array[Array[Double]] = corp.orderBy(col("_1")).limit(k)
+      .collect().map(_._2)
     (0 until iters).foreach { _ =>
       val cb = spark.sparkContext.broadcast(cents)
       // one pass: per-partition (cluster -> fixed-point component sums),
@@ -181,8 +184,7 @@ object SemDedup {
         val sums = Array.ofDim[Long](cs.length,
           if (cs.isEmpty) 0 else cs(0).length)
         val seen = new Array[Boolean](cs.length)
-        it.foreach { case (_, e) =>
-          val u = unit(e.map(_.toDouble).toArray)
+        it.foreach { case (_, u) =>
           var best = 0; var bestDot = Double.NegativeInfinity; var i = 0
           while (i < cs.length) {
             var d = 0.0; var j = 0

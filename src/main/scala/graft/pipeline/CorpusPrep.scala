@@ -101,7 +101,12 @@ object CorpusPrep {
       cur = cur.join(losers, Seq("doc_id"), "left_anti")
       out += ("substring_dedup" -> cur)
     }
-    evalCorpus.foreach { ev =>
+    evalCorpus.foreach { ev0 =>
+      // decontamination must compare LIKE WITH LIKE: with piiRedact on,
+      // the training side is redacted, so redact the eval side too — an
+      // eval passage containing an email/URL would otherwise never match
+      // its redacted training copy (systematic recall loss on web text)
+      val ev = if (cfg.piiRedact) Pii.redactText(ev0) else ev0
       val contaminated = Corpus.decontaminate(cur, ev, cfg.decontaminateN)
         .filter(col("contaminated")).select("doc_id")
       cur = cur.join(contaminated, Seq("doc_id"), "left_anti")

@@ -298,12 +298,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = (0L until 5L).map(i => (i, s"pre$i $boiler")) ++
       Seq((6L, s"$boiler $unique"), (7L, s"$boiler $unique"))
     val pairs = Dedup.ngramJaccardPairsAtScale(docsDf(docs), n = 3,
-      threshold = 0.9, maxDocFreq = 4).collect()
+      threshold = 0.9, maxDocFreq = 4, minKeptShingles = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
     // jaccard over the KEPT (rare) shingles is 1.0; dividing by full-set
     // sizes would score ~0 and drop the exact-dup pair
     assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((6L, 7L)), pairs.mkString(","))
     assert(pairs(0)._3 == 1.0)
+  }
+
+  test("ngramJaccardPairsAtScale: kept-set floor suppresses thin-evidence pairs") {
+    val boiler = (1 to 30).map(i => s"terms$i of service$i common").mkString(" ")
+    // docs 6/7 differ in their real content but share ONE rare trigram
+    // after the cut — {X} vs {X,u} would score 0.5 without the floor
+    val docs = (0L until 5L).map(i => (i, s"pre$i $boiler")) ++
+      Seq((6L, s"$boiler zzz yyy xxx"), (7L, s"$boiler zzz yyy xxx www vvv uuu"))
+    val pairs = Dedup.ngramJaccardPairsAtScale(docsDf(docs), n = 3,
+      threshold = 0.4, maxDocFreq = 4).collect() // default floor 10
+    assert(pairs.isEmpty, pairs.mkString(","))
   }
 
   test("winnowSignature: deterministic, shift-invariant prefix property") {

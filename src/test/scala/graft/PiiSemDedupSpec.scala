@@ -42,7 +42,8 @@ class PiiSemDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "call +1 (555) 123-4567 now"),
       (5L, "no pii here 1.2 out of 5"),
       (6L, "go to HTTPS://Example.COM/path now"),
-      (7L, "version 10.24.300.1 is not an address")))
+      (7L, "version 10.24.300.1 is not an address"),
+      (8L, "reset at https://user@evil.example.com/reset?token=SECRET now")))
     assert(out(1L).getAs[Long]("n_emails") == 1)
     assert(out(1L).getAs[String]("clean_text") == "write to <EMAIL> today")
     // the host-style IP inside the URL is redacted AS a URL (staging),
@@ -64,6 +65,12 @@ class PiiSemDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // octet-bounded: a version string with a 300 octet is NOT an IP
     assert(out(7L).getAs[Long]("n_ips") == 0)
     assert(out(7L).getAs[String]("clean_text") == "version 10.24.300.1 is not an address")
+    // userinfo URL is ONE url (URL stage runs before the email stage —
+    // redacting the authority as an email first would leave the
+    // token-bearing path+query unredacted)
+    assert(out(8L).getAs[Long]("n_urls") == 1)
+    assert(out(8L).getAs[Long]("n_emails") == 0)
+    assert(out(8L).getAs[String]("clean_text") == "reset at <URL> now")
   }
 
   test("piiScrub fuzz: counts match planted PII; redaction is idempotent") {

@@ -138,6 +138,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == Seq(9L, 11L))
   }
 
+  test("decontamination sees redacted text on BOTH sides when piiRedact is on") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // the contaminated passage CONTAINS an email: if only the training
+    // side were redacted, no 4-gram spanning the address would match the
+    // raw eval text and the leak would go undetected
+    val passage = "contact us at support@example.com for benchmark answers"
+    val train = Seq(
+      (1L, mk(words ++ stops) + " " + passage, "en"),
+      (2L, mk(words2 ++ stops), "en")).toDF("doc_id", "text", "lang")
+    val eval = Seq((100L, passage + " " + mk(words3.take(20)), "en"))
+      .toDF("doc_id", "text", "lang")
+    val c = CorpusPrep.PrepConfig(
+      piiRedact = true,
+      quality = Some(Corpus.GopherThresholds(minTokens = 5,
+        minStopwordRatio = 0.0, minAlphaRatio = 0.0,
+        maxDupWordRatio = 1.0, maxDup2GramRatio = 1.0)),
+      exactDedup = false, nearDedup = None, decontaminateN = 4)
+    val ids = CorpusPrep.prepare(train, Some(eval), c)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(2L), s"contaminated doc 1 must be dropped, got $ids")
+  }
+
   test("extraction output feeds CorpusPrep directly (one-library path)") {
     val sp = spark
     import sp.implicits._
