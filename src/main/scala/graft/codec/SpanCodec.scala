@@ -105,6 +105,11 @@ object SpanCodec {
             e.lines.foreach { l =>
               emit("line", s"box=${fmtBox(l.box)}", l.id)
               l.words.foreach { w =>
+                // the kv syntax has no escaping: a font id containing the
+                // separators would silently corrupt the decoded box/font
+                // — fail the encode instead of round-tripping garbage
+                require(!w.font.contains(';') && !w.font.contains('='),
+                  s"font id not kv-encodable: '${w.font}'")
                 emit("word", w.content, s"font=${w.font};box=${fmtBox(w.box)}")
               }
             }

@@ -117,7 +117,9 @@ object ExtractJob {
     import spark.implicits._
     val ecfg = cfg.extract
     val runId = cfg.runId
-    val rdd = docs.toDF().select("doc_id", "spans")
+    val prunedDf = docs.toDF().select("doc_id", "spans")
+    val ord = FastScan.SpanOrdinals.from(prunedDf.schema)
+    val rdd = prunedDf
       .queryExecution.toRdd.mapPartitions { it =>
       val t0 = System.currentTimeMillis()
       val lm0 = graft.lm.Scorer.threadLmCallCount // task = one thread
@@ -129,18 +131,21 @@ object ExtractJob {
       var firstError: String = ""
       val out = it.flatMap { row =>
         nDocs += 1
-        val docId = row.getUTF8String(0).toString
-        val arr = row.getArray(1)
-        spansIn += arr.numElements()
+        // docId resolved defensively FIRST: a null doc_id / null spans is
+        // a malformed DOCUMENT (metrics row), never a task failure — at
+        // 10^12 rows every garbage shape occurs, and an NPE outside the
+        // try would abort the whole chunk on one dirty row
+        var docId = "(null doc_id)"
         try {
-          val tree = FastScan.decodeSpans(arr, ecfg.fast)
+          if (!row.isNullAt(0)) docId = row.getUTF8String(0).toString
+          val arr = row.getArray(1) // null spans -> NPE -> failed doc
+          spansIn += arr.numElements()
+          val tree = FastScan.decodeSpans(arr, ecfg.fast, ord)
           val docOut = Extractor.extractTree(tree, ecfg)
           val r = ExtractedDoc(docId, Extractor.emitSpans(docOut), docOut.text())
           spansOut += r.spans.length
           Some(r)
         } catch {
-          // malformed documents fail the row and land in the metrics
-          // table, never the task (at 10^12 rows every garbage shape occurs)
           case scala.util.control.NonFatal(e) =>
             nFailed += 1
             if (firstError.isEmpty) firstError = s"$docId: ${e.getMessage}"
@@ -212,6 +217,22 @@ object ExtractJob {
     // consulted regardless of cfg.chunks: a rerun of an already-complete
     // job (chunks=1 included) must be a no-op, not a second copy
     val done = completedChunks(spark, cfg)
+
+    if (cfg.bucketedInput) {
+      // the loop only visits buckets 0..chunks-1: a layout written with
+      // MORE buckets than cfg.chunks would silently never extract the
+      // excess buckets and still report success — fail loudly instead
+      val p = new org.apache.hadoop.fs.Path(cfg.inputPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val buckets = fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
+      require(buckets.nonEmpty,
+        s"bucketedInput=true but ${cfg.inputPath} has no bucket= directories")
+      val over = buckets.filter(_ >= cfg.chunks)
+      require(over.isEmpty,
+        s"input has bucket=${over.max} but chunks=${cfg.chunks} — " +
+          "a smaller chunk count would silently drop those buckets")
+    }
 
     (0 until cfg.chunks).foreach { chunk =>
       if (!done.contains(chunk)) {

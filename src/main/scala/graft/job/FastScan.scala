@@ -38,30 +38,55 @@ object FastScan {
   private val KDrawing = UTF8String.fromString("drawing")
   private val KTable = UTF8String.fromString("table")
 
-  /** Decode one spans ArrayData (struct<kind,text,media_ref,offset>, in
+  /** Struct-field positions of the spans element, resolved BY NAME from
+    * the actual schema: the Tungsten path reads by ordinal, and a parquet
+    * file written with the same fields in a different struct order (or
+    * with extra fields) would otherwise be silently misread — while the
+    * typed `.as[DocRow]` path resolves names correctly, making the two
+    * paths disagree on identical input.
+    */
+  final case class SpanOrdinals(kind: Int, text: Int, mediaRef: Int,
+      offset: Int, arity: Int)
+
+  object SpanOrdinals {
+    /** The canonical (kind, text, media_ref, offset) layout. */
+    val Default: SpanOrdinals = SpanOrdinals(0, 1, 2, 3, 4)
+
+    def from(schema: org.apache.spark.sql.types.StructType): SpanOrdinals = {
+      val st = schema("spans").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      SpanOrdinals(st.fieldIndex("kind"), st.fieldIndex("text"),
+        st.fieldIndex("media_ref"), st.fieldIndex("offset"), st.size)
+    }
+  }
+
+  /** Decode one spans ArrayData (struct fields located by `ord`, in
     * offset order as written) into a DocTree.
     */
-  def decodeSpans(arr: ArrayData, fast: Boolean): DocTree = {
+  def decodeSpans(arr: ArrayData, fast: Boolean,
+      ord: SpanOrdinals = SpanOrdinals.Default): DocTree = {
     val n = arr.numElements()
     val b = new TreeBuilder(fast)
     var unsorted = false
     var prev = Int.MinValue
     var i = 0
     while (i < n && !unsorted) {
-      val s = arr.getStruct(i, 4)
-      val off = if (s.isNullAt(3)) i else s.getInt(3)
+      val s = arr.getStruct(i, ord.arity)
+      val off = if (s.isNullAt(ord.offset)) i else s.getInt(ord.offset)
       if (off < prev) unsorted = true
       else {
         prev = off
-        feed(b, s)
+        feed(b, s, ord)
         i += 1
       }
     }
     if (unsorted) {
       // rare path: materialize + delegate to the sorting decoder
       val spans = (0 until n).map { j =>
-        val s = arr.getStruct(j, 4)
-        Span(str(s, 0), str(s, 1), str(s, 2), if (s.isNullAt(3)) j else s.getInt(3))
+        val s = arr.getStruct(j, ord.arity)
+        Span(str(s, ord.kind), str(s, ord.text), str(s, ord.mediaRef),
+          if (s.isNullAt(ord.offset)) j else s.getInt(ord.offset))
       }
       SpanCodec.decode(spans, fast)
     } else b.result()
@@ -70,21 +95,21 @@ object FastScan {
   private def str(s: InternalRow, ord: Int): String =
     if (s.isNullAt(ord)) "" else s.getUTF8String(ord).toString
 
-  private def feed(b: TreeBuilder, s: InternalRow): Unit = {
-    val kind = s.getUTF8String(0)
+  private def feed(b: TreeBuilder, s: InternalRow, o: SpanOrdinals): Unit = {
+    val kind = if (s.isNullAt(o.kind)) null else s.getUTF8String(o.kind)
     if (kind == null) return
     // ordered by expected frequency: word >> line >> rest
-    if (kind.equals(KWord)) b.onWord(str(s, 1), str(s, 2))
-    else if (kind.equals(KLine)) b.onLine(str(s, 1), str(s, 2))
-    else if (kind.equals(KPara)) b.onElem(isHeading = false, str(s, 1), str(s, 2))
+    if (kind.equals(KWord)) b.onWord(str(s, o.text), str(s, o.mediaRef))
+    else if (kind.equals(KLine)) b.onLine(str(s, o.text), str(s, o.mediaRef))
+    else if (kind.equals(KPara)) b.onElem(isHeading = false, str(s, o.text), str(s, o.mediaRef))
     else if (kind.equals(KPage)) b.onPage()
     else if (kind.equals(KHdr)) b.onHdr()
     else if (kind.equals(KFtr)) b.onFtr()
-    else if (kind.equals(KFont)) b.onFont(str(s, 1), str(s, 2))
-    else if (kind.equals(KHeading)) b.onElem(isHeading = true, str(s, 1), str(s, 2))
-    else if (kind.equals(KImage)) b.onMedia("image", str(s, 2), if (s.isNullAt(3)) 0 else s.getInt(3))
-    else if (kind.equals(KDrawing)) b.onMedia("drawing", str(s, 2), if (s.isNullAt(3)) 0 else s.getInt(3))
-    else if (kind.equals(KTable)) b.onTable(str(s, 1), str(s, 2))
+    else if (kind.equals(KFont)) b.onFont(str(s, o.text), str(s, o.mediaRef))
+    else if (kind.equals(KHeading)) b.onElem(isHeading = true, str(s, o.text), str(s, o.mediaRef))
+    else if (kind.equals(KImage)) b.onMedia("image", str(s, o.mediaRef), if (s.isNullAt(o.offset)) 0 else s.getInt(o.offset))
+    else if (kind.equals(KDrawing)) b.onMedia("drawing", str(s, o.mediaRef), if (s.isNullAt(o.offset)) 0 else s.getInt(o.offset))
+    else if (kind.equals(KTable)) b.onTable(str(s, o.text), str(s, o.mediaRef))
     // unknown kinds ignored (forward compat)
   }
 
@@ -96,10 +121,14 @@ object FastScan {
     val spark = df.sparkSession
     import spark.implicits._
     val pruned = df.select("doc_id", "spans")
+    val ord = SpanOrdinals.from(pruned.schema)
     val rdd = pruned.queryExecution.toRdd.mapPartitions(_.flatMap { row =>
-      val docId = row.getUTF8String(0).toString
       try {
-        val tree = decodeSpans(row.getArray(1), cfg.fast)
+        // null doc_id/spans are malformed DOCUMENTS, not task failures —
+        // the reads live inside the try so the row-never-task contract
+        // holds for them too
+        val docId = row.getUTF8String(0).toString
+        val tree = decodeSpans(row.getArray(1), cfg.fast, ord)
         val out: DocumentOutput = Extractor.extractTree(tree, cfg)
         Some(ExtractedDoc(docId, Extractor.emitSpans(out), out.text()))
       } catch {

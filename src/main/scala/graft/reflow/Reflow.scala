@@ -85,15 +85,21 @@ object Reflow {
   /** no_alphanum_char (export.py:398-402) — despite the name, returns true
     * when the cleaned text HAS an alphanumeric char. Fast path: an ASCII
     * letter/digit survives cleaning (lowercase/translit/punct-strip)
-    * unchanged, so its presence decides without allocating.
+    * unchanged, so its presence decides without allocating — UNLESS the
+    * text contains a construct whose cleaning CONSUMES ascii alnum:
+    * HTML entities ('&#33;' -> '!') and ANSI escapes (ESC + '[3m' -> '')
+    * both eat letters/digits that are part of their own syntax, so any
+    * '&' or ESC forces the full clean.
     */
   def hasAlnumAfterClean(text: String): Boolean = {
-    var i = 0
-    while (i < text.length) {
-      val c = text.charAt(i)
-      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-        (c >= '0' && c <= '9')) return true
-      i += 1
+    if (text.indexOf('&') < 0 && text.indexOf('\u001b') < 0) {
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9')) return true
+        i += 1
+      }
     }
     PyText.cleanNoPunct(text).exists(PyText.isAlnumChar)
   }

@@ -44,6 +44,35 @@ object StreamingExtract {
     })
   }
 
+  /** A streaming row with its extraction outcome — the batch job's
+    * metrics-table contract translated to a stream: every input document
+    * produces exactly one output row, failed ones with status="failed"
+    * and the error message, so continuous-ingest data loss is a
+    * queryable fact instead of a silent flatMap drop.
+    */
+  final case class ExtractedDocStatus(doc_id: String, spans: Seq[graft.model.Span],
+      text: String, status: String, error: String)
+
+  /** transform with per-document outcome (the production streaming path:
+    * `filter($"status" === "ok")` recovers transform's output; the failed
+    * remainder IS the streaming metrics signal).
+    */
+  def transformWithStatus(docs: DataFrame,
+      cfg: ExtractConfig = ExtractConfig()): Dataset[ExtractedDocStatus] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "spans").as[DocRow].mapPartitions(_.map { row =>
+      try {
+        val d = Extractor.extractRow(row, cfg)
+        ExtractedDocStatus(d.doc_id, d.spans, d.text, "ok", "")
+      } catch {
+        case e: ExtractionException =>
+          ExtractedDocStatus(row.doc_id, Seq.empty, "", "failed",
+            String.valueOf(e.getMessage))
+      }
+    })
+  }
+
   /** File-source incremental pipeline: watches `inputDir` for new parquet
     * files of DocRow, extracts, appends to `outputDir`, checkpointing
     * offsets under `checkpointDir`.

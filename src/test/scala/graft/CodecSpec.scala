@@ -74,4 +74,14 @@ class CodecSpec extends AnyFunSuite {
     assert(SpanCodec.parseBox(SpanCodec.fmtBox(Box(-0.3, 2.5, -12.7, 0.0))) ==
       Box(-0.3, 2.5, -12.7, 0.0))
   }
+
+  test("encode rejects font ids that would corrupt the kv syntax") {
+    val base = Fixtures.flagshipDoc
+    val tree = SpanCodec.decode(base.spans, fast = true)
+    val poisoned = tree.copy(pages = tree.pages.map(p => p.copy(elements =
+      p.elements.map(e => e.copy(lines = e.lines.map(l => l.copy(words =
+        l.words.map(w => w.copy(font = "f1;box=9,9,9,9")))))))))
+    val e = intercept[IllegalArgumentException](SpanCodec.encode(poisoned))
+    assert(e.getMessage.contains("kv-encodable"))
+  }
 }

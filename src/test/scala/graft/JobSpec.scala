@@ -218,6 +218,61 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.filter(col("error").contains("bad-doc")).count() == 1)
   }
 
+  test("null doc_id / null spans rows become failed-doc metrics, not task failures") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spanType = org.apache.spark.sql.Encoders.product[Span].schema
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType, nullable = true),
+      StructField("spans", ArrayType(spanType), nullable = true)))
+    val good = corpus(3)
+    val rows = good.map(d => Row(d.doc_id,
+      d.spans.map(s => Row(s.kind, s.text, s.media_ref, s.offset)))) ++
+      Seq(Row(null, Seq(Row("page", "", "", 0))), // null doc_id
+        Row("doc-null-spans", null)) // null spans
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/in-null")
+    val cfg = JobConfig(s"$dir/in-null", s"$dir/out-null", s"$dir/m-null",
+      runId = "rn", numPartitions = 2, chunks = 1)
+    ExtractJob.run(spark, cfg) // must not throw
+    val out = ExtractJob.readOutput(spark, cfg).collect()
+    assert(out.length == good.length) // the 2 dirty rows failed as DOCS
+    val m = spark.read.parquet(s"$dir/m-null")
+    assert(m.agg(org.apache.spark.sql.functions.sum("n_failed"))
+      .collect()(0).getLong(0) == 2L)
+  }
+
+  test("FastScan reads span struct fields by NAME: reordered struct decodes identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val docs = corpus(12)
+    val df = spark.createDataset(docs).toDF()
+    // same data, struct fields physically reordered (offset first)
+    val reordered = df.selectExpr("doc_id",
+      "transform(spans, s -> struct(s.offset as offset, s.kind as kind, " +
+        "s.text as text, s.media_ref as media_ref)) as spans")
+    val viaDefault = graft.job.FastScan.extract(df, graft.reflow.ExtractConfig())
+      .collect().map(d => d.doc_id -> d).toMap
+    val viaReordered = graft.job.FastScan.extract(reordered, graft.reflow.ExtractConfig())
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(viaReordered.keySet == viaDefault.keySet && viaDefault.nonEmpty)
+    viaDefault.foreach { case (id, d) =>
+      assert(viaReordered(id).spans == d.spans, s"spans diverge for $id")
+      assert(viaReordered(id).text == d.text, s"text diverges for $id")
+    }
+  }
+
+  test("bucketed input with fewer chunks than buckets fails loudly") {
+    import spark.implicits._
+    spark.createDataset(corpus(20)).write.mode("overwrite").parquet(s"$dir/in-bk-raw")
+    ExtractJob.bucketizeInput(spark, s"$dir/in-bk-raw", s"$dir/in-bk", chunks = 4)
+    val bad = JobConfig(s"$dir/in-bk", s"$dir/out-bk", s"$dir/m-bk",
+      runId = "rb", numPartitions = 2, chunks = 2, bucketedInput = true)
+    val e = intercept[IllegalArgumentException](ExtractJob.run(spark, bad))
+    assert(e.getMessage.contains("bucket"), e.getMessage)
+  }
+
   test("oracle diff join: output equals itself; detects a mutation") {
     import spark.implicits._
     val docs = corpus(10)

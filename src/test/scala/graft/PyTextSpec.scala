@@ -140,4 +140,16 @@ class PyTextSpec extends AnyFunSuite {
     // as UTF-8 must be returned unchanged (ftfy: don't make it worse)
     assert(PyText.fixBadUnicode("\u00e2\u00b7 broken x") == "\u00e2\u00b7 broken x")
   }
+
+  test("hasAlnumAfterClean: entity/ANSI alnum consumed by cleaning does not fast-path to true") {
+    import graft.reflow.Reflow.hasAlnumAfterClean
+    assert(hasAlnumAfterClean("plain x"))
+    assert(hasAlnumAfterClean("7"))
+    assert(!hasAlnumAfterClean("...!?"))
+    // ascii digit '3' exists but cleaning consumes it entirely
+    assert(!hasAlnumAfterClean("&#33;"))      // HTML entity -> "!"
+    assert(!hasAlnumAfterClean("\u001b[3m.")) // ANSI escape stripped
+    // mixed: a surviving letter still wins through the slow path
+    assert(hasAlnumAfterClean("&#33; ok"))
+  }
 }

@@ -89,6 +89,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.size == 3, ids)
   }
 
+  test("transformWithStatus: failed docs are visible rows, not silent drops") {
+    import spark.implicits._
+    val bad = DocRow("doc-degenerate", Seq(Span("page", "", "", 0)))
+    val docs = spark.createDataset(Fixtures.corpus(5, seed = 21L) :+ bad).toDF()
+    val out = StreamingExtract.transformWithStatus(docs).collect()
+    assert(out.length == 6) // EVERY input doc produces exactly one row
+    val failed = out.filter(_.status == "failed")
+    assert(failed.map(_.doc_id).toSeq == Seq("doc-degenerate"))
+    assert(failed.head.spans.isEmpty)
+    // ok rows == the silent-drop transform's output
+    val ok = out.filter(_.status == "ok")
+      .map(d => ExtractedDoc(d.doc_id, d.spans, d.text)).sortBy(_.doc_id)
+    val legacy = StreamingExtract.transform(docs).collect().sortBy(_.doc_id)
+    assert(ok.toSeq == legacy.toSeq)
+  }
+
   test("stateless corpus ops (pii scrub, quality filter) run unchanged on a stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
