@@ -97,13 +97,23 @@ object Bench {
     * against it (the north_rule criterion presumes N vs 4N EXECUTORS —
     * i.e. 4x hardware — which a single VM cannot grant).
     */
-  private def kernelCalibration(levels: Seq[Int], n: Int = 20000): Map[Int, Double] = {
-    val docs = (0 until n).map { i =>
+  /** Calibration fixtures + JIT warmup built ONCE per JVM: the adaptive
+    * loop calls kernelCalibration once per round, and rebuilding the
+    * 20k-doc corpus + rerunning warmup each time burned measurement
+    * budget without affecting the timed section.
+    */
+  private lazy val calDocs: Array[graft.model.DocRow] = {
+    val docs = (0 until 20000).map { i =>
       val rng = new Fixtures.Rng(42L + i)
       Fixtures.compositeDoc(f"cal-$i%08d", 1 + rng.nextInt(3), rng)
     }.toArray
+    docs.take(2000).foreach(d => Extractor.extractRow(d, ExtractConfig())) // JIT warmup
+    docs
+  }
+
+  private def kernelCalibration(levels: Seq[Int], n: Int = 20000): Map[Int, Double] = {
+    val docs = calDocs
     val cfg = ExtractConfig()
-    docs.take(2000).foreach(d => Extractor.extractRow(d, cfg)) // JIT warmup
     levels.map { threads =>
       def once(): Double = {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
@@ -223,10 +233,13 @@ object Bench {
     val throughput = scala.collection.mutable.LinkedHashMap[Int, Double]()
     val cal = scala.collection.mutable.LinkedHashMap[Int, Double]()
     var warmed = Set.empty[Int]
+    // missing measurements report 0.0, NOT 1.0: a failed run must read as
+    // "no scaling evidence" (and keep the adaptive retry loop going), not
+    // as a fabricated perfect score
     def bestEff: Double = levels.sorted.sliding(2).collect {
       case Seq(n, m) if m > n && throughput.contains(n) && throughput.contains(m) =>
         (throughput(m) / throughput(n)) / (m.toDouble / n)
-    }.nextOption().getOrElse(1.0)
+    }.nextOption().getOrElse(0.0)
     // Mode: multi-JVM local-cluster (real separate executor JVMs via
     // spark-submit — the faithful "N vs 4N executors" substitution) when
     // the Spark distribution is present; in-process thread mode otherwise
@@ -346,6 +359,16 @@ object Bench {
     writeReport(levels, throughput.toMap, efficiency, cal.toMap, ceiling, normalized,
       nDocs, hist, mode)
     println(json)
+    // the scratch tree holds one parquet extraction copy per warmup/run —
+    // gigabytes per invocation on the shared VM if left behind
+    try deleteRecursively(new java.io.File(scratch))
+    catch { case scala.util.control.NonFatal(_) => }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Best-observed merge state: the host is a shared VM whose free-core
@@ -377,8 +400,16 @@ object Bench {
     val merged = (prev.keySet ++ cur.keySet).map { k =>
       k -> math.max(prev.getOrElse(k, 0.0), cur.getOrElse(k, 0.0))
     }.toMap
-    java.nio.file.Files.writeString(path,
-      merged.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${fmt(v)}" }.mkString("", "\n", "\n"))
+    // never let history persistence kill the run: the driver contract is
+    // the JSON line on stdout, which hasn't printed yet at this point
+    try {
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.writeString(path,
+        merged.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${fmt(v)}" }.mkString("", "\n", "\n"))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] history persistence failed: ${e.getMessage}")
+    }
     merged
   }
 

@@ -28,13 +28,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.foreach { case (name, fn) =>
+      val target = s"$outDir/$name.parquet"
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+        .parquet(target)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a STALE output from a previous
+        // invocation in place — the driver's compare would silently score
+        // outdated results instead of reporting the failure
+        try deleteRecursively(new java.io.File(target))
+        catch { case scala.util.control.NonFatal(_) => }
       }
     }
     spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Dump SparkEntry.oracleSql as JSON (dual key forms, see above). */

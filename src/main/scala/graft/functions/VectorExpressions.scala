@@ -15,8 +15,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * `graft.functions.VectorOps.cosine(a, b)` is valid generated Java).
   */
 object VectorOps {
+  /** Element read with a DEFINED null semantics: a NULL array slot counts
+    * as 0.0f. Without the isNullAt guard the two ArrayData families
+    * disagree (UnsafeArrayData returns an uninitialized 0.0,
+    * GenericArrayData throws NPE) — a silently engine-dependent result.
+    */
+  @inline private def elem(a: ArrayData, i: Int): Double =
+    if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+
   /** Cosine similarity of two float vectors held as Catalyst ArrayData —
-    * no boxing, no encoder round-trip. 0.0 when either norm is 0.
+    * no boxing, no encoder round-trip. 0.0 when either norm is 0; NULL
+    * elements count as 0.0 (see `elem`).
     * FP order matches graft.ops.Similarity.cosine bit-for-bit (per-element
     * double multiply, double accumulate) so expression and kernel agree.
     */
@@ -27,15 +36,15 @@ object VectorOps {
     var dot = 0.0
     var i = 0
     while (i < n) {
-      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      dot += elem(a, i) * elem(b, i)
       i += 1
     }
     var sa = 0.0
     i = 0
-    while (i < na) { val v = a.getFloat(i).toDouble; sa += v * v; i += 1 }
+    while (i < na) { val v = elem(a, i); sa += v * v; i += 1 }
     var sb = 0.0
     i = 0
-    while (i < nb) { val v = b.getFloat(i).toDouble; sb += v * v; i += 1 }
+    while (i < nb) { val v = elem(b, i); sb += v * v; i += 1 }
     val denom = math.sqrt(sa) * math.sqrt(sb)
     if (denom == 0.0) 0.0 else dot / denom
   }
@@ -45,7 +54,7 @@ object VectorOps {
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      s += elem(a, i) * elem(b, i)
       i += 1
     }
     s
@@ -61,7 +70,7 @@ object VectorOps {
     var s = 0.0
     var i = 0
     val n = a.numElements()
-    while (i < n) { val v = a.getFloat(i).toDouble; s += v * v; i += 1 }
+    while (i < n) { val v = elem(a, i); s += v * v; i += 1 }
     math.sqrt(s)
   }
 }
@@ -225,17 +234,29 @@ object GraftFunctions {
     classOf[LmScore].getName, null, "lm_score",
     "_FUNC_(text) - deterministic char-n-gram LM score (lower = more likely)", "")
 
+  /** Arity-checked builder: wrong argument counts become a clear message
+    * during analysis instead of an IndexOutOfBoundsException from inside
+    * the builder lambda (and extra args are rejected, not ignored).
+    */
+  private[functions] def expecting(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n,
+        s"$name expects $n argument(s), got ${exprs.length}")
+      f(exprs)
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      "cosine_sim", expecting("cosine_sim", 2)(e => CosineSimilarity(e(0), e(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lm_score", exprs => LmScore(exprs.head), "built-in")
+      "lm_score", expecting("lm_score", 1)(e => LmScore(e.head)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "dot_product", expecting("dot_product", 2)(e => DotProduct(e(0), e(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_norm", exprs => VecNorm(exprs.head), "built-in")
+      "vec_norm", expecting("vec_norm", 1)(e => VecNorm(e.head)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5_long", exprs => Md5Long(exprs.head), "built-in")
+      "md5_long", expecting("md5_long", 1)(e => Md5Long(e.head)), "built-in")
   }
 }
 
@@ -244,25 +265,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       GraftFunctions.cosineSimInfo,
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      GraftFunctions.expecting("cosine_sim", 2)(e => CosineSimilarity(e(0), e(1)))))
     ext.injectFunction((
       FunctionIdentifier("lm_score"),
       GraftFunctions.lmScoreInfo,
-      (exprs: Seq[Expression]) => LmScore(exprs.head)))
+      GraftFunctions.expecting("lm_score", 1)(e => LmScore(e.head))))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, null, "dot_product",
         "_FUNC_(a, b) - inner product of two float vectors", ""),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      GraftFunctions.expecting("dot_product", 2)(e => DotProduct(e(0), e(1)))))
     ext.injectFunction((
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VecNorm].getName, null, "vec_norm",
         "_FUNC_(a) - euclidean norm of a float vector", ""),
-      (exprs: Seq[Expression]) => VecNorm(exprs.head)))
+      GraftFunctions.expecting("vec_norm", 1)(e => VecNorm(e.head))))
     ext.injectFunction((
       FunctionIdentifier("md5_long"),
       new ExpressionInfo(classOf[Md5Long].getName, null, "md5_long",
         "_FUNC_(s) - first 8 md5 bytes, little-endian, as signed bigint", ""),
-      (exprs: Seq[Expression]) => Md5Long(exprs.head)))
+      GraftFunctions.expecting("md5_long", 1)(e => Md5Long(e.head))))
   }
 }

@@ -98,7 +98,7 @@ object CharLm {
     new java.util.concurrent.ConcurrentHashMap[String, Model]()
 
   def canonicalLang(lang: String): String = {
-    val base = lang.toLowerCase.split("-")(0)
+    val base = lang.toLowerCase(java.util.Locale.ROOT).split("-")(0)
     base match {
       case "de" | "en" => base
       case _ => "multi"
@@ -170,7 +170,7 @@ object CharLm {
     }
   }
 
-  def normalize(s: String): String = s.toLowerCase
+  def normalize(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
 
   /** Average negative log2 probability per character (quantized), padded
     * with begin-of-text context. Lower = better. Empty text scores +inf.

@@ -97,7 +97,7 @@ object Scorer {
     else (w, "")
 
   private def lettersLower(w: String): String =
-    w.filter(Character.isLetter).toLowerCase
+    w.filter(Character.isLetter).toLowerCase(java.util.Locale.ROOT)
 
   /** Decide how to merge a hyphenated line break: returns the merged word.
     *

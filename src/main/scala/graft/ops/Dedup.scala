@@ -63,7 +63,7 @@ object Dedup {
 
   /** Word shingles (n-grams) of the normalized text. */
   def shingles(text: String, n: Int): Set[String] = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     if (toks.length < n) Set(toks.mkString(" "))
     else toks.sliding(n).map(_.mkString(" ")).toSet
   }
@@ -400,7 +400,7 @@ object Dedup {
     */
   def simHash(text: String): Long = {
     val v = new Array[Int](SimHashBits)
-    text.toLowerCase.split("\\s+").foreach { t =>
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { t =>
       if (t.nonEmpty) {
         val h = Hashing.md5Long(t)
         var i = 0

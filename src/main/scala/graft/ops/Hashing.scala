@@ -20,6 +20,21 @@ object Hashing {
     h
   }
 
+  /** fnv1a over raw bytes (unsigned) — for binary payloads; hashing the
+    * bytes directly avoids the Base64 String detour (three transient
+    * copies of every payload in a hot mapPartitions path).
+    */
+  def fnv1a(bytes: Array[Byte]): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
   def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

@@ -116,8 +116,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].map { m =>
-      val base = Hashing.fnv1a(new String(
-        java.util.Base64.getEncoder.encode(m.bytes), "US-ASCII"))
+      val base = Hashing.fnv1a(m.bytes)
       val vec = Array.tabulate(dim) { i =>
         // unit-scale deterministic pseudo-features
         ((Hashing.seeded(base, i.toLong) >>> 11) * 1.1102230246251565e-16 * 2 - 1).toFloat

@@ -154,7 +154,7 @@ object TextAnalysis {
     * DuckDB gate oracle (md5_number_upper + sliding list window mins).
     */
   def winnowSignature(text: String, k: Int = 8, window: Int = 16): Vector[Long] = {
-    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
     if (norm.length < k) return Vector(Hashing.md5Long(norm))
     val hashes = new Array[Long](norm.length - k + 1)
     var i = 0

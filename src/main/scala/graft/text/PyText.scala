@@ -277,7 +277,7 @@ object PyText {
     * lowercase, strip punctuation, normalize whitespace (export.py:401).
     */
   def cleanNoPunct(s: String): String = {
-    val ascii = toAsciiApprox(fixBadUnicode(s)).toLowerCase
+    val ascii = toAsciiApprox(fixBadUnicode(s)).toLowerCase(java.util.Locale.ROOT)
     val noPunct = ascii.filterNot(Punctuation.contains)
     normalizeWhitespace(noPunct)
   }
@@ -289,7 +289,7 @@ object PyText {
     * our fixtures need.
     */
   def cleanNoPunctNoNumber(s: String): String = {
-    val ascii = toAsciiApprox(fixBadUnicode(s)).toLowerCase
+    val ascii = toAsciiApprox(fixBadUnicode(s)).toLowerCase(java.util.Locale.ROOT)
     val noNum = ascii.replaceAll("""[0-9]+(?:[.,][0-9]+)*""", "")
     val noPunct = noNum.filterNot(Punctuation.contains)
     normalizeWhitespace(noPunct)

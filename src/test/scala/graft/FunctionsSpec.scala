@@ -122,4 +122,28 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0)
     assert(z.getDouble(0) == 0.0 && z.getDouble(1) == 0.0)
   }
+
+  test("NULL array elements count as 0.0 — defined, engine-independent") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(cast(1.0 as float), cast(null as float)), " +
+        "array(cast(1.0 as float), cast(2.0 as float))) AS c, " +
+        "dot_product(array(cast(1.0 as float), cast(null as float)), " +
+        "array(cast(1.0 as float), cast(2.0 as float))) AS d, " +
+        "vec_norm(array(cast(null as float), cast(3.0 as float))) AS n")
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0 / math.sqrt(5.0)) < 1e-12) // (1,0)·(1,2)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 3.0)
+  }
+
+  test("wrong argument count raises a clear analysis error, not IndexOutOfBounds") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception](
+      spark.sql("SELECT cosine_sim(array(cast(1.0 as float)))").collect())
+    assert(e.getMessage.contains("expects 2"), e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT vec_norm(array(cast(1.0 as float)), 2)").collect())
+    assert(e2.getMessage.contains("expects 1"), e2.getMessage)
+  }
 }
