@@ -514,6 +514,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(audit.getAs[Double]("recall") - 1.0 / 16) < 1e-9)
   }
 
+  test("sharedTokenRuns == brute-force token comparison on random low-vocab corpora") {
+    val k = 4
+    val minRun = 6
+    (0L until 3L).foreach { seed =>
+      val rng = new scala.util.Random(9000 + seed)
+      val vocab = Vector("aa", "bb", "cc", "dd") // small vocab -> many runs
+      val rows: Seq[(Long, String)] = (1L to 12L).map { i =>
+        (i, Seq.fill(20 + rng.nextInt(15))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      // independent recomputation: direct token-array window comparison
+      // (no hashing), same diagonal gaps-and-islands semantics
+      val toks = rows.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+      }.toMap
+      val ids = rows.map(_._1)
+      val expected = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+      for (a <- ids; b <- ids if a < b) {
+        val ta = toks(a); val tb = toks(b)
+        if (ta.length >= k && tb.length >= k) {
+          val hits = for {
+            pa <- 0 to ta.length - k
+            pb <- 0 to tb.length - k
+            if ta.slice(pa, pa + k) == tb.slice(pb, pb + k)
+          } yield (pa, pb)
+          hits.groupBy { case (pa, pb) => pa - pb }.values.foreach { hs =>
+            val sorted = hs.sortBy(_._1)
+            var islStart = 0
+            var i = 1
+            while (i <= sorted.length) {
+              if (i == sorted.length || sorted(i)._1 != sorted(i - 1)._1 + 1) {
+                val isl = sorted.slice(islStart, i)
+                val runLen = isl.length + k - 1
+                if (runLen >= minRun)
+                  expected += ((a, b, isl.head._1.toLong, isl.head._2.toLong,
+                    runLen.toLong))
+                islStart = i
+              }
+              i += 1
+            }
+          }
+        }
+      }
+      val got = SubstringDedup.sharedTokenRuns(docsDf(rows), k, minRun)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == expected.toSet,
+        s"seed=$seed diff=${(got diff expected.toSet) ++ (expected.toSet diff got)}")
+      assert(expected.nonEmpty, s"seed=$seed vacuous") // low vocab guarantees runs
+    }
+  }
+
   test("sharedTokenRuns: maxWindowDocFreq drops corpus-hot windows") {
     val c = "c1 c2 c3 c4 c5 c6"
     val four = Seq((1L, s"x $c"), (2L, s"y $c"), (3L, s"z $c"), (4L, s"w $c"))
