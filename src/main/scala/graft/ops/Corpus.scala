@@ -90,6 +90,10 @@ object Corpus {
     * fraction; anything unlisted gets `defaultRate`. Purely map-side: a
     * filter on a codegen'd hash — zero shuffle, trivially parallel, and
     * the sample is a deterministic function of (keyCol, salt).
+    *
+    * Output carries the helper columns `stratum` and `sample_key` (the
+    * q23 gate contract) — pre-existing columns of those names are
+    * OVERWRITTEN; rename upstream if the input uses them.
     */
   def stratifiedSample(df: DataFrame, stratum: Column,
       rates: Map[String, Double], defaultRate: Double,
@@ -138,17 +142,14 @@ object Corpus {
     val alphaRatio =
       length(regexp_replace(text, "[^A-Za-zÀ-ÿ]", "")).cast("double") /
         greatest(nChar, lit(1.0))
-    val allLangStops = TextAnalysis.Stopwords.values.flatten.toSeq.distinct
-    val stopRatio = size(filter(loToks,
-      tok => allLangStops.map(w => tok === w).reduce(_ || _))).cast("double") /
-      safeTok
+    // shared formulations (TextAnalysis.wordBigrams/allStopwordHits): the
+    // SQL-oracle-checkability claim rests on these being the SAME Column
+    // trees as repetitionMetrics/qualityScore, not lookalike copies
+    val stopRatio = TextAnalysis.allStopwordHits(loToks).cast("double") / safeTok
     val dupWord = when(nTok > 0,
       (nTok - size(array_distinct(loToks))).cast("double") / nTokD)
       .otherwise(0.0)
-    val grams = zip_with(
-      slice(loToks, lit(1), greatest(nTok - 1, lit(0))),
-      slice(loToks, lit(2), greatest(nTok - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
+    val grams = TextAnalysis.wordBigrams(loToks)
     val dup2Gram = when(nTok > 1,
       (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
       .otherwise(0.0)
@@ -209,7 +210,7 @@ object Corpus {
   }
 
   /** Per-stratum corpus report (the dashboard/reporting query of a
-    * training-data pipeline): doc counts, token mass, mean quality score,
+    * training-data pipeline): doc counts, token mass, mean tokens and
     * mean dup-word ratio per stratum. One pass: every metric is a plain
     * column expression feeding a hash aggregate with map-side partials —
     * shuffle traffic is (strata x 5 numbers), independent of corpus size.

@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   *    shuffle on the bucket key, search within buckets — the 100 TB path
   *    when the query set is large too.
   *  - cosine near-dup: LSH buckets + verified cosine >= threshold.
+  *
+  * Cache lifetime: lshTopK/cosineNearDupPairs return LAZY DataFrames
+  * whose plan reads an internal persist/broadcast at action time, so
+  * those cannot be released before returning — the caller-owned-lifetime
+  * contract of graft.ops.Dedup applies (ivfTopK, which materializes its
+  * result driver-side, releases its own caches before returning).
   */
 object Similarity extends Serializable {
 
@@ -45,13 +51,15 @@ object Similarity extends Serializable {
   private def asArray(s: Seq[Float]): Array[Float] = s.toArray
 
   /** Brute-force cosine top-k of `queries` against `corpus` — the exact
-    * baseline. Queries are collected + broadcast (must be the small side).
+    * baseline. Queries are collected + broadcast (must be the small side);
+    * duplicate query rows are deduped (a duplicated row would get TWO
+    * heaps whose merge doubles each pair and truncates the true top-k).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val q = queries.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Seq[Float])].collect()
+      .as[(Long, Seq[Float])].collect().distinct
       .map { case (id, e) => (id, asArray(e), norm(asArray(e))) }
     val qb = spark.sparkContext.broadcast(q)
 
@@ -244,7 +252,15 @@ object Similarity extends Serializable {
           var acc: Array[Double] = null
           it.foreach { case (_, (u, _)) =>
             if (acc == null) acc = u.clone()
-            else { var i = 0; while (i < acc.length) { acc(i) += u(i); i += 1 } }
+            else {
+              // min-guard: a ragged (malformed shorter) embedding must
+              // degrade like every other Similarity path, not AIOOBE the
+              // task — the 'never returns a wrong answer' contract only
+              // holds if the job survives the row
+              var i = 0
+              val m = math.min(acc.length, u.length)
+              while (i < m) { acc(i) += u(i); i += 1 }
+            }
             cnt += 1
           }
           (c, acc, cnt)
@@ -275,7 +291,7 @@ object Similarity extends Serializable {
       .collect().toMap
 
     val qs = queries.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Seq[Float])].collect()
+      .as[(Long, Seq[Float])].collect().distinct // see bruteForceTopK
       .map { case (id, e) => (id, asArray(e), norm(asArray(e))) }
 
     // unit query vectors hoisted out of the per-cluster bound loop
@@ -348,7 +364,7 @@ object Similarity extends Serializable {
       (r1.getOrElse(q._1, Seq.empty) ++ r2.getOrElse(q._1, Seq.empty))
         .sortBy(s => (-s.score, s.vec_id)).take(k)
     }.toSeq
-    assigned.unpersist(); corp.unpersist()
+    assigned.unpersist(); corp.unpersist(); cb.destroy()
     spark.createDataset(merged)
       .toDF("query_id", "vec_id", "score")
       .withColumn("score", round(col("score"), 6))

@@ -16,6 +16,26 @@ object TextAnalysis {
   def wsTokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** Word-bigram array (the zip_with/slice formulation) — THE shared
+    * definition: repetitionMetrics, Corpus.gopherRules and the q21/q24
+    * oracles must all agree on it character for character.
+    */
+  def wordBigrams(toks: Column): Column = {
+    val n = size(toks)
+    zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Hits against the union of all per-language stopword lists (counts
+    * multiplicity) — shared by qualityScore and Corpus.gopherRules.
+    */
+  def allStopwordHits(lowerTokens: Column): Column = {
+    val words = Stopwords.values.flatten.toSeq.distinct
+    size(filter(lowerTokens, t => words.map(w => t === w).reduce(_ || _)))
+  }
+
   /** Repetition metrics (Gopher-style quality rules): fraction of
     * duplicate words and duplicate word-2-grams per document. Pure Column
     * expressions — whole-stage codegen, zero shuffle, linear per row —
@@ -25,10 +45,7 @@ object TextAnalysis {
   def repetitionMetrics(df: DataFrame): DataFrame = {
     val toks = wsTokens(lower(col("text")))
     val n = size(toks)
-    val grams = zip_with(
-      slice(toks, lit(1), greatest(n - 1, lit(0))),
-      slice(toks, lit(2), greatest(n - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
+    val grams = wordBigrams(toks)
     df.select(
       col("doc_id"),
       n.cast("long").as("n_tokens"),
@@ -103,9 +120,7 @@ object TextAnalysis {
     val alpha = length(regexp_replace(text, "[^A-Za-zÀ-ÿ]", "")).cast("double")
     val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double")
     val digit = length(regexp_replace(text, "[^0-9]", "")).cast("double")
-    val allLangStops = Stopwords.values.flatten.toSeq.distinct
-    val stopHits = size(filter(transform(tokens, t => lower(t)),
-      t => allLangStops.map(w => t === w).reduce(_ || _))).cast("double")
+    val stopHits = allStopwordHits(transform(tokens, t => lower(t))).cast("double")
 
     val safeTok = greatest(nTok, lit(1.0))
     val safeChar = greatest(nChar, lit(1.0))

@@ -299,14 +299,18 @@ object PyText {
     s.split("\\s+", -1).filter(_.nonEmpty).mkString(" ")
 
   /** `strip_spaces_line_end` (string_utils.py:1-12): recursively remove a
-    * single space before a trailing newline. Tail-recursive, identical
-    * semantics (including the len<2 guard).
+    * single space before a trailing newline. Matches the reference's
+    * (non-tail) recursion shape — depth is the count of trailing " \n"
+    * pairs, bounded by line count, so no stack concern in practice.
     */
-  @annotation.tailrec
   def stripSpacesLineEnd(text: String): String = {
+    // recurse on text[:-2] WITHOUT the newline, exactly like the
+    // reference (string_utils.py:11): "the text  \n" keeps one space ->
+    // "the text \n" (re-appending the newline before recursing would
+    // strip ALL trailing spaces — a byte-level output divergence)
     if (text.length < 2) text
     else if (text.charAt(text.length - 1) == '\n' && text.charAt(text.length - 2) == ' ')
-      stripSpacesLineEnd(text.substring(0, text.length - 2) + "\n")
+      stripSpacesLineEnd(text.substring(0, text.length - 2)) + "\n"
     else text
   }
 

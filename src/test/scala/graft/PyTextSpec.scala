@@ -28,7 +28,11 @@ class PyTextSpec extends AnyFunSuite {
 
   test("stripSpacesLineEnd mirrors the recursive reference semantics") {
     // string_utils.py docstring cases
-    assert(PyText.stripSpacesLineEnd("the text  \n") == "the text\n")
+    // CPython-exact: recursion drops the " \n" pair and re-appends "\n"
+    // AFTER returning, so a double space keeps its first space
+    assert(PyText.stripSpacesLineEnd("the text  \n") == "the text \n")
+    assert(PyText.stripSpacesLineEnd("a \n \n") == "a\n\n") // chain strips
+    assert(PyText.stripSpacesLineEnd("b   \n") == "b  \n")
     assert(PyText.stripSpacesLineEnd("the text\n") == "the text\n")
     assert(PyText.stripSpacesLineEnd("x") == "x")
     assert(PyText.stripSpacesLineEnd(" \n") == "\n")
