@@ -27,6 +27,20 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   * micro-batch bounds work per trigger via maxFilesPerTrigger instead);
   * each micro-batch is embarrassingly parallel over its input partitions.
   */
+/** One (band, band_hash) bucket row of an incoming document
+  * (nearDupPairsStream). Top-level so the Dataset encoders codegen
+  * cleanly (object-nested state classes trip janino).
+  */
+final case class BandedSig(band: Int, band_hash: Long, doc_id: Long,
+    ts: java.sql.Timestamp, sig: Seq[Long])
+
+/** Candidate near-dup pair from the stream (doc_a < doc_b). */
+final case class StreamPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+/** nearDupPairsStream bucket state: one entry per member in horizon. */
+final case class BucketEntry(doc_id: Long, ts_ms: Long, sig: Seq[Long])
+final case class BucketState(entries: List[BucketEntry])
+
 object StreamingExtract {
 
   /** Streaming extraction transform — works on any streaming (or batch)
@@ -113,6 +127,86 @@ object StreamingExtract {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
+
+  /** Streaming MinHash near-duplicate CANDIDATE pairs for continuous
+    * ingest (the streaming face of Dedup.minHashDuplicatePairs):
+    *
+    *  - map-side: one MinHash signature per doc, banded into
+    *    (band, band_hash) bucket rows — exactly the batch operator's
+    *    shapes (Dedup.minHashSignature / band mixing), so stream and
+    *    batch agree on bucketing;
+    *  - state: flatMapGroupsWithState keyed on the bucket, holding the
+    *    (doc_id, event-time, signature) of bucket members inside the
+    *    watermark horizon — signatures (numHashes longs), never text, and
+    *    eviction by event-time timeout bounds state to
+    *    (horizon x ingest rate), not corpus size;
+    *  - similarity is ESTIMATED from signature agreement (the standard
+    *    MinHash estimator: matching components / numHashes). The batch
+    *    layer verifies with exact shingle Jaccard; on a stream the texts
+    *    are gone, so the estimator is the honest on-arrival signal and
+    *    the periodic batch compaction stays authoritative.
+    *
+    * A pair colliding in several buckets can emit more than once
+    * (at-least-once per pair) — consumers dedupe on (doc_a, doc_b).
+    */
+  def nearDupPairsStream(docs: DataFrame, eventTimeCol: String,
+      watermark: String,
+      p: graft.ops.Dedup.MinHashParams = graft.ops.Dedup.MinHashParams())
+      : Dataset[StreamPair] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = p.numHashes / p.bands
+    val banded = docs
+      .select(col("doc_id").cast("long"), col("text"),
+        col(eventTimeCol).cast("timestamp").as("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .flatMap { case (id, text, ts) =>
+        val sig = graft.ops.Dedup.minHashSignature(
+          graft.ops.Dedup.shingles(text, p.shingleSize), p.numHashes)
+        (0 until p.bands).iterator.map { b =>
+          var h = 0xcbf29ce484222325L
+          var i = b * rows
+          while (i < (b + 1) * rows) { h = graft.ops.Hashing.mix(h ^ sig(i)); i += 1 }
+          BandedSig(b, h, id, ts, sig.toSeq)
+        }
+      }
+      .withWatermark("ts", watermark)
+    banded.groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState[BucketState, StreamPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var cur = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_.ts_ms >= wm) // horizon eviction on every visit
+            val out = scala.collection.mutable.ArrayBuffer.empty[StreamPair]
+            it.foreach { r =>
+              cur.foreach { e =>
+                val oid = e.doc_id; val osig = e.sig
+                if (oid != r.doc_id) {
+                  var m = 0; var i = 0
+                  val n = math.min(osig.length, r.sig.length)
+                  while (i < n) { if (osig(i) == r.sig(i)) m += 1; i += 1 }
+                  val est = if (n == 0) 0.0 else m.toDouble / n
+                  if (est >= p.jaccardThreshold)
+                    out += StreamPair(math.min(oid, r.doc_id),
+                      math.max(oid, r.doc_id), graft.ops.Similarity.round6(est))
+                }
+              }
+              cur = BucketEntry(r.doc_id, r.ts.getTime, r.sig) :: cur
+            }
+            if (cur.isEmpty) state.remove()
+            else {
+              state.update(BucketState(cur))
+              state.setTimeoutTimestamp(cur.map(_.ts_ms).max, watermark)
+            }
+            out.iterator
+          }
+      }
+  }
 
   /** Drain everything currently available and stop (Trigger.AvailableNow):
     * the incremental-batch mode — repeated invocations process only new

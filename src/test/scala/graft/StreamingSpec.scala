@@ -89,6 +89,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.size == 3, ids)
   }
 
+  test("streaming minhash near-dup: cross-batch candidate pairs, estimator 1.0 on identical text") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = mem.toDF.toDF("doc_id", "text", "ts")
+    val q = graft.streaming.StreamingExtract
+      .nearDupPairsStream(src, "ts", "10 minutes",
+        graft.ops.Dedup.MinHashParams(jaccardThreshold = 0.5))
+      .writeStream.format("memory").queryName("neardup_pairs")
+      .outputMode("append").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val shared = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    mem.addData((1L, shared, ts(0)), (3L, other, ts(0)))
+    q.processAllAvailable()
+    // batch 2: doc 2 repeats doc 1's text — the pair must surface ACROSS
+    // micro-batches via bucket state
+    mem.addData((2L, shared, ts(1)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql(
+      "SELECT DISTINCT doc_a, doc_b, est_jaccard FROM neardup_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 1.0)), pairs.mkString(","))
+  }
+
   test("transformWithStatus: failed docs are visible rows, not silent drops") {
     import spark.implicits._
     val bad = DocRow("doc-degenerate", Seq(Span("page", "", "", 0)))
