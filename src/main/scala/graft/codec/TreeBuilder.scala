@@ -82,14 +82,27 @@ final class TreeBuilder(fast: Boolean) {
   }
 
   def onWord(text: String, ref: String): Unit = {
-    if (lineWords != null) {
-      val font = TreeBuilder.kv(ref, "font").getOrElse("")
-      val box = TreeBuilder.kv(ref, "box").fold(TreeBuilder.EmptyBox)(SpanCodec.parseBox)
-      lineWords += Word(text, font, box)
+    if (lineWords == null) {
+      // a word with no open line is a malformed stream: synthesize the
+      // line (the same tolerance onLine applies to a stray line outside
+      // an element) rather than silently dropping text — at 10^12 rows
+      // silent data loss is the one unacceptable failure mode
+      onLine("", "auto-word-line")
     }
+    val font = TreeBuilder.kv(ref, "font").getOrElse("")
+    val box = TreeBuilder.kv(ref, "box").fold(TreeBuilder.EmptyBox)(SpanCodec.parseBox)
+    lineWords += Word(text, font, box)
   }
 
   def onMedia(kind: String, ref: String, offset: Int): Unit = {
+    // fast mode drops the media element WITHOUT flushing the open element.
+    // For codec-produced streams the two modes are equivalent anyway
+    // (SpanCodec.encode only emits media at element boundaries, always
+    // followed by a fresh para/heading span before any line); for a
+    // hand-built stream interleaving media MID-element, fast mode keeps
+    // the paragraph whole — the faithful reading of the reference's fast
+    // mode, where Parsr never produced the media element and explicit
+    // para spans alone define segmentation.
     if (!fast) {
       flushElem(); ensurePage()
       curPage += Elem("media-" + offset, kind, TreeBuilder.EmptyBox, 0,

@@ -221,7 +221,10 @@ object Extractor {
 
   /** export_heading (export.py:503-509). Replicates the positional-arg
     * quirk: the heading's level lands in the idx_page slot, level stays
-    * unset (see OutElement scaladoc).
+    * unset (see OutElement scaladoc). Lenient on a word-less heading line
+    * (kept as an empty token list) where the reference's Element
+    * constructor raises AssertionError (doc_output.py:148-149) — the
+    * standard lenient-where-reference-crashes choice.
     */
   def exportHeading(e: Elem): OutElement = {
     val lines = e.lines.map(l => Reflow.lineToWords(l)._1.toList).toList

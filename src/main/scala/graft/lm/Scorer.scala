@@ -23,7 +23,11 @@ object Scorer {
   }
   // Thread-local LRUs: no lock contention across the 32 executor threads
   // (the model itself is immutable after lazy init, so scoring is lock-free).
-  private val cache = ThreadLocal.withInitial[Lru](() => new Lru(65536))
+  // 8192 entries x ~1KB worst-case entry x 32 threads caps aggregate
+  // retention near 250MB (65536 would pin ~2.5GB of ThreadLocal state on a
+  // mostly-distinct-lines corpus where every miss inserts); dehyphenation
+  // repetition is local, so the hit rate survives the smaller bound.
+  private val cache = ThreadLocal.withInitial[Lru](() => new Lru(8192))
   /** Texts longer than this bypass the LRU. The cache exists for the
     * dehyphenation workload (short lines, heavy repetition); corpus-level
     * `lm_score(text)` over full documents would otherwise retain up to
@@ -166,7 +170,10 @@ object Scorer {
     if (a.isEmpty || b.isEmpty) return None
     val ta = a.mkString(" ")
     val tb = b.mkString(" ")
-    if (ta.length == 1 || tb.length == 1) return None
+    // one-char guard sees through reflow glue (' '/'\n' appended to the
+    // line's last word): "1 " is still a one-char line for the LM's
+    // can't-score-single-char special case
+    if (ta.trim.length <= 1 || tb.trim.length <= 1) return None
     val scores = Seq(score(ta, lang), score(tb, lang), score(ta + " " + tb, lang))
     if (PyText.argminFirst(scores) != 2) None
     else {
@@ -201,7 +208,7 @@ object Dictionary {
     "der", "die", "das", "den", "dem", "des", "ein", "eine", "einen",
     "und", "oder", "mit", "für", "fuer", "über", "ueber", "nach", "bei",
     "aus", "ist", "sind", "wird", "werden", "wurde", "wurden", "hat",
-    "nicht", "sich", "auf", "als", "auch", "wenn", "durch", "zur", "zum",
+    "nicht", "sich", "auf", "als", "wenn", "durch", "zur", "zum",
     "beteiligten", "angemessen", "berücksichtigt", "stärkung", "aufsicht",
     "unterlagen", "dokument", "dokumente", "absatz", "artikel", "nummer",
     "buchstabe", "satz", "anlage", "begründung", "textabschnitt",

@@ -36,8 +36,10 @@ object Geometry {
     val shared = intersectionArea(b1, b2)
     val denom = math.max(b1.area, b2.area)
     if (denom == 0.0) {
-      // degenerate boxes: shapely returns 0/0 -> nan; reference fixtures
-      // never hit this; define as 0 similarity.
+      // degenerate boxes: the reference's Python float division 0.0/0.0
+      // raises ZeroDivisionError (geometry.py:17) — a crash, not nan.
+      // Reference fixtures never hit this; we define 0 similarity
+      // (lenient-where-reference-raises, the codebase's standard choice).
       0.0
     } else shared / denom
   }

@@ -45,6 +45,19 @@ class CodecSpec extends AnyFunSuite {
     assert(es(0).isHeader && !es(1).isHeader)
   }
 
+  test("stray word without an open line is preserved in a synthesized line, not dropped") {
+    val spans = Vector(
+      Span("page", "", "", 0),
+      Span("para", "box=0.0,0.0,10.0,5.0", "p1", 1),
+      Span("word", "orphan", "font=f1;box=0.0,0.0,4.0,5.0", 2), // no line span
+      Span("line", "box=0.0,0.0,10.0,5.0", "l1", 3),
+      Span("word", "normal", "font=f1;box=0.0,0.0,4.0,5.0", 4))
+    val t = SpanCodec.decode(spans, fast = false)
+    val words = t.pages.head.elements.flatMap(_.lines).flatMap(_.words).map(_.content)
+    assert(words.contains("orphan"), words.mkString(",")) // silent loss forbidden
+    assert(words.contains("normal"))
+  }
+
   test("offset is the ordering authority (shuffled input decodes the same)") {
     val row = Fixtures.flagshipDoc
     val shuffled = new scala.util.Random(7).shuffle(row.spans.toVector)

@@ -72,6 +72,11 @@ class ScorerSpec extends AnyFunSuite {
       List("Seite", "3", "von", "10"),
       List("Die", "Kommission", "hat", "einen", "Bericht", "vorgelegt"))
     assert(n.isEmpty)
+    // one-char guard sees through the reflow glue token: "1 " is still a
+    // single-char boundary line the LM cannot score
+    assert(Scorer.joinSplitLines(List("1 "),
+      List("verbände", "ist", "eine", "klärung")).isEmpty)
+    assert(Scorer.joinSplitLines(List("nach", "ansicht"), List("2\n")).isEmpty)
   }
 
   test("scores quantized: equal inputs give bit-equal scores") {
