@@ -113,6 +113,42 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("FastScan == typed path on random GARBAGE streams, doc for doc") {
+    // the Tungsten-direct scanner and the typed-encoder kernel are pinned
+    // equal on well-formed corpora elsewhere (PlanSpec); garbage streams
+    // exercise the null/unknown-kind/malformed-attribute branches of the
+    // InternalRow reader, where a divergence would silently split the two
+    // production paths
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-fuzz-fastscan")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      val cfg = ExtractConfig()
+      val rows: Seq[DocRow] = (0L until 2000L).map { seed =>
+        val rng = new Fixtures.Rng(0xFA57 + seed)
+        DocRow(s"fz-$seed", randomSpans(rng, 1 + rng.nextInt(40)))
+      }
+      val viaFast = graft.job.FastScan
+        .extract(spark.createDataset(rows).toDF(), cfg)
+        .collect().map(d => d.doc_id -> d).toMap
+      val viaTyped = rows.flatMap { row =>
+        try Some(Extractor.extractRow(row, cfg))
+        catch { case _: ExtractionException => None
+                case scala.util.control.NonFatal(_) => None }
+      }.map(d => d.doc_id -> d).toMap
+      assert(viaFast.keySet == viaTyped.keySet,
+        s"survivor sets differ: ${(viaFast.keySet diff viaTyped.keySet) ++
+          (viaTyped.keySet diff viaFast.keySet)}")
+      viaFast.foreach { case (id, f) =>
+        assert(f.spans == viaTyped(id).spans, s"spans diverge for $id")
+        assert(f.text == viaTyped(id).text, s"text diverges for $id")
+      }
+      assert(viaFast.nonEmpty)
+    } finally spark.stop()
+  }
+
   test("mojibake round-trip property: fix(mojibake(x)) == x on clean text") {
     val rng = new graft.fixtures.Fixtures.Rng(2024L)
     val alphabet = "abcdefghijklmnopqrstuvwxyz \u00e4\u00f6\u00fc\u00df\u00c4\u00d6\u00dc\u00e9\u2019\u201c\u201d\u20ac."
