@@ -186,6 +186,36 @@ object Corpus {
         rules.map(_._2).reduce(_ && _).as("passes")): _*)
   }
 
+  /** Sampling rates that rebalance the corpus toward target token shares
+    * (static data mixing, the knob behind "X% web, Y% code, Z% books"):
+    * given per-stratum token masses (e.g. corpusSummary's total_tokens)
+    * and target shares, the largest feasible downsample-only mix keeps
+    * the binding stratum whole and downsamples the rest proportionally —
+    * rate_s = c * share_s / tokens_s with c chosen so max rate = 1.
+    * Deterministic driver-side arithmetic over the tiny per-stratum
+    * summary; feed the result to stratifiedSample / CorpusPrep
+    * sampleRates (hash-deterministic, so the realized mix is
+    * reproducible on any cluster size). Strata without a target get
+    * rate 0 (excluded); targets for absent/empty strata are ignored
+    * (sampling cannot create data).
+    */
+  def rebalanceRates(tokensByStratum: Map[String, Long],
+      targetShares: Map[String, Double]): Map[String, Double] = {
+    require(targetShares.values.forall(_ >= 0.0), "negative target share")
+    val active = targetShares.filter { case (s, share) =>
+      share > 0.0 && tokensByStratum.getOrElse(s, 0L) > 0L
+    }
+    if (active.isEmpty)
+      return tokensByStratum.keys.map(_ -> 0.0).toMap
+    val c = active.map { case (s, share) =>
+      tokensByStratum(s).toDouble / share
+    }.min
+    tokensByStratum.keys.map { s =>
+      s -> active.get(s).fold(0.0)(share =>
+        math.min(1.0, c * share / tokensByStratum(s).toDouble))
+    }.toMap
+  }
+
   /** CCNet-style language-model quality scoring: per-document score from
     * the embedded deterministic char-n-gram LM (the same model the
     * extraction kernel's dehyphenation uses), via the codegen'd

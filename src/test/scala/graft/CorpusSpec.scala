@@ -270,6 +270,28 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq(("a b", 2L), ("b c", 2L), ("b a", 1L)))
   }
 
+  test("rebalanceRates: binding stratum kept whole, mix hits the target shares") {
+    val rates = Corpus.rebalanceRates(
+      Map("web" -> 80L, "code" -> 20L), Map("web" -> 0.5, "code" -> 0.5))
+    assert(rates("web") == 0.25 && rates("code") == 1.0)
+    // realized mix: 80*0.25 = 20, 20*1.0 = 20 -> exactly 50/50
+    // stratum without a target -> excluded; target for an absent stratum
+    // ignored; empty-target edge -> all zero
+    val r2 = Corpus.rebalanceRates(
+      Map("web" -> 60L, "junk" -> 40L), Map("web" -> 1.0, "books" -> 0.5))
+    assert(r2 == Map("web" -> 1.0, "junk" -> 0.0))
+    assert(Corpus.rebalanceRates(Map("a" -> 5L), Map.empty) == Map("a" -> 0.0))
+    // three-way mix with a non-trivial binding stratum
+    val r3 = Corpus.rebalanceRates(
+      Map("a" -> 100L, "b" -> 50L, "c" -> 10L),
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    // c binds (10/0.2 = 50): rates = 50*share/tokens
+    assert(math.abs(r3("a") - 0.25) < 1e-12)
+    assert(math.abs(r3("b") - 0.3) < 1e-12)
+    assert(r3("c") == 1.0)
+    // realized: 25 / 15 / 10 tokens = exactly 0.5 / 0.3 / 0.2
+  }
+
   test("perplexityFilter: natural text scores below gibberish; kept respects threshold") {
     val df = docsDf(Seq(
       (1L, "the cat sat on the mat and the dog was in the house"),
