@@ -116,6 +116,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Seq((1L, 2L, 1.0)), pairs.mkString(","))
   }
 
+  test("streaming minhash near-dup: bucket state evicted past the watermark horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = mem.toDF.toDF("doc_id", "text", "ts")
+    val q = graft.streaming.StreamingExtract
+      .nearDupPairsStream(src, "ts", "5 minutes",
+        graft.ops.Dedup.MinHashParams(jaccardThreshold = 0.5))
+      .writeStream.format("memory").queryName("neardup_evict")
+      .outputMode("append").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val shared = (1 to 40).map(i => s"evt$i").mkString(" ")
+    mem.addData((1L, shared, ts(0)))
+    q.processAllAvailable()
+    // advance the watermark far past doc 1's horizon with unrelated data
+    mem.addData((9L, (200 to 240).map(i => s"w$i").mkString(" "), ts(60)))
+    q.processAllAvailable()
+    // doc 2 repeats doc 1's text — but doc 1's state is evicted, no pair
+    mem.addData((2L, shared, ts(61)))
+    q.processAllAvailable()
+    // doc 3 repeats within the horizon of doc 2 — pair (2,3) must emit
+    mem.addData((3L, shared, ts(62)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql("SELECT DISTINCT doc_a, doc_b FROM neardup_evict")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((1L, 2L)), s"evicted doc paired: $pairs")
+    assert(pairs.contains((2L, 3L)), s"in-horizon pair missing: $pairs")
+  }
+
   test("transformWithStatus: failed docs are visible rows, not silent drops") {
     import spark.implicits._
     val bad = DocRow("doc-degenerate", Seq(Span("page", "", "", 0)))
