@@ -86,8 +86,10 @@ final class TreeBuilder(fast: Boolean) {
       // a word with no open line is a malformed stream: synthesize the
       // line (the same tolerance onLine applies to a stray line outside
       // an element) rather than silently dropping text — at 10^12 rows
-      // silent data loss is the one unacceptable failure mode
-      onLine("", "auto-word-line")
+      // silent data loss is the one unacceptable failure mode. Unique id
+      // per synthesized line: line ids become span refs on re-encode.
+      autoId += 1
+      onLine("", "auto-word-line-" + autoId)
     }
     val font = TreeBuilder.kv(ref, "font").getOrElse("")
     val box = TreeBuilder.kv(ref, "box").fold(TreeBuilder.EmptyBox)(SpanCodec.parseBox)

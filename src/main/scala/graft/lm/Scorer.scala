@@ -30,10 +30,11 @@ object Scorer {
   private val cache = ThreadLocal.withInitial[Lru](() => new Lru(8192))
   /** Texts longer than this bypass the LRU. The cache exists for the
     * dehyphenation workload (short lines, heavy repetition); corpus-level
-    * `lm_score(text)` over full documents would otherwise retain up to
-    * 65536 entire document bodies PER THREAD — an unbounded-bytes cache
-    * masquerading as a bounded-entries one. Long texts repeat rarely, so
-    * skipping the cache costs nothing there.
+    * `lm_score(text)` over full documents would otherwise retain
+    * thousands of entire document bodies PER THREAD (up to the Lru entry
+    * cap above) — an unbounded-bytes cache masquerading as a
+    * bounded-entries one. Long texts repeat rarely, so skipping the
+    * cache costs nothing there.
     */
   val MaxCachedTextLen = 512
   private val lmCalls = new java.util.concurrent.atomic.LongAdder

@@ -137,9 +137,13 @@ object StreamingExtract {
     *    batch agree on bucketing;
     *  - state: flatMapGroupsWithState keyed on the bucket, holding the
     *    (doc_id, event-time, signature) of bucket members inside the
-    *    watermark horizon — signatures (numHashes longs), never text, and
-    *    eviction by event-time timeout bounds state to
-    *    (horizon x ingest rate), not corpus size;
+    *    watermark horizon — signatures, never text. Each doc's signature
+    *    is held in EACH of its `bands` bucket states (the estimator needs
+    *    the full signature at comparison time), so state and shuffle pay
+    *    a factor of `bands` x numHashes longs per doc within the horizon;
+    *    the knobs are bands/numHashes/maxBucketSize and the watermark.
+    *    Eviction by event-time timeout bounds state to
+    *    (horizon x ingest rate), never corpus size;
     *  - similarity is ESTIMATED from signature agreement (the standard
     *    MinHash estimator: matching components / numHashes). The batch
     *    layer verifies with exact shingle Jaccard; on a stream the texts
@@ -161,6 +165,13 @@ object StreamingExtract {
     val banded = docs
       .select(col("doc_id").cast("long"), col("text"),
         col(eventTimeCol).cast("timestamp").as("ts"))
+      // null doc_id/text/ts rows are dropped BEFORE the typed stage: one
+      // poison row would otherwise NPE the task, and a streaming task
+      // failure crash-loops on checkpoint replay (this operator emits
+      // candidate pairs, not a per-doc sink — transformWithStatus is the
+      // per-doc outcome surface)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        col("ts").isNotNull)
       .as[(Long, String, java.sql.Timestamp)]
       .flatMap { case (id, text, ts) =>
         val sig = graft.ops.Dedup.minHashSignature(
@@ -184,19 +195,25 @@ object StreamingExtract {
               .filter(_.ts_ms >= wm) // horizon eviction on every visit
             val out = scala.collection.mutable.ArrayBuffer.empty[StreamPair]
             it.foreach { r =>
-              cur.foreach { e =>
-                val oid = e.doc_id; val osig = e.sig
-                if (oid != r.doc_id) {
-                  var m = 0; var i = 0
-                  val n = math.min(osig.length, r.sig.length)
-                  while (i < n) { if (osig(i) == r.sig(i)) m += 1; i += 1 }
-                  val est = if (n == 0) 0.0 else m.toDouble / n
-                  if (est >= p.jaccardThreshold)
-                    out += StreamPair(math.min(oid, r.doc_id),
-                      math.max(oid, r.doc_id), graft.ops.Similarity.round6(est))
+              // mega-bucket guard (MinHashParams.maxBucketSize, same
+              // rationale as the batch operator): a bucket saturated by
+              // corpus-wide boilerplate stops comparing AND stops growing
+              // — per-arrival work and state stay bounded
+              if (cur.lengthCompare(p.maxBucketSize) < 0) {
+                cur.foreach { e =>
+                  val oid = e.doc_id; val osig = e.sig
+                  if (oid != r.doc_id) {
+                    var m = 0; var i = 0
+                    val n = math.min(osig.length, r.sig.length)
+                    while (i < n) { if (osig(i) == r.sig(i)) m += 1; i += 1 }
+                    val est = if (n == 0) 0.0 else m.toDouble / n
+                    if (est >= p.jaccardThreshold)
+                      out += StreamPair(math.min(oid, r.doc_id),
+                        math.max(oid, r.doc_id), graft.ops.Similarity.round6(est))
+                  }
                 }
+                cur = BucketEntry(r.doc_id, r.ts.getTime, r.sig) :: cur
               }
-              cur = BucketEntry(r.doc_id, r.ts.getTime, r.sig) :: cur
             }
             if (cur.isEmpty) state.remove()
             else {

@@ -116,6 +116,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Seq((1L, 2L, 1.0)), pairs.mkString(","))
   }
 
+  test("streaming minhash near-dup: null rows dropped; mega-bucket cap stops pairing") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val shared = (1 to 40).map(i => s"cap$i").mkString(" ")
+    // maxBucketSize = 1: the bucket saturates at one member, so even an
+    // exact duplicate produces no pair (boilerplate guard semantics)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingExtract
+      .nearDupPairsStream(mem.toDF.toDF("doc_id", "text", "ts"), "ts", "10 minutes",
+        graft.ops.Dedup.MinHashParams(jaccardThreshold = 0.5, maxBucketSize = 1))
+      .writeStream.format("memory").queryName("neardup_cap")
+      .outputMode("append").start()
+    // a poison row with null text must be dropped, not kill the query
+    mem.addData((1L, shared, ts(0)), (7L, null, ts(0)))
+    q.processAllAvailable()
+    mem.addData((2L, shared, ts(1)))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("neardup_cap").count() == 0)
+  }
+
   test("streaming minhash near-dup: bucket state evicted past the watermark horizon") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
