@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout with NO sbt
+// logger prefix: the driver parses graft.Bench's single JSON line, and the
+// default LoggedOutput strategy prefixed it with "[info] ", which broke the
+// driver's JSON parse in rounds 1-2 (BENCH_r0*.json "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -112,7 +112,9 @@ object Bench {
   }
 
   private def kernelCalibration(levels: Seq[Int], n: Int = 20000): Map[Int, Double] = {
-    val docs = calDocs
+    require(n <= calDocs.length,
+      s"kernelCalibration n=$n exceeds the ${calDocs.length}-doc calibration corpus")
+    val docs = calDocs.take(n)
     val cfg = ExtractConfig()
     levels.map { threads =>
       def once(): Double = {
@@ -229,7 +231,7 @@ object Bench {
     // Spark round with an in-JVM kernel run so the hardware ceiling is
     // measured in the SAME time window; best-of per metric.
     val minRounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "2").toInt
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_MAX_ROUNDS", "4").toInt
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_MAX_ROUNDS", "6").toInt
     val throughput = scala.collection.mutable.LinkedHashMap[Int, Double]()
     val cal = scala.collection.mutable.LinkedHashMap[Int, Double]()
     var warmed = Set.empty[Int]
@@ -261,9 +263,35 @@ object Bench {
     // the driver's bench invocation must still complete)
     val budgetMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "360").toLong * 1000L
     val tBudget = System.currentTimeMillis()
+    // Quiet-window gating (round-2 verdict item 5): the shared VM's free
+    // cores swing 2-3x between windows, and a loud window depresses the
+    // HIGH level disproportionately (it needs 4x the cores) — the main
+    // reason r02's in-window raw efficiency (0.724) sat under the
+    // best-observed 0.850. Before spending a ~60s measurement round,
+    // probe the host with a ~1s pure-kernel run at the high level and
+    // compare against the persisted historical ceiling; back off briefly
+    // while the window is loud. No history (first run) => no gate. The
+    // probe feeds the same best-of `cal` merge, so no cycles are wasted.
+    val probeLevel = levels.max
+    val quietFrac = sys.env.getOrElse("SPARK_GRAFT_QUIET_FRAC", "0.85").toDouble
+    val histAtStart = readHistory()
+    def waitForQuietWindow(): Unit = {
+      val best = histAtStart.getOrElse(s"kernel.n$probeLevel", return)
+      var tries = 0
+      while (System.currentTimeMillis() - tBudget < budgetMs) {
+        val k = kernelCalibration(Seq(probeLevel))(probeLevel)
+        cal(probeLevel) = math.max(cal.getOrElse(probeLevel, 0.0), k)
+        if (k >= quietFrac * best || tries >= 20) return
+        System.err.println(f"[bench] loud window: kernel.n$probeLevel " +
+          f"${k}%.0f < $quietFrac x best ${best}%.0f docs/s — backing off 8s")
+        Thread.sleep(8000)
+        tries += 1
+      }
+    }
     while ((r < minRounds || (r < maxRounds && bestEff < 0.8)) &&
         (r == 0 || System.currentTimeMillis() - tBudget < budgetMs)) {
       r += 1
+      waitForQuietWindow()
       levels.foreach { level =>
         if (useCluster) {
           clusterThroughput(level / 4, corpusPath, layout).foreach { dps =>
@@ -358,6 +386,12 @@ object Bench {
         s""""bench_docs":$nDocs,"sf":"$sfDir"}"""
     writeReport(levels, throughput.toMap, efficiency, cal.toMap, ceiling, normalized,
       nDocs, hist, mode)
+    // belt-and-braces for the driver handshake: the JSON line also lands in
+    // a file no logger can prefix (stdout is already unprefixed via
+    // build.sbt's `run / outputStrategy := StdoutOutput`)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$repoRoot/BENCH/latest_bench.json"), json + "\n")
+    catch { case scala.util.control.NonFatal(_) => }
     println(json)
     // the scratch tree holds one parquet extraction copy per warmup/run —
     // gigabytes per invocation on the shared VM if left behind
@@ -375,24 +409,28 @@ object Bench {
     * window fluctuates run to run; persisting per-level maxima (same code,
     * same input) records what the pipeline achieves in a quiet window.
     */
+  private def readHistory(): Map[String, Double] = {
+    val path = java.nio.file.Paths.get(s"$repoRoot/BENCH/history.properties")
+    if (java.nio.file.Files.exists(path))
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(path)).asScala
+        .flatMap { l =>
+          l.split("=") match {
+            case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
+            case _ => None
+          }
+        }
+        // pre-mode-tag entries were thread-mode measurements
+        .map { case (k, v) =>
+          (if (k.startsWith("e2e.n")) k.replace("e2e.n", "e2e.threads.n") else k) -> v
+        }.toMap
+    else Map.empty
+  }
+
   private def mergeHistory(tp: Map[Int, Double], cal: Map[Int, Double], nDocs: Int,
       mode: String): Map[String, Double] = {
     val path = java.nio.file.Paths.get(s"$repoRoot/BENCH/history.properties")
-    val prev: Map[String, Double] =
-      if (java.nio.file.Files.exists(path))
-        scala.jdk.CollectionConverters.ListHasAsScala(
-          java.nio.file.Files.readAllLines(path)).asScala
-          .flatMap { l =>
-            l.split("=") match {
-              case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
-              case _ => None
-            }
-          }
-          // pre-mode-tag entries were thread-mode measurements
-          .map { case (k, v) =>
-            (if (k.startsWith("e2e.n")) k.replace("e2e.n", "e2e.threads.n") else k) -> v
-          }.toMap
-      else Map.empty
+    val prev: Map[String, Double] = readHistory()
     // e2e keys are tagged with mode AND corpus shape so values from
     // different measurement setups never merge
     val cur = tp.map { case (k, v) => s"e2e.$mode.v3d$nDocs.n$k" -> v } ++

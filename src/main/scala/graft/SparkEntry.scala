@@ -861,7 +861,12 @@ object SparkEntry {
          |  CAST(count(*) + 7 AS BIGINT) AS run_tokens
          |FROM g GROUP BY doc_a, doc_b, diag, grp
          |HAVING count(*) + 7 >= 12
-         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin)
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+  ) ++
+    // frozen literal-VALUES oracles for the deterministic fixture-driven
+    // queries (x01-x08, q17/q18, q27) — see XGolden for the mechanism and
+    // the soundness argument; regenerate with graft.tools.XOracleGen
+    XGolden.all
 }
 
 /** q09 oracle: the exact DuckDB rendition of TextAnalysis.qualityScore. */

@@ -224,8 +224,14 @@ object ExtractJob {
       // excess buckets and still report success — fail loudly instead
       val p = new org.apache.hadoop.fs.Path(cfg.inputPath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val buckets = fs.listStatus(p).map(_.getPath.getName)
-        .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
+      val bucketDirs = fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("bucket="))
+      val unparseable = bucketDirs.filter(_.stripPrefix("bucket=").toIntOption.isEmpty)
+      require(unparseable.isEmpty,
+        s"input has non-numeric bucket partition dirs ${unparseable.mkString(", ")} " +
+          "(e.g. a null bucket value at write time) — the bucketed layout contract " +
+          "requires integer buckets 0..chunks-1")
+      val buckets = bucketDirs.map(_.stripPrefix("bucket=").toInt)
       require(buckets.nonEmpty,
         s"bucketedInput=true but ${cfg.inputPath} has no bucket= directories")
       val over = buckets.filter(_ >= cfg.chunks)

@@ -196,12 +196,23 @@ object Corpus {
     * summary; feed the result to stratifiedSample / CorpusPrep
     * sampleRates (hash-deterministic, so the realized mix is
     * reproducible on any cluster size). Strata without a target get
-    * rate 0 (excluded); targets for absent/empty strata are ignored
-    * (sampling cannot create data).
+    * rate 0 (excluded). Targets keyed by strata ABSENT from
+    * tokensByStratum fail loudly (a misspelled stratum name would
+    * otherwise vanish silently and fall through to stratifiedSample's
+    * defaultRate); a measured-but-empty stratum (0 tokens) is accepted
+    * and gets rate 0 — sampling cannot create data.
     */
   def rebalanceRates(tokensByStratum: Map[String, Long],
       targetShares: Map[String, Double]): Map[String, Double] = {
     require(targetShares.values.forall(_ >= 0.0), "negative target share")
+    // a target share keyed by a misspelled/absent stratum would otherwise
+    // vanish silently AND that stratum would fall through to downstream
+    // stratifiedSample's defaultRate (often 1.0) instead of the intended mix
+    val unknown = targetShares.keySet -- tokensByStratum.keySet
+    require(unknown.isEmpty,
+      s"targetShares reference strata absent from tokensByStratum: " +
+        s"${unknown.toSeq.sorted.mkString(", ")} — pass shares only for " +
+        "measured strata (use corpusSummary to enumerate them)")
     val active = targetShares.filter { case (s, share) =>
       share > 0.0 && tokensByStratum.getOrElse(s, 0L) > 0L
     }

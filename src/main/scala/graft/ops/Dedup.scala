@@ -358,7 +358,7 @@ object Dedup {
     * rationale as ngramJaccardPairs.
     */
   def winnowOverlapPairs(docs: DataFrame, minShared: Int = 2,
-      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+      maxDocFreq: Int = Int.MaxValue, sortOutput: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs = docs.select(col("doc_id").cast("long"), col("text"))
@@ -371,19 +371,40 @@ object Dedup {
     val kept =
       if (maxDocFreq == Int.MaxValue) sigs
       else {
-        val ok = sigs.groupBy(col("f")).agg(count(lit(1)).as("n"))
-          .filter(col("n") <= maxDocFreq).select("f")
-        sigs.join(ok, Seq("f"), "left_semi").select("id", "f")
+        // the HOT set (df > bound) is the small side — broadcast anti-join
+        // instead of shuffling the whole index against its kept majority
+        // (same shape as ngramJaccardPairs' cut)
+        val hot = sigs.groupBy(col("f")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select(col("f"))
+        sigs.join(broadcast(hot), Seq("f"), "left_anti").select("id", "f")
       }
     val l = kept.toDF("a", "f")
     val r = kept.toDF("b", "f")
-    l.join(r, Seq("f")).filter(col("a") < col("b"))
+    val pairs = l.join(r, Seq("f")).filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("shared"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    if (sortOutput) pairs.orderBy(col("doc_a"), col("doc_b")) else pairs
   }
+
+  /** PRODUCTION overlap configuration: the frequency cut is ON and the
+    * global output sort is off — the gate entry (q30) runs unbounded
+    * because its DuckDB oracle is the exact shared-fingerprint pair set,
+    * but at corpus scale a single boilerplate fingerprint (a license
+    * header, a template footer) present in millions of documents turns
+    * the fingerprint self-join quadratic. Dropping fingerprints with
+    * doc-frequency > maxDocFreq before the join removes exactly the pairs
+    * whose only evidence is corpus-wide boilerplate — which are not
+    * meaningful containment hits — while every surviving pair still
+    * carries >= minShared rare fingerprints. minShared is raised vs the
+    * gate default for the same reason ngramJaccardPairsAtScale has a
+    * kept-set floor: after the cut, thin evidence is noisy evidence.
+    * Mirrors ngramJaccardPairsAtScale (round-2 verdict item 3).
+    */
+  def winnowOverlapPairsAtScale(docs: DataFrame, minShared: Int = 3,
+      maxDocFreq: Int = 5000): DataFrame =
+    winnowOverlapPairs(docs, minShared, maxDocFreq, sortOutput = false)
 
   // ---------- SimHash ----------
 

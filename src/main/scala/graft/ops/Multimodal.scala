@@ -6,11 +6,22 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, processed in batched per-partition passes.
   *
-  * The Spark-side plumbing (schema, partitioning, batch shape) is real and
-  * tested; the codec itself is a clearly-marked deterministic STUB — the
-  * container has no image/audio libraries, so `decodeHeader` parses a
-  * synthetic GRFT header instead of e.g. libjpeg (swap `decodeHeader` /
-  * `downsample` for real codecs in production).
+  * Codec layer (round-2 verdict item 7 — real where the JRE provides one,
+  * stub seam elsewhere):
+  *  - images (BMP/PNG/GIF/JPEG): REAL header decode, pixel decode, resize
+  *    and feature extraction via `javax.imageio` — pure-JVM, present in
+  *    every JRE, no native libs;
+  *  - audio (WAV/PCM): REAL header + sample decode via
+  *    `javax.sound.sampled`;
+  *  - everything else (video containers, JPEG2000, ...): the
+  *    clearly-marked deterministic GRFT stub — the documented seam where
+  *    a production deployment plugs ffmpeg/opencv. Fixture "drawing"/
+  *    "video" payloads use it so tests exercise the seam.
+  *
+  * Scale shape (unchanged by the codec): bytes are decoded inside one
+  * mapPartitions pass and NEVER cross a shuffle — metadata/features are
+  * projected out and the binary column is dropped before any wide
+  * operation.
   */
 object Multimodal {
 
@@ -24,14 +35,21 @@ object Multimodal {
       doc_id: String,
       media_ref: String,
       kind: String,
+      format: String,
       width: Int,
       height: Int,
       n_frames: Int,
       bytes_len: Int,
       sha_prefix: String)
 
+  /** Decoded header: container format + dimensions + frame count. For
+    * audio, width/height are 0 and `frames` is the PCM frame count.
+    */
+  final case class MediaHeader(format: String, width: Int, height: Int,
+      frames: Int)
+
   /** Deterministic fake payload: "GRFT" magic + width/height/frames header
-    * + seed-derived body.
+    * + seed-derived body. The stand-in for formats the JRE cannot decode.
     */
   def fakePayload(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(16 + 64)
@@ -42,13 +60,73 @@ object Multimodal {
     bb.array()
   }
 
-  /** STUB decode: parse the synthetic header (stands in for image decode). */
+  /** Deterministic REAL BMP payload: a w×h image whose pixel colors are a
+    * pure function of (seed, x, y). BMP (not PNG) because the JDK's BMP
+    * encoder is header + raw BGR rows — byte-deterministic across JVMs,
+    * no compressor in the loop.
+    */
+  def bmpPayload(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val m = Hashing.mix(seed ^ (x.toLong * 73856093L) ^ (y.toLong * 19349663L))
+        img.setRGB(x, y, (m & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
+  private def isGrft(b: Array[Byte]): Boolean =
+    b.length >= 16 && b(0) == 'G' && b(1) == 'R' && b(2) == 'F' && b(3) == 'T'
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Header-only decode: format sniff + dimensions + frame count. Image
+    * headers are read via an ImageReader WITHOUT decoding pixel data (the
+    * reader seeks width/height from the header); WAV via the audio file
+    * format; GRFT from the stub header. Unknown magic fails loudly — a
+    * silent (0,0,0) would flow into downstream joins as a fake datum.
+    */
+  def decodeMeta(bytes: Array[Byte]): MediaHeader = {
+    if (isGrft(bytes)) {
+      val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
+      return MediaHeader("grft", bb.getInt, bb.getInt, bb.getInt)
+    }
+    if (isWav(bytes)) {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      return MediaHeader("wav", 0, 0, aff.getFrameLength)
+    }
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "unknown media format (no JRE codec; " +
+        "GRFT-wrap the payload or plug a codec at the decode seam)")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+        val frames = if (fmt == "gif") r.getNumImages(true) else 1
+        MediaHeader(fmt, r.getWidth(0), r.getHeight(0), frames)
+      } finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** Back-compat stub-header accessor (GRFT payloads only). */
   def decodeHeader(bytes: Array[Byte]): (Int, Int, Int) = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val magic = new Array[Byte](4)
-    bb.get(magic)
-    require(new String(magic, "US-ASCII") == "GRFT", "bad media magic (stub codec)")
-    (bb.getInt, bb.getInt, bb.getInt)
+    val m = decodeMeta(bytes)
+    require(m.format == "grft", s"decodeHeader is the stub accessor; got ${m.format}")
+    (m.width, m.height, m.frames)
   }
 
   /** Batched metadata extraction: one pass per partition, bytes never
@@ -61,72 +139,182 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("SHA-256")
       it.map { m =>
-        val (w, h, f) = decodeHeader(m.bytes)
+        val h = decodeMeta(m.bytes)
         md.reset()
         val digest = md.digest(m.bytes).take(4).map("%02x".format(_)).mkString
-        MediaMeta(m.doc_id, m.media_ref, m.kind, w, h, f, m.bytes.length, digest)
+        MediaMeta(m.doc_id, m.media_ref, m.kind, h.format, h.width, h.height,
+          h.frames, m.bytes.length, digest)
       }
     }.toDF()
   }
 
-  /** STUB frame-sampling / resize: emits (doc_id, media_ref, frame_idx)
-    * rows for every `stride`-th frame — the batch/explode shape a real
-    * video pipeline has, with the pixel work stubbed out.
+  /** Frame-sampling shape: emits (doc_id, media_ref, frame_idx) rows for
+    * every `stride`-th frame with the half-size output dims a thumbnail
+    * pipeline would target — the batch/explode shape, metadata only (a
+    * real video pipeline decodes pixels at the same seam `resize` uses).
     */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].flatMap { m =>
-      val (w, h, f) = decodeHeader(m.bytes)
-      (0 until f by stride).map(i => (m.doc_id, m.media_ref, i, w / 2, h / 2))
+      val h = decodeMeta(m.bytes)
+      (0 until h.frames by stride)
+        .map(i => (m.doc_id, m.media_ref, i, h.width / 2, h.height / 2))
     }.toDF("doc_id", "media_ref", "frame_idx", "out_w", "out_h")
   }
 
-  /** STUB resize: binary-in / binary-out batch transform — re-encodes the
-    * payload with clamped dimensions (stands in for a real downscale; the
-    * body bytes are passed through). The shape that matters at scale:
-    * bytes transform inside one mapPartitions pass, never across a
-    * shuffle, output column is again opaque binary.
+  /** Resize to fit maxDim: REAL bilinear downscale + re-encode for
+    * JRE-decodable images (BMP/PNG/GIF/JPEG in, BMP out — the
+    * deterministic encoder); GRFT payloads re-encode the stub header with
+    * clamped dims (the seam); WAV passes through unchanged (resampling is
+    * out of scope — dimension-less). Binary-in / binary-out inside one
+    * mapPartitions pass, never across a shuffle.
     */
   def resize(media: DataFrame, maxDim: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.map { m =>
-        val (w, h, f) = decodeHeader(m.bytes)
-        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
-        val nw = math.max(1, (w * scale).toInt)
-        val nh = math.max(1, (h * scale).toInt)
-        val bb = java.nio.ByteBuffer.allocate(m.bytes.length)
-        bb.put("GRFT".getBytes("US-ASCII"))
-        bb.putInt(nw); bb.putInt(nh); bb.putInt(f)
-        bb.put(m.bytes, 16, m.bytes.length - 16)
-        m.copy(bytes = bb.array())
+        val h = decodeMeta(m.bytes)
+        h.format match {
+          case "grft" =>
+            val scale = math.min(1.0, maxDim.toDouble / math.max(h.width, h.height))
+            val nw = math.max(1, (h.width * scale).toInt)
+            val nh = math.max(1, (h.height * scale).toInt)
+            val bb = java.nio.ByteBuffer.allocate(m.bytes.length)
+            bb.put("GRFT".getBytes("US-ASCII"))
+            bb.putInt(nw); bb.putInt(nh); bb.putInt(h.frames)
+            bb.put(m.bytes, 16, m.bytes.length - 16)
+            m.copy(bytes = bb.array())
+          case "wav" => m
+          case _ =>
+            val scale = math.min(1.0, maxDim.toDouble / math.max(h.width, h.height))
+            if (scale >= 1.0) m
+            else {
+              val src = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(m.bytes))
+              val nw = math.max(1, (h.width * scale).toInt)
+              val nh = math.max(1, (h.height * scale).toInt)
+              val dst = new java.awt.image.BufferedImage(nw, nh,
+                java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(src, 0, 0, nw, nh, null): Unit
+              } finally g.dispose()
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "bmp", out)
+              m.copy(bytes = out.toByteArray)
+            }
+        }
       }
     }.toDF()
   }
 
-  /** STUB feature extraction: binary -> dense Array[Float] embedding
-    * (hash-derived from the payload, deterministic — stands in for a CNN/
-    * CLIP forward pass). Output schema matches the `embeddings` table
-    * (vec-per-media), so it composes directly with Similarity.bruteForceTopK
-    * / ivfTopK / cosineNearDupPairs — the media near-dup path.
+  /** Feature extraction: binary -> dense Array[Float] embedding with the
+    * `embeddings`-table schema (vec-per-media), composing directly with
+    * Similarity.bruteForceTopK / ivfTopK / cosineNearDupPairs — the media
+    * near-dup path.
+    *
+    *  - JRE-decodable images: REAL content features — a sqrt(dim) ×
+    *    sqrt(dim) grid of per-cell mean luminances, centered at 0 (the
+    *    classic tiny-thumbnail descriptor; identical images ⇒ identical
+    *    vectors, near-identical ⇒ high cosine). `dim` must be a perfect
+    *    square on this path.
+    *  - WAV audio: `dim` equal windows of centered mean |amplitude| of
+    *    channel 0 — the matching 1-D energy profile.
+    *  - GRFT / unknown: deterministic hash-derived pseudo-features (the
+    *    stub seam — stands in for a CNN/CLIP forward pass).
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].map { m =>
-      val base = Hashing.fnv1a(m.bytes)
-      val vec = Array.tabulate(dim) { i =>
-        // unit-scale deterministic pseudo-features
-        ((Hashing.seeded(base, i.toLong) >>> 11) * 1.1102230246251565e-16 * 2 - 1).toFloat
-      }
-      (m.doc_id, m.media_ref, vec.toSeq)
+      (m.doc_id, m.media_ref, featureVector(m.bytes, dim).toSeq)
     }.toDF("doc_id", "media_ref", "embedding")
   }
 
+  /** Single-payload feature kernel (see extractFeatures). */
+  def featureVector(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val h = decodeMeta(bytes)
+    h.format match {
+      case "grft" => hashFeatures(bytes, dim)
+      case "wav" => wavFeatures(bytes, dim)
+      case _ => imageGridFeatures(bytes, dim)
+    }
+  }
+
+  private def hashFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val base = Hashing.fnv1a(bytes)
+    Array.tabulate(dim) { i =>
+      ((Hashing.seeded(base, i.toLong) >>> 11) * 1.1102230246251565e-16 * 2 - 1).toFloat
+    }
+  }
+
+  private def imageGridFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val side = math.sqrt(dim.toDouble).toInt
+    require(side * side == dim,
+      s"image grid features need a perfect-square dim, got $dim")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, ht) = (img.getWidth, img.getHeight)
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var y = 0
+    while (y < ht) {
+      val cy = math.min(side - 1, y * side / ht)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(side - 1, x * side / w)
+        val rgb = img.getRGB(x, y)
+        // ITU-R BT.601 luma in [0,1]
+        val lum = (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)) / 255.0
+        val c = cy * side + cx
+        sums(c) += lum; counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(dim)(i =>
+      (if (counts(i) == 0) 0.0 else sums(i) / counts(i) - 0.5).toFloat)
+  }
+
+  private def wavFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16,
+        s"wav features support 16-bit signed PCM, got $fmt")
+      val raw = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val stride = fmt.getChannels // channel 0 of each frame
+      val n = raw.length / 2 / stride
+      val sums = new Array[Double](dim)
+      val counts = new Array[Long](dim)
+      var i = 0
+      while (i < n) {
+        val s = bb.getShort(i * stride * 2) / 32768.0
+        val wnd = math.min(dim - 1, i * dim / math.max(1, n))
+        sums(wnd) += math.abs(s); counts(wnd) += 1
+        i += 1
+      }
+      Array.tabulate(dim)(i =>
+        (if (counts(i) == 0) 0.0 else sums(i) / counts(i) - 0.25).toFloat)
+    } finally in.close()
+  }
+
   /** Deterministic synthetic media table derived from a docs table's media
-    * spans (one row per image/drawing span).
+    * spans (one row per image/drawing span): image spans carry REAL BMP
+    * payloads (exercising the javax.imageio codec end-to-end in the q17/
+    * q18/q27 gate queries); drawing spans carry GRFT stub payloads
+    * (exercising the unknown-codec seam).
     */
   def syntheticMediaFor(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -139,8 +327,10 @@ object Multimodal {
         val seed = Hashing.fnv1a(ref)
         val w = 64 + (Hashing.mix(seed) & 0x3F).toInt
         val h = 64 + (Hashing.mix(seed + 1) & 0x3F).toInt
-        val fr = if (k == "image") 1 else 8
-        MediaRow(d, ref, k, fakePayload(seed, w, h, fr))
+        val payload =
+          if (k == "image") bmpPayload(seed, w, h)
+          else fakePayload(seed, w, h, 8)
+        MediaRow(d, ref, k, payload)
       }.toDF()
   }
 }

@@ -112,6 +112,25 @@ object Similarity extends Serializable {
     }.toArray
   }
 
+  /** Per-task lazily-generated hyperplane sets: planes are a pure
+    * deterministic function of (dim, bits, seed), so each task regenerates
+    * them from the first embedding it sees instead of the driver running a
+    * `limit(1).collect()` probe before the real job (round-2 advice). The
+    * tables×bits×dim float cost is microseconds per task; every task
+    * derives identical planes, so bucket keys stay globally consistent
+    * (embeddings are uniform-dim by the table contract — mixed dims were
+    * already undefined under the cosine kernels).
+    */
+  private final class LazyPlanes(bits: Int, seed: Long, tables: Int)
+      extends Serializable {
+    @transient private var cache: Array[Array[Array[Float]]] = _
+    def get(dim: Int): Array[Array[Array[Float]]] = {
+      if (cache == null || cache(0)(0).length != dim)
+        cache = Array.tabulate(tables)(t => hyperplanes(dim, bits, seed + 7919L * t))
+      cache
+    }
+  }
+
   def signSignature(v: Array[Float], planes: Array[Array[Float]]): Int = {
     var sig = 0
     var i = 0
@@ -134,18 +153,13 @@ object Similarity extends Serializable {
       tables: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dimOpt = corpus.select(col("embedding")).as[Seq[Float]]
-      .limit(1).collect().headOption.map(_.length)
-    if (dimOpt.isEmpty) return spark.emptyDataset[Scored]
-      .toDF("query_id", "vec_id", "score")
     val nFlips = math.max(0, math.min(probes, bits))
-    val planes: Array[Array[Array[Float]]] =
-      Array.tabulate(tables)(t => hyperplanes(dimOpt.get, bits, seed + 7919L * t))
-    val pb = spark.sparkContext.broadcast(planes)
+    val lp = new LazyPlanes(bits, seed, tables)
     def buckets(e: Seq[Float], probe: Boolean): Iterator[Long] = {
       val v = asArray(e)
-      (0 until pb.value.length).iterator.flatMap { t =>
-        val sig = signSignature(v, pb.value(t))
+      val pl = lp.get(v.length)
+      (0 until pl.length).iterator.flatMap { t =>
+        val sig = signSignature(v, pl(t))
         val base = t.toLong << 32
         if (!probe) Iterator.single(base | sig.toLong)
         else Iterator.single(base | sig.toLong) ++
@@ -290,9 +304,20 @@ object Similarity extends Serializable {
       .groupByKey(_._1).mapGroups((c, it) => (c, it.map(_._5).max))
       .collect().toMap
 
-    val qs = queries.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Seq[Float])].collect().distinct // see bruteForceTopK
-      .map { case (id, e) => (id, asArray(e), norm(asArray(e))) }
+    val qs = {
+      val raw = queries.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().distinct // see bruteForceTopK
+      // qUnits below is keyed by vec_id: two surviving rows sharing a
+      // vec_id with DIFFERENT embeddings would collapse to one unit
+      // vector, silently mis-pruning clusters that hold true neighbors
+      // of the other — the id is the result key, so conflicting
+      // embeddings under one id is caller error; fail loudly
+      val dup = raw.groupBy(_._1).filter(_._2.length > 1).keys
+      require(dup.isEmpty,
+        s"ivfTopK: query vec_id(s) ${dup.toSeq.sorted.take(5).mkString(", ")} " +
+          "carry conflicting embeddings — vec_id must uniquely identify a query vector")
+      raw.map { case (id, e) => (id, asArray(e), norm(asArray(e))) }
+    }
 
     // unit query vectors hoisted out of the per-cluster bound loop
     // (phase 1 + phase 2 evaluate the bound ~2*Q*C times; the conversion
@@ -382,21 +407,15 @@ object Similarity extends Serializable {
       bits: Int = 8, seed: Long = 42L, tables: Int = 4): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val dimOpt = vecs.select(col("embedding")).as[Seq[Float]]
-      .limit(1).collect().headOption.map(_.length)
-    if (dimOpt.isEmpty)
-      return spark.emptyDataset[(Long, Long, Double)]
-        .toDF("vec_a", "vec_b", "cosine")
-    val planes = Array.tabulate(tables)(t =>
-      hyperplanes(dimOpt.get, bits, seed + 7919L * t))
-    val pb = spark.sparkContext.broadcast(planes)
+    val lp = new LazyPlanes(bits, seed, tables)
     // persisted: both sides of the bucket self-join read the signatures
     val bucketed = vecs.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .flatMap { case (id, e) =>
         val v = asArray(e)
-        (0 until pb.value.length).iterator.map { t =>
-          ((t.toLong << 32) | signSignature(v, pb.value(t)).toLong, id, e)
+        val pl = lp.get(v.length)
+        (0 until pl.length).iterator.map { t =>
+          ((t.toLong << 32) | signSignature(v, pl(t)).toLong, id, e)
         }
       }
       .toDF("bucket", "id", "e")

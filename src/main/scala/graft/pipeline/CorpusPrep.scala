@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.ops.{Corpus, Dedup, Pii, SubstringDedup}
+import graft.ops.{Audit, Corpus, Dedup, Pii, SubstringDedup}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -51,6 +51,14 @@ object CorpusPrep {
       sampleDefaultRate: Double = 1.0,
       sampleStratum: String = "lang",
       sampleSalt: String = "corpus-prep-v1",
+      /** Edge-count bound under which duplicate clustering runs as a
+        * driver-side union-find (16 bytes/edge — the default caps the
+        * collect at ~16 MB) instead of the distributed pointer-jumping
+        * loop; threaded to Dedup.duplicateClusters so deployments with
+        * smaller driver heaps (or boilerplate-heavy corpora whose pair
+        * graphs are huge) can tune the cutover from the pipeline config.
+        */
+      driverUnionFindMax: Long = 1000000L,
       /** Persist the corpus after the narrowing stages (quality + exact
         * dedup): the near-dedup stage alone traverses it three times
         * (minhash bands, then both sides of the candidate-verify join)
@@ -87,8 +95,9 @@ object CorpusPrep {
           evalCorpus.nonEmpty))
       cur = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cfg.nearDedup.foreach { p =>
-      val clusters =
-        Dedup.duplicateClusters(Dedup.minHashDuplicatePairs(cur, p))
+      val clusters = Dedup.duplicateClusters(
+        Dedup.minHashDuplicatePairs(cur, p),
+        driverUnionFindMax = cfg.driverUnionFindMax)
       val losers = clusters.filter(col("doc_id") =!= col("cluster"))
         .select("doc_id")
       cur = cur.join(losers, Seq("doc_id"), "left_anti")
@@ -132,4 +141,42 @@ object CorpusPrep {
   def audit(docs: DataFrame, evalCorpus: Option[DataFrame] = None,
       cfg: PrepConfig = PrepConfig()): Seq[(String, Long)] =
     stages(docs, evalCorpus, cfg).map { case (n, df) => (n, df.count()) }
+
+  /** `prepare` PLUS the sampled recall audit of the near-dedup layer
+    * (the pipeline-contract home for Audit.pairRecall, round-2 verdict
+    * item 10): on a deterministic hash-sample of the corpus the
+    * near-dedup stage actually sees (post quality/exact-dedup), the
+    * production MinHash candidate+verify operator is compared against the
+    * exact all-pairs shingle-Jaccard formulation at the same threshold.
+    * Returns (survivors, audit row (sampled_rows, exact_pairs,
+    * found_pairs, recall)); if `minRecall` > 0 and the measured recall
+    * falls below it the run FAILS loudly — a silently under-recalling
+    * dedup config ships duplicates into training data.
+    *
+    * The audit is O(sample²) exact verification — size `auditSampleRate`
+    * so sampled_rows² stays tractable (the point of hash-sampling: recall
+    * on the sample is an unbiased estimate of recall on the corpus).
+    * Requires cfg.nearDedup.
+    */
+  def prepareAudited(docs: DataFrame, evalCorpus: Option[DataFrame] = None,
+      cfg: PrepConfig = PrepConfig(), auditSampleRate: Double = 0.1,
+      auditSalt: String = "corpus-prep-audit-v1",
+      minRecall: Double = 0.0): (DataFrame, DataFrame) = {
+    val p = cfg.nearDedup.getOrElse(throw new IllegalArgumentException(
+      "prepareAudited requires cfg.nearDedup — there is no near-dup layer to audit"))
+    val st = stages(docs, evalCorpus, cfg)
+    val nearIdx = st.indexWhere(_._1 == "near_dedup")
+    val preNearDedup = st(nearIdx - 1)._2
+    val auditRow = Audit.pairRecall(preNearDedup, col("doc_id"),
+      auditSampleRate, auditSalt, aCol = "doc_a", bCol = "doc_b")(
+      approx = Dedup.minHashDuplicatePairs(_, p),
+      exact = Dedup.ngramJaccardPairs(_, n = p.shingleSize,
+        threshold = p.jaccardThreshold, sortOutput = false))
+    val recall = auditRow.select(col("recall")).head().getDouble(0)
+    require(recall >= minRecall,
+      f"near-dedup recall audit FAILED: measured $recall%.4f < required " +
+        f"$minRecall%.4f on a $auditSampleRate%.2f hash-sample — raise " +
+        "MinHashParams.numHashes/bands or lower the threshold")
+    (st.last._2, auditRow)
+  }
 }

@@ -155,12 +155,20 @@ object StreamingExtract {
     */
   def nearDupPairsStream(docs: DataFrame, eventTimeCol: String,
       watermark: String,
-      p: graft.ops.Dedup.MinHashParams = graft.ops.Dedup.MinHashParams())
+      p: graft.ops.Dedup.MinHashParams = graft.ops.Dedup.MinHashParams(),
+      saturatedSkips: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[StreamPair] = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
+    // recall loss from the mega-bucket cap must be VISIBLE at runtime
+    // (round-2 advice): every arrival the cap drops increments this
+    // accumulator (named -> surfaces in the Spark UI / status APIs;
+    // callers can pass their own to alert on it), mirroring how the batch
+    // operator's cut is auditable via Audit.pairRecall
+    val skipAcc = saturatedSkips.getOrElse(
+      spark.sparkContext.longAccumulator("graft.streaming.neardup.saturatedSkips"))
     val rows = p.numHashes / p.bands
     val banded = docs
       .select(col("doc_id").cast("long"), col("text"),
@@ -213,7 +221,7 @@ object StreamingExtract {
                   }
                 }
                 cur = BucketEntry(r.doc_id, r.ts.getTime, r.sig) :: cur
-              }
+              } else skipAcc.add(1L)
             }
             if (cur.isEmpty) state.remove()
             else {

@@ -275,11 +275,21 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       Map("web" -> 80L, "code" -> 20L), Map("web" -> 0.5, "code" -> 0.5))
     assert(rates("web") == 0.25 && rates("code") == 1.0)
     // realized mix: 80*0.25 = 20, 20*1.0 = 20 -> exactly 50/50
-    // stratum without a target -> excluded; target for an absent stratum
-    // ignored; empty-target edge -> all zero
+    // stratum without a target -> excluded; target for an ABSENT stratum
+    // (e.g. a misspelling) fails loudly instead of silently falling
+    // through to stratifiedSample's defaultRate; measured-but-empty
+    // stratum -> rate 0; empty-target edge -> all zero
     val r2 = Corpus.rebalanceRates(
-      Map("web" -> 60L, "junk" -> 40L), Map("web" -> 1.0, "books" -> 0.5))
+      Map("web" -> 60L, "junk" -> 40L), Map("web" -> 1.0, "junk" -> 0.0))
     assert(r2 == Map("web" -> 1.0, "junk" -> 0.0))
+    val err = intercept[IllegalArgumentException] {
+      Corpus.rebalanceRates(
+        Map("web" -> 60L, "junk" -> 40L), Map("web" -> 1.0, "books" -> 0.5))
+    }
+    assert(err.getMessage.contains("books"))
+    assert(Corpus.rebalanceRates(
+      Map("web" -> 60L, "books" -> 0L), Map("web" -> 1.0, "books" -> 0.5))
+      == Map("web" -> 1.0, "books" -> 0.0))
     assert(Corpus.rebalanceRates(Map("a" -> 5L), Map.empty) == Map("a" -> 0.0))
     // three-way mix with a non-trivial binding stratum
     val r3 = Corpus.rebalanceRates(

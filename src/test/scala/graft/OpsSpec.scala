@@ -343,6 +343,83 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.length == 2) // frames 0, 2
   }
 
+  test("multimodal real codec: BMP decode/resize/grid-features via javax.imageio") {
+    val sp = spark
+    import sp.implicits._
+    val bmp = Multimodal.bmpPayload(seed = 7L, w = 100, h = 40)
+    // header decode without the stub: real format, real dims, 1 frame
+    val h = Multimodal.decodeMeta(bmp)
+    assert(h == Multimodal.MediaHeader("bmp", 100, 40, 1))
+    // deterministic payload: same seed -> same bytes
+    assert(java.util.Arrays.equals(bmp, Multimodal.bmpPayload(7L, 100, 40)))
+    val media = Seq(Multimodal.MediaRow("d1", "m1", "image", bmp)).toDF()
+    val meta = Multimodal.extractMeta(media).collect()(0)
+    assert(meta.getAs[String]("format") == "bmp" &&
+      meta.getAs[Int]("width") == 100 && meta.getAs[Int]("height") == 40)
+    // REAL downscale: output re-decodes to the clamped dims
+    val resized = Multimodal.resize(media, maxDim = 50)
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    assert(Multimodal.decodeMeta(resized) == Multimodal.MediaHeader("bmp", 50, 20, 1))
+    // grid features: content-derived — identical payloads cosine 1, the
+    // resized thumbnail stays close (same content), a different image not
+    val fv = Multimodal.featureVector(bmp, 16)
+    assert(fv.length == 16 && fv.exists(_ != 0f))
+    assert(java.util.Arrays.equals(fv, Multimodal.featureVector(bmp, 16)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    // structured content (gradient) survives a real downscale: the grid
+    // descriptor of the thumbnail stays near-parallel to the original's
+    val grad = {
+      val img = new java.awt.image.BufferedImage(100, 40,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 40; x <- 0 until 100) {
+        val v = (x * 255 / 99 + y * 128 / 39) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", out)
+      out.toByteArray
+    }
+    val gradSmall = Multimodal.resize(
+      Seq(Multimodal.MediaRow("d", "g", "image", grad)).toDF(), maxDim = 50)
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    assert(cos(Multimodal.featureVector(grad, 16),
+      Multimodal.featureVector(gradSmall, 16)) > 0.95)
+    val other = Multimodal.featureVector(Multimodal.bmpPayload(99L, 100, 40), 16)
+    assert(cos(fv, other) < 0.8)
+    // unknown magic fails loudly, never a silent (0,0,0)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeMeta(Array.fill[Byte](32)(0x55))
+    }
+  }
+
+  test("multimodal real codec: WAV decode + energy features via javax.sound") {
+    def wav(nFrames: Int, f: Int => Short): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = java.nio.ByteBuffer.allocate(nFrames * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until nFrames).foreach(i => pcm.putShort(f(i)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm.array()), fmt, nFrames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // 800 frames: first half loud square wave, second half silence
+    val loudThenSilent = wav(800, i =>
+      if (i < 400) (if (i % 2 == 0) 16000 else -16000).toShort else 0.toShort)
+    val h = Multimodal.decodeMeta(loudThenSilent)
+    assert(h.format == "wav" && h.frames == 800 && h.width == 0)
+    val fv = Multimodal.featureVector(loudThenSilent, dim = 4)
+    // windows 0-1 cover the loud half (|amp| ~0.49 - 0.25 centering),
+    // windows 2-3 the silent half (0 - 0.25)
+    assert(fv(0) > 0.2 && fv(1) > 0.2 && fv(2) < -0.2 && fv(3) < -0.2)
+  }
+
   test("multimodal: resize clamps dims, preserves frames; features compose with ANN") {
     val sp = spark
     import sp.implicits._
@@ -389,6 +466,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       a.intersect(b).size.toDouble / a.union(b).size
     }
     assert(j < 0.9, s"fixture not a containment case: j=$j")
+  }
+
+  test("winnowOverlapPairsAtScale: corpus-wide boilerplate cannot inflate the join") {
+    // every doc carries the same long boilerplate paragraph (a license
+    // header); docs 100/101 additionally share a long RARE paragraph. The
+    // unbounded operator pairs everything with everything via boilerplate
+    // fingerprints (quadratic at corpus scale); the AtScale cut drops
+    // fingerprints with df > maxDocFreq before the self-join, so only the
+    // rare-content pair survives.
+    val boiler = ("standard license header text distributed with every single " +
+      "document in the corpus under the usual terms and conditions ") * 4
+    val rare = ("a genuinely distinctive shared passage that appears in exactly " +
+      "two documents and nowhere else in the whole collection ") * 4
+    val base = (1L to 30L).map(i =>
+      (i, s"unique preamble number $i " + boiler + s" unique tail $i"))
+    val docs = docsDf(base ++ Seq(
+      (100L, "first holder context " + boiler + " " + rare),
+      (101L, rare + " second holder trailing words " + boiler)))
+    val unbounded = Dedup.winnowOverlapPairs(docs, minShared = 2).collect()
+    assert(unbounded.length > 100, s"fixture too weak: ${unbounded.length} pairs")
+    val atScale = Dedup.winnowOverlapPairsAtScale(docs, minShared = 3, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(atScale.toSeq == Seq((100L, 101L)), atScale.mkString(","))
   }
 
   test("minHash maxBucketSize: mega-buckets skipped, small buckets still pair") {

@@ -92,6 +92,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.columns.toSeq == Seq("doc_id", "text", "lang"))
   }
 
+  test("prepareAudited: recall audit row emitted with the prod near-dedup config") {
+    // sampleRate 1.0 -> the audit's exact layer sees the whole (tiny)
+    // corpus; with the prod-shaped MinHash config every exact pair must be
+    // found (recall 1.0), and survivors must equal prepare()'s
+    val (out, auditRow) = CorpusPrep.prepareAudited(
+      corpus, Some(evalDf), cfg, auditSampleRate = 1.0, minRecall = 1.0)
+    val row = auditRow.head()
+    assert(row.getAs[Long]("sampled_rows") == 4L) // post quality+exact-dedup
+    assert(row.getAs[Long]("exact_pairs") >= 1L)  // (doc1, doc3)
+    assert(row.getAs[Double]("recall") == 1.0)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 6L))
+    // no near-dedup configured -> loud failure, not a silent no-audit
+    intercept[IllegalArgumentException] {
+      CorpusPrep.prepareAudited(corpus, None,
+        CorpusPrep.PrepConfig(nearDedup = None))
+    }
+  }
+
   test("sampling stage engages and is deterministic") {
     val sp = spark
     import sp.implicits._

@@ -108,6 +108,32 @@ class PyTextSpec extends AnyFunSuite {
     assert(PyText.fixBadUnicode("AT&T; no entity") == "AT&T; no entity")
   }
 
+  test("fixBadUnicode: full HTML4 entity table (ftfy unescape_html vectors)") {
+    // vector from ftfy's own test corpus (test_entities): named entity +
+    // already-decoded text left alone on the re-pass
+    assert(PyText.fixBadUnicode("&lt;HTML&gt;") == "<HTML>")
+    assert(PyText.fixBadUnicode("l&#39;humanit&eacute;") == "l'humanit\u00e9")
+    // note: uncurl_quotes runs after unescape_html in fix_text, so curly
+    // quote entities decode and then straighten \u2014 same as ftfy's default
+    assert(PyText.fixBadUnicode("&ldquo;x&rdquo;") == "\"x\"")
+    // one probe per table section: Latin-1 / extended / Greek /
+    // punctuation / letterlike / arrows / math / misc symbols
+    assert(PyText.fixBadUnicode("&frac12; cup") == "\u00bd cup")
+    assert(PyText.fixBadUnicode("&iquest;Qu\u00e9?") == "\u00bfQu\u00e9?")
+    assert(PyText.fixBadUnicode("&oelig;uvre &Scaron;") == "\u0153uvre \u0160")
+    assert(PyText.fixBadUnicode("&Omega; &sigmaf; &piv;") == "\u03a9 \u03c2 \u03d6")
+    assert(PyText.fixBadUnicode("a&thinsp;b&permil;") == "a\u2009b\u2030")
+    assert(PyText.fixBadUnicode("&real; &alefsym;") == "\u211c \u2135")
+    assert(PyText.fixBadUnicode("x &rarr; y &hArr; z") == "x \u2192 y \u21d4 z")
+    assert(PyText.fixBadUnicode("&forall;x &isin; S, x &le; &infin;")
+      == "\u2200x \u2208 S, x \u2264 \u221e")
+    // lang/rang carry HTML5 values (U+27E8/9), like html.unescape
+    assert(PyText.fixBadUnicode("&lang;v&rang; &spades;") == "\u27e8v\u27e9 \u2660")
+    // case-sensitive lookup: &Sigma; vs &sigma;, &Prime; vs &prime;
+    assert(PyText.fixBadUnicode("&Sigma;&sigma; &Prime;&prime;")
+      == "\u03a3\u03c3 \u2033\u2032")
+  }
+
   test("fixBadUnicode: terminal escapes, control chars, BOM removed; \\n and \\t kept") {
     assert(PyText.fixBadUnicode("\u001b[31mred\u001b[0m") == "red")
     assert(PyText.fixBadUnicode("a\u0000b\u0007c") == "abc")
