@@ -272,20 +272,40 @@ object Bench {
     // compare against the persisted historical ceiling; back off briefly
     // while the window is loud. No history (first run) => no gate. The
     // probe feeds the same best-of `cal` merge, so no cycles are wasted.
+    // Two acceptance rules, because the historical best may simply be
+    // unattainable in today's load regime (an absolute threshold then
+    // burns the whole budget backing off): accept immediately when the
+    // probe reaches quietFrac x historical best, OR — once >= 3 probes
+    // have mapped today's plateau — when it reaches probePlateauFrac of
+    // the best probe seen THIS invocation. Gating spends at most a
+    // quarter of the bench budget in total across rounds.
     val probeLevel = levels.max
     val quietFrac = sys.env.getOrElse("SPARK_GRAFT_QUIET_FRAC", "0.85").toDouble
+    val probePlateauFrac =
+      sys.env.getOrElse("SPARK_GRAFT_PLATEAU_FRAC", "0.95").toDouble
     val histAtStart = readHistory()
+    var gateSpentMs = 0L
+    var probeBest = 0.0
+    var probeCount = 0
     def waitForQuietWindow(): Unit = {
       val best = histAtStart.getOrElse(s"kernel.n$probeLevel", return)
-      var tries = 0
-      while (System.currentTimeMillis() - tBudget < budgetMs) {
+      while (System.currentTimeMillis() - tBudget < budgetMs &&
+          gateSpentMs < budgetMs / 4) {
+        val t0 = System.currentTimeMillis()
         val k = kernelCalibration(Seq(probeLevel))(probeLevel)
         cal(probeLevel) = math.max(cal.getOrElse(probeLevel, 0.0), k)
-        if (k >= quietFrac * best || tries >= 20) return
-        System.err.println(f"[bench] loud window: kernel.n$probeLevel " +
-          f"${k}%.0f < $quietFrac x best ${best}%.0f docs/s — backing off 8s")
+        probeBest = math.max(probeBest, k)
+        probeCount += 1
+        val quietVsHistory = k >= quietFrac * best
+        val quietVsPlateau = probeCount >= 3 && k >= probePlateauFrac * probeBest
+        if (quietVsHistory || quietVsPlateau) {
+          gateSpentMs += System.currentTimeMillis() - t0
+          return
+        }
+        System.err.println(f"[bench] loud window: kernel.n$probeLevel ${k}%.0f " +
+          f"(best-ever ${best}%.0f, best-today ${probeBest}%.0f) — backing off 8s")
         Thread.sleep(8000)
-        tries += 1
+        gateSpentMs += System.currentTimeMillis() - t0
       }
     }
     while ((r < minRounds || (r < maxRounds && bestEff < 0.8)) &&

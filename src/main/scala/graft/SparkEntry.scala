@@ -327,7 +327,8 @@ object SparkEntry {
           sampleDefaultRate = 0.5))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
-    // ---- multimodal plumbing (stub codec; Spark-side shape real) ----
+    // ---- multimodal plumbing (real javax.imageio codec for the BMP
+    // image payloads, GRFT stub for drawings — see ops.Multimodal) ----
     "q17_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.syntheticMediaFor(
         extractedWithMedia(s).select(col("doc_id"), col("spans")))
@@ -339,12 +340,13 @@ object SparkEntry {
       Multimodal.sampleFrames(media, stride = 2)
         .orderBy(col("doc_id"), col("media_ref"), col("frame_idx"))
     }),
-    // media near-dup: the stub feature extractor composing with the exact
+    // media near-dup: the feature extractor (real grid-luminance features
+    // for BMP payloads, hash features for GRFT) composing with the exact
     // cosine layer (embeddings-table schema end to end). Payload
     // duplicates planted in-query (fixture media refs are unique per
     // doc), so every planted copy must pair with its original at cosine
-    // 1.0. rows-only: the stub codec's fnv1a features are not
-    // SQL-recomputable (q13-q15 gate the cosine layer itself).
+    // 1.0. Gate-checked via the frozen XGolden oracle (features are not
+    // SQL-recomputable; q13-q15 gate the cosine layer analytically).
     "q27_media_neardup" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val media = Multimodal.syntheticMediaFor(
@@ -408,6 +410,23 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("offset"))
         .orderBy(col("doc_id"), col("offset"))
     }),
+    // the final sink artifact (S5): the fully assembled per-document text
+    // exactly as the production job writes it — reordered footnotes,
+    // reverse page breaks, header/footer placement, newline collapse all
+    // folded in. GoldenSpec pins a hand-checked subset; the frozen oracle
+    // pins the whole 80-doc corpus under the driver's gate.
+    "x09_rendered_output" -> ((s, dir) =>
+      extracted(s).select(col("doc_id"), col("text")).orderBy(col("doc_id"))),
+    // corpus-metrics surface (A7): per-kind span counts + text mass over
+    // the extracted corpus — the aggregation the metrics table records
+    // per partition, expressed as a gate-checkable corpus rollup.
+    "x10_corpus_metrics" -> ((s, dir) =>
+      explodedSpans(extracted(s))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(length(col("text"))).as("text_chars"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("kind"))),
     "x08_failed_docs" -> ((s, dir) => {
       val sp = s
       import sp.implicits._

@@ -125,18 +125,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // maxBucketSize = 1: the bucket saturates at one member, so even an
     // exact duplicate produces no pair (boilerplate guard semantics)
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val skips = spark.sparkContext.longAccumulator("test.neardup.saturatedSkips")
     val q = graft.streaming.StreamingExtract
       .nearDupPairsStream(mem.toDF.toDF("doc_id", "text", "ts"), "ts", "10 minutes",
-        graft.ops.Dedup.MinHashParams(jaccardThreshold = 0.5, maxBucketSize = 1))
+        graft.ops.Dedup.MinHashParams(jaccardThreshold = 0.5, maxBucketSize = 1),
+        saturatedSkips = Some(skips))
       .writeStream.format("memory").queryName("neardup_cap")
       .outputMode("append").start()
     // a poison row with null text must be dropped, not kill the query
     mem.addData((1L, shared, ts(0)), (7L, null, ts(0)))
     q.processAllAvailable()
+    val skipsAfterFirst = skips.value
     mem.addData((2L, shared, ts(1)))
     q.processAllAvailable()
     q.stop()
     assert(spark.table("neardup_cap").count() == 0)
+    // the recall loss is VISIBLE: doc 1 filled the bucket without skips,
+    // doc 2's arrival was dropped by the cap in every one of its bands
+    assert(skipsAfterFirst == 0L, s"unexpected skips on first arrival: $skipsAfterFirst")
+    assert(skips.value >= 1L, "cap-dropped arrival not counted")
   }
 
   test("streaming minhash near-dup: bucket state evicted past the watermark horizon") {
