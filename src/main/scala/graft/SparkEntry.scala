@@ -290,6 +290,11 @@ object SparkEntry {
     "q34_perplexity_scores" -> ((s, dir) =>
       Corpus.perplexityFilter(table(s, dir, "documents"), maxScore = 4.53)
         .orderBy(col("doc_id"))),
+    // GPT-style sequence packing: 4 shards so the oracle certifies the
+    // sharded (parallel) layout, not a single global window
+    "q35_pack_sequences" -> ((s, dir) =>
+      Corpus.packSequences(table(s, dir, "documents"), seqLen = 512,
+        nShards = 4).orderBy(col("doc_id"))),
     // corpus-wide boilerplate-line removal. Driver texts are single-line,
     // so the boilerplate is planted in-query: every doc gains a banner
     // line (df=500) and every 3rd a copyright line (df~167), both over
@@ -727,6 +732,28 @@ object SparkEntry {
     // md5_number_upper == graft md5_long (same first-8-bytes-LE value), so
     // the sampling decision is recomputed exactly: mask to 60 bits, mod
     // 10000, compare to the per-stratum integer threshold.
+    "q35_pack_sequences" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || 'pack-v1') >= 9223372036854775808
+        |      THEN CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || 'pack-v1') AS HUGEINT) - 18446744073709551616
+        |      ELSE CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || 'pack-v1') AS HUGEINT) END AS BIGINT)
+        |      & 1152921504606846975 AS pkey,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, pkey, pkey % 4 AS shard, n_tokens FROM k WHERE n_tokens > 0
+        |), c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |  FROM s
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  cum // 512 AS first_seq,
+        |  (cum + n_tokens - 1) // 512 AS last_seq,
+        |  cum % 512 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q23_stratified_sample" ->
       """WITH k AS (
         |  SELECT doc_id, lang,

@@ -227,6 +227,54 @@ object Corpus {
     }.toMap
   }
 
+  /** Training-sequence packing (GPT-style concatenate-and-chunk): lay the
+    * documents out in a deterministic hash order, concatenate their token
+    * streams, and cut at every `seqLen` tokens — a document may SPAN
+    * sequences (the standard pretraining packing: zero padding waste,
+    * unlike first-fit bin packing whose tail bins pad). Emits one row per
+    * non-empty document:
+    *   (doc_id, shard, n_tokens, first_seq, last_seq, seq_offset)
+    * where sequence ids are shard-local and seq_offset is the document's
+    * start position inside first_seq — exactly the index a sequence
+    * loader needs to materialize any sequence by slicing its documents.
+    *
+    * Scale shape: packing runs per SHARD (shard = hash(doc_id, salt) mod
+    * nShards), so the cumulative-sum window is `partitionBy(shard)` —
+    * nShards independent windows, NO global sort / single-partition
+    * window. At 100 TB pick nShards so one shard's (doc_id, pkey,
+    * n_tokens) rows — 24 bytes/doc, not the text — fit an executor; the
+    * layout is a pure function of (salt, nShards, seqLen), so it
+    * reproduces bit-identically on any cluster size, and a resumed or
+    * re-run job regenerates the identical index (same property as
+    * stratifiedSample). Token count = whitespace tokens (the q08
+    * `ws_tokens` definition); swap `tokenizer` for a BPE-count column to
+    * pack by real tokenizer length.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int, nShards: Int = 64,
+      salt: String = "pack-v1",
+      tokenizer: Column => Column = t => size(TextAnalysis.wsTokens(t)))
+      : DataFrame = {
+    require(seqLen > 0, s"seqLen $seqLen")
+    require(nShards > 0, s"nShards $nShards")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val key = call_function("md5_long",
+      concat(col("doc_id").cast("string"), lit(salt))).bitwiseAND(lit(Mask60))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("pkey"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), key.as("pkey"),
+        tokenizer(col("text")).cast("long").as("n_tokens"))
+      .withColumn("shard", col("pkey") % nShards)
+      .filter(col("n_tokens") > 0)
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("cum") / seqLen).cast("long").as("first_seq"),
+        floor((col("cum") + col("n_tokens") - lit(1)) / seqLen).cast("long")
+          .as("last_seq"),
+        (col("cum") % seqLen).as("seq_offset"))
+  }
+
   /** CCNet-style language-model quality scoring: per-document score from
     * the embedded deterministic char-n-gram LM (the same model the
     * extraction kernel's dehyphenation uses), via the codegen'd

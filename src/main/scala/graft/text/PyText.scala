@@ -86,16 +86,19 @@ object PyText {
     *  2. unescape_html (full HTML 4.01 named table + numeric entities;
     *     see NamedEntities for the exact coverage contract),
     *  3. remove_terminal_escapes (ANSI CSI sequences),
-    *  4. fix_character_width (fullwidth forms FF01-FF5E -> ASCII),
+    *  4. fix_character_width (per-char NFKC over the FF01-FFEF block:
+    *     fullwidth ASCII -> narrow, halfwidth katakana -> wide),
     *  5. uncurl_quotes (curly -> straight),
     *  6. fix_line_breaks (\r\n, \r, NEL, LS, PS, VT, FF -> \n),
-    *  7. remove_control_chars (Cc except \n and \t; plus BOM),
-    *  8. NFC normalization.
+    *  7. fix_surrogates (lone UTF-16 surrogate units -> U+FFFD; valid
+    *     pairs are already the astral char on the JVM),
+    *  8. remove_control_chars (Cc except \n and \t; plus BOM),
+    *  9. NFC normalization.
     *
     * Not covered (documented): the ~1900 HTML5-only long entity names
-    * (NamedEntities documents why), surrogate repair, half-width-katakana
-    * widening, Latin ligature decomposition (NFKC-only in ftfy too).
-    * Fixtures stay inside this subset (FIXTURES.md §7).
+    * (NamedEntities documents why) and Latin ligature decomposition
+    * (NFKC-only in ftfy too). Fixtures stay inside this subset
+    * (FIXTURES.md §7).
     */
   def fixBadUnicode(s: String): String = {
     var cur = s
@@ -122,6 +125,7 @@ object PyText {
     cur = fixCharacterWidth(cur)
     cur = uncurlQuotes(cur)
     cur = fixLineBreaks(cur)
+    cur = fixSurrogates(cur)
     cur = removeControlChars(cur)
     // every step above is a no-op returning the same reference on clean
     // input, so clean ASCII strings pass through allocation-free
@@ -239,12 +243,48 @@ object PyText {
   private def removeTerminalEscapes(s: String): String =
     if (s.indexOf(0x1b) < 0) s else AnsiRe.replaceAllIn(s, "")
 
+  /** ftfy fix_character_width: per-character NFKC over the Halfwidth and
+    * Fullwidth Forms block (U+FF01–U+FFEF) — fullwidth ASCII narrows
+    * (ＬＯＵＤ -> LOUD), halfwidth katakana widens (ｶ -> カ, with ﾞ/ﾟ
+    * becoming combining voicing marks that the pipeline's final NFC then
+    * composes, ｶﾞ -> ガ), halfwidth punctuation/arrows normalize — the
+    * same per-char table ftfy builds from NFKC. Characters outside the
+    * block are untouched (full NFKC would also decompose ligatures etc.,
+    * which ftfy's default does NOT do).
+    */
   private def fixCharacterWidth(s: String): String = {
-    if (!s.exists(c => c >= 0xFF01 && c <= 0xFF5E)) return s
+    if (!s.exists(c => (c >= 0xFF01 && c <= 0xFFEF) || c == 0x3000)) return s
     val sb = new StringBuilder(s.length)
     s.foreach { c =>
-      if (c >= 0xFF01 && c <= 0xFF5E) sb.append((c - 0xFEE0).toChar)
+      if (c >= 0xFF01 && c <= 0xFFEF)
+        sb.append(java.text.Normalizer.normalize(c.toString,
+          java.text.Normalizer.Form.NFKC))
+      else if (c == 0x3000) sb.append(' ') // ideographic space, like ftfy
       else sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** ftfy fix_surrogates, restated for UTF-16 JVM strings: a valid
+    * high+low pair already IS the astral character here (nothing to
+    * merge), so the repair is replacing LONE surrogate code units —
+    * which arrive from surrogateescape'd/corrupt upstream decoders and
+    * break any later UTF-8 encode — with U+FFFD.
+    */
+  private def fixSurrogates(s: String): String = {
+    if (!s.exists(Character.isSurrogate)) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+          Character.isLowSurrogate(s.charAt(i + 1))) {
+        sb.append(c).append(s.charAt(i + 1))
+        i += 2
+      } else {
+        if (Character.isSurrogate(c)) sb.append('�') else sb.append(c)
+        i += 1
+      }
     }
     sb.toString
   }

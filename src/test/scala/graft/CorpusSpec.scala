@@ -270,6 +270,38 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq(("a b", 2L), ("b c", 2L), ("b a", 1L)))
   }
 
+  test("packSequences: shard-local concat-and-chunk layout, spanning docs, determinism") {
+    // token counts: doc i has (10 + i) whitespace tokens; doc 50 is long
+    // (spans several 64-token sequences); doc 99 is empty (dropped)
+    val docs = docsDf(
+      (1L to 20L).map(i => (i, (1 to 10 + i.toInt).map(j => s"t$j").mkString(" "))) ++
+        Seq((50L, (1 to 300).map(j => s"w$j").mkString(" ")), (99L, "   ")))
+    val out = Corpus.packSequences(docs, seqLen = 64, nShards = 2, salt = "pack-test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length == 21) // empty doc dropped
+    // reconstruct each shard's layout from the emitted index alone:
+    // cum = first_seq * seqLen + seq_offset must tile the shard's token
+    // stream exactly — first doc at 0, each next doc starting where the
+    // previous ended, last_seq consistent with the span
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => r._4 * 64 + r._6)
+      var cum = 0L
+      ordered.foreach { case (_, _, n, first, last, off) =>
+        assert(first * 64 + off == cum, s"gap/overlap at cum=$cum")
+        assert(last == (cum + n - 1) / 64)
+        cum += n
+      }
+    }
+    // the long doc spans sequences
+    val d50 = out.find(_._1 == 50L).get
+    assert(d50._3 == 300L && d50._5 > d50._4)
+    // bit-deterministic layout: a re-run (fresh plan) emits the same index
+    val again = Corpus.packSequences(docs, seqLen = 64, nShards = 2, salt = "pack-test")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(5))).toSet
+    assert(again == out.map(r => (r._1, r._4, r._6)).toSet)
+  }
+
   test("rebalanceRates: binding stratum kept whole, mix hits the target shares") {
     val rates = Corpus.rebalanceRates(
       Map("web" -> 80L, "code" -> 20L), Map("web" -> 0.5, "code" -> 0.5))

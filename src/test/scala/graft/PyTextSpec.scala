@@ -134,6 +134,19 @@ class PyTextSpec extends AnyFunSuite {
       == "\u03a3\u03c3 \u2033\u2032")
   }
 
+  test("fixBadUnicode: character width (fullwidth + halfwidth katakana) and surrogates") {
+    // ftfy's own vector: fix_text('ＬＯＵＤ　ＮＯＩＳＥＳ') == 'LOUD NOISES'
+    // (fullwidth ASCII narrowed, ideographic space -> space)
+    assert(PyText.fixBadUnicode("ＬＯＵＤ　ＮＯＩＳＥＳ") == "LOUD NOISES")
+    // halfwidth katakana widens; the voiced mark composes under final NFC
+    assert(PyText.fixBadUnicode("ｶﾞ") == "ガ")
+    assert(PyText.fixBadUnicode("ﾊﾟﾝ") == "パン")
+    // lone surrogates -> U+FFFD; valid astral pairs untouched
+    assert(PyText.fixBadUnicode("a\uD800b") == "a�b")
+    assert(PyText.fixBadUnicode("x\uDC00") == "x�")
+    assert(PyText.fixBadUnicode("ok 😀") == "ok 😀")
+  }
+
   test("fixBadUnicode: terminal escapes, control chars, BOM removed; \\n and \\t kept") {
     assert(PyText.fixBadUnicode("\u001b[31mred\u001b[0m") == "red")
     assert(PyText.fixBadUnicode("a\u0000b\u0007c") == "abc")
