@@ -96,7 +96,13 @@ object XGolden {
       .map { case ((n, dt), i) => s"CAST(c$i AS $dt) AS $n" }
       .mkString(", ")
     val tdef = cols.indices.map(i => s"c$i").mkString("(", ",", ")")
-    Some(s"SELECT $sel FROM (VALUES\n${rows.mkString(",\n")}) AS t$tdef")
+    // ORDER BY ALL: the driver's compare canon-sorts rows, but every
+    // handwritten oracle in SparkEntry carries an explicit ORDER BY —
+    // don't let these 13 rows be the only ones depending on DuckDB
+    // preserving VALUES insertion order (preserve_insertion_order=false
+    // is a common memory-pressure setting)
+    Some(s"SELECT $sel FROM (VALUES\n${rows.mkString(",\n")}) AS t$tdef " +
+      "ORDER BY ALL")
   }
 
   /** All frozen oracles keyed by query name (for SparkEntry.oracleSql). */

@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to spooling every ImageInputStream through a temp
+  // FILE (FileCacheImageInputStream) — per payload, inside the partition
+  // loop. In-memory payloads never need the disk cache; one JVM-wide
+  // switch makes every create/read below a MemoryCacheImageInputStream.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(
       doc_id: String,
       media_ref: String,
@@ -104,6 +110,10 @@ object Multimodal {
     if (isWav(bytes)) {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(bytes))
+      // NOT_SPECIFIED (-1) must not flow downstream as a fake frame count
+      require(aff.getFrameLength >= 0,
+        "wav without a definite data-chunk frame length " +
+          "(AudioSystem.NOT_SPECIFIED) — refuse rather than emit -1")
       return MediaHeader("wav", 0, 0, aff.getFrameLength)
     }
     val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -158,17 +168,24 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].flatMap { m =>
       val h = decodeMeta(m.bytes)
-      (0 until h.frames by stride)
+      // audio has no visual frames to thumbnail: a WAV's PCM frame count
+      // is sample frames (tens of thousands per second), not the unit
+      // this operator models — emit nothing rather than exploding one
+      // row per stride-th audio sample
+      if (h.format == "wav") Iterator.empty
+      else (0 until h.frames by stride).iterator
         .map(i => (m.doc_id, m.media_ref, i, h.width / 2, h.height / 2))
     }.toDF("doc_id", "media_ref", "frame_idx", "out_w", "out_h")
   }
 
   /** Resize to fit maxDim: REAL bilinear downscale + re-encode for
-    * JRE-decodable images (BMP/PNG/GIF/JPEG in, BMP out — the
-    * deterministic encoder); GRFT payloads re-encode the stub header with
-    * clamped dims (the seam); WAV passes through unchanged (resampling is
-    * out of scope — dimension-less). Binary-in / binary-out inside one
-    * mapPartitions pass, never across a shuffle.
+    * JRE-decodable single-frame images (BMP/PNG/GIF/JPEG in, BMP out —
+    * the deterministic encoder); GRFT payloads re-encode the stub header
+    * with clamped dims (the seam); WAV (dimension-less) and multi-frame
+    * images (animated GIF — frame-accurate transforms belong at the
+    * production video seam) pass through unchanged rather than silently
+    * losing frames. Binary-in / binary-out inside one mapPartitions pass,
+    * never across a shuffle.
     */
   def resize(media: DataFrame, maxDim: Int): DataFrame = {
     val spark = media.sparkSession
@@ -187,6 +204,11 @@ object Multimodal {
             bb.put(m.bytes, 16, m.bytes.length - 16)
             m.copy(bytes = bb.array())
           case "wav" => m
+          // multi-frame images (animated GIF): frame-accurate transforms
+          // belong at the video seam (ffmpeg in production) — passing
+          // through unchanged beats silently re-encoding frame 0 as a
+          // 1-frame BMP and dropping the rest
+          case _ if h.frames > 1 => m
           case _ =>
             val scale = math.min(1.0, maxDim.toDouble / math.max(h.width, h.height))
             if (scale >= 1.0) m

@@ -163,10 +163,13 @@ object StreamingExtract {
     val spark = docs.sparkSession
     import spark.implicits._
     // recall loss from the mega-bucket cap must be VISIBLE at runtime
-    // (round-2 advice): every arrival the cap drops increments this
-    // accumulator (named -> surfaces in the Spark UI / status APIs;
-    // callers can pass their own to alert on it), mirroring how the batch
-    // operator's cut is auditable via Audit.pairRecall
+    // (round-2 advice): each NEW document a saturated (band, band_hash)
+    // bucket shuts out increments this accumulator (named -> surfaces in
+    // the Spark UI / status APIs; callers can pass their own to alert on
+    // it), mirroring how the batch operator's cut is auditable via
+    // Audit.pairRecall. Unit = per-band bucket events: a doc shut out of
+    // all its bands counts up to `bands` times (upper bound on doc-level
+    // loss); replays of ids already stored in the bucket don't count.
     val skipAcc = saturatedSkips.getOrElse(
       spark.sparkContext.longAccumulator("graft.streaming.neardup.saturatedSkips"))
     val rows = p.numHashes / p.bands
@@ -221,7 +224,13 @@ object StreamingExtract {
                   }
                 }
                 cur = BucketEntry(r.doc_id, r.ts.getTime, r.sig) :: cur
-              } else skipAcc.add(1L)
+              } else if (!cur.exists(_.doc_id == r.doc_id)) {
+                // count only genuinely shut-out documents, not replays of
+                // ids the bucket already holds; note the unit is per-BAND
+                // bucket events — a doc shut out of all its bands counts
+                // up to `bands` times (an upper bound on doc-level loss)
+                skipAcc.add(1L)
+              }
             }
             if (cur.isEmpty) state.remove()
             else {

@@ -252,13 +252,26 @@ object PyText {
     * block are untouched (full NFKC would also decompose ligatures etc.,
     * which ftfy's default does NOT do).
     */
+  /** Precomputed per-codepoint NFKC for the FF01-FFEF block (the same
+    * static table ftfy builds): CJK/halfwidth-heavy corpora hit this in
+    * the extraction hot path, so it's an array index per char, not a
+    * Normalizer call per char.
+    */
+  private lazy val WidthMap: Array[String] =
+    Array.tabulate(0xFFEF - 0xFF01 + 1) { i =>
+      val c = (0xFF01 + i).toChar.toString
+      val n = java.text.Normalizer.normalize(c, java.text.Normalizer.Form.NFKC)
+      if (n == c) null else n // null = identity, skip the append-by-string
+    }
+
   private def fixCharacterWidth(s: String): String = {
     if (!s.exists(c => (c >= 0xFF01 && c <= 0xFFEF) || c == 0x3000)) return s
     val sb = new StringBuilder(s.length)
     s.foreach { c =>
-      if (c >= 0xFF01 && c <= 0xFFEF)
-        sb.append(java.text.Normalizer.normalize(c.toString,
-          java.text.Normalizer.Form.NFKC))
+      if (c >= 0xFF01 && c <= 0xFFEF) {
+        val m = WidthMap(c - 0xFF01)
+        if (m == null) sb.append(c) else sb.append(m)
+      }
       else if (c == 0x3000) sb.append(' ') // ideographic space, like ftfy
       else sb.append(c)
     }

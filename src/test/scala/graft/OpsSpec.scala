@@ -396,6 +396,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multimodal real codec: animated GIF frame count; resize never drops frames") {
+    val sp = spark
+    import sp.implicits._
+    def frame(shade: Int) = {
+      val img = new java.awt.image.BufferedImage(40, 30,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(shade, shade, shade)); g.fillRect(0, 0, 40, 30) }
+      finally g.dispose()
+      img
+    }
+    val gif = {
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      Seq(40, 120, 200).foreach(s =>
+        w.writeToSequence(new javax.imageio.IIOImage(frame(s), null, null), null))
+      w.endWriteSequence(); w.dispose(); ios.close()
+      out.toByteArray
+    }
+    assert(Multimodal.decodeMeta(gif) == Multimodal.MediaHeader("gif", 40, 30, 3))
+    val media = Seq(Multimodal.MediaRow("d1", "g1", "image", gif)).toDF()
+    // frame-accurate transforms belong at the video seam: the animated
+    // payload passes through resize byte-identical, frames intact
+    val resized = Multimodal.resize(media, maxDim = 10)
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    assert(java.util.Arrays.equals(resized, gif))
+    // frame sampling walks the REAL gif frame list
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+  }
+
   test("multimodal real codec: WAV decode + energy features via javax.sound") {
     def wav(nFrames: Int, f: Int => Short): Array[Byte] = {
       val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
@@ -418,6 +452,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // windows 0-1 cover the loud half (|amp| ~0.49 - 0.25 centering),
     // windows 2-3 the silent half (0 - 0.25)
     assert(fv(0) > 0.2 && fv(1) > 0.2 && fv(2) < -0.2 && fv(3) < -0.2)
+    // audio has no visual frames: sampleFrames emits nothing (never one
+    // row per stride-th PCM sample), resize passes the payload through
+    val sp = spark
+    import sp.implicits._
+    val media = Seq(Multimodal.MediaRow("d1", "a1", "audio", loudThenSilent)).toDF()
+    assert(Multimodal.sampleFrames(media, stride = 2).count() == 0L)
+    assert(java.util.Arrays.equals(
+      Multimodal.resize(media, maxDim = 8).collect()(0).getAs[Array[Byte]]("bytes"),
+      loudThenSilent))
   }
 
   test("multimodal: resize clamps dims, preserves frames; features compose with ANN") {
