@@ -42,7 +42,23 @@ object XGolden {
       s"xgolden: no DuckDB mapping for Spark type '$t' — extend duckType")
   }
 
-  private def unescape(v: String): Option[String] = {
+  /** Inverse of `unescape` (the writer side, used by XOracleGen); kept
+    * next to its inverse so the pair stays in sync — FuzzSpec round-trips
+    * them property-based.
+    */
+  private[graft] def escape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '\t' => sb.append("\\t")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private[graft] def unescape(v: String): Option[String] = {
     if (v == "\\N") return None
     val sb = new StringBuilder(v.length)
     var i = 0

@@ -28,17 +28,7 @@ object XOracleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def esc(s: String): String = {
-      val sb = new StringBuilder(s.length)
-      s.foreach {
-        case '\\' => sb.append("\\\\")
-        case '\t' => sb.append("\\t")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case c => sb.append(c)
-      }
-      sb.toString
-    }
+    def esc(s: String): String = XGolden.escape(s)
 
     XGolden.names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, "/nonexistent-by-contract")
