@@ -302,6 +302,18 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out.map(r => (r._1, r._4, r._6)).toSet)
   }
 
+  test("packSequences: shard count changes the layout, never the doc set or token mass") {
+    val docs = docsDf((1L to 40L).map(i =>
+      (i, (1 to 5 + i.toInt % 11).map(j => s"t$j").mkString(" "))))
+    def index(nShards: Int) =
+      Corpus.packSequences(docs, seqLen = 32, nShards = nShards, salt = "inv")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val one = index(1)
+    val five = index(5)
+    assert(one == five) // same docs, same per-doc token counts
+    assert(one.values.sum == five.values.sum)
+  }
+
   test("rebalanceRates: binding stratum kept whole, mix hits the target shares") {
     val rates = Corpus.rebalanceRates(
       Map("web" -> 80L, "code" -> 20L), Map("web" -> 0.5, "code" -> 0.5))

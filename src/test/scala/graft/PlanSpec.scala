@@ -103,6 +103,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchangeIdx >= 0, p)
   }
 
+  test("packSequences: shard-partitioned window, no global sort") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Corpus.packSequences(docs, seqLen = 512, nShards = 8))
+    // the cumsum window shuffles on the shard key — nShards independent
+    // windows — and nothing range-partitions (no single-partition global
+    // window, the usual sequence-packing scale trap)
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("winnowOverlapPairsAtScale: hot-fingerprint cut is a broadcast anti-join") {
     assume(sfPresent)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
