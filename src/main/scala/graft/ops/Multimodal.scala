@@ -6,17 +6,20 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, processed in batched per-partition passes.
   *
-  * Codec layer (round-2 verdict item 7 — real where the JRE provides one,
-  * stub seam elsewhere):
+  * Codec layer (round-2 verdict item 7 — real where pure-JVM code can
+  * be, stub seam elsewhere):
   *  - images (BMP/PNG/GIF/JPEG): REAL header decode, pixel decode, resize
   *    and feature extraction via `javax.imageio` — pure-JVM, present in
   *    every JRE, no native libs;
   *  - audio (WAV/PCM): REAL header + sample decode via
   *    `javax.sound.sampled`;
-  *  - everything else (video containers, JPEG2000, ...): the
+  *  - video (uncompressed-DIB AVI): REAL RIFF container parsing — header,
+  *    frame count, per-frame raw BGR decode — in ~100 lines of plain
+  *    byte-walking (aviParse); fixture "drawing" spans carry these, so
+  *    the gate queries cover a real video container end to end;
+  *  - everything else (compressed video codecs, JPEG2000, ...): the
   *    clearly-marked deterministic GRFT stub — the documented seam where
-  *    a production deployment plugs ffmpeg/opencv. Fixture "drawing"/
-  *    "video" payloads use it so tests exercise the seam.
+  *    a production deployment plugs ffmpeg/opencv.
   *
   * Scale shape (unchanged by the codec): bytes are decoded inside one
   * mapPartitions pass and NEVER cross a shuffle — metadata/features are
@@ -78,8 +81,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val m = Hashing.mix(seed ^ (x.toLong * 73856093L) ^ (y.toLong * 19349663L))
-        img.setRGB(x, y, (m & 0xFFFFFF).toInt)
+        img.setRGB(x, y, patternRgb(seed, x, y))
         x += 1
       }
       y += 1
@@ -87,6 +89,109 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "bmp", out)
     out.toByteArray
+  }
+
+  /** Deterministic pixel pattern shared by bmpPayload and aviPayload
+    * frames (frame f of an AVI uses seed + f): lets tests assert that
+    * the AVI raw-frame decode and the BMP ImageIO decode produce
+    * IDENTICAL features for the same (seed, w, h).
+    */
+  private def patternRgb(seed: Long, x: Int, y: Int): Int =
+    (Hashing.mix(seed ^ (x.toLong * 73856093L) ^ (y.toLong * 19349663L))
+      & 0xFFFFFF).toInt
+
+  /** Deterministic REAL AVI payload: an uncompressed 24-bit DIB video
+    * (RIFF/AVI container, 'vids'/'DIB ' stream, bottom-up BGR rows padded
+    * to 4 bytes — the classic raw AVI layout). Byte-deterministic: no
+    * compressor anywhere. Frame f's pixels follow patternRgb(seed + f).
+    */
+  def aviPayload(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val frameSize = stride * h
+    def frame(f: Int): Array[Byte] = {
+      val a = new Array[Byte](frameSize)
+      var y = 0
+      while (y < h) {
+        val row = (h - 1 - y) * stride // bottom-up
+        var x = 0
+        while (x < w) {
+          val rgb = patternRgb(seed + f, x, y)
+          a(row + x * 3) = (rgb & 0xFF).toByte // B
+          a(row + x * 3 + 1) = ((rgb >> 8) & 0xFF).toByte // G
+          a(row + x * 3 + 2) = ((rgb >> 16) & 0xFF).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      a
+    }
+    val bb = java.nio.ByteBuffer.allocate(
+      12 + 8 + 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40 + 8 + 4 +
+        frames * (8 + frameSize))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII")): Unit
+    val total = bb.capacity()
+    fourcc("RIFF"); bb.putInt(total - 8); fourcc("AVI ")
+    // LIST hdrl
+    fourcc("LIST"); bb.putInt(4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(100000); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(frames); bb.putInt(0); bb.putInt(1); bb.putInt(frameSize)
+    bb.putInt(w); bb.putInt(h)
+    (0 until 4).foreach(_ => bb.putInt(0))
+    // LIST strl
+    fourcc("LIST"); bb.putInt(4 + 8 + 56 + 8 + 40); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("DIB "); bb.putInt(0); bb.putInt(0) // flags, pri+lang
+    bb.putInt(0); bb.putInt(1); bb.putInt(10); bb.putInt(0) // init, scale, rate, start
+    bb.putInt(frames); bb.putInt(frameSize); bb.putInt(0); bb.putInt(frameSize)
+    bb.putLong(0L) // rcFrame
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40); bb.putInt(w); bb.putInt(h)
+    bb.putShort(1.toShort); bb.putShort(24.toShort)
+    bb.putInt(0); bb.putInt(frameSize); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0)
+    // LIST movi
+    fourcc("LIST"); bb.putInt(4 + frames * (8 + frameSize)); fourcc("movi")
+    (0 until frames).foreach { f =>
+      fourcc("00db"); bb.putInt(frameSize); bb.put(frame(f))
+    }
+    bb.array()
+  }
+
+  private def isAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Minimal real RIFF/AVI walk: header (w, h, total frames) and the
+    * frame-chunk offsets. Fails loudly on a container without an 'avih'
+    * header — never a silent (0,0,0).
+    */
+  private def aviParse(b: Array[Byte]): (MediaHeader, Seq[(Int, Int)]) = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var header: MediaHeader = null
+    val frames = Seq.newBuilder[(Int, Int)]
+    def fourcc(off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(off)
+        val size = bb.getInt(off + 4)
+        require(size >= 0 && off + 8 + size <= end, s"corrupt AVI chunk $id")
+        if (id == "LIST") walk(off + 12, off + 8 + size)
+        else if (id == "avih") {
+          require(size >= 40, "short avih")
+          header = MediaHeader("avi", bb.getInt(off + 8 + 32),
+            bb.getInt(off + 8 + 36), bb.getInt(off + 8 + 16))
+        } else if (id == "00db" || id == "00dc")
+          frames += ((off + 8, size))
+        off += 8 + size + (size & 1) // chunks pad to even
+      }
+    }
+    walk(12, b.length)
+    require(header != null, "AVI without avih header")
+    (header, frames.result())
   }
 
   private def isGrft(b: Array[Byte]): Boolean =
@@ -107,6 +212,7 @@ object Multimodal {
       val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
       return MediaHeader("grft", bb.getInt, bb.getInt, bb.getInt)
     }
+    if (isAvi(bytes)) return aviParse(bytes)._1
     if (isWav(bytes)) {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(bytes))
@@ -204,10 +310,11 @@ object Multimodal {
             bb.put(m.bytes, 16, m.bytes.length - 16)
             m.copy(bytes = bb.array())
           case "wav" => m
-          // multi-frame images (animated GIF): frame-accurate transforms
-          // belong at the video seam (ffmpeg in production) — passing
-          // through unchanged beats silently re-encoding frame 0 as a
-          // 1-frame BMP and dropping the rest
+          // video containers and multi-frame images (AVI, animated GIF):
+          // frame-accurate transforms belong at the video seam (ffmpeg in
+          // production) — passing through unchanged beats silently
+          // re-encoding frame 0 as a 1-frame BMP and dropping the rest
+          case "avi" => m
           case _ if h.frames > 1 => m
           case _ =>
             val scale = math.min(1.0, maxDim.toDouble / math.max(h.width, h.height))
@@ -264,8 +371,48 @@ object Multimodal {
     h.format match {
       case "grft" => hashFeatures(bytes, dim)
       case "wav" => wavFeatures(bytes, dim)
+      case "avi" => aviGridFeatures(bytes, dim)
       case _ => imageGridFeatures(bytes, dim)
     }
+  }
+
+  /** Grid-luminance features over an AVI's FIRST frame, decoded straight
+    * from the raw bottom-up BGR rows — arithmetic identical to
+    * imageGridFeatures (same traversal order, same BT.601 luma), so the
+    * same pixels produce bit-equal features whichever container they
+    * arrive in (OpsSpec pins BMP == AVI-frame-0).
+    */
+  private def aviGridFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val side = math.sqrt(dim.toDouble).toInt
+    require(side * side == dim,
+      s"image grid features need a perfect-square dim, got $dim")
+    val (hdr, frames) = aviParse(bytes)
+    require(frames.nonEmpty, "AVI without frame chunks")
+    val (off, len) = frames.head
+    val (w, ht) = (hdr.width, hdr.height)
+    val stride = (w * 3 + 3) & ~3
+    require(len >= stride * ht, s"short AVI frame: $len < ${stride * ht}")
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var y = 0
+    while (y < ht) {
+      val row = off + (ht - 1 - y) * stride
+      val cy = math.min(side - 1, y * side / ht)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(side - 1, x * side / w)
+        val b = bytes(row + x * 3) & 0xFF
+        val g = bytes(row + x * 3 + 1) & 0xFF
+        val r = bytes(row + x * 3 + 2) & 0xFF
+        val lum = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+        val c = cy * side + cx
+        sums(c) += lum; counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(dim)(i =>
+      (if (counts(i) == 0) 0.0 else sums(i) / counts(i) - 0.5).toFloat)
   }
 
   private def hashFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -333,10 +480,12 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media table derived from a docs table's media
-    * spans (one row per image/drawing span): image spans carry REAL BMP
-    * payloads (exercising the javax.imageio codec end-to-end in the q17/
-    * q18/q27 gate queries); drawing spans carry GRFT stub payloads
-    * (exercising the unknown-codec seam).
+    * spans: image spans carry REAL BMP payloads (the javax.imageio path);
+    * drawing spans carry REAL uncompressed-DIB AVI payloads (the RIFF
+    * video path). Each image span additionally yields an animated sibling
+    * row (`<ref>-anim`, kind "drawing", 8-frame AVI), so corpora whose
+    * spans are all stills — like the fixture corpus — still exercise the
+    * video container end-to-end in the q17/q18/q27 gate queries.
     */
   def syntheticMediaFor(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -345,14 +494,20 @@ object Multimodal {
       .filter(col("s.kind").isin("image", "drawing"))
       .select(col("doc_id"), col("s.media_ref").as("media_ref"), col("s.kind").as("kind"))
       .as[(String, String, String)]
-      .map { case (d, ref, k) =>
-        val seed = Hashing.fnv1a(ref)
-        val w = 64 + (Hashing.mix(seed) & 0x3F).toInt
-        val h = 64 + (Hashing.mix(seed + 1) & 0x3F).toInt
-        val payload =
-          if (k == "image") bmpPayload(seed, w, h)
-          else fakePayload(seed, w, h, 8)
-        MediaRow(d, ref, k, payload)
+      .flatMap { case (d, ref, k) =>
+        def dims(r: String): (Long, Int, Int) = {
+          val seed = Hashing.fnv1a(r)
+          (seed, 64 + (Hashing.mix(seed) & 0x3F).toInt,
+            64 + (Hashing.mix(seed + 1) & 0x3F).toInt)
+        }
+        val (seed, w, h) = dims(ref)
+        if (k == "image") {
+          val (aSeed, aw, ah) = dims(ref + "-anim")
+          Iterator(
+            MediaRow(d, ref, k, bmpPayload(seed, w, h)),
+            MediaRow(d, ref + "-anim", "drawing", aviPayload(aSeed, aw, ah, 8)))
+        } else
+          Iterator(MediaRow(d, ref, k, aviPayload(seed, w, h, 8)))
       }.toDF()
   }
 }

@@ -396,6 +396,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multimodal real codec: AVI container parse; frame-0 features == BMP bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    // w=50 -> row stride 152: exercises the 4-byte row padding path
+    val avi = Multimodal.aviPayload(seed = 11L, w = 50, h = 20, frames = 6)
+    assert(Multimodal.decodeMeta(avi) == Multimodal.MediaHeader("avi", 50, 20, 6))
+    assert(java.util.Arrays.equals(avi, Multimodal.aviPayload(11L, 50, 20, 6)))
+    // the same pixel pattern through two REAL decoders (ImageIO BMP vs
+    // raw DIB rows) must yield bit-equal grid features
+    val bmp = Multimodal.bmpPayload(seed = 11L, w = 50, h = 20)
+    assert(Multimodal.featureVector(avi, 16).toSeq ==
+      Multimodal.featureVector(bmp, 16).toSeq)
+    val media = Seq(Multimodal.MediaRow("d1", "v1", "drawing", avi)).toDF()
+    val meta = Multimodal.extractMeta(media).collect()(0)
+    assert(meta.getAs[String]("format") == "avi" &&
+      meta.getAs[Int]("n_frames") == 6)
+    // real frame list drives sampling; video passes through resize intact
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4))
+    assert(frames.forall(r => r.getAs[Int]("out_w") == 25 && r.getAs[Int]("out_h") == 10))
+    assert(java.util.Arrays.equals(
+      Multimodal.resize(media, maxDim = 8).collect()(0).getAs[Array[Byte]]("bytes"), avi))
+    // truncated container fails loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeMeta(java.util.Arrays.copyOf(avi, 40))
+    }
+  }
+
   test("multimodal real codec: animated GIF frame count; resize never drops frames") {
     val sp = spark
     import sp.implicits._
