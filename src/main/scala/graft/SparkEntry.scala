@@ -432,6 +432,18 @@ object SparkEntry {
           sum(length(col("text"))).as("text_chars"),
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("kind"))),
+    // the web-side extraction kernel (north_rule: HTML boilerplate strip
+    // + DOM heuristics): synthetic pages with realistic boilerplate
+    // anatomy -> main-content spans; frozen XGolden oracle pins nav/
+    // sidebar/footer removal AND article survival for the whole corpus
+    "x11_html_main_content" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val pages = sp.createDataset(graft.fixtures.HtmlFixtures.corpus(40))
+        .toDF("doc_id", "html")
+      explodedSpans(graft.html.HtmlExtract.extract(pages).toDF())
+        .orderBy(col("doc_id"), col("offset"))
+    }),
     "x08_failed_docs" -> ((s, dir) => {
       val sp = s
       import sp.implicits._

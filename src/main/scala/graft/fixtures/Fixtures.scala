@@ -35,7 +35,7 @@ object Fixtures {
     def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
   }
 
-  private val bodyVocab: Vector[String] =
+  private[fixtures] val bodyVocab: Vector[String] =
     ("die bedeutung der finanziellen interessen union ist in den " +
       "vergangenen jahren stetig gewachsen auch andere staaten wie " +
       "beispielsweise polen haben entsprechende regelungen getroffen " +

@@ -1,0 +1,58 @@
+package graft.fixtures
+
+/** Deterministic synthetic web pages for the HTML main-content extractor:
+  * realistic boilerplate anatomy (nav bar, sidebar link list, cookie
+  * banner, related-links, footer) around a seeded article (h1 + h2 +
+  * body paragraphs from the shared fixture vocabulary). Pure function of
+  * the seed — the x11 gate golden freezes the extraction of this corpus.
+  */
+object HtmlFixtures {
+
+  private val vocab = Fixtures.bodyVocab
+
+  private def para(rng: Fixtures.Rng, nWords: Int): String =
+    (0 until nWords).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+
+  def page(docId: String, seed: Long): String = {
+    val rng = new Fixtures.Rng(seed)
+    val navItems = (1 to 6)
+      .map(i => s"""<li><a href="/section$i">Rubrik $i</a></li>""")
+      .mkString
+    val sidebar = (1 to 8)
+      .map(i => s"""<li><a href="/artikel/$i">${para(rng, 3)}</a></li>""")
+      .mkString
+    val paras = (0 until 3 + rng.nextInt(3)).map { k =>
+      val link =
+        if (k == 1) s"""<a href="/ref">${para(rng, 2)}</a> """ else ""
+      s"<p>$link${para(rng, 18 + rng.nextInt(18))}</p>"
+    }.mkString("\n")
+    val related = (1 to 5)
+      .map(i => s"""<li><a href="/mehr/$i">${para(rng, 4)}</a></li>""")
+      .mkString
+    s"""<!DOCTYPE html>
+       |<html><head><title>$docId</title>
+       |<style>.x{color:red}</style>
+       |<script>if (1 < 2) { track("$docId"); }</script>
+       |</head>
+       |<body>
+       |<header><nav><ul>$navItems</ul></nav></header>
+       |<div class="cookie">Diese Seite verwendet <a href="/cookies">Cookies</a></div>
+       |<div class="layout">
+       |<aside><ul>$sidebar</ul></aside>
+       |<article>
+       |<h1>${para(rng, 5)}</h1>
+       |$paras
+       |<h2>${para(rng, 4)}</h2>
+       |<p>${para(rng, 20 + rng.nextInt(12))}</p>
+       |</article>
+       |</div>
+       |<section class="related"><h3>Mehr zum Thema</h3><ul>$related</ul></section>
+       |<footer><p><a href="/impressum">Impressum</a> &middot;
+       |<a href="/datenschutz">Datenschutz</a> &copy; 2026</p></footer>
+       |</body></html>""".stripMargin
+  }
+
+  /** (doc_id, html) rows, seeded. */
+  def corpus(n: Int, seed: Long = 42L): Seq[(String, String)] =
+    (0 until n).map(i => (f"web-$i%05d", page(f"web-$i%05d", seed + i)))
+}

@@ -220,7 +220,10 @@ object PyText {
   private val EntityRe =
     "&(#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|[a-zA-Z][a-zA-Z0-9]{1,30});".r
 
-  private def unescapeHtml(s: String): String = {
+  /** package-visible: the HTML main-content extractor decodes entities
+    * with the same table/semantics as the ftfy step (graft.html).
+    */
+  private[graft] def unescapeHtml(s: String): String = {
     if (s.indexOf('&') < 0 || s.indexOf(';') < 0) return s
     def codePoint(cp: Int, orig: String): String =
       if (cp >= 0x20 && cp <= 0x10FFFF &&

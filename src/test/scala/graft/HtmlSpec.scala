@@ -1,0 +1,87 @@
+package graft
+
+import graft.html.HtmlExtract
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HTML main-content extraction: boilerplate anatomy stripped, article
+  * kept, tokenizer tolerant of real-web malformations.
+  */
+class HtmlSpec extends AnyFunSuite {
+
+  private val article =
+    "die kommission hat den entwurf des gesetzes zur anwendung der " +
+      "finanziellen interessen in den staaten stetig beraten und bewertet"
+
+  private val page =
+    s"""<!DOCTYPE html><html><head><title>t</title>
+       |<style>.a { color: red; }</style>
+       |<script>if (1 < 2) { nav("</div>"); }</script>
+       |</head><body>
+       |<nav><ul><li><a href="/a">Start</a></li><li><a href="/b">Themen</a></li>
+       |<li><a href="/c">Archiv</a></li></ul></nav>
+       |<article>
+       |<h1>Bericht &uuml;ber die Lage</h1>
+       |<p>$article</p>
+       |<p>Auch <b>mit</b> inline&nbsp;markup bleibt der lange inhalt erhalten
+       |denn die regel z&auml;hlt die worte des blocks und seiner nachbarn.</p>
+       |<p><a href="/1">mehr</a> <a href="/2">noch mehr</a> <a href="/3">links</a></p>
+       |</article>
+       |<footer><a href="/imp">Impressum</a> &middot; <a href="/ds">Datenschutz</a></footer>
+       |</body></html>""".stripMargin
+
+  test("boilerplate stripped, article kept, heading attached and leveled") {
+    val doc = HtmlExtract.extractRow("d1", page)
+    val kinds = doc.spans.map(_.kind)
+    assert(kinds.head == "heading" && doc.spans.head.media_ref == "h1")
+    assert(doc.spans.head.text == "Bericht über die Lage") // entity decoded
+    assert(doc.text.contains("kommission"))
+    assert(doc.text.contains("inline markup") ||
+      doc.text.contains("inline markup"))
+    // nav, footer, and the pure-link paragraph are gone
+    assert(!doc.text.contains("Impressum"))
+    assert(!doc.text.contains("Archiv"))
+    assert(!doc.text.contains("noch mehr"))
+    // offsets are the emission order
+    assert(doc.spans.map(_.offset) == doc.spans.indices.map(identity))
+  }
+
+  test("script/style raw content skipped even with embedded tags and '<'") {
+    val b = HtmlExtract.blocks(page)
+    assert(!b.exists(_.text.contains("color")))
+    assert(!b.exists(_.text.contains("nav(")))
+  }
+
+  test("tokenizer tolerance: unclosed tags, stray '<', quoted '>', junk") {
+    val messy =
+      """<div><p>ein langer absatz mit mehr als sechzehn worten damit die
+        |regel ihn sicher als inhalt behandelt und niemals verwirft obwohl
+        |die seite kaputt ist <b>fett ohne ende
+        |<p>zweiter absatz mit a < b vergleich und <a href="x>y.html">link</a>
+        |der ebenfalls genug worte hat um die schwelle zu erreichen ja""".stripMargin
+    val doc = HtmlExtract.extractRow("d2", messy)
+    assert(doc.text.contains("sechzehn worten"))
+    assert(doc.text.contains("a < b vergleich"))
+    assert(doc.spans.nonEmpty)
+    // determinism
+    assert(HtmlExtract.extractRow("d2", messy) == doc)
+  }
+
+  test("link-density rule: a link farm is boilerplate even when long") {
+    val farm = (1 to 30)
+      .map(i => s"""<a href="/$i">eintrag nummer $i</a>""")
+      .mkString("<div>", " ", "</div>")
+    val b = HtmlExtract.classify(HtmlExtract.blocks(farm))
+    assert(b.nonEmpty && b.forall(!_._2))
+  }
+
+  test("fixture corpus: every page keeps its article, drops its chrome") {
+    graft.fixtures.HtmlFixtures.corpus(10).foreach { case (id, html) =>
+      val doc = HtmlExtract.extractRow(id, html)
+      assert(doc.spans.exists(s => s.kind == "heading" && s.media_ref == "h1"), id)
+      assert(doc.spans.count(_.kind == "body") >= 3, id)
+      assert(!doc.text.contains("Impressum"), id)
+      assert(!doc.text.contains("Rubrik"), id)
+      assert(!doc.text.contains("Cookies"), id)
+    }
+  }
+}
