@@ -212,6 +212,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("web pages feed CorpusPrep directly (html -> extract -> prep one-library path)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    // a cloned page (identical extracted text under a new id) must fall
+    // to the dedup stages; the md5_long surrogate key is the documented
+    // string-corpus recipe from the CorpusPrep scaladoc
+    graft.functions.GraftFunctions.register(sp)
+    val base = graft.fixtures.HtmlFixtures.corpus(6)
+    val pages = (base :+ ("web-dup", base.head._2.replace("web-00000", "web-dup")))
+      .toDF("doc_id", "html")
+    val docs = graft.html.HtmlExtract.extract(pages).toDF()
+      .select(col("doc_id").as("doc_id_str"), col("text"))
+      .withColumn("doc_id", call_function("md5_long", col("doc_id_str")))
+      .withColumn("lang", lit("de"))
+      .select("doc_id", "text", "lang")
+    // quality off: the synthetic fixture vocabulary is stopword-free by
+    // design, which the Gopher gate (correctly) rejects — this case pins
+    // the html -> extract -> dedup composition, not the quality rule
+    val out = CorpusPrep.prepare(docs, None, CorpusPrep.PrepConfig(
+      quality = None,
+      nearDedup = Some(Dedup.MinHashParams(bands = 32, jaccardThreshold = 0.5))))
+    val n = out.count()
+    assert(n == 6, s"expected the near-dup page dropped, got $n of 7")
+  }
+
   test("stages without eval corpus or sampling: no such stage entries") {
     val names = CorpusPrep.stages(corpus, None,
       CorpusPrep.PrepConfig(sampleDefaultRate = 1.0)).map(_._1)

@@ -103,6 +103,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchangeIdx >= 0, p)
   }
 
+  test("HtmlExtract: map-only, zero Exchange") {
+    val sp = spark
+    import sp.implicits._
+    val pages = sp.createDataset(graft.fixtures.HtmlFixtures.corpus(4))
+      .toDF("doc_id", "html")
+    val p = plan(graft.html.HtmlExtract.extract(pages).toDF())
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("packSequences: shard-partitioned window, no global sort") {
     assume(sfPresent)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
