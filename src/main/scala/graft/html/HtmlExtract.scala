@@ -52,10 +52,18 @@ object HtmlExtract {
     "main", "nav", "ol", "p", "pre", "section", "table", "tbody", "td",
     "tfoot", "th", "thead", "tr", "ul")
 
-  /** Elements whose entire content is skipped (raw-text or non-content). */
-  private val SkipTags = Set(
-    "script", "style", "noscript", "template", "svg", "head", "iframe",
-    "object", "textarea", "select", "button", "canvas", "audio", "video")
+  /** Raw-text elements: content ends ONLY at the matching close tag (may
+    * contain unescaped '<'), per the HTML parsing spec.
+    */
+  private val RawTextTags = Set("script", "style", "textarea", "title")
+
+  /** Non-content containers holding normal markup: their text is
+    * discarded while a nesting counter is open (NOT raw-skipped — an
+    * omitted close tag must not eat the document, and they nest).
+    */
+  private val ContainerSkipTags = Set(
+    "noscript", "template", "svg", "iframe", "object", "select",
+    "button", "canvas", "audio", "video")
 
   /** Tokenize + segment an HTML document into text blocks. Tolerant by
     * construction: unknown tags are inline no-ops, unclosed tags never
@@ -68,6 +76,10 @@ object HtmlExtract {
     val anchorText = new StringBuilder
     var aDepth = 0
     var headingLevel = 0
+    var skipDepth = 0 // open ContainerSkipTags
+    // <head> auto-closes at <body> like a browser's (an omitted </head> —
+    // legal HTML5 — must not discard the whole document)
+    var inHead = false
 
     def words(s: String): Int = {
       var n = 0; var in = false
@@ -119,43 +131,65 @@ object HtmlExtract {
             else if (cj == '"' || cj == '\'') quote = cj
             j += 1
           }
-          val selfClosed = j > i && j <= n &&
-            html.lastIndexOf('/', j - 1) == j - 1 && quote == 0
+          // '/>' marks self-closing only in its XML/void-element shape —
+          // directly after the tag name, or after whitespace or a quoted
+          // value. Per HTML5 a '/' inside an UNQUOTED attribute value
+          // ('<a href=http://x.com/>') is part of the value, and treating
+          // it as self-closing would desynchronize anchor tracking.
+          val selfClosed = j > nameStart && j < n && quote == 0 &&
+            html.charAt(j - 1) == '/' && {
+              val before = html.charAt(j - 2)
+              j - 1 == nameStart + name.length ||
+                Character.isWhitespace(before) || before == '"' || before == '\''
+            }
           i = if (j < n) j + 1 else n
           if (name.nonEmpty) {
-            if (!closing && SkipTags(name) && !selfClosed) {
-              // raw-skip to the matching close tag (script/style contain
-              // unescaped '<'; per spec they end only at "</name")
+            if (!closing && RawTextTags(name) && !selfClosed) {
+              // raw-skip to the matching close tag: "</name" followed by
+              // a delimiter ('>', '/', or whitespace) — a bare prefix
+              // match would let '</header>' terminate a 'head'-like skip
               val lower = "</" + name
               var k = i
               var found = -1
               while (found < 0 && k >= 0) {
                 k = html.indexOf('<', k)
                 if (k < 0) found = n
-                else if (html.regionMatches(true, k, lower, 0, lower.length))
+                else if (html.regionMatches(true, k, lower, 0, lower.length) && {
+                    val d = k + lower.length
+                    d >= n || html.charAt(d) == '>' || html.charAt(d) == '/' ||
+                      Character.isWhitespace(html.charAt(d))
+                  })
                   found = { val e = html.indexOf('>', k); if (e < 0) n else e + 1 }
                 else k += 1
               }
               i = found
+            } else if (name == "head") {
+              inHead = !closing && !selfClosed
+            } else if (name == "body") {
+              inHead = false // head auto-closes, like a browser
+            } else if (ContainerSkipTags(name)) {
+              if (closing) skipDepth = math.max(0, skipDepth - 1)
+              else if (!selfClosed) skipDepth += 1
             } else if (BlockTags(name)) {
               flush()
-              if (name.length == 2 && name.charAt(0) == 'h' &&
+              if (!closing && name.length == 2 && name.charAt(0) == 'h' &&
                   name.charAt(1) >= '1' && name.charAt(1) <= '6')
-                headingLevel = if (closing) 0 else name.charAt(1) - '0'
-              else if (!closing) headingLevel = 0
+                headingLevel = name.charAt(1) - '0'
+              else headingLevel = 0 // any other block boundary ends a heading
             } else if (name == "a") {
               if (closing) aDepth = math.max(0, aDepth - 1)
               else if (!selfClosed) aDepth += 1
-            } else {
-              // inline tag: a word boundary, not a block boundary
-              text.append(' ')
-              if (aDepth > 0) anchorText.append(' ')
             }
+            // other inline tags (<b>, <em>, <span>, …) contribute nothing:
+            // browsers render 'Te<em>il</em>wort' as one word, and an
+            // inserted separator would split it (and skew word counts)
           }
         } else { text.append(c); i += 1 } // stray '<'
       } else {
-        text.append(c)
-        if (aDepth > 0) anchorText.append(c)
+        if (skipDepth == 0 && !inHead) {
+          text.append(c)
+          if (aDepth > 0) anchorText.append(c)
+        }
         i += 1
       }
     }
@@ -213,14 +247,20 @@ object HtmlExtract {
   }
 
   /** Corpus operator: map-only, zero shuffle (the whole point — same
-    * deployment shape as the PDF kernel).
+    * deployment shape as the PDF kernel). Per-document failure seam like
+    * the PDF path: a null id/html cell or a (theoretically impossible —
+    * the tokenizer is total) per-row crash drops that ROW, never the job.
     */
   def extract(df: DataFrame, idCol: String = "doc_id",
       htmlCol: String = "html"): Dataset[ExtractedDoc] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("string"), col(htmlCol))
+      .filter(col(idCol).isNotNull && col(htmlCol).isNotNull)
       .as[(String, String)]
-      .mapPartitions(_.map { case (id, html) => extractRow(id, html) })
+      .mapPartitions(_.flatMap { case (id, html) =>
+        try Some(extractRow(id, html))
+        catch { case scala.util.control.NonFatal(_) => None }
+      })
   }
 }

@@ -163,13 +163,16 @@ object Multimodal {
     b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
 
-  /** Minimal real RIFF/AVI walk: header (w, h, total frames) and the
-    * frame-chunk offsets. Fails loudly on a container without an 'avih'
-    * header — never a silent (0,0,0).
+  /** Minimal real RIFF/AVI walk: header (w, h, total frames), the
+    * frame-chunk offsets, and whether the video stream is raw
+    * uncompressed DIB (fccHandler 'DIB '/zero AND '00db' frame chunks) —
+    * the only codec decodable without native libs. Fails loudly on a
+    * container without an 'avih' header — never a silent (0,0,0).
     */
-  private def aviParse(b: Array[Byte]): (MediaHeader, Seq[(Int, Int)]) = {
+  private def aviParse(b: Array[Byte]): (MediaHeader, Seq[(Int, Int)], Boolean) = {
     val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var header: MediaHeader = null
+    var rawDib = true
     val frames = Seq.newBuilder[(Int, Int)]
     def fourcc(off: Int): String =
       new String(b, off, 4, "US-ASCII")
@@ -184,14 +187,21 @@ object Multimodal {
           require(size >= 40, "short avih")
           header = MediaHeader("avi", bb.getInt(off + 8 + 32),
             bb.getInt(off + 8 + 36), bb.getInt(off + 8 + 16))
-        } else if (id == "00db" || id == "00dc")
+        } else if (id == "strh" && size >= 8 && fourcc(off + 8) == "vids") {
+          val handler = fourcc(off + 12)
+          // accepted raw handlers: 'DIB ' or the all-zero fourcc
+          if (handler != "DIB " && handler != "\u0000\u0000\u0000\u0000")
+            rawDib = false
+        } else if (id == "00db" || id == "00dc") {
+          if (id == "00dc") rawDib = false // compressed frame chunk
           frames += ((off + 8, size))
+        }
         off += 8 + size + (size & 1) // chunks pad to even
       }
     }
     walk(12, b.length)
     require(header != null, "AVI without avih header")
-    (header, frames.result())
+    (header, frames.result(), rawDib)
   }
 
   private def isGrft(b: Array[Byte]): Boolean =
@@ -381,17 +391,24 @@ object Multimodal {
     * imageGridFeatures (same traversal order, same BT.601 luma), so the
     * same pixels produce bit-equal features whichever container they
     * arrive in (OpsSpec pins BMP == AVI-frame-0).
+    *
+    * COMPRESSED AVIs (MJPEG/Cinepak/… — '00dc' chunks or a non-DIB
+    * fccHandler) and frame-less/short containers fall back to the
+    * deterministic hash features: that IS the documented stub seam for
+    * codecs the JVM cannot decode, and one such file must degrade its own
+    * features, not abort the whole Spark job from inside mapPartitions.
     */
   private def aviGridFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val side = math.sqrt(dim.toDouble).toInt
     require(side * side == dim,
       s"image grid features need a perfect-square dim, got $dim")
-    val (hdr, frames) = aviParse(bytes)
-    require(frames.nonEmpty, "AVI without frame chunks")
-    val (off, len) = frames.head
+    val (hdr, frames, rawDib) = aviParse(bytes)
     val (w, ht) = (hdr.width, hdr.height)
     val stride = (w * 3 + 3) & ~3
-    require(len >= stride * ht, s"short AVI frame: $len < ${stride * ht}")
+    if (!rawDib || frames.isEmpty || frames.head._2 < stride * ht)
+      return hashFeatures(bytes, dim)
+    val (off, len) = frames.head
+    require(len >= stride * ht) // rechecked above; guards the row loop
     val sums = new Array[Double](dim)
     val counts = new Array[Long](dim)
     var y = 0

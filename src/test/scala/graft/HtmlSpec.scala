@@ -6,7 +6,21 @@ import org.scalatest.funsuite.AnyFunSuite
 /** HTML main-content extraction: boilerplate anatomy stripped, article
   * kept, tokenizer tolerant of real-web malformations.
   */
-class HtmlSpec extends AnyFunSuite {
+class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  private lazy val spark: org.apache.spark.sql.SparkSession = {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-htmlspec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  private var sparkUsed = false
+
+  override def afterAll(): Unit = if (sparkUsed) spark.stop()
 
   private val article =
     "die kommission hat den entwurf des gesetzes zur anwendung der " +
@@ -72,6 +86,58 @@ class HtmlSpec extends AnyFunSuite {
       .mkString("<div>", " ", "</div>")
     val b = HtmlExtract.classify(HtmlExtract.blocks(farm))
     assert(b.nonEmpty && b.forall(!_._2))
+  }
+
+  test("omitted </head> (legal HTML5) must not eat the document; title text excluded") {
+    val noHeadClose =
+      """<html><head><title>seitentitel</title><body>
+        |<p>ein ausreichend langer absatz mit deutlich mehr als sechzehn
+        |worten damit der klassifikator ihn sicher als inhalt behandelt und
+        |die seite nicht leer herauskommt</p>""".stripMargin
+    val doc = HtmlExtract.extractRow("d", noHeadClose)
+    assert(doc.text.contains("sechzehn"), doc.text)
+    assert(!doc.text.contains("seitentitel"))
+    // '</header>' must not terminate a raw-text scan for a 'head'-like tag:
+    // script content ends only at a DELIMITED close tag
+    val tricky = "<script>x('</scripty>')</script><p>" +
+      ("wort " * 20) + "</p>"
+    val d2 = HtmlExtract.extractRow("d2", tricky)
+    assert(!d2.text.contains("scripty") && d2.text.contains("wort"))
+  }
+
+  test("unquoted href ending in '/' is NOT self-closing: link farms stay link farms") {
+    val farm = (1 to 25)
+      .map(i => s"<a href=/sektion/$i/>rubrik nummer $i</a>")
+      .mkString("<div>", " ", "</div>")
+    val b = HtmlExtract.classify(HtmlExtract.blocks(farm))
+    assert(b.nonEmpty && b.forall(!_._2), b.map(x => (x._1.linkDensity, x._2)))
+  }
+
+  test("inline tags join words like a browser renders them") {
+    val doc = HtmlExtract.blocks("<p>Te<em>il</em>wort und H<sub>2</sub>O hier</p>")
+    assert(doc.length == 1)
+    assert(doc.head.text == "Teilwort und H2O hier", doc.head.text)
+    assert(doc.head.words == 4)
+  }
+
+  test("heading level does not leak past its flush (malformed h-in-div)") {
+    val messy = "<div><h3>Titel</div>" +
+      ("zwanzig lange worte des eigentlichen absatzes " * 4) + "</div>"
+    val doc = HtmlExtract.extractRow("d", messy)
+    val byText = doc.spans.map(s => (s.kind, s.text.take(10)))
+    assert(doc.spans.exists(s => s.kind == "body" && s.text.startsWith("zwanzig")),
+      byText.mkString(","))
+    assert(!doc.spans.exists(s => s.kind == "heading" && s.text.startsWith("zwanzig")),
+      byText.mkString(","))
+  }
+
+  test("extract(): null html rows drop, the job survives") {
+    val sp = spark
+    sparkUsed = true
+    import sp.implicits._
+    val pages = Seq(("ok", page), ("broken", null: String)).toDF("doc_id", "html")
+    val out = HtmlExtract.extract(pages).collect()
+    assert(out.map(_.doc_id).toSeq == Seq("ok"))
   }
 
   test("fixture corpus: every page keeps its article, drops its chrome") {

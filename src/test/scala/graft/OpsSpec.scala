@@ -422,6 +422,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Multimodal.decodeMeta(java.util.Arrays.copyOf(avi, 40))
     }
+    // a COMPRESSED avi (00dc chunks — MJPEG etc.) must degrade to the
+    // deterministic hash features (the stub seam), never crash the pass
+    val compressed = avi.clone()
+    var k = 0
+    while (k + 3 < compressed.length) {
+      if (compressed(k) == '0' && compressed(k + 1) == '0' &&
+          compressed(k + 2) == 'd' && compressed(k + 3) == 'b')
+        compressed(k + 3) = 'c'
+      k += 1
+    }
+    val fvc = Multimodal.featureVector(compressed, 16)
+    assert(fvc.length == 16)
+    assert(java.util.Arrays.equals(fvc, Multimodal.featureVector(compressed, 16)))
+    assert(fvc.toSeq != Multimodal.featureVector(avi, 16).toSeq)
   }
 
   test("multimodal real codec: animated GIF frame count; resize never drops frames") {

@@ -193,6 +193,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ok.toSeq == legacy.toSeq)
   }
 
+  test("HTML extraction runs unchanged on a stream (web ingest-on-arrival)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = graft.html.HtmlExtract
+      .extract(mem.toDF.toDF("doc_id", "html"))
+      .toDF()
+      .writeStream.format("memory").queryName("html_stream")
+      .outputMode("append").start()
+    val pages = graft.fixtures.HtmlFixtures.corpus(3)
+    mem.addData(pages: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("html_stream").collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[String]("text")).toMap
+    // batch == stream, page for page (the kernel is a pure row function)
+    pages.foreach { case (id, html) =>
+      assert(got(id) == graft.html.HtmlExtract.extractRow(id, html).text)
+    }
+  }
+
   test("stateless corpus ops (pii scrub, quality filter) run unchanged on a stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
