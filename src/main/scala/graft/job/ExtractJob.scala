@@ -61,6 +61,14 @@ final case class JobConfig(
       * invisible; with task-level commits use "chunk").
       */
     resumeGranularity: String = "chunk",
+    /** "spans" (default): the layout-token PDF kernel over (doc_id,
+      * spans). "html": the web kernel (graft.html.HtmlExtract) over
+      * (doc_id, html) — same chunking, bucketed pruning, skew salting
+      * (keyed on html length instead of span count), doc/chunk resume
+      * and per-partition lineage metrics; only the per-row kernel and
+      * the input columns differ.
+      */
+    inputKind: String = "spans",
     extract: ExtractConfig = ExtractConfig())
 
 object ExtractJob {
@@ -97,10 +105,20 @@ object ExtractJob {
       numPartitions: Int,
       bigThreshold: Int): Dataset[DocRow] = {
     import docs.sparkSession.implicits._
-    val key = when(size(col("spans")) >= bigThreshold,
-      xxhash64(col("doc_id"), lit("bigdoc-salt"), size(col("spans"))))
+    repartitionSkewAwareDf(docs.toDF(), numPartitions, bigThreshold,
+      size(col("spans"))).as[DocRow]
+  }
+
+  /** DataFrame-generic variant: `docSize` is the skew measure (span count
+    * for the layout kernel, html length for the web kernel).
+    */
+  def repartitionSkewAwareDf(docs: org.apache.spark.sql.DataFrame,
+      numPartitions: Int, bigThreshold: Int,
+      docSize: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val key = when(docSize >= bigThreshold,
+      xxhash64(col("doc_id"), lit("bigdoc-salt"), docSize))
       .otherwise(xxhash64(col("doc_id")))
-    docs.repartition(numPartitions * SaltFactor, key).as[DocRow]
+    docs.repartition(numPartitions * SaltFactor, key)
   }
 
   /** Extract one chunk: returns the output Dataset; metrics are gathered
@@ -173,6 +191,65 @@ object ExtractJob {
     spark.createDataset(rdd)
   }
 
+  /** HTML twin of extractChunk: the web kernel over (doc_id, html) rows
+    * with the SAME per-partition lineage metrics contract (one
+    * PartitionMetric per partition; a null/failed document is a metrics
+    * row, never a task failure). `n_spans_in` is 0 by definition — the
+    * web input has no span column; `n_spans_out` counts emitted blocks.
+    */
+  def extractChunkHtml(
+      docs: org.apache.spark.sql.DataFrame,
+      cfg: JobConfig,
+      chunkId: Int,
+      metricsAcc: CollectionAccumulator[PartitionMetric]): Dataset[ExtractedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val runId = cfg.runId
+    val rdd = docs.select("doc_id", "html").as[(String, String)]
+      .queryExecution.toRdd.mapPartitions { it =>
+        val t0 = System.currentTimeMillis()
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var nDocs = 0L
+        var nFailed = 0L
+        var spansOut = 0L
+        var firstError: String = ""
+        val out = it.flatMap { row =>
+          nDocs += 1
+          var docId = "(null doc_id)"
+          try {
+            if (!row.isNullAt(0)) docId = row.getUTF8String(0).toString
+            require(!row.isNullAt(1), "null html")
+            val r = graft.html.HtmlExtract.extractRow(
+              docId, row.getUTF8String(1).toString)
+            spansOut += r.spans.length
+            Some(r)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              nFailed += 1
+              if (firstError.isEmpty) firstError = s"$docId: ${e.getMessage}"
+              None
+          }
+        }
+        new Iterator[ExtractedDoc] {
+          private var metricEmitted = false
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && !metricEmitted) {
+              metricEmitted = true
+              metricsAcc.add(PartitionMetric(
+                runId, chunkId, pid, nDocs, nFailed, 0L, spansOut, 0L,
+                System.currentTimeMillis() - t0,
+                if (nFailed == 0) "done" else "done_with_failures",
+                firstError, System.currentTimeMillis()))
+            }
+            h
+          }
+          def next(): ExtractedDoc = out.next()
+        }
+      }
+    spark.createDataset(rdd)
+  }
+
   /** Chunk ids already recorded complete in the metrics table (resume).
     * A MISSING metrics table means a fresh run (empty set); an EXISTING
     * table that cannot be read fails loudly — silently returning empty
@@ -242,16 +319,19 @@ object ExtractJob {
 
     (0 until cfg.chunks).foreach { chunk =>
       if (!done.contains(chunk)) {
+        // the two kernels share every job mechanism; only the data column
+        // and the per-row function differ
+        val dataCol = if (cfg.inputKind == "html") "html" else "spans"
         val slice =
           if (cfg.bucketedInput) {
             // partition pruning on the bucket= layout: only this chunk's
             // files are scanned (JobSpec asserts the pushed filter)
-            import spark.implicits._
             spark.read.format(cfg.format).load(cfg.inputPath)
               .filter(col("bucket") === chunk)
-              .select("doc_id", "spans").as[DocRow]
+              .select("doc_id", dataCol)
           } else {
-            val docs = readDocs(spark, cfg)
+            val docs = spark.read.format(cfg.format).load(cfg.inputPath)
+              .select("doc_id", dataCol)
             if (cfg.chunks == 1) docs
             else docs.filter(pmod(xxhash64(col("doc_id")), lit(cfg.chunks)) === chunk)
           }
@@ -273,15 +353,24 @@ object ExtractJob {
           case Some(done) =>
             // broadcast when small; AQE/sort-merge otherwise — doc_id is
             // the join key on both sides, no wide rows cross the shuffle
-            slice.join(done, Seq("doc_id"), "left_anti").as[DocRow]
+            slice.join(done, Seq("doc_id"), "left_anti")
           case None => slice
         }
         val part =
-          if (cfg.repartitionInput)
-            repartitionSkewAware(sliceTodo, cfg.numPartitions, cfg.bigDocSpanThreshold)
-          else sliceTodo // ingest-time layout already distributes: map-only
+          if (cfg.repartitionInput) {
+            // skew measure: span count for layout docs, char length for
+            // html (both against bigDocSpanThreshold — a 20k-char page is
+            // long the same way a 20k-span doc is)
+            val sizeCol =
+              if (cfg.inputKind == "html") length(col("html"))
+              else size(col("spans"))
+            repartitionSkewAwareDf(sliceTodo, cfg.numPartitions,
+              cfg.bigDocSpanThreshold, sizeCol)
+          } else sliceTodo // ingest-time layout already distributes: map-only
         val acc = spark.sparkContext.collectionAccumulator[PartitionMetric](s"metrics-$chunk")
-        val out = extractChunk(part, cfg, chunk, acc)
+        val out =
+          if (cfg.inputKind == "html") extractChunkHtml(part, cfg, chunk, acc)
+          else extractChunk(part.select("doc_id", "spans").as[DocRow], cfg, chunk, acc)
         // chunk mode: Overwrite — the chunk directory is the retry unit, so
         // a crashed-after-partial-commit attempt (committer v2, speculative
         // tasks) is simply replaced on resume — idempotent by construction.

@@ -52,6 +52,32 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("html job: web kernel through the chunked/resumable machinery") {
+    import spark.implicits._
+    val pages = graft.fixtures.HtmlFixtures.corpus(30) :+ ("web-broken", null)
+    pages.toDF("doc_id", "html").write.mode("overwrite").parquet(s"$dir/hin")
+    val cfg = JobConfig(s"$dir/hin", s"$dir/hout", s"$dir/hm",
+      runId = "rh", numPartitions = 4, chunks = 2, inputKind = "html",
+      bigDocSpanThreshold = 2000)
+    ExtractJob.run(spark, cfg)
+    val out = ExtractJob.readOutput(spark, cfg).collect()
+    assert(out.length == 30) // null-html page failed, not emitted
+    assert(out.forall(_.spans.nonEmpty))
+    // null page is a lineage metric, not a task failure
+    val metrics = spark.read.parquet(s"$dir/hm")
+    assert(metrics.filter(
+      org.apache.spark.sql.functions.col("status") === "done_with_failures" &&
+        org.apache.spark.sql.functions.col("error").contains("web-broken"))
+      .count() >= 1)
+    // rerun of the completed job is a no-op
+    ExtractJob.run(spark, cfg)
+    assert(ExtractJob.readOutput(spark, cfg).count() == 30)
+    // the kernel through the job equals the kernel called directly
+    val direct = graft.html.HtmlExtract
+      .extractRow("web-00003", pages.toMap.apply("web-00003"))
+    assert(out.find(_.doc_id == "web-00003").get == direct)
+  }
+
   test("chunked run produces identical output to single-chunk run") {
     import spark.implicits._
     val docs = corpus(60)
