@@ -3,7 +3,7 @@ package graft
 import graft.extract.Extractor
 import graft.fixtures.Fixtures
 import graft.model._
-import graft.ops.{Corpus, Dedup, Multimodal, Pii, SemDedup, Similarity, SubstringDedup, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Multimodal, Pii, SemDedup, Similarity, SubstringDedup, TextAnalysis, Web}
 import graft.reflow.ExtractConfig
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -295,6 +295,22 @@ object SparkEntry {
     "q35_pack_sequences" -> ((s, dir) =>
       Corpus.packSequences(table(s, dir, "documents"), seqLen = 512,
         nShards = 4).orderBy(col("doc_id"))),
+    // URL canonicalization + dedup: five URL variants per page group
+    // (tracking params / :443 / fragment / case+trailing-slash must
+    // collapse; a real query param must NOT) synthesized in-query; the
+    // oracle re-derives the canonical form with DuckDB's regex engine
+    "q36_url_dedup" -> ((s, dir) => {
+      val grp = floor(col("doc_id") / 5).cast("long").cast("string")
+      val k = pmod(col("doc_id"), lit(5))
+      val url = when(k === 0, concat(lit("http://Example"), grp,
+          lit(".com/Path/p?utm_source=x&utm_medium=y")))
+        .when(k === 1, concat(lit("https://example"), grp, lit(".com:443/Path/p")))
+        .when(k === 2, concat(lit("https://example"), grp, lit(".com/Path/p#section-2")))
+        .when(k === 3, concat(lit("HTTPS://EXAMPLE"), grp, lit(".com/Path/p/")))
+        .otherwise(concat(lit("https://example"), grp, lit(".com/Path/p?id=7")))
+      Web.urlDedup(table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", url)).orderBy(col("doc_id"))
+    }),
     // corpus-wide boilerplate-line removal. Driver texts are single-line,
     // so the boilerplate is planted in-query: every doc gains a banner
     // line (df=500) and every 3rd a copyright line (df~167), both over
@@ -744,6 +760,42 @@ object SparkEntry {
     // md5_number_upper == graft md5_long (same first-8-bytes-LE value), so
     // the sampling decision is recomputed exactly: mask to 60 bits, mod
     // 10000, compare to the per-stratum integer threshold.
+    "q36_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INTEGER)
+        |      WHEN 0 THEN 'http://Example' || CAST(doc_id // 5 AS VARCHAR) || '.com/Path/p?utm_source=x&utm_medium=y'
+        |      WHEN 1 THEN 'https://example' || CAST(doc_id // 5 AS VARCHAR) || '.com:443/Path/p'
+        |      WHEN 2 THEN 'https://example' || CAST(doc_id // 5 AS VARCHAR) || '.com/Path/p#section-2'
+        |      WHEN 3 THEN 'HTTPS://EXAMPLE' || CAST(doc_id // 5 AS VARCHAR) || '.com/Path/p/'
+        |      ELSE 'https://example' || CAST(doc_id // 5 AS VARCHAR) || '.com/Path/p?id=7' END AS url
+        |  FROM documents
+        |), c1 AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) ||
+        |    regexp_replace(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS u
+        |  FROM u
+        |), c4 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(regexp_replace(u, '#.*$', ''), '^http://', 'https://'),
+        |      '^(https://[^/?#:]+):(80|443)', '\1') AS u
+        |  FROM c1
+        |), c5 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(u,
+        |      '([?&])(utm_[a-zA-Z0-9]+|fbclid|gclid)=[^&#]*&?', '\1', 'g'),
+        |      '([?&])(utm_[a-zA-Z0-9]+|fbclid|gclid)=[^&#]*&?', '\1', 'g'),
+        |      '([?&])(utm_[a-zA-Z0-9]+|fbclid|gclid)=[^&#]*&?', '\1', 'g') AS u
+        |  FROM c4
+        |), c7 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(u, '[?&]+$', ''), '/$', '') AS canonical_url
+        |  FROM c5
+        |)
+        |SELECT doc_id, canonical_url,
+        |  doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS keep
+        |FROM c7 ORDER BY doc_id""".stripMargin,
     "q35_pack_sequences" ->
       """WITH k AS (
         |  SELECT doc_id,

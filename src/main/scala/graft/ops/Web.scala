@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus companion ops for the HTML kernel: URL canonicalization and
+  * URL-level deduplication — the standard first dedup pass of a web crawl
+  * pipeline (the same page is fetched under scheme/case/port/tracking-param
+  * variants long before content dedup sees it).
+  *
+  * Everything is a codegen'd Column regex chain (no UDF) and deliberately
+  * RE2-compatible (no lookbehind/backtracking), so the q36 gate oracle
+  * re-derives the identical canonical form in DuckDB and the driver's
+  * hash-compare certifies the two regex engines agree on the fixtures.
+  */
+object Web {
+
+  /** Canonical URL form (documented choices, applied in order):
+    *  1. trim; scheme+host lowercased (path/query stay case-sensitive);
+    *  2. fragment stripped;
+    *  3. http:// -> https:// (one scheme per resource);
+    *  4. default ports :80/:443 stripped;
+    *  5. tracking params (utm_*, fbclid, gclid) removed — the separator
+    *     fix-up pass runs three times because RE2 has no lookbehind, so a
+    *     run of adjacent tracking params needs repeated passes (documented
+    *     bound: handles up to 3 adjacent; both sides of the oracle apply
+    *     the same chain);
+    *  6. trailing '?'/'&' and trailing '/' stripped.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val u0 = trim(url)
+    // lowercase ONLY the scheme://host prefix
+    val headPat = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    val u1 = concat(
+      lower(regexp_extract(u0, headPat, 0)),
+      regexp_replace(u0, headPat, ""))
+    val u2 = regexp_replace(u1, "#.*$", "")
+    val u3 = regexp_replace(u2, "^http://", "https://")
+    val u4 = regexp_replace(u3, "^(https://[^/?#:]+):(80|443)", "$1")
+    val trackPat = "([?&])(utm_[a-zA-Z0-9]+|fbclid|gclid)=[^&#]*&?"
+    val u5 = regexp_replace(regexp_replace(regexp_replace(
+      u4, trackPat, "$1"), trackPat, "$1"), trackPat, "$1")
+    val u6 = regexp_replace(u5, "[?&]+$", "")
+    regexp_replace(u6, "/$", "")
+  }
+
+  /** URL-level dedup: (doc_id, canonical_url, keep) where keep marks the
+    * smallest doc_id of each canonical group (the deterministic keeper —
+    * same convention as Dedup's cluster = min doc_id). One shuffle on the
+    * canonical string's hash; at 100 TB pre-hash the canonical to 8 bytes
+    * (md5_long) before the aggregation if URL strings dominate the
+    * shuffle.
+    */
+  def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val withCanon = docs
+      .select(col("doc_id"), canonicalUrl(col(urlCol)).as("canonical_url"))
+    val keepers = withCanon.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keeper"))
+    withCanon.join(keepers, Seq("canonical_url"))
+      .select(col("doc_id"), col("canonical_url"),
+        (col("doc_id") === col("keeper")).as("keep"))
+  }
+}

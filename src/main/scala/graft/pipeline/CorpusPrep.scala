@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   * shuffle) runs before the near-dedup bucket join; both dedups run
   * before decontamination so duplicate docs don't inflate the n-gram
   * join; sampling runs last so rates apply to the cleaned corpus.
+  * Downstream of `prepare`, `Corpus.packSequences` turns the survivors
+  * into the training-sequence index (concatenate-and-chunk, q35).
   *
   * Drop-lists (near-dup losers, contaminated docs) are applied with
   * left_anti joins WITHOUT a broadcast hint: they are usually tiny (AQE

@@ -328,6 +328,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((s1.toSet intersect s3).nonEmpty)
   }
 
+  test("url dedup: scheme/case/port/fragment/tracking variants collapse, real params do not") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (1L, "http://Example.com/Path/p?utm_source=x&utm_medium=y"),
+      (2L, "https://example.com:443/Path/p"),
+      (3L, "https://example.com/Path/p#section-2"),
+      (4L, "HTTPS://EXAMPLE.com/Path/p/"),
+      (5L, "https://example.com/Path/p?id=7"),      // real param: distinct
+      (6L, "https://example.com/path/p"),           // path case-sensitive: distinct
+      (7L, "  https://example.com/Path/p?fbclid=abc "))
+      .toDF("doc_id", "url")
+    val out = graft.ops.Web.urlDedup(rows).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    val canon = "https://example.com/Path/p"
+    Seq(1L, 2L, 3L, 4L, 7L).foreach(id => assert(out(id)._1 == canon, s"$id: ${out(id)}"))
+    assert(out(1L)._2 && !out(2L)._2 && !out(3L)._2 && !out(4L)._2 && !out(7L)._2)
+    assert(out(5L)._1 == "https://example.com/Path/p?id=7" && out(5L)._2)
+    assert(out(6L)._1 == "https://example.com/path/p" && out(6L)._2)
+  }
+
   // ---------- multimodal plumbing ----------
 
   test("multimodal: meta decode + frame sampling shapes") {
