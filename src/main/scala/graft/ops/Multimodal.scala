@@ -181,7 +181,9 @@ object Multimodal {
       while (off + 8 <= end) {
         val id = fourcc(off)
         val size = bb.getInt(off + 4)
-        require(size >= 0 && off + 8 + size <= end, s"corrupt AVI chunk $id")
+        // long arithmetic: a crafted size near Int.MaxValue overflows
+        // `off + 8 + size` and would slip past an int bounds check
+        require(size >= 0 && off.toLong + 8L + size <= end, s"corrupt AVI chunk $id")
         if (id == "LIST") walk(off + 12, off + 8 + size)
         else if (id == "avih") {
           require(size >= 40, "short avih")
