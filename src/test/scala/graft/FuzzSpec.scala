@@ -206,7 +206,7 @@ class FuzzSpec extends AnyFunSuite {
   test("xgolden escape/unescape round-trip on adversarial strings") {
     // the escaping underpins 13 frozen-golden gate rows: any string the
     // extraction kernel can emit must survive TSV freeze + thaw exactly
-    val nasty = "\t\n\r\\ä€😀'\"`;,|N  "
+    val nasty = "\t\n\r\\ä€😀'\"`;,|N\u0000\u001b\u2028"
     val rng = new Fixtures.Rng(4242L)
     (0 until 2000).foreach { _ =>
       val len = rng.nextInt(24)
