@@ -51,6 +51,19 @@ object Web {
     * (md5_long) before the aggregation if URL strings dominate the
     * shuffle.
     */
+  /** Streaming face of urlDedup for crawl ingest: keep the FIRST arrival
+    * per canonical URL inside the watermark horizon (state holds the
+    * 8-byte-hashable canonical string, never the page). Same split as the
+    * content-dedup stream: on-arrival suppression here, periodic batch
+    * urlDedup as the authority across horizons.
+    */
+  def urlDedupStream(docs: DataFrame, eventTimeCol: String,
+      watermark: String, urlCol: String = "url"): DataFrame =
+    docs
+      .withColumn("canonical_url", canonicalUrl(col(urlCol)))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("canonical_url")
+
   def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame = {
     val withCanon = docs
       .select(col("doc_id"), canonicalUrl(col(urlCol)).as("canonical_url"))

@@ -134,6 +134,17 @@ class PyTextSpec extends AnyFunSuite {
       == "\u03a3\u03c3 \u2033\u2032")
   }
 
+  test("width table equals per-char NFKC over the whole FF01-FFEF block") {
+    (0xFF01 to 0xFFEF).foreach { cp =>
+      val c = cp.toChar.toString
+      val viaTable = PyText.fixBadUnicode(s"x$c")
+      val naive = java.text.Normalizer.normalize(
+        "x" + java.text.Normalizer.normalize(c, java.text.Normalizer.Form.NFKC),
+        java.text.Normalizer.Form.NFC)
+      assert(viaTable == naive, f"U+$cp%04X: '$viaTable' != '$naive'")
+    }
+  }
+
   test("fixBadUnicode: character width (fullwidth + halfwidth katakana) and surrogates") {
     // ftfy's own vector: fix_text('ＬＯＵＤ　ＮＯＩＳＥＳ') == 'LOUD NOISES'
     // (fullwidth ASCII narrowed, ideographic space -> space)

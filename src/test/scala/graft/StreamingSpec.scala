@@ -215,6 +215,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming url dedup: canonical variants suppressed on arrival") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.ops.Web
+      .urlDedupStream(mem.toDF.toDF("doc_id", "url", "ts"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("url_stream")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "http://Example.com/a?utm_source=x", ts(0)),
+      (2L, "https://example.com/a", ts(1)),    // canonical dup of 1
+      (3L, "https://example.com/b", ts(1)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("url_stream").collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq == Seq(1L, 3L), kept.mkString(","))
+  }
+
   test("stateless corpus ops (pii scrub, quality filter) run unchanged on a stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
