@@ -779,7 +779,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    regexp_replace(
         |      regexp_replace(regexp_replace(u, '#.*$', ''), '^http://', 'https://'),
-        |      '^(https://[^/?#:]+):(80|443)', '\1') AS u
+        |      '^(https://[^/?#:]+):(80|443)([/?#]|$)', '\1\3') AS u
         |  FROM c1
         |), c5 AS (
         |  SELECT doc_id,

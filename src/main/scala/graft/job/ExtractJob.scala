@@ -40,6 +40,13 @@ final case class JobConfig(
     numPartitions: Int = 32,
     chunks: Int = 1,
     bigDocSpanThreshold: Int = 20000,
+    /** html-kernel skew threshold in CHARS (inputKind = "html"). A
+      * separate knob from bigDocSpanThreshold: a 20k-span layout doc is
+      * pathological, but a 20k-char page is ordinary — reusing the span
+      * threshold would send most real pages down the big-doc salt branch
+      * and stop the knob from isolating skew.
+      */
+    bigDocHtmlChars: Int = 500000,
     format: String = "parquet",
     /** input laid out as bucket=N partition dirs (ExtractJob.bucketizeInput):
       * chunk selection becomes partition PRUNING — a k-chunk run reads each
@@ -121,6 +128,46 @@ object ExtractJob {
     docs.repartition(numPartitions * SaltFactor, key)
   }
 
+  /** Per-partition counters + the emit-exactly-once metric iterator,
+    * SHARED by the span and html chunk extractors: one metrics contract,
+    * one implementation — a divergence here would silently split the two
+    * kernels' lineage semantics. Constructed inside mapPartitions (task
+    * thread), never serialized.
+    */
+  private final class PartitionInstrumentation(runId: String, chunkId: Int) {
+    private val t0 = System.currentTimeMillis()
+    private val lm0 = graft.lm.Scorer.threadLmCallCount // task = one thread
+    private val pid = org.apache.spark.TaskContext.getPartitionId()
+    var nDocs = 0L
+    var nFailed = 0L
+    var spansIn = 0L
+    var spansOut = 0L
+    private var firstError: String = ""
+    def failed(docId: String, e: Throwable): Unit = {
+      nFailed += 1
+      if (firstError.isEmpty) firstError = s"$docId: ${e.getMessage}"
+    }
+    def wrap(out: Iterator[ExtractedDoc],
+        acc: CollectionAccumulator[PartitionMetric]): Iterator[ExtractedDoc] =
+      new Iterator[ExtractedDoc] {
+        private var metricEmitted = false
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && !metricEmitted) {
+            metricEmitted = true
+            acc.add(PartitionMetric(
+              runId, chunkId, pid, nDocs, nFailed, spansIn, spansOut,
+              graft.lm.Scorer.threadLmCallCount - lm0,
+              System.currentTimeMillis() - t0,
+              if (nFailed == 0) "done" else "done_with_failures",
+              firstError, System.currentTimeMillis()))
+          }
+          h
+        }
+        def next(): ExtractedDoc = out.next()
+      }
+  }
+
   /** Extract one chunk: returns the output Dataset; metrics are gathered
     * through an accumulator (one row per partition — per-partition
     * lineage). Rows are consumed on the Tungsten-direct path (FastScan) —
@@ -139,16 +186,9 @@ object ExtractJob {
     val ord = FastScan.SpanOrdinals.from(prunedDf.schema)
     val rdd = prunedDf
       .queryExecution.toRdd.mapPartitions { it =>
-      val t0 = System.currentTimeMillis()
-      val lm0 = graft.lm.Scorer.threadLmCallCount // task = one thread
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var nDocs = 0L
-      var nFailed = 0L
-      var spansIn = 0L
-      var spansOut = 0L
-      var firstError: String = ""
+      val m = new PartitionInstrumentation(runId, chunkId)
       val out = it.flatMap { row =>
-        nDocs += 1
+        m.nDocs += 1
         // docId resolved defensively FIRST: a null doc_id / null spans is
         // a malformed DOCUMENT (metrics row), never a task failure — at
         // 10^12 rows every garbage shape occurs, and an NPE outside the
@@ -157,36 +197,17 @@ object ExtractJob {
         try {
           if (!row.isNullAt(0)) docId = row.getUTF8String(0).toString
           val arr = row.getArray(1) // null spans -> NPE -> failed doc
-          spansIn += arr.numElements()
+          m.spansIn += arr.numElements()
           val tree = FastScan.decodeSpans(arr, ecfg.fast, ord)
           val docOut = Extractor.extractTree(tree, ecfg)
           val r = ExtractedDoc(docId, Extractor.emitSpans(docOut), docOut.text())
-          spansOut += r.spans.length
+          m.spansOut += r.spans.length
           Some(r)
         } catch {
-          case scala.util.control.NonFatal(e) =>
-            nFailed += 1
-            if (firstError.isEmpty) firstError = s"$docId: ${e.getMessage}"
-            None
+          case scala.util.control.NonFatal(e) => m.failed(docId, e); None
         }
       }
-      new Iterator[ExtractedDoc] {
-        private var metricEmitted = false
-        def hasNext: Boolean = {
-          val h = out.hasNext
-          if (!h && !metricEmitted) {
-            metricEmitted = true
-            metricsAcc.add(PartitionMetric(
-              runId, chunkId, pid, nDocs, nFailed, spansIn, spansOut,
-              graft.lm.Scorer.threadLmCallCount - lm0,
-              System.currentTimeMillis() - t0,
-              if (nFailed == 0) "done" else "done_with_failures",
-              firstError, System.currentTimeMillis()))
-          }
-          h
-        }
-        def next(): ExtractedDoc = out.next()
-      }
+      m.wrap(out, metricsAcc)
     }
     spark.createDataset(rdd)
   }
@@ -207,45 +228,22 @@ object ExtractJob {
     val runId = cfg.runId
     val rdd = docs.select("doc_id", "html").as[(String, String)]
       .queryExecution.toRdd.mapPartitions { it =>
-        val t0 = System.currentTimeMillis()
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var nDocs = 0L
-        var nFailed = 0L
-        var spansOut = 0L
-        var firstError: String = ""
+        val m = new PartitionInstrumentation(runId, chunkId)
         val out = it.flatMap { row =>
-          nDocs += 1
+          m.nDocs += 1
           var docId = "(null doc_id)"
           try {
             if (!row.isNullAt(0)) docId = row.getUTF8String(0).toString
             require(!row.isNullAt(1), "null html")
             val r = graft.html.HtmlExtract.extractRow(
               docId, row.getUTF8String(1).toString)
-            spansOut += r.spans.length
+            m.spansOut += r.spans.length
             Some(r)
           } catch {
-            case scala.util.control.NonFatal(e) =>
-              nFailed += 1
-              if (firstError.isEmpty) firstError = s"$docId: ${e.getMessage}"
-              None
+            case scala.util.control.NonFatal(e) => m.failed(docId, e); None
           }
         }
-        new Iterator[ExtractedDoc] {
-          private var metricEmitted = false
-          def hasNext: Boolean = {
-            val h = out.hasNext
-            if (!h && !metricEmitted) {
-              metricEmitted = true
-              metricsAcc.add(PartitionMetric(
-                runId, chunkId, pid, nDocs, nFailed, 0L, spansOut, 0L,
-                System.currentTimeMillis() - t0,
-                if (nFailed == 0) "done" else "done_with_failures",
-                firstError, System.currentTimeMillis()))
-            }
-            h
-          }
-          def next(): ExtractedDoc = out.next()
-        }
+        m.wrap(out, metricsAcc)
       }
     spark.createDataset(rdd)
   }
@@ -358,14 +356,15 @@ object ExtractJob {
         }
         val part =
           if (cfg.repartitionInput) {
-            // skew measure: span count for layout docs, char length for
-            // html (both against bigDocSpanThreshold — a 20k-char page is
-            // long the same way a 20k-span doc is)
-            val sizeCol =
-              if (cfg.inputKind == "html") length(col("html"))
-              else size(col("spans"))
+            // skew measure AND threshold are per-kind: span count vs
+            // bigDocSpanThreshold for layout docs, char length vs
+            // bigDocHtmlChars for pages (the units differ by ~an order of
+            // magnitude — see the JobConfig scaladoc)
+            val (sizeCol, threshold) =
+              if (cfg.inputKind == "html") (length(col("html")), cfg.bigDocHtmlChars)
+              else (size(col("spans")), cfg.bigDocSpanThreshold)
             repartitionSkewAwareDf(sliceTodo, cfg.numPartitions,
-              cfg.bigDocSpanThreshold, sizeCol)
+              threshold, sizeCol)
           } else sliceTodo // ingest-time layout already distributes: map-only
         val acc = spark.sparkContext.collectionAccumulator[PartitionMetric](s"metrics-$chunk")
         val out =
@@ -415,8 +414,9 @@ object ExtractJob {
     *   spark-submit --class graft.job.ExtractJob <jar> \
     *     --input <path> --output <path> --metrics <path> \
     *     [--run-id r] [--partitions n] [--chunks k] [--format parquet] \
-    *     [--big-doc-spans n] [--fast true|false] \
-    *     [--bucketed-input true|false] [--repartition true|false]
+    *     [--big-doc-spans n] [--big-doc-html-chars n] [--fast true|false] \
+    *     [--bucketed-input true|false] [--repartition true|false] \
+    *     [--input-kind spans|html]
     *
     * The session is taken from spark-submit's conf (master, executors,
     * AQE, shuffle partitions come from the cluster submit, not the code).
@@ -435,9 +435,11 @@ object ExtractJob {
       numPartitions = kv.getOrElse("partitions", "32").toInt,
       chunks = kv.getOrElse("chunks", "1").toInt,
       bigDocSpanThreshold = kv.getOrElse("big-doc-spans", "20000").toInt,
+      bigDocHtmlChars = kv.getOrElse("big-doc-html-chars", "500000").toInt,
       format = kv.getOrElse("format", "parquet"),
       bucketedInput = kv.getOrElse("bucketed-input", "false").toBoolean,
       repartitionInput = kv.getOrElse("repartition", "true").toBoolean,
+      inputKind = kv.getOrElse("input-kind", "spans"),
       extract = graft.reflow.ExtractConfig(
         fast = kv.getOrElse("fast", "true").toBoolean))
     val builder = SparkSession.builder()

@@ -19,13 +19,19 @@ object Web {
     *  1. trim; scheme+host lowercased (path/query stay case-sensitive);
     *  2. fragment stripped;
     *  3. http:// -> https:// (one scheme per resource);
-    *  4. default ports :80/:443 stripped;
+    *  4. default ports :80/:443 stripped — only when followed by a path/
+    *     query/fragment boundary or end-of-string, so ':8080'/':4430'
+    *     never lose their prefix;
     *  5. tracking params (utm_*, fbclid, gclid) removed — the separator
     *     fix-up pass runs three times because RE2 has no lookbehind, so a
     *     run of adjacent tracking params needs repeated passes (documented
     *     bound: handles up to 3 adjacent; both sides of the oracle apply
     *     the same chain);
     *  6. trailing '?'/'&' and trailing '/' stripped.
+    *
+    * Null-propagating like every Column function: a null url yields a
+    * null canonical (the dedup operators below give nulls defined
+    * treatment instead of letting join semantics eat them).
     */
   def canonicalUrl(url: Column): Column = {
     val u0 = trim(url)
@@ -36,7 +42,7 @@ object Web {
       regexp_replace(u0, headPat, ""))
     val u2 = regexp_replace(u1, "#.*$", "")
     val u3 = regexp_replace(u2, "^http://", "https://")
-    val u4 = regexp_replace(u3, "^(https://[^/?#:]+):(80|443)", "$1")
+    val u4 = regexp_replace(u3, "^(https://[^/?#:]+):(80|443)([/?#]|$)", "$1$3")
     val trackPat = "([?&])(utm_[a-zA-Z0-9]+|fbclid|gclid)=[^&#]*&?"
     val u5 = regexp_replace(regexp_replace(regexp_replace(
       u4, trackPat, "$1"), trackPat, "$1"), trackPat, "$1")
@@ -44,33 +50,44 @@ object Web {
     regexp_replace(u6, "/$", "")
   }
 
-  /** URL-level dedup: (doc_id, canonical_url, keep) where keep marks the
-    * smallest doc_id of each canonical group (the deterministic keeper —
-    * same convention as Dedup's cluster = min doc_id). One shuffle on the
-    * canonical string's hash; at 100 TB pre-hash the canonical to 8 bytes
-    * (md5_long) before the aggregation if URL strings dominate the
-    * shuffle.
-    */
   /** Streaming face of urlDedup for crawl ingest: keep the FIRST arrival
     * per canonical URL inside the watermark horizon (state holds the
-    * 8-byte-hashable canonical string, never the page). Same split as the
-    * content-dedup stream: on-arrival suppression here, periodic batch
-    * urlDedup as the authority across horizons.
+    * canonical string, never the page). Same split as the content-dedup
+    * stream: on-arrival suppression here, periodic batch urlDedup as the
+    * authority across horizons. Rows with a null url are EXCLUDED from
+    * the stream (the StreamingExtract convention: no poison rows into
+    * stateful stages, and `dropDuplicates` would otherwise collapse every
+    * null-url document into one) — route them through a separate branch
+    * if they must be retained.
     */
   def urlDedupStream(docs: DataFrame, eventTimeCol: String,
       watermark: String, urlCol: String = "url"): DataFrame =
     docs
+      .filter(col(urlCol).isNotNull)
       .withColumn("canonical_url", canonicalUrl(col(urlCol)))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("canonical_url")
 
+  /** URL-level dedup: (doc_id, canonical_url, keep) where keep marks the
+    * smallest doc_id of each canonical group (the deterministic keeper —
+    * same convention as Dedup's cluster = min doc_id). Row-count
+    * preserving: documents with a null url cannot be URL-compared, so
+    * each is its own keeper (canonical_url null, keep true) rather than
+    * silently vanishing through null-unsafe join equality. Two narrow
+    * shuffles (group + join-back), same shape as Dedup.dedupExact; at
+    * 100 TB pre-hash the canonical to 8 bytes (md5_long) before the
+    * aggregation if URL strings dominate the shuffle.
+    */
   def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame = {
     val withCanon = docs
       .select(col("doc_id"), canonicalUrl(col(urlCol)).as("canonical_url"))
-    val keepers = withCanon.groupBy(col("canonical_url"))
+    val nonNull = withCanon.filter(col("canonical_url").isNotNull)
+    val keepers = nonNull.groupBy(col("canonical_url"))
       .agg(min(col("doc_id")).as("keeper"))
-    withCanon.join(keepers, Seq("canonical_url"))
+    nonNull.join(keepers, Seq("canonical_url"))
       .select(col("doc_id"), col("canonical_url"),
         (col("doc_id") === col("keeper")).as("keep"))
+      .unionByName(withCanon.filter(col("canonical_url").isNull)
+        .select(col("doc_id"), col("canonical_url"), lit(true).as("keep")))
   }
 }

@@ -58,7 +58,7 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     pages.toDF("doc_id", "html").write.mode("overwrite").parquet(s"$dir/hin")
     val cfg = JobConfig(s"$dir/hin", s"$dir/hout", s"$dir/hm",
       runId = "rh", numPartitions = 4, chunks = 2, inputKind = "html",
-      bigDocSpanThreshold = 2000)
+      bigDocHtmlChars = 2000) // fixture pages are ~3-4k chars: salting engages
     ExtractJob.run(spark, cfg)
     val out = ExtractJob.readOutput(spark, cfg).collect()
     assert(out.length == 30) // null-html page failed, not emitted

@@ -347,6 +347,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L)._2 && !out(2L)._2 && !out(3L)._2 && !out(4L)._2 && !out(7L)._2)
     assert(out(5L)._1 == "https://example.com/Path/p?id=7" && out(5L)._2)
     assert(out(6L)._1 == "https://example.com/path/p" && out(6L)._2)
+    // non-default ports that merely START with 80/443 are part of the
+    // host:port identity, not strippable
+    val ports = Seq(
+      (10L, "https://example.com:8080/a"), (11L, "https://example.com:4430/a"),
+      (12L, "https://example.com:443/a"), (13L, "https://example.com:443"))
+      .toDF("doc_id", "url")
+    val pc = graft.ops.Web.urlDedup(ports).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pc(10L) == "https://example.com:8080/a", pc(10L))
+    assert(pc(11L) == "https://example.com:4430/a", pc(11L))
+    assert(pc(12L) == "https://example.com/a")
+    assert(pc(13L) == "https://example.com")
+    // row-count preserving: null urls are their own keepers, never dropped
+    val withNulls = Seq((20L, "https://x.com/a"), (21L, null), (22L, null))
+      .toDF("doc_id", "url")
+    val nd = graft.ops.Web.urlDedup(withNulls).collect()
+      .map(r => (r.getLong(0), r.isNullAt(1), r.getBoolean(2)))
+    assert(nd.length == 3)
+    assert(nd.filter(_._2).map(_._1).sorted.toSeq == Seq(21L, 22L))
+    assert(nd.forall(_._3)) // all three keep=true (no comparable dup)
   }
 
   // ---------- multimodal plumbing ----------
