@@ -411,27 +411,13 @@ object Multimodal {
       return hashFeatures(bytes, dim)
     val (off, len) = frames.head
     require(len >= stride * ht) // rechecked above; guards the row loop
-    val sums = new Array[Double](dim)
-    val counts = new Array[Long](dim)
-    var y = 0
-    while (y < ht) {
-      val row = off + (ht - 1 - y) * stride
-      val cy = math.min(side - 1, y * side / ht)
-      var x = 0
-      while (x < w) {
-        val cx = math.min(side - 1, x * side / w)
-        val b = bytes(row + x * 3) & 0xFF
-        val g = bytes(row + x * 3 + 1) & 0xFF
-        val r = bytes(row + x * 3 + 2) & 0xFF
-        val lum = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
-        val c = cy * side + cx
-        sums(c) += lum; counts(c) += 1
-        x += 1
-      }
-      y += 1
-    }
-    Array.tabulate(dim)(i =>
-      (if (counts(i) == 0) 0.0 else sums(i) / counts(i) - 0.5).toFloat)
+    gridAccumulate(w, ht, side, { (x, y) =>
+      val row = off + (ht - 1 - y) * stride // bottom-up rows
+      val b = bytes(row + x * 3) & 0xFF
+      val g = bytes(row + x * 3 + 1) & 0xFF
+      val r = bytes(row + x * 3 + 2) & 0xFF
+      (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+    })
   }
 
   private def hashFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -441,32 +427,44 @@ object Multimodal {
     }
   }
 
-  private def imageGridFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val side = math.sqrt(dim.toDouble).toInt
-    require(side * side == dim,
-      s"image grid features need a perfect-square dim, got $dim")
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    val (w, ht) = (img.getWidth, img.getHeight)
+  /** Shared grid-luminance accumulator: both image decoders feed per-pixel
+    * BT.601 luma into the SAME traversal (y outer asc, x inner asc) and
+    * the same cell/sum arithmetic — factoring it makes the "bit-equal
+    * features whichever container the pixels arrive in" property true by
+    * construction (OpsSpec pins BMP == AVI-frame-0).
+    */
+  private def gridAccumulate(w: Int, h: Int, side: Int,
+      lum: (Int, Int) => Double): Array[Float] = {
+    val dim = side * side
     val sums = new Array[Double](dim)
     val counts = new Array[Long](dim)
     var y = 0
-    while (y < ht) {
-      val cy = math.min(side - 1, y * side / ht)
+    while (y < h) {
+      val cy = math.min(side - 1, y * side / h)
       var x = 0
       while (x < w) {
         val cx = math.min(side - 1, x * side / w)
-        val rgb = img.getRGB(x, y)
-        // ITU-R BT.601 luma in [0,1]
-        val lum = (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
-          0.114 * (rgb & 0xFF)) / 255.0
         val c = cy * side + cx
-        sums(c) += lum; counts(c) += 1
+        sums(c) += lum(x, y); counts(c) += 1
         x += 1
       }
       y += 1
     }
     Array.tabulate(dim)(i =>
       (if (counts(i) == 0) 0.0 else sums(i) / counts(i) - 0.5).toFloat)
+  }
+
+  private def imageGridFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val side = math.sqrt(dim.toDouble).toInt
+    require(side * side == dim,
+      s"image grid features need a perfect-square dim, got $dim")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    gridAccumulate(img.getWidth, img.getHeight, side, { (x, y) =>
+      val rgb = img.getRGB(x, y)
+      // ITU-R BT.601 luma in [0,1]
+      (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+        0.114 * (rgb & 0xFF)) / 255.0
+    })
   }
 
   private def wavFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {

@@ -28,7 +28,6 @@ object XOracleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def esc(s: String): String = XGolden.escape(s)
 
     XGolden.names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, "/nonexistent-by-contract")
@@ -48,7 +47,7 @@ object XOracleGen {
         schema.fields.indices.map { i =>
           if (r.isNullAt(i)) "\\N"
           else schema.fields(i).dataType match {
-            case StringType => esc(r.getString(i))
+            case StringType => XGolden.escape(r.getString(i))
             case DoubleType =>
               val d = r.getDouble(i)
               require(!d.isNaN && !d.isInfinite, s"$name col $i: $d")
