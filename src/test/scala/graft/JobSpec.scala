@@ -189,6 +189,26 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("PushedFilters: [IsNotNull(bucket"), plan)
   }
 
+  test("doc-level resume works for the html kernel too (shared machinery)") {
+    import spark.implicits._
+    val pages = graft.fixtures.HtmlFixtures.corpus(20)
+    pages.toDF("doc_id", "html").write.mode("overwrite").parquet(s"$dir/hin2")
+    val cfg = JobConfig(s"$dir/hin2", s"$dir/hout2", s"$dir/hm2",
+      runId = "rh2", numPartitions = 2, chunks = 1, inputKind = "html",
+      resumeGranularity = "doc")
+    // a crashed attempt committed the first 8 pages
+    val committed = pages.take(8)
+      .map { case (id, html) => graft.html.HtmlExtract.extractRow(id, html) }
+    spark.createDataset(committed).write.parquet(s"${cfg.outputPath}/chunk=0")
+    ExtractJob.run(spark, cfg)
+    val out = ExtractJob.readOutput(spark, cfg).collect()
+    assert(out.length == 20 && out.map(_.doc_id).distinct.length == 20)
+    // only the 12 missing pages were re-extracted
+    import org.apache.spark.sql.functions.sum
+    val m = spark.read.parquet(cfg.metricsPath)
+    assert(m.agg(sum("n_docs")).head.getLong(0) == 12L)
+  }
+
   test("doc-level resume (J4): anti-join keeps survivors, extracts the rest") {
     import spark.implicits._
     val docs = corpus(30)
