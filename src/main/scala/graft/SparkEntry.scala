@@ -772,7 +772,9 @@ object SparkEntry {
         |  FROM documents
         |), c1 AS (
         |  SELECT doc_id,
-        |    lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) ||
+        |    lower(regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]*@)?([^/?#]*)', 1)) ||
+        |    regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]*@)?([^/?#]*)', 2) ||
+        |    lower(regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]*@)?([^/?#]*)', 3)) ||
         |    regexp_replace(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS u
         |  FROM u
         |), c4 AS (

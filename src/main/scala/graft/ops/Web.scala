@@ -35,10 +35,17 @@ object Web {
     */
   def canonicalUrl(url: Column): Column = {
     val u0 = trim(url)
-    // lowercase ONLY the scheme://host prefix
+    // lowercase ONLY the scheme and host — NOT userinfo (user:Pass@host):
+    // credentials are case-sensitive, and folding them would wrongly merge
+    // case-distinct userinfo URLs in urlDedup. Group 2 ([^/?#]*@)? is
+    // greedy, so 'a@b@host' keeps 'a@b@' as (case-preserved) userinfo and
+    // lowercases only the final host:port segment, per RFC 3986 authority.
     val headPat = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    val fullPat = "^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]*@)?([^/?#]*)"
     val u1 = concat(
-      lower(regexp_extract(u0, headPat, 0)),
+      lower(regexp_extract(u0, fullPat, 1)),
+      regexp_extract(u0, fullPat, 2),
+      lower(regexp_extract(u0, fullPat, 3)),
       regexp_replace(u0, headPat, ""))
     val u2 = regexp_replace(u1, "#.*$", "")
     val u3 = regexp_replace(u2, "^http://", "https://")
@@ -74,9 +81,10 @@ object Web {
     * preserving: documents with a null url cannot be URL-compared, so
     * each is its own keeper (canonical_url null, keep true) rather than
     * silently vanishing through null-unsafe join equality. Two narrow
-    * shuffles (group + join-back), same shape as Dedup.dedupExact; at
-    * 100 TB pre-hash the canonical to 8 bytes (md5_long) before the
-    * aggregation if URL strings dominate the shuffle.
+    * shuffles (group + join-back), same shape as Dedup.dedupExact. This
+    * string-keyed form is the gate/oracle surface (DuckDB re-derives the
+    * key); production at 100 TB uses [[urlDedupAtScale]], which shuffles
+    * 8-byte md5_long keys instead.
     */
   def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame = {
     val withCanon = docs
@@ -85,6 +93,33 @@ object Web {
     val keepers = nonNull.groupBy(col("canonical_url"))
       .agg(min(col("doc_id")).as("keeper"))
     nonNull.join(keepers, Seq("canonical_url"))
+      .select(col("doc_id"), col("canonical_url"),
+        (col("doc_id") === col("keeper")).as("keep"))
+      .unionByName(withCanon.filter(col("canonical_url").isNull)
+        .select(col("doc_id"), col("canonical_url"), lit(true).as("keep")))
+  }
+
+  /** 100 TB face of [[urlDedup]]: identical output contract, but the
+    * aggregation and join-back are keyed on `md5_long(canonical_url)` —
+    * an 8-byte long — instead of the canonical string, so the group-by
+    * shuffle rows and the join hash table carry fixed-width keys rather
+    * than full URLs (mean crawl URL ~70 bytes; the keeper-side shuffle
+    * shrinks ~10x). Same wrapper convention as
+    * `Dedup.winnowOverlapPairsAtScale`: the exact operator stays the
+    * oracle-checked gate surface, the AtScale variant is the production
+    * default. An md5 64-bit collision would merge two distinct URLs
+    * (~N^2/2^65 pairs — at 10^12 URLs about 0.03 expected collisions);
+    * OpsSpec pins keep-set equality vs the string-keyed operator.
+    */
+  def urlDedupAtScale(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val withCanon = docs
+      .select(col("doc_id"), canonicalUrl(col(urlCol)).as("canonical_url"))
+    val nonNull = withCanon.filter(col("canonical_url").isNotNull)
+      .withColumn("url_h", expr("md5_long(canonical_url)"))
+    val keepers = nonNull.groupBy(col("url_h"))
+      .agg(min(col("doc_id")).as("keeper"))
+    nonNull.join(keepers, Seq("url_h"))
       .select(col("doc_id"), col("canonical_url"),
         (col("doc_id") === col("keeper")).as("keep"))
       .unionByName(withCanon.filter(col("canonical_url").isNull)
