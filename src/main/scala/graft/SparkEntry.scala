@@ -460,6 +460,15 @@ object SparkEntry {
       explodedSpans(graft.html.HtmlExtract.extract(pages).toDF())
         .orderBy(col("doc_id"), col("offset"))
     }),
+    // LM scoring over the FIXTURE corpus (verdict r3 item 2): the same
+    // Corpus.perplexityFilter as q34, but fixture-fed so the XGolden
+    // freeze applies — retires the pipeline's last rows-only gate entry
+    // (q34 itself stays rows-only: it reads the driver's regenerable
+    // documents table, which the freeze contract excludes)
+    "x12_lm_scores" -> ((s, dir) =>
+      graft.ops.Corpus.perplexityFilter(
+        extracted(s).select(col("doc_id"), col("text")), maxScore = 4.53)
+        .orderBy(col("doc_id"))),
     "x08_failed_docs" -> ((s, dir) => {
       val sp = s
       import sp.implicits._

@@ -26,6 +26,18 @@ object HtmlFixtures {
         if (k == 1) s"""<a href="/ref">${para(rng, 2)}</a> """ else ""
       s"<p>$link${para(rng, 18 + rng.nextInt(18))}</p>"
     }.mkString("\n")
+    // content structure inside the article: a small data table (CSV-ish
+    // table-span capture) and a bullet list (list-span kind) — x11 pins
+    // that both SURVIVE classification and carry their span kinds
+    val dataTable =
+      s"""<table><caption>${para(rng, 3)}</caption>
+         |<tr><th>Jahr</th><th>${para(rng, 1)}</th><th>Wert</th></tr>
+         |<tr><td>2024</td><td>${para(rng, 2)}</td><td>${rng.nextInt(100)}</td></tr>
+         |<tr><td>2025</td><td>${para(rng, 2)}, ${para(rng, 1)}</td><td>${rng.nextInt(100)}</td></tr>
+         |</table>""".stripMargin
+    val bullets = (0 until 3)
+      .map(_ => s"<li>${para(rng, 7 + rng.nextInt(3))}</li>")
+      .mkString("<ul>", "", "</ul>")
     val related = (1 to 5)
       .map(i => s"""<li><a href="/mehr/$i">${para(rng, 4)}</a></li>""")
       .mkString
@@ -42,6 +54,8 @@ object HtmlFixtures {
        |<article>
        |<h1>${para(rng, 5)}</h1>
        |$paras
+       |$dataTable
+       |$bullets
        |<h2>${para(rng, 4)}</h2>
        |<p>${para(rng, 20 + rng.nextInt(12))}</p>
        |</article>

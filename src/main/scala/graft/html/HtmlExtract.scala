@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions.col
   *    block is content (headings are short, so the raw tree drops them).
   *
   * Output is the pipeline's own shape — `ExtractedDoc(doc_id, spans,
-  * text)` with spans (kind ∈ {heading, body}, offset = emission order) —
-  * so everything downstream of the PDF kernel (corpus ops, dedup,
-  * CorpusPrep, packing) composes unchanged.
+  * text)` with spans (kind ∈ {heading, body, list, table}, offset =
+  * emission order) — so everything downstream of the PDF kernel (corpus
+  * ops, dedup, CorpusPrep, packing) composes unchanged, and kept tables
+  * arrive as CSV-ish text exactly like the PDF side's table pass-through.
   *
   * Scale shape: one pure function per row inside mapPartitions — map-only,
   * zero shuffle, embarrassingly parallel; identical deployment layout to
@@ -37,9 +38,15 @@ import org.apache.spark.sql.functions.col
   */
 object HtmlExtract {
 
-  /** One text block with its shallow features. */
+  /** One text block with its shallow features. `kind` tags the block's
+    * structural origin: "body" (default), "list" (accumulated inside a
+    * ul/ol item), or "table" (a whole table captured as CSV-ish text) —
+    * classification ignores it; it only steers the emitted span kind so
+    * web and PDF corpora share a uniform table/list side-channel (the PDF
+    * side's S6 table-CSV pass-through, Extractor.scala).
+    */
   final case class Block(text: String, words: Int, linkWords: Int,
-      heading: Int) {
+      heading: Int, kind: String = "body") {
     def linkDensity: Double =
       if (words == 0) 0.0 else linkWords.toDouble / words
   }
@@ -65,6 +72,16 @@ object HtmlExtract {
     "noscript", "template", "svg", "iframe", "object", "select",
     "button", "canvas", "audio", "video")
 
+  /** Tags legal inside <head>. Any OTHER open tag auto-closes an open
+    * head like a browser's tree builder does — HTML5 allows omitting BOTH
+    * `</head>` and `<body>`, and without this rule such pages would keep
+    * inHead set forever and extract to empty.
+    */
+  private val HeadAllowedTags = Set(
+    "head", "html", "base", "basefont", "bgsound", "link", "meta",
+    "title", "style", "script", "noscript", "template")
+
+
   /** Tokenize + segment an HTML document into text blocks. Tolerant by
     * construction: unknown tags are inline no-ops, unclosed tags never
     * error (there is no tree to unbalance), stray `<` is text, attribute
@@ -77,9 +94,20 @@ object HtmlExtract {
     var aDepth = 0
     var headingLevel = 0
     var skipDepth = 0 // open ContainerSkipTags
-    // <head> auto-closes at <body> like a browser's (an omitted </head> —
-    // legal HTML5 — must not discard the whole document)
+    var listDepth = 0 // open ul/ol: blocks flushed inside get kind "list"
+    // <head> auto-closes at <body>, at any non-head-legal open tag, or at
+    // non-whitespace text, like a browser's tree builder (HTML5 permits
+    // omitting </head> AND <body> — neither may discard the document)
     var inHead = false
+    // table capture: while a <table> is open, cell flushes accumulate as
+    // (rowIdx, text, words, linkWords) instead of emitting blocks; the
+    // close back to depth 0 emits ONE kind="table" block with CSV-ish
+    // text (rows = lines, cells comma-joined, RFC-4180 quoting). Nested
+    // tables are flattened into the outer capture as extra rows.
+    var tableDepth = 0
+    var tableRowIdx = 0
+    val tableCells =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int, Int)]
 
     def words(s: String): Int = {
       var n = 0; var in = false
@@ -93,11 +121,29 @@ object HtmlExtract {
       val t = PyText.unescapeHtml(text.toString).trim
         .replaceAll("\\s+", " ")
       val w = words(t)
-      if (w > 0)
-        out += Block(t, w,
-          math.min(w, words(PyText.unescapeHtml(anchorText.toString))),
-          headingLevel)
+      if (w > 0) {
+        val lw = math.min(w, words(PyText.unescapeHtml(anchorText.toString)))
+        if (tableDepth > 0) tableCells += ((tableRowIdx, t, w, lw))
+        else out += Block(t, w, lw, headingLevel,
+          if (listDepth > 0) "list" else "body")
+      }
       text.clear(); anchorText.clear()
+    }
+    def csvCell(s: String): String =
+      if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    def flushTable(): Unit = {
+      flush()
+      if (tableCells.nonEmpty) {
+        val csv = tableCells.groupBy(_._1).toSeq.sortBy(_._1)
+          .map(_._2.map(c => csvCell(c._2)).mkString(","))
+          .mkString("\n")
+        val w = tableCells.iterator.map(_._3).sum
+        out += Block(csv, w,
+          math.min(w, tableCells.iterator.map(_._4).sum), 0, "table")
+      }
+      tableCells.clear(); tableRowIdx = 0
     }
 
     val n = html.length
@@ -144,6 +190,9 @@ object HtmlExtract {
             }
           i = if (j < n) j + 1 else n
           if (name.nonEmpty) {
+            // browser-style head auto-close: any open tag that is not
+            // legal head content implies the body has started
+            if (inHead && !closing && !HeadAllowedTags(name)) inHead = false
             if (!closing && RawTextTags(name) && !selfClosed) {
               // raw-skip to the matching close tag: "</name" followed by
               // a delimiter ('>', '/', or whitespace) — a bare prefix
@@ -170,12 +219,31 @@ object HtmlExtract {
             } else if (ContainerSkipTags(name)) {
               if (closing) skipDepth = math.max(0, skipDepth - 1)
               else if (!selfClosed) skipDepth += 1
+            } else if (name == "table") {
+              flush()
+              headingLevel = 0
+              if (closing) {
+                if (tableDepth > 0) {
+                  tableDepth -= 1
+                  if (tableDepth == 0) flushTable()
+                  else tableRowIdx += 1 // leaving a nested (flattened) table
+                }
+              } else if (!selfClosed) {
+                if (tableDepth > 0) tableRowIdx += 1 // nested: new row
+                tableDepth += 1
+              }
             } else if (BlockTags(name)) {
               flush()
-              if (!closing && name.length == 2 && name.charAt(0) == 'h' &&
+              if (tableDepth > 0) {
+                if (!closing && name == "tr") tableRowIdx += 1
+              } else if (!closing && name.length == 2 && name.charAt(0) == 'h' &&
                   name.charAt(1) >= '1' && name.charAt(1) <= '6')
                 headingLevel = name.charAt(1) - '0'
               else headingLevel = 0 // any other block boundary ends a heading
+              if (name == "ul" || name == "ol") {
+                if (closing) listDepth = math.max(0, listDepth - 1)
+                else if (!selfClosed) listDepth += 1
+              }
             } else if (name == "a") {
               if (closing) aDepth = math.max(0, aDepth - 1)
               else if (!selfClosed) aDepth += 1
@@ -186,6 +254,9 @@ object HtmlExtract {
           }
         } else { text.append(c); i += 1 } // stray '<'
       } else {
+        // non-whitespace character tokens also auto-close an open head
+        // (browser "in head" insertion mode pops to body on them)
+        if (inHead && !Character.isWhitespace(c)) inHead = false
         if (skipDepth == 0 && !inHead) {
           text.append(c)
           if (aDepth > 0) anchorText.append(c)
@@ -193,7 +264,7 @@ object HtmlExtract {
         i += 1
       }
     }
-    flush()
+    if (tableDepth > 0) flushTable() else flush() // unclosed table at EOF
     out.result()
   }
 
@@ -234,14 +305,20 @@ object HtmlExtract {
   }
 
   /** Per-document kernel: strip boilerplate, emit the pipeline's span
-    * shape. Heading spans keep their level in `media_ref` as `h<level>`
-    * (the span struct has no level field; media_ref is unused for text).
+    * shape. Span kinds: `table` (CSV-ish capture of a kept table — the
+    * web twin of the PDF side's S6 table-CSV pass-through), `heading`
+    * (level kept in `media_ref` as `h<level>` — the span struct has no
+    * level field; media_ref is unused for text), `list` (ul/ol item
+    * blocks), `body` (everything else).
     */
   def extractRow(docId: String, html: String): ExtractedDoc = {
     val kept = classify(blocks(html)).collect { case (b, true) => b }
     val spans = kept.zipWithIndex.map { case (b, idx) =>
-      Span(if (b.heading > 0) "heading" else "body", b.text,
-        if (b.heading > 0) s"h${b.heading}" else "", idx)
+      val kind =
+        if (b.kind == "table") "table"
+        else if (b.heading > 0) "heading"
+        else b.kind // "list" | "body"
+      Span(kind, b.text, if (b.heading > 0) s"h${b.heading}" else "", idx)
     }
     ExtractedDoc(docId, spans, kept.map(_.text).mkString("\n\n"))
   }
@@ -249,18 +326,28 @@ object HtmlExtract {
   /** Corpus operator: map-only, zero shuffle (the whole point — same
     * deployment shape as the PDF kernel). Per-document failure seam like
     * the PDF path: a null id/html cell or a (theoretically impossible —
-    * the tokenizer is total) per-row crash drops that ROW, never the job.
+    * the tokenizer is total) per-row crash drops that ROW, never the job;
+    * `failedAcc`, when supplied, counts every dropped row so the loss is
+    * observable (the chunked production path records the same count in
+    * its PartitionMetric rows; this is the standalone operator's
+    * equivalent, mirroring StreamingExtract's saturation accumulator).
     */
   def extract(df: DataFrame, idCol: String = "doc_id",
-      htmlCol: String = "html"): Dataset[ExtractedDoc] = {
+      htmlCol: String = "html",
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[ExtractedDoc] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("string"), col(htmlCol))
-      .filter(col(idCol).isNotNull && col(htmlCol).isNotNull)
+    df.select(col(idCol).cast("string"), col(htmlCol).cast("string"))
       .as[(String, String)]
       .mapPartitions(_.flatMap { case (id, html) =>
-        try Some(extractRow(id, html))
-        catch { case scala.util.control.NonFatal(_) => None }
+        if (id == null || html == null) { failedAcc.foreach(_.add(1L)); None }
+        else
+          try Some(extractRow(id, html))
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              failedAcc.foreach(_.add(1L)); None
+          }
       })
   }
 }

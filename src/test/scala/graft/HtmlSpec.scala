@@ -131,13 +131,78 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       byText.mkString(","))
   }
 
-  test("extract(): null html rows drop, the job survives") {
+  test("extract(): null html rows drop, the job survives, the loss is counted") {
     val sp = spark
     sparkUsed = true
     import sp.implicits._
     val pages = Seq(("ok", page), ("broken", null: String)).toDF("doc_id", "html")
     val out = HtmlExtract.extract(pages).collect()
     assert(out.map(_.doc_id).toSeq == Seq("ok"))
+    // poisoned row increments the failure accumulator and the job survives
+    val acc = sp.sparkContext.longAccumulator("html_failed")
+    val out2 = HtmlExtract.extract(pages, failedAcc = Some(acc)).collect()
+    assert(out2.map(_.doc_id).toSeq == Seq("ok"))
+    assert(acc.value == 1L, s"acc=${acc.value}")
+  }
+
+  test("omitted </head> AND <body> (both legal HTML5): content still extracts") {
+    val noBoth =
+      """<html><head><meta charset="utf-8"><title>seitentitel</title>
+        |<p>ein ausreichend langer absatz mit deutlich mehr als sechzehn
+        |worten damit der klassifikator ihn sicher als inhalt behandelt und
+        |die seite nicht leer herauskommt</p>""".stripMargin
+    val doc = HtmlExtract.extractRow("d", noBoth)
+    assert(doc.text.contains("sechzehn"), doc.text)
+    assert(!doc.text.contains("seitentitel"))
+    // bare text after head tags (no tag at all) also starts the body
+    val bareText = "<head><meta charset=\"utf-8\"><title>t</title>" +
+      ("inhalt wort lauf satz text zeile absatz block seite dokument " * 3)
+    val d2 = HtmlExtract.extractRow("d2", bareText)
+    assert(d2.text.contains("inhalt wort"), d2.text)
+  }
+
+  test("content table becomes ONE kind=table span with CSV-ish text") {
+    val ctx = "<p>" + ("einleitungssatz mit vielen worten " * 5) + "</p>"
+    val page = ctx + """<table><caption>Haushalt 2025</caption>
+      |<tr><th>Jahr</th><th>Posten</th></tr>
+      |<tr><td>2024</td><td>Bildung, Forschung</td></tr>
+      |<tr><td>2025</td><td>Ein "Zitat"</td></tr>
+      |</table>""".stripMargin + ctx
+    val doc = HtmlExtract.extractRow("d", page)
+    val tables = doc.spans.filter(_.kind == "table")
+    assert(tables.length == 1, doc.spans.map(s => (s.kind, s.text)))
+    val csv = tables.head.text.split("\n").toSeq
+    assert(csv == Seq(
+      "Haushalt 2025",
+      "Jahr,Posten",
+      "2024,\"Bildung, Forschung\"",      // comma-bearing cell quoted
+      "2025,\"Ein \"\"Zitat\"\"\""),      // quote-bearing cell escaped
+      csv)
+    // an unclosed table at EOF still emits its capture
+    val doc2 = HtmlExtract.extractRow("d2", ctx + "<table><tr><td>2024</td><td>offen</td>")
+    assert(doc2.spans.exists(s => s.kind == "table" && s.text == "2024,offen"),
+      doc2.spans)
+  }
+
+  test("layout/nav tables full of links are still boilerplate") {
+    val navTable = "<table>" + (1 to 12).map(i =>
+      s"""<tr><td><a href="/s$i">rubrik nummer $i</a></td></tr>""").mkString +
+      "</table>"
+    val b = HtmlExtract.classify(HtmlExtract.blocks(navTable))
+    assert(b.length == 1 && b.head._1.kind == "table" && !b.head._2,
+      b.map(x => (x._1.kind, x._1.linkDensity, x._2)))
+  }
+
+  test("ul/ol items carry kind=list; headings inside lists stay headings") {
+    val page = "<p>" + ("kontext worte des absatzes immer weiter " * 4) +
+      "</p><ul>" +
+      "<li>erster punkt mit genug worten um die regel zu halten</li>" +
+      "<li>zweiter punkt ebenfalls mit ausreichend vielen langen worten</li>" +
+      "</ul>"
+    val doc = HtmlExtract.extractRow("d", page)
+    assert(doc.spans.count(_.kind == "list") == 2,
+      doc.spans.map(s => (s.kind, s.text.take(15))))
+    assert(doc.spans.head.kind == "body")
   }
 
   test("fixture corpus: every page keeps its article, drops its chrome") {
@@ -145,6 +210,11 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       val doc = HtmlExtract.extractRow(id, html)
       assert(doc.spans.exists(s => s.kind == "heading" && s.media_ref == "h1"), id)
       assert(doc.spans.count(_.kind == "body") >= 3, id)
+      // the article's data table and bullet list survive with their kinds
+      val table = doc.spans.filter(_.kind == "table")
+      assert(table.length == 1 && table.head.text.split("\n").length == 4, id)
+      assert(table.head.text.contains("Jahr,"), id)
+      assert(doc.spans.count(_.kind == "list") == 3, id)
       assert(!doc.text.contains("Impressum"), id)
       assert(!doc.text.contains("Rubrik"), id)
       assert(!doc.text.contains("Cookies"), id)
