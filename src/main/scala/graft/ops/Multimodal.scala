@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   *    frame count, per-frame raw BGR decode — in ~100 lines of plain
   *    byte-walking (aviParse); fixture "drawing" spans carry these, so
   *    the gate queries cover a real video container end to end;
-  *  - everything else (compressed video codecs, JPEG2000, ...): the
+  *  - video (MJPEG AVI): REAL compressed-video decode — every '00dc'
+  *    chunk is a complete JPEG, handed to the JRE's JPEG reader (the one
+  *    compressed codec a bare JVM can decode; fixture '-mjpg' siblings
+  *    run it through the gate queries);
+  *  - everything else (Cinepak/H.26x/…, JPEG2000, ...): the
   *    clearly-marked deterministic GRFT stub — the documented seam where
   *    a production deployment plugs ffmpeg/opencv.
   *
@@ -159,20 +163,81 @@ object Multimodal {
     bb.array()
   }
 
+  /** Deterministic REAL MJPEG AVI payload: same RIFF scaffold as
+    * [[aviPayload]] but fccHandler 'MJPG' and '00dc' chunks each holding a
+    * complete JPEG image (the MJPEG contract: every frame is an
+    * independent baseline JPEG). Frame f's source pixels follow
+    * patternRgb(seed + f) — lossy-encoded, so features are CLOSE to the
+    * raw-DIB/BMP twin rather than bit-equal (OpsSpec pins the tolerance).
+    */
+  def aviMjpegPayload(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    def jpegFrame(f: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, patternRgb(seed + f, x, y)); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val encoded = (0 until frames).map(jpegFrame)
+    val moviBody = encoded.map(e => 8 + e.length + (e.length & 1)).sum
+    val bb = java.nio.ByteBuffer.allocate(
+      12 + 8 + 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40 + 8 + 4 + moviBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII")): Unit
+    val maxLen = encoded.map(_.length).max
+    fourcc("RIFF"); bb.putInt(bb.capacity() - 8); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(100000); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(frames); bb.putInt(0); bb.putInt(1); bb.putInt(maxLen)
+    bb.putInt(w); bb.putInt(h)
+    (0 until 4).foreach(_ => bb.putInt(0))
+    fourcc("LIST"); bb.putInt(4 + 8 + 56 + 8 + 40); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("MJPG"); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0); bb.putInt(1); bb.putInt(10); bb.putInt(0)
+    bb.putInt(frames); bb.putInt(maxLen); bb.putInt(0); bb.putInt(maxLen)
+    bb.putLong(0L)
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40); bb.putInt(w); bb.putInt(h)
+    bb.putShort(1.toShort); bb.putShort(24.toShort)
+    fourcc("MJPG"); bb.putInt(maxLen); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0)
+    fourcc("LIST"); bb.putInt(4 + moviBody); fourcc("movi")
+    encoded.foreach { e =>
+      fourcc("00dc"); bb.putInt(e.length); bb.put(e)
+      if ((e.length & 1) == 1) bb.put(0.toByte) // RIFF even padding
+    }
+    bb.array()
+  }
+
   private def isAvi(b: Array[Byte]): Boolean =
     b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
 
   /** Minimal real RIFF/AVI walk: header (w, h, total frames), the
-    * frame-chunk offsets, and whether the video stream is raw
-    * uncompressed DIB (fccHandler 'DIB '/zero AND '00db' frame chunks) —
-    * the only codec decodable without native libs. Fails loudly on a
-    * container without an 'avih' header — never a silent (0,0,0).
+    * frame-chunk offsets, and the video codec class:
+    *  - "dib": raw uncompressed DIB (fccHandler 'DIB '/zero AND only
+    *    '00db' frame chunks) — decoded by the hand-rolled row walk;
+    *  - "mjpg": Motion-JPEG (fccHandler 'MJPG', '00dc' chunks each a
+    *    complete baseline JPEG) — decodable per frame by the JRE's JPEG
+    *    reader;
+    *  - "other": any compressed codec the JVM cannot decode (the stub
+    *    seam).
+    * Fails loudly on a container without an 'avih' header — never a
+    * silent (0,0,0).
     */
-  private def aviParse(b: Array[Byte]): (MediaHeader, Seq[(Int, Int)], Boolean) = {
+  private def aviParse(b: Array[Byte]): (MediaHeader, Seq[(Int, Int)], String) = {
     val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var header: MediaHeader = null
-    var rawDib = true
+    var codec = "dib"
+    var sawDc = false
     val frames = Seq.newBuilder[(Int, Int)]
     def fourcc(off: Int): String =
       new String(b, off, 4, "US-ASCII")
@@ -191,11 +256,13 @@ object Multimodal {
             bb.getInt(off + 8 + 36), bb.getInt(off + 8 + 16))
         } else if (id == "strh" && size >= 8 && fourcc(off + 8) == "vids") {
           val handler = fourcc(off + 12)
-          // accepted raw handlers: 'DIB ' or the all-zero fourcc
-          if (handler != "DIB " && handler != "\u0000\u0000\u0000\u0000")
-            rawDib = false
+          codec =
+            // raw handlers: 'DIB ' or the all-zero fourcc
+            if (handler == "DIB " || handler == "\u0000\u0000\u0000\u0000") "dib"
+            else if (handler.equalsIgnoreCase("MJPG")) "mjpg"
+            else "other"
         } else if (id == "00db" || id == "00dc") {
-          if (id == "00dc") rawDib = false // compressed frame chunk
+          if (id == "00dc") sawDc = true
           frames += ((off + 8, size))
         }
         off += 8 + size + (size & 1) // chunks pad to even
@@ -203,7 +270,10 @@ object Multimodal {
     }
     walk(12, b.length)
     require(header != null, "AVI without avih header")
-    (header, frames.result(), rawDib)
+    // a 'DIB ' handler with compressed ('00dc') frame chunks is lying —
+    // treat as undecodable rather than walking JPEG bytes as raw rows
+    if (codec == "dib" && sawDc) codec = "other"
+    (header, frames.result(), codec)
   }
 
   private def isGrft(b: Array[Byte]): Boolean =
@@ -257,21 +327,42 @@ object Multimodal {
     (m.width, m.height, m.frames)
   }
 
+  /** Per-row decode-failure seam shared by the media operators: a corpus
+    * crawled from the web WILL contain unknown-magic payloads (decodeMeta's
+    * loud require) and truncated files whose header sniffs OK but whose
+    * full decode throws — one such row must degrade or drop ITSELF, never
+    * abort the Spark job from inside mapPartitions. Mirrors the extract
+    * kernels' per-document failure convention (ExtractJob / HtmlExtract);
+    * `failedAcc`, when supplied, makes the loss observable.
+    */
+  private def rowSeam[T](failedAcc: Option[org.apache.spark.util.LongAccumulator])(
+      body: => Iterator[T]): Iterator[T] =
+    try body
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        failedAcc.foreach(_.add(1L)); Iterator.empty
+    }
+
   /** Batched metadata extraction: one pass per partition, bytes never
     * shuffled (metadata projected out; the binary column is dropped before
-    * any wide operation).
+    * any wide operation). Undecodable rows drop (counted via `failedAcc`)
+    * rather than aborting the job.
     */
-  def extractMeta(media: DataFrame): DataFrame = {
+  def extractMeta(media: DataFrame,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("SHA-256")
-      it.map { m =>
-        val h = decodeMeta(m.bytes)
-        md.reset()
-        val digest = md.digest(m.bytes).take(4).map("%02x".format(_)).mkString
-        MediaMeta(m.doc_id, m.media_ref, m.kind, h.format, h.width, h.height,
-          h.frames, m.bytes.length, digest)
+      it.flatMap { m =>
+        rowSeam(failedAcc) {
+          val h = decodeMeta(m.bytes)
+          md.reset()
+          val digest = md.digest(m.bytes).take(4).map("%02x".format(_)).mkString
+          Iterator.single(MediaMeta(m.doc_id, m.media_ref, m.kind, h.format,
+            h.width, h.height, h.frames, m.bytes.length, digest))
+        }
       }
     }.toDF()
   }
@@ -280,19 +371,24 @@ object Multimodal {
     * every `stride`-th frame with the half-size output dims a thumbnail
     * pipeline would target — the batch/explode shape, metadata only (a
     * real video pipeline decodes pixels at the same seam `resize` uses).
+    * Undecodable rows drop (counted via `failedAcc`).
     */
-  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+  def sampleFrames(media: DataFrame, stride: Int,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].flatMap { m =>
-      val h = decodeMeta(m.bytes)
-      // audio has no visual frames to thumbnail: a WAV's PCM frame count
-      // is sample frames (tens of thousands per second), not the unit
-      // this operator models — emit nothing rather than exploding one
-      // row per stride-th audio sample
-      if (h.format == "wav") Iterator.empty
-      else (0 until h.frames by stride).iterator
-        .map(i => (m.doc_id, m.media_ref, i, h.width / 2, h.height / 2))
+      rowSeam(failedAcc) {
+        val h = decodeMeta(m.bytes)
+        // audio has no visual frames to thumbnail: a WAV's PCM frame count
+        // is sample frames (tens of thousands per second), not the unit
+        // this operator models — emit nothing rather than exploding one
+        // row per stride-th audio sample
+        if (h.format == "wav") Iterator.empty
+        else (0 until h.frames by stride).iterator
+          .map(i => (m.doc_id, m.media_ref, i, h.width / 2, h.height / 2))
+      }
     }.toDF("doc_id", "media_ref", "frame_idx", "out_w", "out_h")
   }
 
@@ -303,13 +399,18 @@ object Multimodal {
     * images (animated GIF — frame-accurate transforms belong at the
     * production video seam) pass through unchanged rather than silently
     * losing frames. Binary-in / binary-out inside one mapPartitions pass,
-    * never across a shuffle.
+    * never across a shuffle. Undecodable rows drop (counted via
+    * `failedAcc`) — passing a broken payload through unchanged would just
+    * defer the failure to the next decoder.
     */
-  def resize(media: DataFrame, maxDim: Int): DataFrame = {
+  def resize(media: DataFrame, maxDim: Int,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      it.map { m =>
+      it.flatMap { m =>
+        rowSeam(failedAcc) { Iterator.single {
         val h = decodeMeta(m.bytes)
         h.format match {
           case "grft" =>
@@ -334,6 +435,9 @@ object Multimodal {
             else {
               val src = javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(m.bytes))
+              // header sniffed OK but full decode failed: read returns
+              // null — fail this ROW (caught by rowSeam, counted)
+              require(src != null, "image decode returned null")
               val nw = math.max(1, (h.width * scale).toInt)
               val nh = math.max(1, (h.height * scale).toInt)
               val dst = new java.awt.image.BufferedImage(nw, nh,
@@ -350,6 +454,7 @@ object Multimodal {
               m.copy(bytes = out.toByteArray)
             }
         }
+        } }
       }
     }.toDF()
   }
@@ -369,11 +474,23 @@ object Multimodal {
     *  - GRFT / unknown: deterministic hash-derived pseudo-features (the
     *    stub seam — stands in for a CNN/CLIP forward pass).
     */
-  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+  def extractFeatures(media: DataFrame, dim: Int = 16,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].map { m =>
-      (m.doc_id, m.media_ref, featureVector(m.bytes, dim).toSeq)
+      // degrade, don't drop: a row that loses its content features still
+      // keeps its identity for downstream joins — hash features are the
+      // same deterministic stand-in the GRFT seam uses (per-vec failure
+      // counted via failedAcc)
+      val vec =
+        try featureVector(m.bytes, dim)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            failedAcc.foreach(_.add(1L)); hashFeatures(m.bytes, dim)
+        }
+      (m.doc_id, m.media_ref, vec.toSeq)
     }.toDF("doc_id", "media_ref", "embedding")
   }
 
@@ -388,26 +505,38 @@ object Multimodal {
     }
   }
 
-  /** Grid-luminance features over an AVI's FIRST frame, decoded straight
-    * from the raw bottom-up BGR rows — arithmetic identical to
-    * imageGridFeatures (same traversal order, same BT.601 luma), so the
-    * same pixels produce bit-equal features whichever container they
-    * arrive in (OpsSpec pins BMP == AVI-frame-0).
+  /** Grid-luminance features over an AVI's FIRST frame.
     *
-    * COMPRESSED AVIs (MJPEG/Cinepak/… — '00dc' chunks or a non-DIB
-    * fccHandler) and frame-less/short containers fall back to the
-    * deterministic hash features: that IS the documented stub seam for
-    * codecs the JVM cannot decode, and one such file must degrade its own
-    * features, not abort the whole Spark job from inside mapPartitions.
+    *  - raw-DIB AVIs: decoded straight from the bottom-up BGR rows —
+    *    arithmetic identical to imageGridFeatures (same traversal order,
+    *    same BT.601 luma), so the same pixels produce bit-equal features
+    *    whichever container they arrive in (OpsSpec pins BMP ==
+    *    AVI-frame-0);
+    *  - MJPEG AVIs: frame 0's '00dc' chunk IS a complete JPEG — decoded
+    *    with the JRE's JPEG reader, then the same grid accumulator
+    *    (features are lossy-close, not bit-equal, to the raw twin);
+    *  - other compressed codecs (Cinepak/…) and frame-less/short
+    *    containers fall back to the deterministic hash features: that IS
+    *    the documented stub seam for codecs the JVM cannot decode, and
+    *    one such file must degrade its own features, not abort the whole
+    *    Spark job from inside mapPartitions.
     */
   private def aviGridFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val side = math.sqrt(dim.toDouble).toInt
     require(side * side == dim,
       s"image grid features need a perfect-square dim, got $dim")
-    val (hdr, frames, rawDib) = aviParse(bytes)
+    val (hdr, frames, codec) = aviParse(bytes)
     val (w, ht) = (hdr.width, hdr.height)
+    if (codec == "mjpg" && frames.nonEmpty) {
+      val (off, len) = frames.head
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes, off, len))
+      // truncated/non-JPEG frame bytes: ImageIO returns null — degrade
+      if (img == null) return hashFeatures(bytes, dim)
+      return bufferedImageGrid(img, side)
+    }
     val stride = (w * 3 + 3) & ~3
-    if (!rawDib || frames.isEmpty || frames.head._2 < stride * ht)
+    if (codec != "dib" || frames.isEmpty || frames.head._2 < stride * ht)
       return hashFeatures(bytes, dim)
     val (off, len) = frames.head
     require(len >= stride * ht) // rechecked above; guards the row loop
@@ -459,13 +588,23 @@ object Multimodal {
     require(side * side == dim,
       s"image grid features need a perfect-square dim, got $dim")
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // header sniffed OK but the full decode failed: ImageIO.read returns
+    // null rather than throwing — degrade instead of NPE-ing the job
+    if (img == null) return hashFeatures(bytes, dim)
+    bufferedImageGrid(img, side)
+  }
+
+  /** Decoded-image face of [[gridAccumulate]], shared by the still-image
+    * and MJPEG paths.
+    */
+  private def bufferedImageGrid(img: java.awt.image.BufferedImage,
+      side: Int): Array[Float] =
     gridAccumulate(img.getWidth, img.getHeight, side, { (x, y) =>
       val rgb = img.getRGB(x, y)
       // ITU-R BT.601 luma in [0,1]
       (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
         0.114 * (rgb & 0xFF)) / 255.0
     })
-  }
 
   private def wavFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -520,9 +659,13 @@ object Multimodal {
         val (seed, w, h) = dims(ref)
         if (k == "image") {
           val (aSeed, aw, ah) = dims(ref + "-anim")
+          val (mSeed, mw, mh) = dims(ref + "-mjpg")
           Iterator(
             MediaRow(d, ref, k, bmpPayload(seed, w, h)),
-            MediaRow(d, ref + "-anim", "drawing", aviPayload(aSeed, aw, ah, 8)))
+            MediaRow(d, ref + "-anim", "drawing", aviPayload(aSeed, aw, ah, 8)),
+            // MJPEG sibling: the compressed-video decode path (JRE JPEG
+            // reader per frame) is exercised by the gate queries too
+            MediaRow(d, ref + "-mjpg", "drawing", aviMjpegPayload(mSeed, mw, mh, 4)))
         } else
           Iterator(MediaRow(d, ref, k, aviPayload(seed, w, h, 8)))
       }.toDF()

@@ -516,6 +516,81 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fvc.toSeq != Multimodal.featureVector(avi, 16).toSeq)
   }
 
+  test("multimodal real codec: MJPEG AVI frame-0 decode via the JRE JPEG reader") {
+    val mj = Multimodal.aviMjpegPayload(seed = 11L, w = 50, h = 20, frames = 4)
+    assert(Multimodal.decodeMeta(mj) == Multimodal.MediaHeader("avi", 50, 20, 4))
+    assert(java.util.Arrays.equals(mj, Multimodal.aviMjpegPayload(11L, 50, 20, 4)))
+    val fv = Multimodal.featureVector(mj, 16)
+    // frame 0 carries the SAME source pixels as the raw twin: the decoded
+    // grid features must be JPEG-close to the BMP/DIB features (per-cell
+    // mean luma over >=12px cells bounds the artifact error), and nothing
+    // like the hash fallback a non-decodable codec would degrade to
+    val raw = Multimodal.featureVector(
+      Multimodal.bmpPayload(seed = 11L, w = 50, h = 20), 16)
+    val maxErr = fv.zip(raw).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr < 0.05, s"MJPEG-vs-raw grid L-inf $maxErr")
+    assert(fv.toSeq != raw.toSeq) // lossy: close, not bit-equal
+    assert(java.util.Arrays.equals(fv, Multimodal.featureVector(mj, 16)))
+  }
+
+  test("multimodal failure seam: poisoned rows degrade/drop and are counted, never abort") {
+    val sp = spark
+    import sp.implicits._
+    val good = Multimodal.bmpPayload(seed = 3L, w = 20, h = 10)
+    val unknownMagic = Array.fill[Byte](64)(0x55)
+    // PNG cut inside the IDAT zlib stream: the IHDR header stays readable
+    // (meta/sniff succeeds) but the full pixel decode throws — the exact
+    // "header sniffs OK, decode fails" web-crawl case (JPEG won't do: the
+    // JRE's JPEG reader silently tolerates truncated scan data)
+    val png = {
+      val img = new java.awt.image.BufferedImage(40, 30,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val rnd = new java.util.Random(7)
+      for (y <- 0 until 30; x <- 0 until 40) img.setRGB(x, y, rnd.nextInt())
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val truncatedPng = java.util.Arrays.copyOf(png, png.length / 2)
+    val media = Seq(
+      Multimodal.MediaRow("d1", "ok", "image", good),
+      Multimodal.MediaRow("d2", "bad-magic", "image", unknownMagic),
+      Multimodal.MediaRow("d3", "bad-trunc", "image", truncatedPng)).toDF()
+
+    val accMeta = sp.sparkContext.longAccumulator("media_failed_meta")
+    val meta = Multimodal.extractMeta(media, Some(accMeta)).collect()
+    // truncated JPEG keeps a readable HEADER (w/h live before the cut),
+    // so meta extraction legitimately succeeds for it; only the
+    // unknown-magic row fails here
+    assert(meta.map(_.getAs[String]("media_ref")).sorted.toSeq ==
+      Seq("bad-trunc", "ok"))
+    assert(accMeta.value == 1L)
+
+    val accFeat = sp.sparkContext.longAccumulator("media_failed_feat")
+    val feats = Multimodal.extractFeatures(media, 16, Some(accFeat)).collect()
+    assert(feats.length == 3) // degrade, not drop: identity survives
+    assert(accFeat.value == 2L, s"feat failures ${accFeat.value}")
+    val byRef = feats.map(r => r.getAs[String]("media_ref") ->
+      r.getSeq[Float](r.fieldIndex("embedding")).toVector).toMap
+    // degraded rows carry deterministic 16-dim stand-in features
+    assert(byRef("bad-magic").length == 16 && byRef("bad-trunc").length == 16)
+    val again = Multimodal.extractFeatures(media, 16).collect()
+      .map(r => r.getAs[String]("media_ref") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toVector).toMap
+    assert(again == byRef) // same degradation every run
+
+    val accRs = sp.sparkContext.longAccumulator("media_failed_resize")
+    val resized = Multimodal.resize(media, maxDim = 8, Some(accRs)).collect()
+    assert(resized.map(_.getAs[String]("media_ref")).toSeq == Seq("ok"))
+    assert(accRs.value == 2L)
+
+    val accSf = sp.sparkContext.longAccumulator("media_failed_frames")
+    val frames = Multimodal.sampleFrames(media, 1, Some(accSf)).collect()
+    assert(frames.map(_.getAs[String]("media_ref")).distinct.sorted.toSeq ==
+      Seq("bad-trunc", "ok"))
+    assert(accSf.value == 1L)
+  }
+
   test("multimodal real codec: animated GIF frame count; resize never drops frames") {
     val sp = spark
     import sp.implicits._
