@@ -134,6 +134,39 @@ class PyTextSpec extends AnyFunSuite {
       == "\u03a3\u03c3 \u2033\u2032")
   }
 
+  test("fixBadUnicode: HTML5 entity long tail (math alphanumerics, long names, multi-codepoint)") {
+    import graft.text.PyText.{fixBadUnicode => fix}
+    // math-alphanumeric families: Letterlike exceptions stay in the BMP...
+    assert(fix("&Zopf; &Ropf; &Copf;") == "\u2124 \u211d \u2102")
+    assert(fix("&Hscr; &Rfr; &Ifr;") == "\u210b \u211c \u2111")
+    // ...while regular letters land in the astral Mathematical block
+    // (surrogate pairs on the JVM)
+    assert(fix("&Aopf;") == new String(Character.toChars(0x1D538)))
+    assert(fix("&zscr;") == new String(Character.toChars(0x1D4CF)))
+    assert(fix("&afr;") == new String(Character.toChars(0x1D51E)))
+    // script-family lowercase exceptions
+    assert(fix("&escr;&gscr;&oscr;") == "\u212f\u210a\u2134")
+    // ASCII punctuation names
+    assert(fix("&lpar;x&comma;y&rpar;&semi;") == "(x,y);")
+    assert(fix("&lsqb;a&sol;b&rsqb;") == "[a/b]")
+    // long names (the HTML4 regex cap of 30 chars is not exceeded)
+    assert(fix("&CloseCurlyDoubleQuote;") == "\"") // decoded, then uncurled
+    assert(fix("&DoubleRightArrow; &ZeroWidthSpace;x") == "\u21d2 \u200bx")
+    // HTML5 remaps: ohm is GREEK OMEGA, angst is LATIN A WITH RING
+    assert(fix("5&ohm; 2&angst;") == "5\u03a9 2\u00c5")
+    // multi-codepoint entities
+    assert(fix("&fjlig;ord") == "fjord")
+    assert(fix("a&ThickSpace;b") == "a\u205f\u200ab")
+    // vulgar fractions and operators
+    assert(fix("&frac13;&frac78;") == "\u2153\u215e")
+    assert(fix("A &setminus; B &because; x &nleq; y")
+      == "A \u2216 B \u2235 x \u2270 y")
+    // ligature block
+    assert(fix("o&fflig;en e&ffilig;zient") == "o\ufb00en e\ufb03zient")
+    // unknown long names still stay verbatim (conservative contract)
+    assert(fix("&NotSquareSubsetEqual;") == "&NotSquareSubsetEqual;")
+  }
+
   test("width table equals per-char NFKC over the whole FF01-FFEF block") {
     (0xFF01 to 0xFFEF).foreach { cp =>
       val c = cp.toChar.toString
