@@ -234,14 +234,24 @@ object Bench {
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_MAX_ROUNDS", "6").toInt
     val throughput = scala.collection.mutable.LinkedHashMap[Int, Double]()
     val cal = scala.collection.mutable.LinkedHashMap[Int, Double]()
+    // The recorded artifact is the best same-WINDOW round (round-3 verdict
+    // item 1): per-level best-of across rounds can pair a quiet-window N
+    // with a loud-window 4N, recording an efficiency no single window
+    // measured (r03 recorded 0.790 while two windows measured 0.81+).
+    // Each round is one window: its own (tp, kernel-cal) pair; the round
+    // with the best efficiency becomes the artifact, labeled with ITS
+    // window's ceiling. The global best-of maps still feed history.
+    var bestWindow: Option[(Double, Map[Int, Double], Map[Int, Double])] = None
     var warmed = Set.empty[Int]
     // missing measurements report 0.0, NOT 1.0: a failed run must read as
     // "no scaling evidence" (and keep the adaptive retry loop going), not
     // as a fabricated perfect score
-    def bestEff: Double = levels.sorted.sliding(2).collect {
-      case Seq(n, m) if m > n && throughput.contains(n) && throughput.contains(m) =>
-        (throughput(m) / throughput(n)) / (m.toDouble / n)
-    }.nextOption().getOrElse(0.0)
+    def effOf(tp: collection.Map[Int, Double]): Double =
+      levels.sorted.sliding(2).collect {
+        case Seq(n, m) if m > n && tp.contains(n) && tp.contains(m) =>
+          (tp(m) / tp(n)) / (m.toDouble / n)
+      }.nextOption().getOrElse(0.0)
+    def bestEff: Double = bestWindow.map(_._1).getOrElse(0.0)
     // Mode: multi-JVM local-cluster (real separate executor JVMs via
     // spark-submit — the faithful "N vs 4N executors" substitution) when
     // the Spark distribution is present; in-process thread mode otherwise
@@ -283,17 +293,29 @@ object Bench {
     val quietFrac = sys.env.getOrElse("SPARK_GRAFT_QUIET_FRAC", "0.85").toDouble
     val probePlateauFrac =
       sys.env.getOrElse("SPARK_GRAFT_PLATEAU_FRAC", "0.95").toDouble
+    // Probe with a REDUCED corpus (n=4000, ~0.2s best-of-2 in a quiet
+    // window) rather than the full 20k calibration: the probe only needs
+    // a load signal, and a full calibration per gated round burned real
+    // measurement budget on a loud host (round-3 advice). Probe numbers
+    // are tracked under their own history key and NEVER merged into
+    // `cal` — they are measured over a different n than the real rounds.
+    val probeN = 4000
     val histAtStart = readHistory()
     var gateSpentMs = 0L
     var probeBest = 0.0
     var probeCount = 0
     def waitForQuietWindow(): Unit = {
-      val best = histAtStart.getOrElse(s"kernel.n$probeLevel", return)
+      // absolute reference: prior probe history; first invocation after
+      // this key's introduction falls back to the full-corpus kernel
+      // history (docs/s at n=4000 vs 20000 is within a few % — pool
+      // startup is sub-ms), else no absolute gate (plateau rule only)
+      val best = histAtStart.get(s"kernelprobe$probeN.n$probeLevel")
+        .orElse(histAtStart.get(s"kernel.n$probeLevel"))
+        .getOrElse(return)
       while (System.currentTimeMillis() - tBudget < budgetMs &&
           gateSpentMs < budgetMs / 4) {
         val t0 = System.currentTimeMillis()
-        val k = kernelCalibration(Seq(probeLevel))(probeLevel)
-        cal(probeLevel) = math.max(cal.getOrElse(probeLevel, 0.0), k)
+        val k = kernelCalibration(Seq(probeLevel), n = probeN)(probeLevel)
         probeBest = math.max(probeBest, k)
         probeCount += 1
         val quietVsHistory = k >= quietFrac * best
@@ -302,7 +324,7 @@ object Bench {
           gateSpentMs += System.currentTimeMillis() - t0
           return
         }
-        System.err.println(f"[bench] loud window: kernel.n$probeLevel ${k}%.0f " +
+        System.err.println(f"[bench] loud window: probe.n$probeLevel ${k}%.0f " +
           f"(best-ever ${best}%.0f, best-today ${probeBest}%.0f) — backing off 8s")
         Thread.sleep(8000)
         gateSpentMs += System.currentTimeMillis() - t0
@@ -312,9 +334,12 @@ object Bench {
         (r == 0 || System.currentTimeMillis() - tBudget < budgetMs)) {
       r += 1
       waitForQuietWindow()
+      val roundTp = scala.collection.mutable.LinkedHashMap[Int, Double]()
+      val roundCal = scala.collection.mutable.LinkedHashMap[Int, Double]()
       levels.foreach { level =>
         if (useCluster) {
           clusterThroughput(level / 4, corpusPath, layout).foreach { dps =>
+            roundTp(level) = dps
             throughput(level) = math.max(throughput.getOrElse(level, 0.0), dps)
           }
         } else {
@@ -324,22 +349,33 @@ object Bench {
             warmed += level
           }
           val t = timedExtraction(spark, corpusPath, s"$scratch/t$r-$level", level, layout)
+          roundTp(level) = nDocs / t
           throughput(level) = math.max(throughput.getOrElse(level, 0.0), nDocs / t)
           spark.stop()
         }
         val k = kernelCalibration(Seq(level), n = 20000)(level)
+        roundCal(level) = k
         cal(level) = math.max(cal.getOrElse(level, 0.0), k)
       }
+      val rEff = effOf(roundTp)
+      if (levels.forall(roundTp.contains) && bestWindow.forall(_._1 < rEff))
+        bestWindow = Some((rEff, roundTp.toMap, roundCal.toMap))
+      System.err.println(f"[bench] round $r window efficiency $rEff%.3f " +
+        f"(best so far $bestEff%.3f)")
     }
-    val efficiency = bestEff
+    // the ARTIFACT is the best single-window round: its own tp pair and
+    // its own same-window kernel ceiling (falls back to the global
+    // best-of maps only if no round produced a complete pair)
+    val (efficiency, winTp, winCal) = bestWindow
+      .getOrElse((effOf(throughput), throughput.toMap, cal.toMap))
     val mode = (if (useCluster) "local-cluster" else "threads") +
       (if (layout == "maponly") ".maponly" else "")
 
-    // hardware ceiling on the same pair of levels
+    // hardware ceiling on the same pair of levels, from the SAME window
     val calPair = levels.sorted.take(2)
     val ceiling =
-      if (calPair.length == 2)
-        (cal(calPair(1)) / cal(calPair(0))) / (calPair(1).toDouble / calPair(0))
+      if (calPair.length == 2 && calPair.forall(winCal.contains))
+        (winCal(calPair(1)) / winCal(calPair(0))) / (calPair(1).toDouble / calPair(0))
       else 1.0
     val normalized = if (ceiling > 0) efficiency / ceiling else efficiency
 
@@ -371,13 +407,18 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val tp = throughput.map { case (k, v) => "\"n" + k + "\":" + fmt(v) }
+    // the recorded throughput/calibration are the best WINDOW's pair (not
+    // cross-window best-of — see bestWindow above)
+    val tp = winTp.toSeq.sortBy(_._1).map { case (k, v) => "\"n" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val calJson = cal.toSeq.sortBy(_._1)
+    val calJson = winCal.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"n" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    val hist = mergeHistory(throughput.toMap, cal.toMap, nDocs, mode)
+    val probeHist =
+      if (probeBest > 0) Map(s"kernelprobe$probeN.n$probeLevel" -> probeBest)
+      else Map.empty[String, Double]
+    val hist = mergeHistory(throughput.toMap, cal.toMap, nDocs, mode, probeHist)
     val best: Option[(Double, Double)] = {
       val sortedL = levels.sorted
       if (sortedL.length < 2) None
@@ -404,7 +445,7 @@ object Bench {
             s""""best_observed_normalized_efficiency":${fmt(bn)},"""
         }.getOrElse("") +
         s""""bench_docs":$nDocs,"sf":"$sfDir"}"""
-    writeReport(levels, throughput.toMap, efficiency, cal.toMap, ceiling, normalized,
+    writeReport(levels, winTp, efficiency, winCal, ceiling, normalized,
       nDocs, hist, mode)
     // belt-and-braces for the driver handshake: the JSON line also lands in
     // a file no logger can prefix (stdout is already unprefixed via
@@ -448,13 +489,13 @@ object Bench {
   }
 
   private def mergeHistory(tp: Map[Int, Double], cal: Map[Int, Double], nDocs: Int,
-      mode: String): Map[String, Double] = {
+      mode: String, extra: Map[String, Double] = Map.empty): Map[String, Double] = {
     val path = java.nio.file.Paths.get(s"$repoRoot/BENCH/history.properties")
     val prev: Map[String, Double] = readHistory()
     // e2e keys are tagged with mode AND corpus shape so values from
     // different measurement setups never merge
     val cur = tp.map { case (k, v) => s"e2e.$mode.v3d$nDocs.n$k" -> v } ++
-      cal.map { case (k, v) => s"kernel.n$k" -> v }
+      cal.map { case (k, v) => s"kernel.n$k" -> v } ++ extra
     val merged = (prev.keySet ++ cur.keySet).map { k =>
       k -> math.max(prev.getOrElse(k, 0.0), cur.getOrElse(k, 0.0))
     }.toMap
@@ -492,7 +533,8 @@ object Bench {
       lines ++= "Levels are INTERLEAVED across rounds (4,16,4,16,...) so ambient load\n"
       lines ++= "on this shared VM hits both equally; each round also runs the in-JVM\n"
       lines ++= "kernel calibration so the hardware ceiling is measured in the same\n"
-      lines ++= "window; best-of per metric.\n\n"
+      lines ++= "window. The numbers below are the best single WINDOW (one round's\n"
+      lines ++= "own tp pair + its own ceiling) — never a cross-window mix.\n\n"
       lines ++= "| total cores | e2e docs/sec | pure-kernel docs/sec (calibration) |\n|---|---|---|\n"
       levels.foreach { l =>
         lines ++= s"| $l | ${tp.get(l).map(v => f"$v%.0f").getOrElse("-")} | ${cal.get(l).map(v => f"$v%.0f").getOrElse("-")} |\n"
@@ -524,8 +566,8 @@ object Bench {
       lines ++= "what the VM actually grants a perfectly-parallel zero-shuffle\n"
       lines ++= "workload in the same window, so the e2e number is read against that\n"
       lines ++= "ceiling.\n\n"
-      lines ++= "Stage decomposition (tools/BenchProbe2, tools/FixedCostProbe,\n"
-      lines ++= "tools/CodecProbe, tools/WaveProbe): scan+extract alone scales at\n"
+      lines ++= "Stage decomposition (tools/BenchTool subcommands stages2 /\n"
+      lines ++= "fixedcost / codec / wave): scan+extract alone scales at\n"
       lines ++= "the kernel ceiling (~0.80 raw at 4->16); the shuffle and parquet\n"
       lines ++= "sink stages add memory-bandwidth-bound row work that saturates the\n"
       lines ++= "single socket — per-job fixed cost is only ~0.5s, compression-codec\n"

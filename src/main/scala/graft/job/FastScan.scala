@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Strings the kernel actually consumes and compares span kinds against
   * cached UTF8String constants without decoding them. Measured ~2x less
   * deser garbage; the kernel itself scales near-linearly (see
-  * tools/KernelScale).
+  * `tools/BenchTool kernel`).
   *
   * Safety: UnsafeRows from `queryExecution.toRdd` are reused by the
   * scanner — each row is fully consumed (tree built) before `next()`.

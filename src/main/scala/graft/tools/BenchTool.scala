@@ -1,0 +1,376 @@
+package graft.tools
+
+import graft.extract.Extractor
+import graft.fixtures.Fixtures
+import graft.model.DocRow
+import graft.reflow.ExtractConfig
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bench-methodology diagnostics, one main with subcommands (round-3
+  * verdict item 10 folded the former one-shot probe mains — BenchProbe,
+  * BenchProbe2, KernelScale, SparkScale, ScanScale, DeserScale,
+  * WaveProbe, CodecProbe, FixedCostProbe, LmProbe, QueryTime, PlanDump,
+  * HeavyCorpusGen — into this tool; no capability lost).
+  *
+  *   sbt "runMain graft.tools.BenchTool <cmd> [args]"
+  *
+  * Commands (all read the graft.Bench corpus under target/bench unless
+  * noted; override levels via PROBE_LEVELS):
+  *  - kernel      raw extraction-kernel thread scaling, no Spark
+  *  - sparkscale  pure-CPU Spark task scaling (no IO, no encoders)
+  *  - scan        parquet scan scaling, nested-vectorized on/off
+  *  - deser       parquet-read vs encoder-deserialization split
+  *  - stages      stage decomposition: scan/deser/extract/repart/write
+  *  - stages2     FastScan path decomposition with noop sink
+  *  - wave        task-granularity sweep (maxPartitionBytes x salt)
+  *  - codec       shuffle+sink compression codec A/B
+  *  - fixedcost   per-job fixed cost via tiny-corpus runs
+  *  - lmprobe     scorer decisions on probe sentence pairs
+  *  - querytime <q...>  time individual SparkEntry queries (noop sink)
+  *  - plandump  <q...>  formatted physical plans + entry() smoke
+  *  - heavygen  [n]     generate the heavier 10-16-page bench corpus
+  *
+  * These are DIAGNOSTICS for reading bench numbers on a shared host —
+  * their findings are summarized in BENCH/BASELINE.md; the driver-facing
+  * measurement itself lives in graft.Bench.
+  */
+object BenchTool {
+
+  private def session(level: Int, extra: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$level]")
+      .config("spark.sql.shuffle.partitions", level)
+      .config("spark.sql.files.maxPartitionBytes", "4194304")
+      .config("spark.ui.enabled", "false")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val repoRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_REPO", System.getProperty("user.dir"))
+
+  private def levels(default: String): Seq[Int] =
+    sys.env.getOrElse("PROBE_LEVELS", default).split(",").map(_.trim.toInt).toSeq
+
+  private def corpus(n: Int): String = s"$repoRoot/target/bench/docsv3_$n"
+
+  private def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def docsOf(spark: SparkSession, path: String): Dataset[DocRow] = {
+    import spark.implicits._
+    spark.read.parquet(path).select("doc_id", "spans").as[DocRow]
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "kernel" :: _ => kernel()
+    case "sparkscale" :: _ => sparkScale()
+    case "scan" :: _ => scan()
+    case "deser" :: _ => deser()
+    case "stages" :: _ => stages()
+    case "stages2" :: _ => stages2()
+    case "wave" :: _ => wave()
+    case "codec" :: _ => codec()
+    case "fixedcost" :: _ => fixedCost()
+    case "lmprobe" :: _ => lmProbe()
+    case "querytime" :: qs => queryTime(qs)
+    case "plandump" :: qs => planDump(qs)
+    case "heavygen" :: rest => heavyGen(rest.headOption.map(_.toInt).getOrElse(40000))
+    case other => sys.error(s"unknown BenchTool command: $other (see scaladoc)")
+  }
+
+  /** Raw kernel thread-scaling without Spark. */
+  private def kernel(): Unit = {
+    val n = 20000
+    val docs = (0 until n).map { i =>
+      val rng = new Fixtures.Rng(42L + i)
+      Fixtures.compositeDoc(f"doc-$i%08d", 1 + rng.nextInt(3), rng, withMedia = i % 5 == 0)
+    }.toArray
+    val cfg = ExtractConfig()
+    docs.take(4000).foreach(d => Extractor.extractRow(d, cfg)) // warmup
+    levels("1,4,16,32").foreach { threads =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val idx = new java.util.concurrent.atomic.AtomicInteger(0)
+      val wall = timed {
+        (0 until threads).map { _ =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var i = idx.getAndIncrement()
+              while (i < n) { Extractor.extractRow(docs(i), cfg); i = idx.getAndIncrement() }
+            }
+          })
+        }.foreach(_.get())
+      }
+      pool.shutdown()
+      println(f"[kernel] threads=$threads%2d wall=$wall%.2f s docs/sec=${n / wall}%.0f")
+    }
+  }
+
+  /** Pure-CPU Spark task scaling: sum of splitmix over ranges. */
+  private def sparkScale(): Unit =
+    levels("8,32,8,32").foreach { level =>
+      val spark = session(level)
+      val sc = spark.sparkContext
+      def run(): Double = timed {
+        sc.parallelize(0 until level * 2, level * 2).map { _ =>
+          var s = 0L; var i = 0L
+          val n = 400000000L / (level * 2)
+          while (i < n) { s ^= graft.ops.Hashing.mix(i); i += 1 }
+          s
+        }.reduce(_ ^ _): Unit
+      }
+      run() // warm
+      println(f"[sparkscale] level=$level wall=${run()}%.2f s")
+      spark.stop()
+    }
+
+  /** Parquet scan scaling with the nested vectorized reader on/off. */
+  private def scan(): Unit =
+    for (nested <- Seq("true", "false"); level <- levels("4,16")) {
+      val spark = session(level,
+        Map("spark.sql.parquet.enableNestedColumnVectorizedReader" -> nested))
+      def run(): Double = timed {
+        spark.read.parquet(corpus(40000)).select("doc_id", "spans")
+          .selectExpr("sum(size(spans))", "sum(length(spans[0].text))").collect(): Unit
+      }
+      run()
+      println(f"[scan] nestedVec=$nested level=$level ${Seq(run(), run()).min}%.2f s")
+      spark.stop()
+    }
+
+  /** Parquet-read vs encoder-deserialization split. */
+  private def deser(): Unit =
+    levels("8,32,8,32").foreach { level =>
+      val spark = session(level)
+      def df = spark.read.parquet(corpus(40000)).select("doc_id", "spans")
+      def time(name: String)(f: => Unit): Unit =
+        println(f"[deser] level=$level $name ${timed(f)}%.2f s")
+      time("sql_only_warm") { df.selectExpr("sum(size(spans))").collect() }
+      time("sql_only") { df.selectExpr("sum(size(spans))").collect() }
+      time("sql_texthash") { df.selectExpr("sum(hash(to_json(spans)))").collect() }
+      locally {
+        import spark.implicits._
+        time("encoder_warm") {
+          df.as[DocRow].mapPartitions(_.map(_.spans.length.toLong)).reduce(_ + _): Unit
+        }
+        time("encoder") {
+          df.as[DocRow].mapPartitions(_.map(_.spans.length.toLong)).reduce(_ + _): Unit
+        }
+      }
+      spark.stop()
+    }
+
+  /** Stage decomposition: scan / deser / extract / repartition / write. */
+  private def stages(): Unit =
+    levels("4,16").foreach { level =>
+      val spark = session(level)
+      val docs = docsOf(spark, corpus(40000))
+      println(s"[stages] level=$level scan partitions: ${docs.rdd.getNumPartitions}")
+      def time(name: String)(f: => Unit): Unit =
+        println(f"[stages] level=$level $name: ${timed(f)}%.2f s")
+      val cfg = ExtractConfig()
+      import spark.implicits._
+      time("scan_count")(docs.count())
+      time("scan_count2")(docs.count())
+      time("deser_only") {
+        docs.mapPartitions(_.map(_.spans.length.toLong)).reduce(_ + _): Unit
+      }
+      time("extract_noshuffle") {
+        docs.mapPartitions(_.map(r => Extractor.extractRow(r, cfg).spans.length.toLong))
+          .reduce(_ + _): Unit
+      }
+      time("extract_noshuffle2") {
+        docs.mapPartitions(_.map(r => Extractor.extractRow(r, cfg).spans.length.toLong))
+          .reduce(_ + _): Unit
+      }
+      time("repartition_extract_count") {
+        graft.job.ExtractJob.repartitionSkewAware(docs, level, 20000)
+          .mapPartitions(_.map(r => Extractor.extractRow(r, cfg).spans.length.toLong))
+          .reduce(_ + _): Unit
+      }
+      time("repartition_extract_write") {
+        val out = java.nio.file.Files.createTempDirectory("stages").toString
+        graft.job.ExtractJob.repartitionSkewAware(docs, level, 20000)
+          .mapPartitions(_.map(r => Extractor.extractRow(r, cfg)))
+          .write.mode("overwrite").parquet(out + "/o")
+      }
+      spark.stop()
+    }
+
+  /** FastScan-path decomposition with a noop sink. */
+  private def stages2(): Unit =
+    levels("4,16").foreach { level =>
+      val spark = session(level)
+      def df = spark.read.parquet(corpus(40000)).select("doc_id", "spans")
+      def time(name: String)(f: => Unit): Unit =
+        println(f"[stages2] level=$level $name ${timed(f)}%.2f s")
+      val cfg = ExtractConfig()
+      import spark.implicits._
+      time("a_extract_noop_warm") {
+        graft.job.FastScan.extract(df, cfg).write.mode("overwrite").format("noop").save()
+      }
+      time("a_extract_noop") {
+        graft.job.FastScan.extract(df, cfg).write.mode("overwrite").format("noop").save()
+      }
+      time("b_repart_extract_noop") {
+        val part = graft.job.ExtractJob.repartitionSkewAware(df.as[DocRow], level, 20000)
+        graft.job.FastScan.extract(part.toDF(), cfg).write.mode("overwrite").format("noop").save()
+      }
+      time("c_repart_extract_parquet") {
+        val part = graft.job.ExtractJob.repartitionSkewAware(df.as[DocRow], level, 20000)
+        val out = java.nio.file.Files.createTempDirectory("stages2").toString
+        graft.job.FastScan.extract(part.toDF(), cfg).write.mode("overwrite").parquet(out + "/o")
+      }
+      spark.stop()
+    }
+
+  /** Task-granularity sweep: maxPartitionBytes x repartition salt. */
+  private def wave(): Unit =
+    for (level <- levels("4,16"); mpb <- Seq(4194304, 1048576); salt <- Seq(4, 12)) {
+      val spark = session(level,
+        Map("spark.sql.files.maxPartitionBytes" -> mpb.toString))
+      import spark.implicits._
+      val out = java.nio.file.Files.createTempDirectory("wave").toString
+      def once(tag: String): Double = {
+        val docs = docsOf(spark, corpus(40000))
+        val key = when(size(col("spans")) >= 20000,
+          xxhash64(col("doc_id"), lit("bigdoc-salt"), size(col("spans"))))
+          .otherwise(xxhash64(col("doc_id")))
+        val part = docs.repartition(level * salt, key).as[DocRow]
+        timed {
+          graft.job.FastScan.extract(part.toDF(), ExtractConfig())
+            .write.mode("overwrite").parquet(s"$out/$tag")
+        }
+      }
+      once("warm")
+      println(f"[wave] level=$level mpb=${mpb / 1048576}MB salt=$salt " +
+        f"best=${Seq(once("t1"), once("t2")).min}%.2f s")
+      spark.stop()
+    }
+
+  /** Shuffle+sink compression codec A/B on the full e2e path. */
+  private def codec(): Unit = {
+    val variants = Seq(
+      ("lz4-snappy", "lz4", "snappy"), ("zstd-zstd", "zstd", "zstd"),
+      ("lz4-zstd", "lz4", "zstd"), ("zstd-snappy", "zstd", "snappy"))
+    for ((name, io, pq) <- variants; level <- levels("4,16")) {
+      val spark = session(level, Map(
+        "spark.io.compression.codec" -> io,
+        "spark.sql.parquet.compression.codec" -> pq))
+      val out = java.nio.file.Files.createTempDirectory("codec").toString
+      def once(tag: String): Double = {
+        val part = graft.job.ExtractJob.repartitionSkewAware(
+          docsOf(spark, corpus(40000)), level, 20000)
+        timed {
+          graft.job.FastScan.extract(part.toDF(), ExtractConfig())
+            .write.mode("overwrite").parquet(s"$out/$tag")
+        }
+      }
+      once("warm")
+      val best = Seq(once("t1"), once("t2")).min
+      println(f"[codec] $name level=$level best=$best%.2f s (${40000 / best}%.0f docs/s)")
+      spark.stop()
+    }
+  }
+
+  /** Fixed per-job cost (planning/scheduling/commit) via a tiny corpus. */
+  private def fixedCost(): Unit =
+    for (level <- levels("4,16"); n <- Seq(400, 40000)) {
+      val spark = session(level)
+      import spark.implicits._
+      val path = s"$repoRoot/target/bench/fixed_$n"
+      if (!new java.io.File(path + "/_SUCCESS").exists()) {
+        spark.range(0, n).map { i =>
+          val rng = new Fixtures.Rng(42L + i)
+          val pages = if (i % 1000 == 0) 40 else 1 + rng.nextInt(3)
+          Fixtures.compositeDoc(f"doc-$i%08d", pages, rng, withMedia = i % 5 == 0)
+        }.repartition(32).write.mode("overwrite").parquet(path)
+      }
+      val out = java.nio.file.Files.createTempDirectory("fixedcost").toString
+      def once(tag: String): Double = {
+        val part = graft.job.ExtractJob.repartitionSkewAware(
+          docsOf(spark, path), level, 20000)
+        timed {
+          graft.job.FastScan.extract(part.toDF(), ExtractConfig())
+            .write.mode("overwrite").parquet(s"$out/$tag")
+        }
+      }
+      once("warm"); once("warm2")
+      println(f"[fixedcost] level=$level n=$n best=${(1 to 3).map(i => once(s"t$i")).min}%.2f s")
+      spark.stop()
+    }
+
+  /** Scorer decisions on probe sentence pairs (fixture design aid). */
+  private def lmProbe(): Unit = {
+    import graft.lm.Scorer
+    def probe(a: String, b: String): Unit = {
+      val (sa, sb, sj) = (Scorer.score(a), Scorer.score(b), Scorer.score(a + " " + b))
+      println(f"a=$sa%.4f b=$sb%.4f join=$sj%.4f -> " +
+        s"${if (sj < math.min(sa, sb)) "JOIN" else "SEP"}  [$a | $b]")
+    }
+    probe("die bedeutung der finanziellen", "interessen der union ist gewachsen")
+    probe("die kommission hat einen", "bericht über die anwendung vorgelegt")
+    probe("Seite 3 von 10", "Die Kommission hat einen Bericht vorgelegt")
+    probe("eins zwei drei", "vier fünf sechs")
+    probe("nach ansicht der", "verbände ist eine klärung erforderlich")
+    println("newlineOrNot short a: " + Scorer.newlineOrNot("x", "whatever"))
+    println("newlineOrNot short b: " + Scorer.newlineOrNot("whatever", "x"))
+    println("single_score 1ch: " + Scorer.singleScore("x"))
+    println("score('Seite 1 von 2') = " + Scorer.score("Seite 1 von 2"))
+    println("dehyph drop: " + Scorer.dehyphenParagraph(List(List("der", "finan- "), List("ziellen", "betrag"))))
+    println("dehyph keep: " + Scorer.dehyphenParagraph(List(List("auch", "EU- "), List("Staaten", "wie"))))
+    println("dehyph chain: " + Scorer.dehyphenParagraph(List(List("finan-"), List("ziel-"), List("len", "x"))))
+  }
+
+  /** Time individual SparkEntry queries (noop sink, 2 runs each). */
+  private def queryTime(names: Seq[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      (1 to 2).foreach { i =>
+        val t = timed {
+          graft.SparkEntry.queries(n)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+        }
+        println(f"[qt] $n run$i $t%.2f s")
+      }
+    }
+    spark.stop()
+  }
+
+  /** Formatted physical plans for the query surface + entry() smoke. */
+  private def planDump(args: Seq[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names = if (args.nonEmpty) args else Seq("q01_pricing_agg",
+      "q02_revenue_by_nation", "q07_exact_dup_groups", "q11_minhash_dup_pairs",
+      "q19_ngram_jaccard_pairs", "q13_ann_bruteforce_topk")
+    val spark = session(4)
+    spark.sparkContext.setLogLevel("ERROR")
+    println(s"[plan] entry() rows=${graft.SparkEntry.entry(spark).count()} " +
+      "(driver smoke-checks >0)")
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+
+  /** Generate the heavier 10-16-page bench corpus. */
+  private def heavyGen(n: Int): Unit = {
+    val spark = session(16)
+    import spark.implicits._
+    val path = s"$repoRoot/target/bench/heavy2_$n"
+    spark.range(0, n).map { i =>
+      val rng = new Fixtures.Rng(42L + i)
+      val pages = if (i % 1000 == 0) 80 else 10 + rng.nextInt(7)
+      Fixtures.compositeDoc(f"doc-$i%08d", pages, rng, withMedia = i % 5 == 0)
+    }.repartition(32).write.mode("overwrite").parquet(path)
+    println(s"[heavy] wrote $n docs -> $path")
+    spark.stop()
+  }
+}
