@@ -469,6 +469,19 @@ object SparkEntry {
       graft.ops.Corpus.perplexityFilter(
         extracted(s).select(col("doc_id"), col("text")), maxScore = 4.53)
         .orderBy(col("doc_id"))),
+    // out-link extraction (crawl-frontier / URL-graph feed): every href +
+    // anchor of the fixture pages in document order, hrefs canonicalized
+    // with the same chain urlDedup keys on — frozen XGolden oracle
+    "x13_html_links" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val pages = sp.createDataset(graft.fixtures.HtmlFixtures.corpus(40))
+        .toDF("doc_id", "html")
+      graft.html.HtmlExtract.extractLinks(pages)
+        .withColumn("canonical_href",
+          graft.ops.Web.canonicalUrl(col("href")))
+        .orderBy(col("doc_id"), col("offset"))
+    }),
     "x08_failed_docs" -> ((s, dir) => {
       val sp = s
       import sp.implicits._

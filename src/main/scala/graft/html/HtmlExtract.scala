@@ -87,7 +87,62 @@ object HtmlExtract {
     * error (there is no tree to unbalance), stray `<` is text, attribute
     * values may contain `>` when quoted.
     */
-  def blocks(html: String): Vector[Block] = {
+  def blocks(html: String): Vector[Block] = tokenize(html)._1
+
+  /** Out-links in document order: (href, anchor text), entity-decoded and
+    * whitespace-normalized — the crawl-frontier / URL-graph primitive
+    * (compose hrefs with Web.canonicalUrl + urlDedup). One pass of the
+    * same tolerant tokenizer: links inside raw-text (script strings),
+    * skip containers (svg/noscript/template) and <head> are NOT links;
+    * a nested/unclosed <a> implicitly closes the previous one like a
+    * browser's tree builder; anchors without an href (fragment targets)
+    * are skipped.
+    */
+  def links(html: String): Vector[(String, String)] = tokenize(html)._2
+
+  /** Case-insensitive attribute lookup inside a tag's attribute source
+    * (the text between tag name and '>'): quoted or unquoted value per
+    * the HTML5 attribute grammar; None when the attribute is absent.
+    */
+  private[graft] def attrValue(src: String, attr: String): Option[String] = {
+    // sequential attribute walk (not substring search: 'href=/x' inside
+    // ANOTHER attribute's quoted value must not match)
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      // skip whitespace and stray self-closing slashes between attributes
+      while (i < n && (Character.isWhitespace(src.charAt(i)) || src.charAt(i) == '/'))
+        i += 1
+      val nameStart = i
+      while (i < n && !Character.isWhitespace(src.charAt(i)) && src.charAt(i) != '=')
+        i += 1
+      val name = src.substring(nameStart, i)
+      while (i < n && Character.isWhitespace(src.charAt(i))) i += 1
+      var value: Option[String] = None
+      if (i < n && src.charAt(i) == '=') {
+        i += 1
+        while (i < n && Character.isWhitespace(src.charAt(i))) i += 1
+        if (i >= n) value = Some("")
+        else {
+          val c = src.charAt(i)
+          if (c == '"' || c == '\'') {
+            val e = src.indexOf(c, i + 1)
+            value = Some(if (e < 0) src.substring(i + 1) else src.substring(i + 1, e))
+            i = if (e < 0) n else e + 1
+          } else {
+            val s = i
+            while (i < n && !Character.isWhitespace(src.charAt(i))) i += 1
+            value = Some(src.substring(s, i))
+          }
+        }
+      }
+      if (name.equalsIgnoreCase(attr)) return value // bare attr -> None
+      if (name.isEmpty && i < n && !Character.isWhitespace(src.charAt(i))) i += 1
+    }
+    None
+  }
+
+  private def tokenize(html: String): (Vector[Block], Vector[(String, String)]) = {
     val out = Vector.newBuilder[Block]
     val text = new StringBuilder
     val anchorText = new StringBuilder
@@ -108,6 +163,20 @@ object HtmlExtract {
     var tableRowIdx = 0
     val tableCells =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int, Int)]
+    // out-link collection (see links()): href of the open anchor + its
+    // accumulating anchor text; emitted at </a>, at an implicit close
+    // (next <a> open), or at EOF
+    val outLinks = Vector.newBuilder[(String, String)]
+    var linkHref: String = null
+    val linkText = new StringBuilder
+    def emitLink(): Unit = {
+      if (linkHref != null) {
+        outLinks += ((linkHref,
+          PyText.unescapeHtml(linkText.toString).trim.replaceAll("\\s+", " ")))
+        linkHref = null
+      }
+      linkText.setLength(0)
+    }
 
     def words(s: String): Int = {
       var n = 0; var in = false
@@ -245,8 +314,18 @@ object HtmlExtract {
                 else if (!selfClosed) listDepth += 1
               }
             } else if (name == "a") {
-              if (closing) aDepth = math.max(0, aDepth - 1)
-              else if (!selfClosed) aDepth += 1
+              if (closing) {
+                aDepth = math.max(0, aDepth - 1)
+                emitLink()
+              } else {
+                emitLink() // implicit close of an unclosed previous anchor
+                if (skipDepth == 0 && !inHead)
+                  linkHref = attrValue(
+                    html.substring(nameStart + name.length, math.min(j, n)), "href")
+                    .map(v => PyText.unescapeHtml(v).trim)
+                    .filter(_.nonEmpty).orNull
+                if (selfClosed) emitLink() else aDepth += 1
+              }
             }
             // other inline tags (<b>, <em>, <span>, …) contribute nothing:
             // browsers render 'Te<em>il</em>wort' as one word, and an
@@ -260,12 +339,14 @@ object HtmlExtract {
         if (skipDepth == 0 && !inHead) {
           text.append(c)
           if (aDepth > 0) anchorText.append(c)
+          if (linkHref != null) linkText.append(c)
         }
         i += 1
       }
     }
     if (tableDepth > 0) flushTable() else flush() // unclosed table at EOF
-    out.result()
+    emitLink() // unclosed anchor at EOF
+    (out.result(), outLinks.result())
   }
 
   /** The published NumWordsRules decision tree (Kohlschütter et al.,
@@ -349,5 +430,32 @@ object HtmlExtract {
               failedAcc.foreach(_.add(1L)); None
           }
       })
+  }
+
+  /** Out-link operator: (doc_id, offset, href, anchor) rows in document
+    * order — the crawl-frontier / URL-graph feed (canonicalize + dedup
+    * the hrefs with Web.canonicalUrl / urlDedup downstream). Map-only,
+    * zero shuffle, same failure seam as [[extract]].
+    */
+  def extractLinks(df: DataFrame, idCol: String = "doc_id",
+      htmlCol: String = "html",
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("string"), col(htmlCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions(_.flatMap { case (id, html) =>
+        if (id == null || html == null) {
+          failedAcc.foreach(_.add(1L)); Iterator.empty
+        } else
+          try links(html).iterator.zipWithIndex.map {
+            case ((href, anchor), idx) => (id, idx, href, anchor)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              failedAcc.foreach(_.add(1L)); Iterator.empty
+          }
+      })
+      .toDF("doc_id", "offset", "href", "anchor")
   }
 }

@@ -155,9 +155,14 @@ class FuzzSpec extends AnyFunSuite {
       "<a href=", "'x>y'", "\"a>b\"", "</a>", "<script>", "</script>",
       "<h3>", "</h9>", "<!--", "-->", "<!DOCTYPE html>", "<head>", "<body>",
       "&amp;", "&#x41;", "&bogus;", "word ", "täxt ", "<br/>", "<svg>",
-      "</svg>", "<noscript>", "<td>", "\n", "<a href=/x/>", "<em>", "</em>")
+      "</svg>", "<noscript>", "<td>", "\n", "<a href=/x/>", "<em>", "</em>",
+      // table/list capture machinery (round 4): unbalanced opens/closes,
+      // nesting, cells outside rows, lists inside cells and vice versa
+      "<table>", "</table>", "<tr>", "</tr>", "<th>", "</th>", "</td>",
+      "<caption>", "<tbody>", "</tbody>", "<ul>", "</ul>", "<ol>", "</ol>",
+      "<li>", "</li>", ",", "\"q\"")
     val rng = new Fixtures.Rng(777L)
-    (0 until 400).foreach { _ =>
+    (0 until 600).foreach { _ =>
       val soup = (0 until rng.nextInt(40))
         .map(_ => frags(rng.nextInt(frags.length))).mkString
       val d1 = graft.html.HtmlExtract.extractRow("f", soup)
@@ -166,6 +171,13 @@ class FuzzSpec extends AnyFunSuite {
       // feature sanity on every block of every soup
       graft.html.HtmlExtract.blocks(soup).foreach { b =>
         assert(b.words >= 0 && b.linkWords >= 0 && b.linkWords <= b.words, soup)
+        assert(Set("body", "list", "table")(b.kind), s"${b.kind}: $soup")
+        // a captured table renders as CSV lines; every quoted cell must
+        // have balanced quoting (round-trips through a CSV reader)
+        if (b.kind == "table")
+          b.text.split("\n").foreach { line =>
+            assert(line.count(_ == '"') % 2 == 0, s"odd quotes [$line] in $soup")
+          }
       }
     }
   }

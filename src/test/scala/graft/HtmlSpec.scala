@@ -193,6 +193,48 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       b.map(x => (x._1.kind, x._1.linkDensity, x._2)))
   }
 
+  test("links(): hrefs + anchors in order; script/head/skip links excluded") {
+    val page =
+      """<head><title>t</title><script>x("<a href='/fake'>no</a>")</script></head>
+        |<body><p>Siehe <a href="/a?x=1&amp;y=2">ersten  Link</a> und
+        |<a href='/b'>zweiten</a> sowie <a href=/unquoted/3>dritten</a>.
+        |<svg><a href="/svg-link">vector</a></svg>
+        |<a name="target-only">kein href</a>
+        |<a href="/nested">außen <a href="/inner">innen</a></p>
+        |<a href="/eof">offen am ende""".stripMargin
+    val l = HtmlExtract.links(page)
+    assert(l == Vector(
+      ("/a?x=1&y=2", "ersten Link"),   // entity-decoded href, ws-normalized
+      ("/b", "zweiten"),
+      ("/unquoted/3", "dritten"),
+      ("/nested", "außen"),             // implicit close at nested <a>
+      ("/inner", "innen"),
+      ("/eof", "offen am ende")), l)    // unclosed at EOF still emits
+  }
+
+  test("attrValue: quoted/unquoted/absent, delimiter-checked, case-insensitive") {
+    import HtmlExtract.attrValue
+    assert(attrValue(""" class="x" HREF='/y' """, "href").contains("/y"))
+    assert(attrValue(" href=/z/ ", "href").contains("/z/"))
+    assert(attrValue(" data-href=\"/no\" ", "href").isEmpty)
+    assert(attrValue(" href ", "href").isEmpty) // bare attribute, no value
+    assert(attrValue(""" title="href=/t" href="/real" """, "href").contains("/real"))
+  }
+
+  test("extractLinks(): map-only operator shape + null-row seam") {
+    val sp = spark
+    sparkUsed = true
+    import sp.implicits._
+    val pages = Seq(
+      ("d1", """<p><a href="/x">eins</a> <a href="/y">zwei</a></p>"""),
+      ("d2", null: String)).toDF("doc_id", "html")
+    val acc = sp.sparkContext.longAccumulator("links_failed")
+    val out = HtmlExtract.extractLinks(pages, failedAcc = Some(acc)).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(("d1", 0, "/x", "eins"), ("d1", 1, "/y", "zwei")))
+    assert(acc.value == 1L)
+  }
+
   test("ul/ol items carry kind=list; headings inside lists stay headings") {
     val page = "<p>" + ("kontext worte des absatzes immer weiter " * 4) +
       "</p><ul>" +
