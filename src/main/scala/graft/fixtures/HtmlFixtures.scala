@@ -38,6 +38,10 @@ object HtmlFixtures {
     val bullets = (0 until 3)
       .map(_ => s"<li>${para(rng, 7 + rng.nextInt(3))}</li>")
       .mkString("<ul>", "", "</ul>")
+    // interleaved media: an article figure (kept, media_ref span) vs the
+    // nav logo + tracking pixel below (boilerplate anchors -> dropped)
+    val figure =
+      s"""<img src="/media/$docId/fig1.jpg" alt="${para(rng, 4)}">"""
     val related = (1 to 5)
       .map(i => s"""<li><a href="/mehr/$i">${para(rng, 4)}</a></li>""")
       .mkString
@@ -47,13 +51,15 @@ object HtmlFixtures {
        |<script>if (1 < 2) { track("$docId"); }</script>
        |</head>
        |<body>
-       |<header><nav><ul>$navItems</ul></nav></header>
+       |<header><img src="/static/logo.svg" alt="Logo"><nav><ul>$navItems</ul></nav></header>
+       |<img src="/t/pixel.gif" alt="">
        |<div class="cookie">Diese Seite verwendet <a href="/cookies">Cookies</a></div>
        |<div class="layout">
        |<aside><ul>$sidebar</ul></aside>
        |<article>
        |<h1>${para(rng, 5)}</h1>
        |$paras
+       |$figure
        |$dataTable
        |$bullets
        |<h2>${para(rng, 4)}</h2>

@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions.col
   *    block is content (headings are short, so the raw tree drops them).
   *
   * Output is the pipeline's own shape — `ExtractedDoc(doc_id, spans,
-  * text)` with spans (kind ∈ {heading, body, list, table}, offset =
-  * emission order) — so everything downstream of the PDF kernel (corpus
-  * ops, dedup, CorpusPrep, packing) composes unchanged, and kept tables
-  * arrive as CSV-ish text exactly like the PDF side's table pass-through.
+  * text)` with spans (kind ∈ {heading, body, list, table, image},
+  * offset = emission order) — so everything downstream of the PDF
+  * kernel (corpus ops, dedup, CorpusPrep, packing) composes unchanged:
+  * kept tables arrive as CSV-ish text exactly like the PDF side's table
+  * pass-through, and inline images as media_ref-bearing spans like the
+  * PDF side's media pass-through (interleaved text + media).
   *
   * Scale shape: one pure function per row inside mapPartitions — map-only,
   * zero shuffle, embarrassingly parallel; identical deployment layout to
@@ -100,6 +102,14 @@ object HtmlExtract {
     */
   def links(html: String): Vector[(String, String)] = tokenize(html)._2
 
+  /** Inline images as (anchorBlockIdx, src, alt): anchorBlockIdx is the
+    * index of the block being accumulated when the <img> was seen (=
+    * the block the image interrupts or precedes), which classification
+    * uses to decide whether the image belongs to kept content. See
+    * extractRow for the keep rule and emission order.
+    */
+  def images(html: String): Vector[(Int, String, String)] = tokenize(html)._3
+
   /** Case-insensitive attribute lookup inside a tag's attribute source
     * (the text between tag name and '>'): quoted or unquoted value per
     * the HTML5 attribute grammar; None when the attribute is absent.
@@ -142,7 +152,8 @@ object HtmlExtract {
     None
   }
 
-  private def tokenize(html: String): (Vector[Block], Vector[(String, String)]) = {
+  private def tokenize(html: String)
+      : (Vector[Block], Vector[(String, String)], Vector[(Int, String, String)]) = {
     val out = Vector.newBuilder[Block]
     val text = new StringBuilder
     val anchorText = new StringBuilder
@@ -169,6 +180,12 @@ object HtmlExtract {
     val outLinks = Vector.newBuilder[(String, String)]
     var linkHref: String = null
     val linkText = new StringBuilder
+    // inline images (the interleaved text+media face of the web kernel):
+    // (index of the block being accumulated when <img> was seen, src,
+    // alt) — images inside tables, skip containers, or <head> are not
+    // content images
+    val outImages = Vector.newBuilder[(Int, String, String)]
+    var blockCount = 0
     def emitLink(): Unit = {
       if (linkHref != null) {
         outLinks += ((linkHref,
@@ -193,8 +210,11 @@ object HtmlExtract {
       if (w > 0) {
         val lw = math.min(w, words(PyText.unescapeHtml(anchorText.toString)))
         if (tableDepth > 0) tableCells += ((tableRowIdx, t, w, lw))
-        else out += Block(t, w, lw, headingLevel,
-          if (listDepth > 0) "list" else "body")
+        else {
+          out += Block(t, w, lw, headingLevel,
+            if (listDepth > 0) "list" else "body")
+          blockCount += 1
+        }
       }
       text.clear(); anchorText.clear()
     }
@@ -211,6 +231,7 @@ object HtmlExtract {
         val w = tableCells.iterator.map(_._3).sum
         out += Block(csv, w,
           math.min(w, tableCells.iterator.map(_._4).sum), 0, "table")
+        blockCount += 1
       }
       tableCells.clear(); tableRowIdx = 0
     }
@@ -313,6 +334,18 @@ object HtmlExtract {
                 if (closing) listDepth = math.max(0, listDepth - 1)
                 else if (!selfClosed) listDepth += 1
               }
+            } else if (name == "img") {
+              if (!closing && skipDepth == 0 && !inHead && tableDepth == 0) {
+                val attrs = html.substring(nameStart + name.length, math.min(j, n))
+                attrValue(attrs, "src")
+                  .map(v => PyText.unescapeHtml(v).trim).filter(_.nonEmpty)
+                  .foreach { src =>
+                    val alt = attrValue(attrs, "alt")
+                      .map(v => PyText.unescapeHtml(v).trim.replaceAll("\\s+", " "))
+                      .getOrElse("")
+                    outImages += ((blockCount, src, alt))
+                  }
+              }
             } else if (name == "a") {
               if (closing) {
                 aDepth = math.max(0, aDepth - 1)
@@ -346,7 +379,7 @@ object HtmlExtract {
     }
     if (tableDepth > 0) flushTable() else flush() // unclosed table at EOF
     emitLink() // unclosed anchor at EOF
-    (out.result(), outLinks.result())
+    (out.result(), outLinks.result(), outImages.result())
   }
 
   /** The published NumWordsRules decision tree (Kohlschütter et al.,
@@ -386,22 +419,46 @@ object HtmlExtract {
   }
 
   /** Per-document kernel: strip boilerplate, emit the pipeline's span
-    * shape. Span kinds: `table` (CSV-ish capture of a kept table — the
-    * web twin of the PDF side's S6 table-CSV pass-through), `heading`
-    * (level kept in `media_ref` as `h<level>` — the span struct has no
-    * level field; media_ref is unused for text), `list` (ul/ol item
-    * blocks), `body` (everything else).
+    * shape — INTERLEAVED text + media like the PDF kernel. Span kinds:
+    * `table` (CSV-ish capture of a kept table — the web twin of the PDF
+    * side's S6 table-CSV pass-through), `heading` (level kept in
+    * `media_ref` as `h<level>` — the span struct has no level field),
+    * `list` (ul/ol item blocks), `image` (an inline <img> whose anchor
+    * block is kept content: media_ref = src, text = alt — the HTML twin
+    * of the PDF media span, whose alt text is real document text),
+    * `body` (everything else). An image is content iff the block it
+    * interrupts/precedes is content (boilerplate images — logos, nav
+    * icons, tracking pixels — sit in boilerplate blocks); it is emitted
+    * just before its anchor block, trailing images after the last block.
+    * Images are NOT part of `text` (the reference excludes media from
+    * the text flow, doc_info.py:295-301).
     */
   def extractRow(docId: String, html: String): ExtractedDoc = {
-    val kept = classify(blocks(html)).collect { case (b, true) => b }
-    val spans = kept.zipWithIndex.map { case (b, idx) =>
-      val kind =
-        if (b.kind == "table") "table"
-        else if (b.heading > 0) "heading"
-        else b.kind // "list" | "body"
-      Span(kind, b.text, if (b.heading > 0) s"h${b.heading}" else "", idx)
+    val (bs, _, imgs) = tokenize(html)
+    val classified = classify(bs)
+    val pre = imgs.filter(_._1 < bs.length).groupBy(_._1)
+    val trailing = imgs.filter(_._1 >= bs.length)
+    val spans = Vector.newBuilder[Span]
+    var off = 0
+    def emit(kind: String, text: String, ref: String): Unit = {
+      spans += Span(kind, text, ref, off); off += 1
     }
-    ExtractedDoc(docId, spans, kept.map(_.text).mkString("\n\n"))
+    classified.zipWithIndex.foreach { case ((b, keep), i) =>
+      if (keep) {
+        pre.getOrElse(i, Vector.empty).foreach { case (_, src, alt) =>
+          emit("image", alt, src)
+        }
+        val kind =
+          if (b.kind == "table") "table"
+          else if (b.heading > 0) "heading"
+          else b.kind // "list" | "body"
+        emit(kind, b.text, if (b.heading > 0) s"h${b.heading}" else "")
+      }
+    }
+    if (classified.nonEmpty && classified.last._2)
+      trailing.foreach { case (_, src, alt) => emit("image", alt, src) }
+    ExtractedDoc(docId, spans.result(),
+      classified.collect { case (b, true) => b.text }.mkString("\n\n"))
   }
 
   /** Corpus operator: map-only, zero shuffle (the whole point — same

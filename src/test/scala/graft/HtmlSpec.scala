@@ -235,6 +235,31 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(acc.value == 1L)
   }
 
+  test("inline images interleave as media spans; boilerplate images drop") {
+    val ctx = "<p>" + ("inhaltsworte des langen absatzes hier weiter " * 5) + "</p>"
+    val page =
+      """<nav><img src="/logo.png" alt="Logo"><ul>""" +
+        (1 to 8).map(i => s"""<li><a href="/$i">rubrik $i</a></li>""").mkString +
+        "</ul></nav>" +
+        ctx +
+        """<img src="/media/fig1.jpg" alt="Abbildung &uuml;ber die Lage">""" +
+        ctx +
+        """<img src="/media/fig2.jpg" alt="">"""  // trailing, kept block before
+    val doc = HtmlExtract.extractRow("d", page)
+    val imgs = doc.spans.filter(_.kind == "image")
+    assert(imgs.map(_.media_ref) == Vector("/media/fig1.jpg", "/media/fig2.jpg"),
+      doc.spans.map(s => (s.kind, s.media_ref)))
+    assert(imgs.head.text == "Abbildung über die Lage") // alt entity-decoded
+    // interleaved order: body, image, body, trailing image
+    assert(doc.spans.map(_.kind) == Vector("body", "image", "body", "image"))
+    // offsets stay the emission order across kinds
+    assert(doc.spans.map(_.offset) == doc.spans.indices.map(identity))
+    // images are NOT part of the text flow (reference drops media there)
+    assert(!doc.text.contains("Abbildung"))
+    // the nav logo anchored to a boilerplate block is gone
+    assert(!doc.spans.exists(_.media_ref == "/logo.png"))
+  }
+
   test("ul/ol items carry kind=list; headings inside lists stay headings") {
     val page = "<p>" + ("kontext worte des absatzes immer weiter " * 4) +
       "</p><ul>" +
@@ -257,6 +282,9 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(table.length == 1 && table.head.text.split("\n").length == 4, id)
       assert(table.head.text.contains("Jahr,"), id)
       assert(doc.spans.count(_.kind == "list") == 3, id)
+      // the article figure survives as a media span; logo + pixel do not
+      val media = doc.spans.filter(_.kind == "image")
+      assert(media.length == 1 && media.head.media_ref.endsWith("/fig1.jpg"), id)
       assert(!doc.text.contains("Impressum"), id)
       assert(!doc.text.contains("Rubrik"), id)
       assert(!doc.text.contains("Cookies"), id)
