@@ -110,6 +110,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "html")
     val p = plan(graft.html.HtmlExtract.extract(pages).toDF())
     assert(!p.contains("Exchange"), p)
+    // the out-link operator is the same map-only shape
+    val pl = plan(graft.html.HtmlExtract.extractLinks(pages))
+    assert(!pl.contains("Exchange"), pl)
+  }
+
+  test("urlDedupAtScale: aggregation + join keyed on md5_long, not URL strings") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (1L to 50L).map(i => (i, s"https://example${i % 7}.com/p/$i"))
+      .toDF("doc_id", "url")
+    val p = plan(graft.ops.Web.urlDedupAtScale(rows))
+    // every hashpartitioning exchange on the dedup path keys on url_h
+    // (the 8-byte hash) — never on the canonical string
+    val exchanges = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)"
+      .r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(_.startsWith("url_h")), s"$exchanges\n$p")
   }
 
   test("packSequences: shard-partitioned window, no global sort") {
