@@ -95,10 +95,10 @@ object PyText {
     *  8. remove_control_chars (Cc except \n and \t; plus BOM),
     *  9. NFC normalization.
     *
-    * Not covered (documented): the ~1500 rarest HTML5 entity names
-    * (Html5Entities documents the covered/excluded split) and Latin
-    * ligature decomposition (NFKC-only in ftfy too). Fixtures stay
-    * inside this subset (FIXTURES.md §7).
+    * Named-entity coverage is COMPLETE (full WHATWG semicolon-form list,
+    * Html5Entities); excluded by contract: semicolon-less legacy forms,
+    * and Latin ligature decomposition (NFKC-only in ftfy too). Fixtures
+    * stay inside this subset (FIXTURES.md §7).
     */
   def fixBadUnicode(s: String): String = {
     var cur = s
@@ -140,9 +140,9 @@ object PyText {
     * `lang`/`rang` carry their HTML5 values (U+27E8/U+27E9 mathematical
     * angle brackets; HTML4's 9001/9002 were redefined by HTML5, which is
     * the table ftfy reads via html.unescape). [[Html5Entities]] extends
-    * this with ~520 high-frequency HTML5-only names (incl. the
-    * math-alphanumeric families and multi-codepoint sequences); the
-    * remaining rare tail is documented there. Unknown entities and
+    * this to the COMPLETE WHATWG list (2,125 semicolon-form names incl.
+    * the math-alphanumeric families and the 93 multi-codepoint
+    * sequences). Unknown entities and
     * semicolon-less legacy forms are left untouched rather than guessed
     * (conservative vs html.unescape's longest-prefix rewriting — ftfy's
     * "don't make it worse" principle applied one step further).
@@ -218,202 +218,48 @@ object PyText {
     }.toMap ++ latin1 ++ Html5Entities
   }
 
-  /** HTML5-only named entities (round-3 verdict item 8): the
-    * high-frequency long tail beyond the HTML 4.01 table above, from the
-    * WHATWG named-character-reference list. Three groups:
+  /** The complete WHATWG HTML5 named-character-reference list (semicolon
+    * forms), loaded from the `graft/html5_entities.tsv` resource — 2,125
+    * names, including the six mathematical-alphanumeric letter families,
+    * the 93 multi-CODEPOINT entities (`fjlig` -> "fj", `ThickSpace` ->
+    * U+205F U+200A, combining-mark pairs like `bnequiv`), and every rare
+    * negated-relation/operator name. This retires the round-3 "HTML5
+    * long tail" item completely: the only remaining exclusion is the
+    * semicolon-LESS legacy forms, excluded by CONTRACT, not omission —
+    * unknown/unterminated references stay verbatim (conservative vs
+    * html.unescape's longest-prefix rewriting; ftfy's "don't make it
+    * worse" principle applied one step further).
     *
-    *  1. the six mathematical-alphanumeric letter FAMILIES (`Aopf`…`zscr`,
-    *     312 names) generated from their public Unicode mapping — each
-    *     family is a contiguous block in Mathematical Alphanumeric
-    *     Symbols (U+1D4xx/U+1D5xx, astral) except for the historical
-    *     Letterlike Symbols exceptions (ℂ ℍ ℕ ℙ ℚ ℝ ℤ, ℜ ℑ, ℋ ℒ …)
-    *     spelled out per family;
-    *  2. a curated table of ASCII/punctuation names (`lpar`, `sol`,
-    *     `lsqb`, …), spaces/invisibles, quote/arrow/operator aliases,
-    *     ligatures, script-Greek variants and vulgar fractions;
-    *  3. multi-CODEPOINT entities (`fjlig` -> "fj", `ThickSpace` ->
-    *     U+205F U+200A) — the group the single-char HTML4 table could not
-    *     represent (values here are Strings, so the mechanism is free).
-    *
-    * Still excluded (documented): the remaining ~1500 rare names —
-    * negated-relation piles (`NotSquareSubsetEqual`), slanted/variant
-    * operators, and bracket ornaments — plus all semicolon-less legacy
-    * forms (conservative: unknown stays verbatim).
+    * The resource is generated once from the public WHATWG table (the
+    * same data `html.entities.html5` ships) with XGolden-style escaping
+    * (`\\`, `\t`, `\n`, `\r`); PyTextSpec pins family exceptions,
+    * long names, remaps (ohm/angst), and multi-codepoint cases.
     */
-  // lazy: referenced from the NamedEntities initializer above it
   private lazy val Html5Entities: Map[String, String] = {
-    def family(suffix: String, upperBase: Int, lowerBase: Int,
-        upperEx: Map[Char, Int], lowerEx: Map[Char, Int]): Seq[(String, String)] =
-      (('A' to 'Z').map(c => s"$c$suffix" ->
-        new String(Character.toChars(upperEx.getOrElse(c, upperBase + (c - 'A'))))) ++
-       ('a' to 'z').map(c => s"$c$suffix" ->
-        new String(Character.toChars(lowerEx.getOrElse(c, lowerBase + (c - 'a'))))))
-    val mathAlpha =
-      // double-struck (blackboard bold)
-      family("opf", 0x1D538, 0x1D552,
-        Map('C' -> 0x2102, 'H' -> 0x210D, 'N' -> 0x2115, 'P' -> 0x2119,
-          'Q' -> 0x211A, 'R' -> 0x211D, 'Z' -> 0x2124), Map.empty) ++
-      // fraktur
-      family("fr", 0x1D504, 0x1D51E,
-        Map('C' -> 0x212D, 'H' -> 0x210C, 'I' -> 0x2111, 'R' -> 0x211C,
-          'Z' -> 0x2128), Map.empty) ++
-      // script
-      family("scr", 0x1D49C, 0x1D4B6,
-        Map('B' -> 0x212C, 'E' -> 0x2130, 'F' -> 0x2131, 'H' -> 0x210B,
-          'I' -> 0x2110, 'L' -> 0x2112, 'M' -> 0x2133, 'R' -> 0x211B),
-        Map('e' -> 0x212F, 'g' -> 0x210A, 'o' -> 0x2134))
-    val curated: Seq[(String, Int)] = Seq(
-      // ASCII punctuation names
-      "Tab" -> 9, "NewLine" -> 10, "excl" -> 33, "num" -> 35, "dollar" -> 36,
-      "percnt" -> 37, "lpar" -> 40, "rpar" -> 41, "ast" -> 42, "midast" -> 42,
-      "plus" -> 43, "comma" -> 44, "period" -> 46, "sol" -> 47, "colon" -> 58,
-      "semi" -> 59, "equals" -> 61, "quest" -> 63, "commat" -> 64,
-      "lsqb" -> 91, "lbrack" -> 91, "bsol" -> 92, "rsqb" -> 93, "rbrack" -> 93,
-      "Hat" -> 94, "lowbar" -> 95, "UnderBar" -> 95, "grave" -> 96,
-      "DiacriticalGrave" -> 96, "lcub" -> 123, "lbrace" -> 123,
-      "verbar" -> 124, "vert" -> 124, "VerticalLine" -> 124,
-      "rcub" -> 125, "rbrace" -> 125,
-      // HTML5 remaps / letterlike
-      "ohm" -> 0x3A9, "angst" -> 0xC5, "NonBreakingSpace" -> 160,
-      "copysr" -> 0x2117, "mho" -> 0x2127, "incare" -> 0x2105,
-      "ell" -> 0x2113, "planck" -> 0x210F, "hbar" -> 0x210F,
-      "hslash" -> 0x210F, "planckh" -> 0x210E,
-      "Re" -> 0x211C, "Im" -> 0x2111, "wp" -> 0x2118,
-      "aleph" -> 0x2135, "beth" -> 0x2136, "gimel" -> 0x2137, "daleth" -> 0x2138,
-      "DD" -> 0x2145, "CapitalDifferentialD" -> 0x2145,
-      "dd" -> 0x2146, "DifferentialD" -> 0x2146,
-      "ee" -> 0x2147, "ExponentialE" -> 0x2147, "exponentiale" -> 0x2147,
-      "ii" -> 0x2148, "ImaginaryI" -> 0x2148,
-      "COPY" -> 169, "REG" -> 174, "TRADE" -> 0x2122,
-      // diacritic marks
-      "Dot" -> 168, "die" -> 168, "DoubleDot" -> 168, "breve" -> 0x2D8,
-      "Breve" -> 0x2D8, "caron" -> 0x2C7, "Hacek" -> 0x2C7,
-      "dblac" -> 0x2DD, "DiacriticalDoubleAcute" -> 0x2DD,
-      "ogon" -> 0x2DB, "ring" -> 0x2DA, "DiacriticalTilde" -> 0x2DC,
-      "DiacriticalAcute" -> 0xB4,
-      // ligatures / dotless
-      "fflig" -> 0xFB00, "filig" -> 0xFB01, "fllig" -> 0xFB02,
-      "ffilig" -> 0xFB03, "ffllig" -> 0xFB04,
-      "ijlig" -> 0x133, "IJlig" -> 0x132, "imath" -> 0x131, "inodot" -> 0x131,
-      "jmath" -> 0x237,
-      // Greek variants / archaic
-      "epsiv" -> 0x3F5, "varepsilon" -> 0x3F5, "straightepsilon" -> 0x3F5,
-      "thetav" -> 0x3D1, "vartheta" -> 0x3D1, "piv" -> 0x3D6, "varpi" -> 0x3D6,
-      "phiv" -> 0x3D5, "varphi" -> 0x3D5, "sigmav" -> 0x3C2,
-      "varsigma" -> 0x3C2, "kappav" -> 0x3F0, "varkappa" -> 0x3F0,
-      "rhov" -> 0x3F1, "varrho" -> 0x3F1, "Upsi" -> 0x3D2,
-      "Gammad" -> 0x3DC, "gammad" -> 0x3DD,
-      // punctuation / dashes / quotes
-      "hyphen" -> 0x2010, "dash" -> 0x2010, "horbar" -> 0x2015,
-      "nldr" -> 0x2025, "mldr" -> 0x2026,
-      "OpenCurlyQuote" -> 0x2018, "CloseCurlyQuote" -> 0x2019,
-      "OpenCurlyDoubleQuote" -> 0x201C, "CloseCurlyDoubleQuote" -> 0x201D,
-      "lsquor" -> 0x201A, "rsquor" -> 0x2019, "ldquor" -> 0x201E,
-      "rdquor" -> 0x201D, "Vert" -> 0x2016, "Verbar" -> 0x2016,
-      "hybull" -> 0x2043, "bullet" -> 0x2022, "OverBar" -> 0x203E,
-      // spaces and invisibles
-      "emsp13" -> 0x2004, "emsp14" -> 0x2005, "numsp" -> 0x2007,
-      "puncsp" -> 0x2008, "hairsp" -> 0x200A, "VeryThinSpace" -> 0x200A,
-      "ThinSpace" -> 0x2009, "MediumSpace" -> 0x205F,
-      "ZeroWidthSpace" -> 0x200B, "NoBreak" -> 0x2060,
-      "af" -> 0x2061, "ApplyFunction" -> 0x2061,
-      "it" -> 0x2062, "InvisibleTimes" -> 0x2062,
-      "ic" -> 0x2063, "InvisibleComma" -> 0x2063,
-      // vulgar fractions (U+2153..U+215E in order)
-      "frac13" -> 0x2153, "frac23" -> 0x2154, "frac15" -> 0x2155,
-      "frac25" -> 0x2156, "frac35" -> 0x2157, "frac45" -> 0x2158,
-      "frac16" -> 0x2159, "frac56" -> 0x215A, "frac18" -> 0x215B,
-      "frac38" -> 0x215C, "frac58" -> 0x215D, "frac78" -> 0x215E,
-      "half" -> 0xBD,
-      // arrows (long-name + extra aliases over the HTML4 set)
-      "LeftArrow" -> 0x2190, "leftarrow" -> 0x2190, "ShortLeftArrow" -> 0x2190,
-      "RightArrow" -> 0x2192, "rightarrow" -> 0x2192, "ShortRightArrow" -> 0x2192,
-      "UpArrow" -> 0x2191, "uparrow" -> 0x2191,
-      "DownArrow" -> 0x2193, "downarrow" -> 0x2193,
-      "LeftRightArrow" -> 0x2194, "leftrightarrow" -> 0x2194,
-      "varr" -> 0x2195, "UpDownArrow" -> 0x2195, "updownarrow" -> 0x2195,
-      "nwarr" -> 0x2196, "nearr" -> 0x2197, "searr" -> 0x2198, "swarr" -> 0x2199,
-      "nlarr" -> 0x219A, "nrarr" -> 0x219B, "mapsto" -> 0x21A6,
-      "Leftarrow" -> 0x21D0, "DoubleLeftArrow" -> 0x21D0,
-      "Rightarrow" -> 0x21D2, "DoubleRightArrow" -> 0x21D2, "Implies" -> 0x21D2,
-      "Uparrow" -> 0x21D1, "Downarrow" -> 0x21D3,
-      "Leftrightarrow" -> 0x21D4, "DoubleLeftRightArrow" -> 0x21D4,
-      "iff" -> 0x21D4, "nlArr" -> 0x21CD, "nhArr" -> 0x21CE, "nrArr" -> 0x21CF,
-      // operators: aliases + high-frequency new names
-      "Del" -> 0x2207, "comp" -> 0x2201, "nexist" -> 0x2204,
-      "nexists" -> 0x2204, "NotExists" -> 0x2204,
-      "emptyset" -> 0x2205, "emptyv" -> 0x2205, "varnothing" -> 0x2205,
-      "in" -> 0x2208, "isinv" -> 0x2208, "Element" -> 0x2208,
-      "notinva" -> 0x2209, "NotElement" -> 0x2209,
-      "niv" -> 0x220B, "ReverseElement" -> 0x220B, "SuchThat" -> 0x220B,
-      "notni" -> 0x220C, "notniva" -> 0x220C,
-      "coprod" -> 0x2210, "Coproduct" -> 0x2210,
-      "mnplus" -> 0x2213, "mp" -> 0x2213, "MinusPlus" -> 0x2213,
-      "setminus" -> 0x2216, "setmn" -> 0x2216, "ssetmn" -> 0x2216,
-      "smallsetminus" -> 0x2216, "Backslash" -> 0x2216,
-      "compfn" -> 0x2218, "SmallCircle" -> 0x2218,
-      "angrt" -> 0x221F, "mid" -> 0x2223, "nmid" -> 0x2224,
-      "parallel" -> 0x2225, "par" -> 0x2225, "npar" -> 0x2226,
-      "nparallel" -> 0x2226, "because" -> 0x2235, "Because" -> 0x2235,
-      "Therefore" -> 0x2234, "therefore" -> 0x2234,
-      "Proportional" -> 0x221D, "propto" -> 0x221D, "vprop" -> 0x221D,
-      "approx" -> 0x2248, "TildeTilde" -> 0x2248, "thkap" -> 0x2248,
-      "thickapprox" -> 0x2248, "Congruent" -> 0x2261, "NotEqual" -> 0x2260,
-      "nequiv" -> 0x2262, "NotCongruent" -> 0x2262,
-      "leq" -> 0x2264, "geq" -> 0x2265, "leqq" -> 0x2266, "geqq" -> 0x2267,
-      "ll" -> 0x226A, "Lt" -> 0x226A, "NestedLessLess" -> 0x226A,
-      "gg" -> 0x226B, "Gt" -> 0x226B, "NestedGreaterGreater" -> 0x226B,
-      "nless" -> 0x226E, "ngtr" -> 0x226F, "ngt" -> 0x226F,
-      "nle" -> 0x2270, "nleq" -> 0x2270, "nge" -> 0x2271, "ngeq" -> 0x2271,
-      "prec" -> 0x227A, "Precedes" -> 0x227A, "pr" -> 0x227A,
-      "succ" -> 0x227B, "Succeeds" -> 0x227B, "sc" -> 0x227B,
-      "subset" -> 0x2282, "supset" -> 0x2283, "Subset" -> 0x22D0,
-      "Supset" -> 0x22D1, "nsup" -> 0x2285,
-      "subseteq" -> 0x2286, "SubsetEqual" -> 0x2286,
-      "supseteq" -> 0x2287, "SupersetEqual" -> 0x2287,
-      "nsube" -> 0x2288, "nsubseteq" -> 0x2288,
-      "nsupe" -> 0x2289, "nsupseteq" -> 0x2289,
-      "sqsub" -> 0x228F, "sqsup" -> 0x2290, "sqsube" -> 0x2291,
-      "sqsupe" -> 0x2292, "uplus" -> 0x228E, "UnionPlus" -> 0x228E,
-      "CirclePlus" -> 0x2295, "CircleTimes" -> 0x2297,
-      "ominus" -> 0x2296, "osol" -> 0x2298, "odot" -> 0x2299,
-      "CircleDot" -> 0x2299, "boxplus" -> 0x229E, "boxminus" -> 0x229F,
-      "boxtimes" -> 0x22A0, "vdash" -> 0x22A2, "RightTee" -> 0x22A2,
-      "dashv" -> 0x22A3, "LeftTee" -> 0x22A3, "top" -> 0x22A4,
-      "DownTee" -> 0x22A4, "bot" -> 0x22A5, "bottom" -> 0x22A5,
-      "UpTee" -> 0x22A5, "models" -> 0x22A7, "vDash" -> 0x22A8,
-      "DoubleRightTee" -> 0x22A8, "ltimes" -> 0x22C9, "rtimes" -> 0x22CA,
-      "bowtie" -> 0x22C8, "diam" -> 0x22C4, "Diamond" -> 0x22C4,
-      "vee" -> 0x2228, "wedge" -> 0x2227,
-      "bigvee" -> 0x22C1, "xvee" -> 0x22C1, "Vee" -> 0x22C1,
-      "bigwedge" -> 0x22C0, "xwedge" -> 0x22C0, "Wedge" -> 0x22C0,
-      "bigcap" -> 0x22C2, "xcap" -> 0x22C2, "Intersection" -> 0x22C2,
-      "bigcup" -> 0x22C3, "xcup" -> 0x22C3, "Union" -> 0x22C3,
-      "vellip" -> 0x22EE, "ctdot" -> 0x22EF,
-      "langle" -> 0x27E8, "LeftAngleBracket" -> 0x27E8,
-      "rangle" -> 0x27E9, "RightAngleBracket" -> 0x27E9,
-      "LeftFloor" -> 0x230A, "RightFloor" -> 0x230B,
-      "LeftCeiling" -> 0x2308, "RightCeiling" -> 0x2309,
-      "div" -> 0xF7, "centerdot" -> 0xB7, "CenterDot" -> 0xB7,
-      "pm" -> 0xB1, "PlusMinus" -> 0xB1, "plusmn" -> 0xB1,
-      // geometric / misc symbols
-      "star" -> 0x2606, "starf" -> 0x2605, "bigstar" -> 0x2605,
-      "phone" -> 0x260E, "female" -> 0x2640, "male" -> 0x2642,
-      "sung" -> 0x266A, "flat" -> 0x266D, "natur" -> 0x266E,
-      "natural" -> 0x266E, "sharp" -> 0x266F,
-      "check" -> 0x2713, "checkmark" -> 0x2713, "cross" -> 0x2717,
-      "malt" -> 0x2720, "maltese" -> 0x2720, "sext" -> 0x2736,
-      "lozenge" -> 0x25CA, "triangle" -> 0x25B5, "utri" -> 0x25B5,
-      "dtri" -> 0x25BF, "bigtriangleup" -> 0x25B3, "xutri" -> 0x25B3,
-      "bigtriangledown" -> 0x25BD, "xdtri" -> 0x25BD,
-      "spadesuit" -> 0x2660, "clubsuit" -> 0x2663, "heartsuit" -> 0x2665,
-      "diamondsuit" -> 0x2666)
-    val multiCodepoint: Seq[(String, String)] = Seq(
-      "fjlig" -> "fj", // no Unicode fj ligature exists: two codepoints
-      "ThickSpace" -> "  ")
-    (mathAlpha ++
-      curated.map { case (n, cp) => n -> new String(Character.toChars(cp)) } ++
-      multiCodepoint).toMap
+    val in = getClass.getResourceAsStream("/graft/html5_entities.tsv")
+    require(in != null, "html5_entities.tsv resource missing")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    lines.map { l =>
+      val i = l.indexOf('\t')
+      val sb = new StringBuilder
+      var k = i + 1
+      while (k < l.length) {
+        val c = l.charAt(k)
+        if (c == '\\' && k + 1 < l.length) {
+          l.charAt(k + 1) match {
+            case '\\' => sb.append('\\')
+            case 't' => sb.append('\t')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case o => sb.append('\\').append(o)
+          }
+          k += 2
+        } else { sb.append(c); k += 1 }
+      }
+      l.substring(0, i) -> sb.toString
+    }.toMap
   }
 
   private val EntityRe =

@@ -163,8 +163,14 @@ class PyTextSpec extends AnyFunSuite {
       == "A \u2216 B \u2235 x \u2270 y")
     // ligature block
     assert(fix("o&fflig;en e&ffilig;zient") == "o\ufb00en e\ufb03zient")
-    // unknown long names still stay verbatim (conservative contract)
-    assert(fix("&NotSquareSubsetEqual;") == "&NotSquareSubsetEqual;")
+    // the rare negated-relation tail is covered too (complete WHATWG list)
+    assert(fix("&NotSquareSubsetEqual;") == "\u22e2")
+    // combining-mark multi-codepoint entry from the full table
+    assert(fix("&bnequiv;") == "\u2261\u20e5")
+    // truly unknown names still stay verbatim (conservative contract)
+    assert(fix("&NoSuchEntityZz;") == "&NoSuchEntityZz;")
+    // semicolon-less legacy forms stay verbatim BY CONTRACT
+    assert(fix("a &amp b") == "a &amp b")
   }
 
   test("width table equals per-char NFKC over the whole FF01-FFEF block") {
