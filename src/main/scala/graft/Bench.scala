@@ -280,8 +280,7 @@ object Bench {
     // best-observed 0.850. Before spending a ~60s measurement round,
     // probe the host with a ~1s pure-kernel run at the high level and
     // compare against the persisted historical ceiling; back off briefly
-    // while the window is loud. No history (first run) => no gate. The
-    // probe feeds the same best-of `cal` merge, so no cycles are wasted.
+    // while the window is loud. No history (first run) => no gate.
     // Two acceptance rules, because the historical best may simply be
     // unattainable in today's load regime (an absolute threshold then
     // burns the whole budget backing off): accept immediately when the
@@ -308,7 +307,9 @@ object Bench {
       // absolute reference: prior probe history; first invocation after
       // this key's introduction falls back to the full-corpus kernel
       // history (docs/s at n=4000 vs 20000 is within a few % — pool
-      // startup is sub-ms), else no absolute gate (plateau rule only)
+      // startup is sub-ms). With NO history of either kind this returns
+      // immediately: gating is skipped entirely for that round (the
+      // plateau rule needs probes this loop would have taken)
       val best = histAtStart.get(s"kernelprobe$probeN.n$probeLevel")
         .orElse(histAtStart.get(s"kernel.n$probeLevel"))
         .getOrElse(return)

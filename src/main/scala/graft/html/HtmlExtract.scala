@@ -94,9 +94,12 @@ object HtmlExtract {
   /** Out-links in document order: (href, anchor text), entity-decoded and
     * whitespace-normalized — the crawl-frontier / URL-graph primitive
     * (compose hrefs with Web.canonicalUrl + urlDedup). One pass of the
-    * same tolerant tokenizer: links inside raw-text (script strings),
-    * skip containers (svg/noscript/template) and <head> are NOT links;
-    * a nested/unclosed <a> implicitly closes the previous one like a
+    * same tolerant tokenizer: links inside raw-text (script strings) and
+    * skip containers (svg/noscript/template) are NOT links — and a skip-
+    * container <a> never implicitly closes an outer HTML anchor; an <a>
+    * appearing inside <head> auto-closes the head (it is not head-legal
+    * content — browser behavior) and IS collected as a body link; a
+    * nested/unclosed <a> implicitly closes the previous one like a
     * browser's tree builder; anchors without an href (fragment targets)
     * are skipped.
     */
@@ -147,7 +150,9 @@ object HtmlExtract {
         }
       }
       if (name.equalsIgnoreCase(attr)) return value // bare attr -> None
-      if (name.isEmpty && i < n && !Character.isWhitespace(src.charAt(i))) i += 1
+      // progress guarantee: an empty name implies charAt(i) == '=' (the
+      // only non-ws char the name loop stops on), and the value branch
+      // above always advanced past it — every iteration moves i forward
     }
     None
   }
@@ -182,8 +187,9 @@ object HtmlExtract {
     val linkText = new StringBuilder
     // inline images (the interleaved text+media face of the web kernel):
     // (index of the block being accumulated when <img> was seen, src,
-    // alt) — images inside tables, skip containers, or <head> are not
-    // content images
+    // alt) — images inside tables or skip containers are not content
+    // images (an <img> in <head> auto-closes the head, like any other
+    // non-head-legal tag)
     val outImages = Vector.newBuilder[(Int, String, String)]
     var blockCount = 0
     def emitLink(): Unit = {
@@ -281,8 +287,12 @@ object HtmlExtract {
           i = if (j < n) j + 1 else n
           if (name.nonEmpty) {
             // browser-style head auto-close: any open tag that is not
-            // legal head content implies the body has started
-            if (inHead && !closing && !HeadAllowedTags(name)) inHead = false
+            // legal head content implies the body has started — but not
+            // from inside a skip container (markup within a head-level
+            // <template>/<noscript> stays out of the insertion-mode
+            // decision, like a browser's)
+            if (inHead && !closing && skipDepth == 0 && !HeadAllowedTags(name))
+              inHead = false
             if (!closing && RawTextTags(name) && !selfClosed) {
               // raw-skip to the matching close tag: "</name" followed by
               // a delimiter ('>', '/', or whitespace) — a bare prefix
@@ -335,7 +345,9 @@ object HtmlExtract {
                 else if (!selfClosed) listDepth += 1
               }
             } else if (name == "img") {
-              if (!closing && skipDepth == 0 && !inHead && tableDepth == 0) {
+              // (inHead is necessarily false here: <img> is not
+              // head-legal, so the auto-close above just cleared it)
+              if (!closing && skipDepth == 0 && tableDepth == 0) {
                 val attrs = html.substring(nameStart + name.length, math.min(j, n))
                 attrValue(attrs, "src")
                   .map(v => PyText.unescapeHtml(v).trim).filter(_.nonEmpty)
@@ -347,17 +359,23 @@ object HtmlExtract {
                   }
               }
             } else if (name == "a") {
+              // anchors inside skip containers (an SVG <a>, a template)
+              // are invisible to link collection AND must not implicitly
+              // close an outer HTML anchor or truncate its text — only
+              // the depth bookkeeping runs
               if (closing) {
                 aDepth = math.max(0, aDepth - 1)
-                emitLink()
+                if (skipDepth == 0) emitLink()
               } else {
-                emitLink() // implicit close of an unclosed previous anchor
-                if (skipDepth == 0 && !inHead)
+                if (skipDepth == 0) {
+                  emitLink() // implicit close of an unclosed previous anchor
                   linkHref = attrValue(
                     html.substring(nameStart + name.length, math.min(j, n)), "href")
                     .map(v => PyText.unescapeHtml(v).trim)
                     .filter(_.nonEmpty).orNull
-                if (selfClosed) emitLink() else aDepth += 1
+                  if (selfClosed) emitLink()
+                }
+                if (!selfClosed) aDepth += 1
               }
             }
             // other inline tags (<b>, <em>, <span>, …) contribute nothing:
@@ -367,8 +385,10 @@ object HtmlExtract {
         } else { text.append(c); i += 1 } // stray '<'
       } else {
         // non-whitespace character tokens also auto-close an open head
-        // (browser "in head" insertion mode pops to body on them)
-        if (inHead && !Character.isWhitespace(c)) inHead = false
+        // (browser "in head" insertion mode pops to body on them) —
+        // again not from inside a skip container
+        if (inHead && skipDepth == 0 && !Character.isWhitespace(c))
+          inHead = false
         if (skipDepth == 0 && !inHead) {
           text.append(c)
           if (aDepth > 0) anchorText.append(c)

@@ -169,6 +169,14 @@ object Multimodal {
     * independent baseline JPEG). Frame f's source pixels follow
     * patternRgb(seed + f) — lossy-encoded, so features are CLOSE to the
     * raw-DIB/BMP twin rather than bit-equal (OpsSpec pins the tolerance).
+    *
+    * Determinism caveat (unlike the hand-rolled bit-exact BMP/DIB
+    * payloads): the encoded bytes depend on the JRE's JPEG writer
+    * plugin, so the frozen -mjpg golden rows (q17 sha/len, q27 cosines)
+    * are pinned to one JDK build — the sandbox runs gate and build on
+    * the same JDK, and a JDK upgrade legitimately regenerates them via
+    * XOracleGen (the same review-the-diff contract as any intentional
+    * kernel change).
     */
   def aviMjpegPayload(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
     def jpegFrame(f: Int): Array[Byte] = {
@@ -483,13 +491,18 @@ object Multimodal {
       // degrade, don't drop: a row that loses its content features still
       // keeps its identity for downstream joins — hash features are the
       // same deterministic stand-in the GRFT seam uses (per-vec failure
-      // counted via failedAcc)
+      // counted via failedAcc). A null bytes cell must not NPE the
+      // fallback itself: hash the empty payload instead.
+      val bytes = if (m.bytes == null) Array.emptyByteArray else m.bytes
       val vec =
-        try featureVector(m.bytes, dim)
-        catch {
-          case scala.util.control.NonFatal(_) =>
-            failedAcc.foreach(_.add(1L)); hashFeatures(m.bytes, dim)
-        }
+        if (m.bytes == null) {
+          failedAcc.foreach(_.add(1L)); hashFeatures(bytes, dim)
+        } else
+          try featureVector(bytes, dim)
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              failedAcc.foreach(_.add(1L)); hashFeatures(bytes, dim)
+          }
       (m.doc_id, m.media_ref, vec.toSeq)
     }.toDF("doc_id", "media_ref", "embedding")
   }
@@ -531,8 +544,11 @@ object Multimodal {
       val (off, len) = frames.head
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes, off, len))
-      // truncated/non-JPEG frame bytes: ImageIO returns null — degrade
-      if (img == null) return hashFeatures(bytes, dim)
+      // truncated/non-JPEG frame bytes: ImageIO returns null — FAIL this
+      // payload (the kernel is loud; the extractFeatures seam catches,
+      // counts, and degrades — a silent fallback here would hide the
+      // loss from failedAcc)
+      require(img != null, "MJPEG frame-0 decode returned null")
       return bufferedImageGrid(img, side)
     }
     val stride = (w * 3 + 3) & ~3
@@ -589,8 +605,10 @@ object Multimodal {
       s"image grid features need a perfect-square dim, got $dim")
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     // header sniffed OK but the full decode failed: ImageIO.read returns
-    // null rather than throwing — degrade instead of NPE-ing the job
-    if (img == null) return hashFeatures(bytes, dim)
+    // null rather than throwing — fail LOUDLY (never NPE) so the operator
+    // seam above counts the degrade; a silent hash fallback here would
+    // make half the failure modes invisible to failedAcc
+    require(img != null, "image decode returned null")
     bufferedImageGrid(img, side)
   }
 

@@ -212,6 +212,34 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       ("/eof", "offen am ende")), l)    // unclosed at EOF still emits
   }
 
+  test("links(): an SVG <a> never implicitly closes the outer HTML anchor") {
+    val l = HtmlExtract.links(
+      """<p><a href="/x">Start <svg><a href="/s">icon</a></svg> End</a></p>""")
+    assert(l == Vector(("/x", "Start End")), l)
+  }
+
+  test("markup inside a head-level skip container does not pop the head") {
+    // tags/text INSIDE a head-level <template>/<noscript> stay out of
+    // the head insertion-mode decision (skipDepth guard on both
+    // auto-closes): the container's markup and images never leak, and
+    // the head state survives to keep suppressing what follows it.
+    // (A non-head-legal tag or non-whitespace text AFTER the container
+    // still pops the head, like a browser — covered elsewhere.)
+    val page =
+      """<head><template><img src="/tpl.png" alt=""><p>tpl text</p>
+        |nackter template text</template><title>seitentitel</title>
+        |</head><body>
+        |<p>ein ausreichend langer absatz mit deutlich mehr als sechzehn
+        |worten damit der klassifikator ihn sicher als inhalt behandelt
+        |und die seite nicht leer herauskommt</p>""".stripMargin
+    val doc = HtmlExtract.extractRow("d", page)
+    assert(doc.text.contains("sechzehn"), doc.text)
+    assert(!doc.text.contains("tpl text"), doc.text)
+    assert(!doc.text.contains("template text"), doc.text)
+    assert(!doc.text.contains("seitentitel"))
+    assert(doc.spans.forall(_.kind != "image"), doc.spans)
+  }
+
   test("attrValue: quoted/unquoted/absent, delimiter-checked, case-insensitive") {
     import HtmlExtract.attrValue
     assert(attrValue(""" class="x" HREF='/y' """, "href").contains("/y"))

@@ -589,6 +589,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.map(_.getAs[String]("media_ref")).distinct.sorted.toSeq ==
       Seq("bad-trunc", "ok"))
     assert(accSf.value == 1L)
+
+    // a NULL bytes cell: features degrade (identity survives, counted),
+    // meta/resize/frames drop the row via the seam — never a job abort
+    val withNull = Seq(
+      Multimodal.MediaRow("d1", "ok", "image", good),
+      Multimodal.MediaRow("d4", "null-bytes", "image", null)).toDF()
+    val accN = sp.sparkContext.longAccumulator("media_failed_null")
+    val nf = Multimodal.extractFeatures(withNull, 16, Some(accN)).collect()
+    assert(nf.map(_.getAs[String]("media_ref")).sorted.toSeq ==
+      Seq("null-bytes", "ok"))
+    assert(accN.value == 1L)
+    val accN2 = sp.sparkContext.longAccumulator("media_failed_null2")
+    assert(Multimodal.extractMeta(withNull, Some(accN2)).collect()
+      .map(_.getAs[String]("media_ref")).toSeq == Seq("ok"))
+    assert(accN2.value == 1L)
   }
 
   test("multimodal real codec: animated GIF frame count; resize never drops frames") {
