@@ -482,6 +482,24 @@ object SparkEntry {
           graft.ops.Web.canonicalUrl(col("href")))
         .orderBy(col("doc_id"), col("offset"))
     }),
+    // page-level crawl metadata (title/lang/canonical/description/robots)
+    // + the canonical-priority URL a frontier dedups on: the page's own
+    // rel=canonical (canonicalized) when declared, else the fetch URL
+    "x14_html_meta" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val pages = sp.createDataset(graft.fixtures.HtmlFixtures.corpus(40))
+        .toDF("doc_id", "html")
+        .withColumn("fetch_url",
+          concat(lit("https://fetch.example/"), col("doc_id")))
+      graft.html.HtmlExtract.extractPageMeta(pages.drop("fetch_url"))
+        .join(pages.select(col("doc_id"), col("fetch_url")), Seq("doc_id"))
+        .withColumn("dedup_url", graft.ops.Web.canonicalUrl(
+          when(col("canonical") =!= "", col("canonical"))
+            .otherwise(col("fetch_url"))))
+        .drop("fetch_url")
+        .orderBy(col("doc_id"))
+    }),
     "x08_failed_docs" -> ((s, dir) => {
       val sp = s
       import sp.implicits._

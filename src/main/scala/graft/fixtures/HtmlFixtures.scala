@@ -46,7 +46,10 @@ object HtmlFixtures {
       .map(i => s"""<li><a href="/mehr/$i">${para(rng, 4)}</a></li>""")
       .mkString
     s"""<!DOCTYPE html>
-       |<html><head><title>$docId</title>
+       |<html lang="de"><head><title>$docId &ndash; Beispielportal</title>
+       |<link rel="canonical" href="https://Example.org/artikel/$docId?utm_source=feed">
+       |<meta name="description" content="${para(rng, 8)}">
+       |${if (seed % 5 == 0) "<meta name=\"robots\" content=\"noindex,nofollow\">" else ""}
        |<style>.x{color:red}</style>
        |<script>if (1 < 2) { track("$docId"); }</script>
        |</head>

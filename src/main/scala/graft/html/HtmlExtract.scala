@@ -113,6 +113,18 @@ object HtmlExtract {
     */
   def images(html: String): Vector[(Int, String, String)] = tokenize(html)._3
 
+  /** Page-level crawl metadata: <title> text, <html lang>, the
+    * rel=canonical link (a SELF-declared canonical URL — feed it to
+    * urlDedup in preference to the fetch URL), meta description, and
+    * meta robots (noindex/nofollow gate web corpora before extraction).
+    * Empty string = absent; first occurrence wins throughout (browser
+    * behavior for title; crawlers' convention for the rest).
+    */
+  final case class PageMeta(title: String, lang: String, canonical: String,
+      description: String, robots: String)
+
+  def pageMeta(html: String): PageMeta = tokenize(html)._4
+
   /** Case-insensitive attribute lookup inside a tag's attribute source
     * (the text between tag name and '>'): quoted or unquoted value per
     * the HTML5 attribute grammar; None when the attribute is absent.
@@ -158,7 +170,14 @@ object HtmlExtract {
   }
 
   private def tokenize(html: String)
-      : (Vector[Block], Vector[(String, String)], Vector[(Int, String, String)]) = {
+      : (Vector[Block], Vector[(String, String)], Vector[(Int, String, String)],
+         PageMeta) = {
+    // page metadata (see pageMeta()): first occurrence wins, "" = absent
+    var metaTitle = ""
+    var metaLang = ""
+    var metaCanonical = ""
+    var metaDescription = ""
+    var metaRobots = ""
     val out = Vector.newBuilder[Block]
     val text = new StringBuilder
     val anchorText = new StringBuilder
@@ -298,6 +317,8 @@ object HtmlExtract {
               // a delimiter ('>', '/', or whitespace) — a bare prefix
               // match would let '</header>' terminate a 'head'-like skip
               val lower = "</" + name
+              val rawStart = i
+              var contentEnd = n
               var k = i
               var found = -1
               while (found < 0 && k >= 0) {
@@ -307,15 +328,48 @@ object HtmlExtract {
                     val d = k + lower.length
                     d >= n || html.charAt(d) == '>' || html.charAt(d) == '/' ||
                       Character.isWhitespace(html.charAt(d))
-                  })
+                  }) {
+                  contentEnd = k
                   found = { val e = html.indexOf('>', k); if (e < 0) n else e + 1 }
-                else k += 1
+                } else k += 1
+              }
+              // the raw-skipped <title> content IS the page title
+              if (name == "title" && metaTitle.isEmpty && skipDepth == 0) {
+                val t = PyText.unescapeHtml(html.substring(rawStart, contentEnd))
+                  .trim.replaceAll("\\s+", " ")
+                if (t.nonEmpty) metaTitle = t
               }
               i = found
             } else if (name == "head") {
               inHead = !closing && !selfClosed
             } else if (name == "body") {
               inHead = false // head auto-closes, like a browser
+            } else if (name == "html" || name == "link" || name == "meta") {
+              // page-metadata tags (all head-legal; first occurrence wins)
+              def attrs = html.substring(nameStart + name.length, math.min(j, n))
+              if (!closing && skipDepth == 0) name match {
+                case "html" =>
+                  if (metaLang.isEmpty)
+                    attrValue(attrs, "lang").map(_.trim).filter(_.nonEmpty)
+                      .foreach(metaLang = _)
+                case "link" =>
+                  if (metaCanonical.isEmpty &&
+                      attrValue(attrs, "rel").exists(_.trim.equalsIgnoreCase("canonical")))
+                    attrValue(attrs, "href")
+                      .map(v => PyText.unescapeHtml(v).trim).filter(_.nonEmpty)
+                      .foreach(metaCanonical = _)
+                case _ =>
+                  val nm = attrValue(attrs, "name")
+                    .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+                  if (nm.contains("description") && metaDescription.isEmpty)
+                    attrValue(attrs, "content")
+                      .map(v => PyText.unescapeHtml(v).trim.replaceAll("\\s+", " "))
+                      .filter(_.nonEmpty).foreach(metaDescription = _)
+                  else if (nm.contains("robots") && metaRobots.isEmpty)
+                    attrValue(attrs, "content")
+                      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+                      .filter(_.nonEmpty).foreach(metaRobots = _)
+              }
             } else if (ContainerSkipTags(name)) {
               if (closing) skipDepth = math.max(0, skipDepth - 1)
               else if (!selfClosed) skipDepth += 1
@@ -399,7 +453,8 @@ object HtmlExtract {
     }
     if (tableDepth > 0) flushTable() else flush() // unclosed table at EOF
     emitLink() // unclosed anchor at EOF
-    (out.result(), outLinks.result(), outImages.result())
+    (out.result(), outLinks.result(), outImages.result(),
+      PageMeta(metaTitle, metaLang, metaCanonical, metaDescription, metaRobots))
   }
 
   /** The published NumWordsRules decision tree (Kohlschütter et al.,
@@ -454,7 +509,7 @@ object HtmlExtract {
     * the text flow, doc_info.py:295-301).
     */
   def extractRow(docId: String, html: String): ExtractedDoc = {
-    val (bs, _, imgs) = tokenize(html)
+    val (bs, _, imgs, _) = tokenize(html)
     val classified = classify(bs)
     val pre = imgs.filter(_._1 < bs.length).groupBy(_._1)
     val trailing = imgs.filter(_._1 >= bs.length)
@@ -534,5 +589,35 @@ object HtmlExtract {
           }
       })
       .toDF("doc_id", "offset", "href", "anchor")
+  }
+
+  /** Page-metadata operator: (doc_id, title, lang, canonical,
+    * description, robots) — one row per page, map-only. The crawl-side
+    * uses: `canonical` feeds urlDedup in preference to the fetch URL,
+    * `robots` gates noindex pages out of a corpus, `lang` seeds/checks
+    * language ID, `title`/`description` are high-signal text for dedup
+    * and quality. Same failure seam as [[extract]].
+    */
+  def extractPageMeta(df: DataFrame, idCol: String = "doc_id",
+      htmlCol: String = "html",
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("string"), col(htmlCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions(_.flatMap { case (id, html) =>
+        if (id == null || html == null) {
+          failedAcc.foreach(_.add(1L)); None
+        } else
+          try {
+            val m = pageMeta(html)
+            Some((id, m.title, m.lang, m.canonical, m.description, m.robots))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              failedAcc.foreach(_.add(1L)); None
+          }
+      })
+      .toDF("doc_id", "title", "lang", "canonical", "description", "robots")
   }
 }

@@ -212,6 +212,45 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       ("/eof", "offen am ende")), l)    // unclosed at EOF still emits
   }
 
+  test("pageMeta: title/lang/canonical/description/robots; first wins; absent = empty") {
+    val page =
+      """<!DOCTYPE html><html lang="de-AT"><head>
+        |<title>Bericht &uuml;ber
+        |   die Lage</title>
+        |<link rel="stylesheet" href="/css"><link rel="canonical" href="https://ex.org/a?x=1&amp;y=2">
+        |<meta name="description" content="Eine   kurze &amp; gute Zusammenfassung">
+        |<meta name="ROBOTS" content="NOINDEX, nofollow">
+        |<title>zweiter titel</title>
+        |</head><body><p>inhalt</p></body></html>""".stripMargin
+    val m = HtmlExtract.pageMeta(page)
+    assert(m.title == "Bericht über die Lage", m) // entities + ws-collapse
+    assert(m.lang == "de-AT")
+    assert(m.canonical == "https://ex.org/a?x=1&y=2") // entity-decoded href
+    assert(m.description == "Eine kurze & gute Zusammenfassung")
+    assert(m.robots == "noindex, nofollow") // value lowercased
+    // absent everything -> empty strings, never nulls
+    assert(HtmlExtract.pageMeta("<p>nur text</p>") ==
+      HtmlExtract.PageMeta("", "", "", "", ""))
+    // a <title> inside an svg/template is NOT the page title
+    val m2 = HtmlExtract.pageMeta(
+      "<svg><title>svg label</title></svg><head><title>echte seite</title></head>")
+    assert(m2.title == "echte seite", m2)
+  }
+
+  test("extractPageMeta: operator shape + null seam") {
+    val sp = spark
+    sparkUsed = true
+    import sp.implicits._
+    val pages = Seq(
+      ("d1", """<html lang="en"><head><title>T1</title></head><body></body></html>"""),
+      ("d2", null: String)).toDF("doc_id", "html")
+    val acc = sp.sparkContext.longAccumulator("meta_failed")
+    val out = HtmlExtract.extractPageMeta(pages, failedAcc = Some(acc)).collect()
+    assert(out.length == 1 && out.head.getString(1) == "T1" &&
+      out.head.getString(2) == "en")
+    assert(acc.value == 1L)
+  }
+
   test("links(): an SVG <a> never implicitly closes the outer HTML anchor") {
     val l = HtmlExtract.links(
       """<p><a href="/x">Start <svg><a href="/s">icon</a></svg> End</a></p>""")
