@@ -470,16 +470,19 @@ object SparkEntry {
         extracted(s).select(col("doc_id"), col("text")), maxScore = 4.53)
         .orderBy(col("doc_id"))),
     // out-link extraction (crawl-frontier / URL-graph feed): every href +
-    // anchor of the fixture pages in document order, hrefs canonicalized
-    // with the same chain urlDedup keys on — frozen XGolden oracle
+    // anchor of the fixture pages in document order, RFC-3986-resolved
+    // against the page URL (honoring a declared <base href>), then
+    // canonicalized with the same chain urlDedup keys on — frozen oracle
     "x13_html_links" -> ((s, dir) => {
       val sp = s
       import sp.implicits._
       val pages = sp.createDataset(graft.fixtures.HtmlFixtures.corpus(40))
         .toDF("doc_id", "html")
-      graft.html.HtmlExtract.extractLinks(pages)
+        .withColumn("fetch_url",
+          concat(lit("https://fetch.example/seite/"), col("doc_id")))
+      graft.html.HtmlExtract.extractLinks(pages, pageUrlCol = Some("fetch_url"))
         .withColumn("canonical_href",
-          graft.ops.Web.canonicalUrl(col("href")))
+          graft.ops.Web.canonicalUrl(col("resolved")))
         .orderBy(col("doc_id"), col("offset"))
     }),
     // page-level crawl metadata (title/lang/canonical/description/robots)

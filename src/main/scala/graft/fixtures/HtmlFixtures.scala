@@ -22,8 +22,11 @@ object HtmlFixtures {
       .map(i => s"""<li><a href="/artikel/$i">${para(rng, 3)}</a></li>""")
       .mkString
     val paras = (0 until 3 + rng.nextInt(3)).map { k =>
+      // RELATIVE href (no leading slash): resolves against the declared
+      // <base href> on base-bearing pages, against the fetch URL's
+      // directory otherwise — the x13 golden pins both resolutions
       val link =
-        if (k == 1) s"""<a href="/ref">${para(rng, 2)}</a> """ else ""
+        if (k == 1) s"""<a href="ref/$docId">${para(rng, 2)}</a> """ else ""
       s"<p>$link${para(rng, 18 + rng.nextInt(18))}</p>"
     }.mkString("\n")
     // content structure inside the article: a small data table (CSV-ish
@@ -48,6 +51,7 @@ object HtmlFixtures {
     s"""<!DOCTYPE html>
        |<html lang="de"><head><title>$docId &ndash; Beispielportal</title>
        |<link rel="canonical" href="https://Example.org/artikel/$docId?utm_source=feed">
+       |${if (seed % 7 == 0) "<base href=\"/verzeichnis/\">" else ""}
        |<meta name="description" content="${para(rng, 8)}">
        |${if (seed % 5 == 0) "<meta name=\"robots\" content=\"noindex,nofollow\">" else ""}
        |<style>.x{color:red}</style>

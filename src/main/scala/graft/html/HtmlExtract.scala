@@ -115,15 +115,28 @@ object HtmlExtract {
 
   /** Page-level crawl metadata: <title> text, <html lang>, the
     * rel=canonical link (a SELF-declared canonical URL — feed it to
-    * urlDedup in preference to the fetch URL), meta description, and
-    * meta robots (noindex/nofollow gate web corpora before extraction).
-    * Empty string = absent; first occurrence wins throughout (browser
-    * behavior for title; crawlers' convention for the rest).
+    * urlDedup in preference to the fetch URL), meta description, meta
+    * robots (noindex/nofollow gate web corpora before extraction), and
+    * <base href> (the document's declared resolution base for relative
+    * links — see resolveRef/extractLinks). Empty string = absent; first
+    * occurrence wins throughout (browser behavior for title and base;
+    * crawlers' convention for the rest).
     */
   final case class PageMeta(title: String, lang: String, canonical: String,
-      description: String, robots: String)
+      description: String, robots: String, base: String)
 
   def pageMeta(html: String): PageMeta = tokenize(html)._4
+
+  /** RFC 3986 reference resolution (java.net.URI.resolve) with a
+    * verbatim fallback for hrefs the URI grammar rejects (unencoded
+    * spaces, stray braces — common in the wild): a frontier would rather
+    * carry the raw href than lose the row. Handles absolute refs,
+    * protocol-relative (//host/p), rooted (/p) and relative (p, ../p)
+    * forms.
+    */
+  def resolveRef(base: String, href: String): String =
+    try new java.net.URI(base).resolve(new java.net.URI(href)).toString
+    catch { case scala.util.control.NonFatal(_) => href }
 
   /** Case-insensitive attribute lookup inside a tag's attribute source
     * (the text between tag name and '>'): quoted or unquoted value per
@@ -178,6 +191,7 @@ object HtmlExtract {
     var metaCanonical = ""
     var metaDescription = ""
     var metaRobots = ""
+    var metaBase = ""
     val out = Vector.newBuilder[Block]
     val text = new StringBuilder
     val anchorText = new StringBuilder
@@ -344,7 +358,8 @@ object HtmlExtract {
               inHead = !closing && !selfClosed
             } else if (name == "body") {
               inHead = false // head auto-closes, like a browser
-            } else if (name == "html" || name == "link" || name == "meta") {
+            } else if (name == "html" || name == "link" || name == "meta" ||
+                name == "base") {
               // page-metadata tags (all head-legal; first occurrence wins)
               def attrs = html.substring(nameStart + name.length, math.min(j, n))
               if (!closing && skipDepth == 0) name match {
@@ -352,6 +367,11 @@ object HtmlExtract {
                   if (metaLang.isEmpty)
                     attrValue(attrs, "lang").map(_.trim).filter(_.nonEmpty)
                       .foreach(metaLang = _)
+                case "base" =>
+                  if (metaBase.isEmpty)
+                    attrValue(attrs, "href")
+                      .map(v => PyText.unescapeHtml(v).trim).filter(_.nonEmpty)
+                      .foreach(metaBase = _)
                 case "link" =>
                   if (metaCanonical.isEmpty &&
                       attrValue(attrs, "rel").exists(_.trim.equalsIgnoreCase("canonical")))
@@ -454,7 +474,8 @@ object HtmlExtract {
     if (tableDepth > 0) flushTable() else flush() // unclosed table at EOF
     emitLink() // unclosed anchor at EOF
     (out.result(), outLinks.result(), outImages.result(),
-      PageMeta(metaTitle, metaLang, metaCanonical, metaDescription, metaRobots))
+      PageMeta(metaTitle, metaLang, metaCanonical, metaDescription,
+        metaRobots, metaBase))
   }
 
   /** The published NumWordsRules decision tree (Kohlschütter et al.,
@@ -566,29 +587,62 @@ object HtmlExtract {
 
   /** Out-link operator: (doc_id, offset, href, anchor) rows in document
     * order — the crawl-frontier / URL-graph feed (canonicalize + dedup
-    * the hrefs with Web.canonicalUrl / urlDedup downstream). Map-only,
-    * zero shuffle, same failure seam as [[extract]].
+    * the hrefs with Web.canonicalUrl / urlDedup downstream). With
+    * `pageUrlCol` set, adds a `resolved` column: every href made
+    * absolute per RFC 3986 against the page's effective base — the
+    * document's <base href> (itself resolved against the page URL) when
+    * declared, else the page URL — exactly a browser's resolution
+    * order. Map-only, zero shuffle, same failure seam as [[extract]].
     */
   def extractLinks(df: DataFrame, idCol: String = "doc_id",
-      htmlCol: String = "html",
+      htmlCol: String = "html", pageUrlCol: Option[String] = None,
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("string"), col(htmlCol).cast("string"))
-      .as[(String, String)]
-      .mapPartitions(_.flatMap { case (id, html) =>
-        if (id == null || html == null) {
-          failedAcc.foreach(_.add(1L)); Iterator.empty
-        } else
-          try links(html).iterator.zipWithIndex.map {
-            case ((href, anchor), idx) => (id, idx, href, anchor)
-          } catch {
-            case scala.util.control.NonFatal(_) =>
+    pageUrlCol match {
+      case None =>
+        df.select(col(idCol).cast("string"), col(htmlCol).cast("string"))
+          .as[(String, String)]
+          .mapPartitions(_.flatMap { case (id, html) =>
+            if (id == null || html == null) {
               failedAcc.foreach(_.add(1L)); Iterator.empty
-          }
-      })
-      .toDF("doc_id", "offset", "href", "anchor")
+            } else
+              try links(html).iterator.zipWithIndex.map {
+                case ((href, anchor), idx) => (id, idx, href, anchor)
+              } catch {
+                case scala.util.control.NonFatal(_) =>
+                  failedAcc.foreach(_.add(1L)); Iterator.empty
+              }
+          })
+          .toDF("doc_id", "offset", "href", "anchor")
+      case Some(urlCol) =>
+        df.select(col(idCol).cast("string"), col(htmlCol).cast("string"),
+            col(urlCol).cast("string"))
+          .as[(String, String, String)]
+          .mapPartitions(_.flatMap { case (id, html, pageUrl) =>
+            if (id == null || html == null) {
+              failedAcc.foreach(_.add(1L)); Iterator.empty
+            } else
+              try {
+                val (_, ls, _, meta) = tokenize(html)
+                val effectiveBase =
+                  if (meta.base.isEmpty) pageUrl
+                  else if (pageUrl == null) meta.base
+                  else resolveRef(pageUrl, meta.base)
+                ls.iterator.zipWithIndex.map { case ((href, anchor), idx) =>
+                  val resolved =
+                    if (effectiveBase == null) href
+                    else resolveRef(effectiveBase, href)
+                  (id, idx, href, anchor, resolved)
+                }
+              } catch {
+                case scala.util.control.NonFatal(_) =>
+                  failedAcc.foreach(_.add(1L)); Iterator.empty
+              }
+          })
+          .toDF("doc_id", "offset", "href", "anchor", "resolved")
+    }
   }
 
   /** Page-metadata operator: (doc_id, title, lang, canonical,
@@ -612,12 +666,14 @@ object HtmlExtract {
         } else
           try {
             val m = pageMeta(html)
-            Some((id, m.title, m.lang, m.canonical, m.description, m.robots))
+            Some((id, m.title, m.lang, m.canonical, m.description, m.robots,
+              m.base))
           } catch {
             case scala.util.control.NonFatal(_) =>
               failedAcc.foreach(_.add(1L)); None
           }
       })
-      .toDF("doc_id", "title", "lang", "canonical", "description", "robots")
+      .toDF("doc_id", "title", "lang", "canonical", "description", "robots",
+        "base")
   }
 }

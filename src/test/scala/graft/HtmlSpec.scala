@@ -230,7 +230,10 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(m.robots == "noindex, nofollow") // value lowercased
     // absent everything -> empty strings, never nulls
     assert(HtmlExtract.pageMeta("<p>nur text</p>") ==
-      HtmlExtract.PageMeta("", "", "", "", ""))
+      HtmlExtract.PageMeta("", "", "", "", "", ""))
+    // <base href> captured (first wins)
+    assert(HtmlExtract.pageMeta(
+      """<head><base href="/v1/"><base href="/v2/"></head>""").base == "/v1/")
     // a <title> inside an svg/template is NOT the page title
     val m2 = HtmlExtract.pageMeta(
       "<svg><title>svg label</title></svg><head><title>echte seite</title></head>")
@@ -249,6 +252,37 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(out.length == 1 && out.head.getString(1) == "T1" &&
       out.head.getString(2) == "en")
     assert(acc.value == 1L)
+  }
+
+  test("resolveRef + extractLinks(pageUrlCol): RFC 3986 resolution with base-href priority") {
+    import HtmlExtract.resolveRef
+    assert(resolveRef("https://ex.org/a/b", "c") == "https://ex.org/a/c")
+    assert(resolveRef("https://ex.org/a/b", "/c?x=1") == "https://ex.org/c?x=1")
+    assert(resolveRef("https://ex.org/a/b", "../d") == "https://ex.org/d")
+    assert(resolveRef("https://ex.org/a", "//other.net/p") == "https://other.net/p")
+    assert(resolveRef("https://ex.org/a", "http://abs.example/z") == "http://abs.example/z")
+    // grammar-rejected href passes through verbatim (frontier keeps the row)
+    assert(resolveRef("https://ex.org/", "mit leerzeichen") == "mit leerzeichen")
+
+    val sp = spark
+    sparkUsed = true
+    import sp.implicits._
+    val withBase =
+      """<head><base href="/basis/"></head><body>
+        |<p><a href="rel">eins</a> <a href="/root">zwei</a>
+        |<a href="https://abs.example/x">drei</a></p>""".stripMargin
+    val noBase = """<p><a href="rel2">vier</a></p>"""
+    val pages = Seq(
+      ("d1", withBase, "https://ex.org/artikel/seite"),
+      ("d2", noBase, "https://ex.org/artikel/seite2")).toDF("doc_id", "html", "url")
+    val out = HtmlExtract.extractLinks(pages, pageUrlCol = Some("url")).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(4))).toSeq
+    assert(out == Seq(
+      // base /basis/ itself resolves against the page URL first
+      ("d1", "rel", "https://ex.org/basis/rel"),
+      ("d1", "/root", "https://ex.org/root"),
+      ("d1", "https://abs.example/x", "https://abs.example/x"),
+      ("d2", "rel2", "https://ex.org/artikel/rel2")), out)
   }
 
   test("links(): an SVG <a> never implicitly closes the outer HTML anchor") {
