@@ -160,7 +160,11 @@ class FuzzSpec extends AnyFunSuite {
       // nesting, cells outside rows, lists inside cells and vice versa
       "<table>", "</table>", "<tr>", "</tr>", "<th>", "</th>", "</td>",
       "<caption>", "<tbody>", "</tbody>", "<ul>", "</ul>", "<ol>", "</ol>",
-      "<li>", "</li>", ",", "\"q\"")
+      "<li>", "</li>", ",", "\"q\"",
+      // page-metadata + image/link machinery: broken attr soup included
+      "<title>", "</title>", "<meta name=description content=", "<base href=",
+      "<link rel=canonical href='/c'>", "<img src=", "<img src='/i.png'>",
+      "alt=\"a>b\"", "<html lang=de>", "=", "'")
     val rng = new Fixtures.Rng(777L)
     (0 until 600).foreach { _ =>
       val soup = (0 until rng.nextInt(40))
@@ -168,6 +172,11 @@ class FuzzSpec extends AnyFunSuite {
       val d1 = graft.html.HtmlExtract.extractRow("f", soup)
       val d2 = graft.html.HtmlExtract.extractRow("f", soup)
       assert(d1 == d2, soup)
+      // the metadata/link/image faces are total + deterministic too
+      assert(graft.html.HtmlExtract.pageMeta(soup) ==
+        graft.html.HtmlExtract.pageMeta(soup), soup)
+      assert(graft.html.HtmlExtract.links(soup) ==
+        graft.html.HtmlExtract.links(soup), soup)
       // feature sanity on every block of every soup
       graft.html.HtmlExtract.blocks(soup).foreach { b =>
         assert(b.words >= 0 && b.linkWords >= 0 && b.linkWords <= b.words, soup)
