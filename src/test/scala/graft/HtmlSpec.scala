@@ -373,6 +373,26 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(doc.spans.head.kind == "body")
   }
 
+  test("web image spans compose with the media pipeline (syntheticMediaFor -> features)") {
+    val sp = spark
+    sparkUsed = true
+    import sp.implicits._
+    // extracted HTML docs carry kind=image spans with media_ref — exactly
+    // the shape syntheticMediaFor keys on, so the whole multimodal stack
+    // (payloads -> meta -> features -> ANN) runs on a web corpus unchanged
+    val pages = sp.createDataset(graft.fixtures.HtmlFixtures.corpus(4))
+      .toDF("doc_id", "html")
+    val docs = HtmlExtract.extract(pages).toDF()
+    val media = graft.ops.Multimodal.syntheticMediaFor(docs)
+    val feats = graft.ops.Multimodal.extractFeatures(media, 16).collect()
+    // 4 pages x 1 article figure x (bmp + anim + mjpg siblings)
+    assert(feats.length == 12, feats.length)
+    assert(feats.forall(_.getSeq[Float](2).length == 16))
+    val meta = graft.ops.Multimodal.extractMeta(media).collect()
+    assert(meta.map(_.getAs[String]("format")).distinct.sorted.toSeq ==
+      Seq("avi", "bmp"))
+  }
+
   test("fixture corpus: every page keeps its article, drops its chrome") {
     graft.fixtures.HtmlFixtures.corpus(10).foreach { case (id, html) =>
       val doc = HtmlExtract.extractRow(id, html)
