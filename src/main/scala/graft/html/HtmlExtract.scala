@@ -3,7 +3,7 @@ package graft.html
 import graft.model.{ExtractedDoc, Span}
 import graft.text.PyText
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** HTML main-content extraction (north_rule: "HTML boilerplate strip …
   * DOM heuristics") — the web-side counterpart of the PDF/layout kernel,
@@ -531,6 +531,14 @@ object HtmlExtract {
     */
   def extractRow(docId: String, html: String): ExtractedDoc = {
     val (bs, _, imgs, _) = tokenize(html)
+    assembleSpans(docId, bs, imgs)
+  }
+
+  /** Classified blocks + images -> the interleaved span sequence and the
+    * text flow (shared by extractRow and the one-pass extractAll).
+    */
+  private def assembleSpans(docId: String, bs: Vector[Block],
+      imgs: Vector[(Int, String, String)]): ExtractedDoc = {
     val classified = classify(bs)
     val pre = imgs.filter(_._1 < bs.length).groupBy(_._1)
     val trailing = imgs.filter(_._1 >= bs.length)
@@ -555,6 +563,64 @@ object HtmlExtract {
       trailing.foreach { case (_, src, alt) => emit("image", alt, src) }
     ExtractedDoc(docId, spans.result(),
       classified.collect { case (b, true) => b.text }.mkString("\n\n"))
+  }
+
+  /** One out-link row of [[extractAll]]. */
+  final case class LinkRow(offset: Int, href: String, anchor: String,
+      resolved: String)
+
+  /** The one-pass web-document row: main-content spans + text, resolved
+    * out-links, and page metadata together.
+    */
+  final case class WebDoc(doc_id: String, spans: Seq[Span], text: String,
+      links: Seq[LinkRow], title: String, lang: String, canonical: String,
+      description: String, robots: String, base: String)
+
+  /** ONE-pass kernel: spans + links + metadata from a single tokenize
+    * (see extractAll).
+    */
+  def extractAllRow(docId: String, html: String, pageUrl: String): WebDoc = {
+    val (bs, ls, imgs, meta) = tokenize(html)
+    val doc = assembleSpans(docId, bs, imgs)
+    val effectiveBase =
+      if (meta.base.isEmpty) pageUrl
+      else if (pageUrl == null) meta.base
+      else resolveRef(pageUrl, meta.base)
+    val links = ls.zipWithIndex.map { case ((href, anchor), idx) =>
+      LinkRow(idx, href, anchor,
+        if (effectiveBase == null) href else resolveRef(effectiveBase, href))
+    }
+    WebDoc(docId, doc.spans, doc.text, links, meta.title, meta.lang,
+      meta.canonical, meta.description, meta.robots, meta.base)
+  }
+
+  /** The production web operator at 100 TB: [[extract]], [[extractLinks]]
+    * and [[extractPageMeta]] each tokenize the page; a pipeline that
+    * needs all three (the normal crawl shape: content + frontier +
+    * canonical dedup URL) pays the hot path three times. This emits all
+    * of it from ONE tokenize pass per page — map-only, zero shuffle;
+    * project/explode the struct columns downstream. Without `pageUrlCol`
+    * the resolved link field carries the raw href. HtmlSpec pins
+    * per-field equivalence with the three single-surface operators.
+    */
+  def extractAll(df: DataFrame, idCol: String = "doc_id",
+      htmlCol: String = "html", pageUrlCol: Option[String] = None,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[WebDoc] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("string"), col(htmlCol).cast("string"),
+      pageUrlCol.map(c => col(c).cast("string")).getOrElse(lit(null.asInstanceOf[String])))
+    base.as[(String, String, String)]
+      .mapPartitions(_.flatMap { case (id, html, pageUrl) =>
+        if (id == null || html == null) { failedAcc.foreach(_.add(1L)); None }
+        else
+          try Some(extractAllRow(id, html, pageUrl))
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              failedAcc.foreach(_.add(1L)); None
+          }
+      })
   }
 
   /** Corpus operator: map-only, zero shuffle (the whole point — same

@@ -373,6 +373,39 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(doc.spans.head.kind == "body")
   }
 
+  test("extractAll: one tokenize pass == the three single-surface operators, field for field") {
+    val sp = spark
+    sparkUsed = true
+    import sp.implicits._
+    val pages = sp.createDataset(graft.fixtures.HtmlFixtures.corpus(6))
+      .toDF("doc_id", "html")
+      .withColumn("url", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("https://ex.org/seite/"),
+        org.apache.spark.sql.functions.col("doc_id")))
+    val all = HtmlExtract.extractAll(pages, pageUrlCol = Some("url"))
+      .collect().map(w => w.doc_id -> w).toMap
+    // spans + text == extract()
+    HtmlExtract.extract(pages).collect().foreach { d =>
+      assert(all(d.doc_id).spans == d.spans, d.doc_id)
+      assert(all(d.doc_id).text == d.text, d.doc_id)
+    }
+    // links == extractLinks(pageUrlCol)
+    val links = HtmlExtract.extractLinks(pages, pageUrlCol = Some("url"))
+      .collect().groupBy(_.getString(0))
+    links.foreach { case (id, rows) =>
+      assert(all(id).links == rows.sortBy(_.getInt(1)).toSeq.map(r =>
+        HtmlExtract.LinkRow(r.getInt(1), r.getString(2), r.getString(3),
+          r.getString(4))), id)
+    }
+    // metadata == extractPageMeta()
+    HtmlExtract.extractPageMeta(pages).collect().foreach { r =>
+      val w = all(r.getString(0))
+      assert((w.title, w.lang, w.canonical, w.description, w.robots, w.base) ==
+        ((r.getString(1), r.getString(2), r.getString(3), r.getString(4),
+          r.getString(5), r.getString(6))), r.getString(0))
+    }
+  }
+
   test("web image spans compose with the media pipeline (syntheticMediaFor -> features)") {
     val sp = spark
     sparkUsed = true
