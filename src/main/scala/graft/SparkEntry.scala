@@ -485,9 +485,10 @@ object SparkEntry {
           graft.ops.Web.canonicalUrl(col("resolved")))
         .orderBy(col("doc_id"), col("offset"))
     }),
-    // page-level crawl metadata (title/lang/canonical/description/robots)
-    // + the canonical-priority URL a frontier dedups on: the page's own
-    // rel=canonical (canonicalized) when declared, else the fetch URL
+    // page-level crawl metadata (title/lang/canonical/description/robots/
+    // base; canonical RESOLVED against the fetch URL) + the canonical-
+    // priority URL a frontier dedups on: the page's own rel=canonical
+    // when declared, else the fetch URL
     "x14_html_meta" -> ((s, dir) => {
       val sp = s
       import sp.implicits._
@@ -495,7 +496,7 @@ object SparkEntry {
         .toDF("doc_id", "html")
         .withColumn("fetch_url",
           concat(lit("https://fetch.example/"), col("doc_id")))
-      graft.html.HtmlExtract.extractPageMeta(pages.drop("fetch_url"))
+      graft.html.HtmlExtract.extractPageMeta(pages, pageUrlCol = Some("fetch_url"))
         .join(pages.select(col("doc_id"), col("fetch_url")), Seq("doc_id"))
         .withColumn("dedup_url", graft.ops.Web.canonicalUrl(
           when(col("canonical") =!= "", col("canonical"))

@@ -50,7 +50,15 @@ object HtmlFixtures {
       .mkString
     s"""<!DOCTYPE html>
        |<html lang="de"><head><title>$docId &ndash; Beispielportal</title>
-       |<link rel="canonical" href="https://Example.org/artikel/$docId?utm_source=feed">
+       |${
+          // a seed subset declares its canonical RELATIVE (host comes
+          // from the fetch URL via RFC 3986 resolution — x14 pins it) and
+          // another subset uses a multi-token rel, both common in the wild
+          if (seed % 3 == 0)
+            s"""<link rel="canonical alternate" href="/artikel/$docId">"""
+          else
+            s"""<link rel="canonical" href="https://Example.org/artikel/$docId?utm_source=feed">"""
+        }
        |${if (seed % 7 == 0) "<base href=\"/verzeichnis/\">" else ""}
        |<meta name="description" content="${para(rng, 8)}">
        |${if (seed % 5 == 0) "<meta name=\"robots\" content=\"noindex,nofollow\">" else ""}

@@ -127,16 +127,123 @@ object HtmlExtract {
 
   def pageMeta(html: String): PageMeta = tokenize(html)._4
 
-  /** RFC 3986 reference resolution (java.net.URI.resolve) with a
-    * verbatim fallback for hrefs the URI grammar rejects (unencoded
-    * spaces, stray braces — common in the wild): a frontier would rather
-    * carry the raw href than lose the row. Handles absolute refs,
-    * protocol-relative (//host/p), rooted (/p) and relative (p, ../p)
-    * forms.
+  /** The page's effective resolution base, browser order: the declared
+    * <base href> (itself resolved against the page URL when both exist),
+    * else the page URL; null when neither is known. Shared by
+    * extractLinks and extractAllRow so the two can never diverge.
     */
-  def resolveRef(base: String, href: String): String =
-    try new java.net.URI(base).resolve(new java.net.URI(href)).toString
-    catch { case scala.util.control.NonFatal(_) => href }
+  private def effectiveBaseOf(meta: PageMeta, pageUrl: String): String =
+    if (meta.base.isEmpty) pageUrl
+    else if (pageUrl == null) meta.base
+    else resolveRef(pageUrl, meta.base)
+
+  /** rel=canonical resolved to ABSOLUTE form when a page URL is known —
+    * a relative canonical ("/index") is host-ambiguous and would wrongly
+    * merge distinct sites into one urlDedup group. Resolution uses the
+    * same effective base as links (<base href> applies to <link>
+    * elements per the HTML spec).
+    */
+  private def resolvedCanonical(meta: PageMeta, pageUrl: String): String =
+    if (meta.canonical.isEmpty) ""
+    else {
+      val b = effectiveBaseOf(meta, pageUrl)
+      if (b == null) meta.canonical else resolveRef(b, meta.canonical)
+    }
+
+  /** RFC 3986 §5 reference resolution, hand-rolled: java.net.URI
+    * implements the OLDER RFC 2396, which (verified on this JVM)
+    * mis-resolves query-only refs ("?page=2" must KEEP the base path —
+    * every pagination link) and leaves above-root dot segments in place
+    * ("../../x" against "https://e/a/" must collapse to "https://e/x",
+    * not "https://e/../x"). This is the §5.2.2 transform + §5.2.4
+    * remove_dot_segments over the appendix-B component split — pure
+    * string slicing, total (no URI grammar rejection: an href with raw
+    * spaces resolves with the spaces kept, which a frontier prefers to
+    * losing the row). A schemeless base cannot anchor resolution — the
+    * href is returned verbatim.
+    */
+  def resolveRef(base: String, href: String): String = {
+    // appendix-B split: (scheme, authority, path, query, fragment) —
+    // query/fragment as Option to distinguish absent from empty
+    def split(u: String): (Option[String], Option[String], String,
+        Option[String], Option[String]) = {
+      var rest = u
+      val hashIdx = rest.indexOf('#')
+      val frag = if (hashIdx < 0) None else {
+        val f = rest.substring(hashIdx + 1); rest = rest.substring(0, hashIdx); Some(f)
+      }
+      val qIdx = rest.indexOf('?')
+      val query = if (qIdx < 0) None else {
+        val q = rest.substring(qIdx + 1); rest = rest.substring(0, qIdx); Some(q)
+      }
+      val colon = rest.indexOf(':')
+      val slash = rest.indexOf('/')
+      val scheme =
+        if (colon > 0 && (slash < 0 || colon < slash) &&
+            rest.substring(0, colon).forall(c => c.isLetterOrDigit || c == '+' ||
+              c == '-' || c == '.') && rest.charAt(0).isLetter) {
+          val s = rest.substring(0, colon); rest = rest.substring(colon + 1); Some(s)
+        } else None
+      val auth =
+        if (rest.startsWith("//")) {
+          val end = rest.indexWhere(c => c == '/', 2) match {
+            case -1 => rest.length
+            case e => e
+          }
+          val a = rest.substring(2, end); rest = rest.substring(end); Some(a)
+        } else None
+      (scheme, auth, rest, query, frag)
+    }
+    // RFC 3986 §5.2.4
+    def removeDotSegments(p: String): String = {
+      val out = new StringBuilder
+      var in = p
+      while (in.nonEmpty) {
+        if (in.startsWith("../")) in = in.substring(3)
+        else if (in.startsWith("./")) in = in.substring(2)
+        else if (in.startsWith("/./")) in = "/" + in.substring(3)
+        else if (in == "/.") in = "/"
+        else if (in.startsWith("/../") || in == "/..") {
+          in = if (in == "/..") "/" else "/" + in.substring(4)
+          val cut = out.lastIndexOf("/")
+          out.setLength(math.max(0, cut))
+        } else if (in == "." || in == "..") in = ""
+        else {
+          val next = in.indexOf('/', 1)
+          val seg = if (next < 0) in else in.substring(0, next)
+          out.append(seg)
+          in = if (next < 0) "" else in.substring(next)
+        }
+      }
+      out.toString
+    }
+    def mergePaths(baseAuth: Option[String], basePath: String, refPath: String): String =
+      if (baseAuth.isDefined && basePath.isEmpty) "/" + refPath
+      else {
+        val cut = basePath.lastIndexOf('/')
+        (if (cut < 0) "" else basePath.substring(0, cut + 1)) + refPath
+      }
+    if (base == null) return href
+    if (href == null) return base
+    val (bScheme, bAuth, bPath, bQuery, _) = split(base)
+    if (bScheme.isEmpty) return href // relative base: nothing to anchor on
+    val (rScheme, rAuth, rPath, rQuery, rFrag) = split(href)
+    val (scheme, auth, path, query) =
+      if (rScheme.isDefined) (rScheme, rAuth, removeDotSegments(rPath), rQuery)
+      else if (rAuth.isDefined) (bScheme, rAuth, removeDotSegments(rPath), rQuery)
+      else if (rPath.isEmpty)
+        (bScheme, bAuth, bPath, if (rQuery.isDefined) rQuery else bQuery)
+      else if (rPath.startsWith("/"))
+        (bScheme, bAuth, removeDotSegments(rPath), rQuery)
+      else (bScheme, bAuth, removeDotSegments(mergePaths(bAuth, bPath, rPath)), rQuery)
+    val sb = new StringBuilder
+    scheme.foreach(s => sb.append(s).append(':'))
+    auth.foreach(a => sb.append("//").append(a))
+    sb.append(path)
+    query.foreach(q => sb.append('?').append(q))
+    rFrag.foreach(f => sb.append('#').append(f))
+    sb.toString
+  }
 
   /** Case-insensitive attribute lookup inside a tag's attribute source
     * (the text between tag name and '>'): quoted or unquoted value per
@@ -347,11 +454,16 @@ object HtmlExtract {
                   found = { val e = html.indexOf('>', k); if (e < 0) n else e + 1 }
                 } else k += 1
               }
-              // the raw-skipped <title> content IS the page title
+              // the raw-skipped <title> content IS the page title; capped
+              // at 500 chars — an UNCLOSED <title> makes the rest of the
+              // document the title (browsers render it that way too), and
+              // a multi-megabyte metadata string must not ship per row on
+              // a crawl where truncated pages are routine
               if (name == "title" && metaTitle.isEmpty && skipDepth == 0) {
-                val t = PyText.unescapeHtml(html.substring(rawStart, contentEnd))
-                  .trim.replaceAll("\\s+", " ")
-                if (t.nonEmpty) metaTitle = t
+                val raw = html.substring(rawStart,
+                  math.min(contentEnd, rawStart + 4000)) // pre-cap raw work
+                val t = PyText.unescapeHtml(raw).trim.replaceAll("\\s+", " ")
+                if (t.nonEmpty) metaTitle = t.take(500)
               }
               i = found
             } else if (name == "head") {
@@ -373,8 +485,11 @@ object HtmlExtract {
                       .map(v => PyText.unescapeHtml(v).trim).filter(_.nonEmpty)
                       .foreach(metaBase = _)
                 case "link" =>
+                  // rel is a SPACE-SEPARATED token set per HTML
+                  // (rel="canonical alternate" declares both)
                   if (metaCanonical.isEmpty &&
-                      attrValue(attrs, "rel").exists(_.trim.equalsIgnoreCase("canonical")))
+                      attrValue(attrs, "rel").exists(_.split("\\s+")
+                        .exists(_.equalsIgnoreCase("canonical"))))
                     attrValue(attrs, "href")
                       .map(v => PyText.unescapeHtml(v).trim).filter(_.nonEmpty)
                       .foreach(metaCanonical = _)
@@ -582,16 +697,14 @@ object HtmlExtract {
   def extractAllRow(docId: String, html: String, pageUrl: String): WebDoc = {
     val (bs, ls, imgs, meta) = tokenize(html)
     val doc = assembleSpans(docId, bs, imgs)
-    val effectiveBase =
-      if (meta.base.isEmpty) pageUrl
-      else if (pageUrl == null) meta.base
-      else resolveRef(pageUrl, meta.base)
+    val effectiveBase = effectiveBaseOf(meta, pageUrl)
     val links = ls.zipWithIndex.map { case ((href, anchor), idx) =>
       LinkRow(idx, href, anchor,
         if (effectiveBase == null) href else resolveRef(effectiveBase, href))
     }
     WebDoc(docId, doc.spans, doc.text, links, meta.title, meta.lang,
-      meta.canonical, meta.description, meta.robots, meta.base)
+      resolvedCanonical(meta, pageUrl), meta.description, meta.robots,
+      meta.base)
   }
 
   /** The production web operator at 100 TB: [[extract]], [[extractLinks]]
@@ -600,8 +713,11 @@ object HtmlExtract {
     * canonical dedup URL) pays the hot path three times. This emits all
     * of it from ONE tokenize pass per page — map-only, zero shuffle;
     * project/explode the struct columns downstream. Without `pageUrlCol`
-    * the resolved link field carries the raw href. HtmlSpec pins
-    * per-field equivalence with the three single-surface operators.
+    * the resolved link field is resolved against the page's declared
+    * <base href> when present (still the best available anchor), else it
+    * carries the raw href — identical to extractLinks with a null url
+    * cell. HtmlSpec pins per-field equivalence with the three
+    * single-surface operators.
     */
   def extractAll(df: DataFrame, idCol: String = "doc_id",
       htmlCol: String = "html", pageUrlCol: Option[String] = None,
@@ -692,10 +808,7 @@ object HtmlExtract {
             } else
               try {
                 val (_, ls, _, meta) = tokenize(html)
-                val effectiveBase =
-                  if (meta.base.isEmpty) pageUrl
-                  else if (pageUrl == null) meta.base
-                  else resolveRef(pageUrl, meta.base)
+                val effectiveBase = effectiveBaseOf(meta, pageUrl)
                 ls.iterator.zipWithIndex.map { case ((href, anchor), idx) =>
                   val resolved =
                     if (effectiveBase == null) href
@@ -712,28 +825,34 @@ object HtmlExtract {
   }
 
   /** Page-metadata operator: (doc_id, title, lang, canonical,
-    * description, robots) — one row per page, map-only. The crawl-side
-    * uses: `canonical` feeds urlDedup in preference to the fetch URL,
-    * `robots` gates noindex pages out of a corpus, `lang` seeds/checks
-    * language ID, `title`/`description` are high-signal text for dedup
-    * and quality. Same failure seam as [[extract]].
+    * description, robots, base) — one row per page, map-only. The
+    * crawl-side uses: `canonical` feeds urlDedup in preference to the
+    * fetch URL, `robots` gates noindex pages out of a corpus, `lang`
+    * seeds/checks language ID, `title`/`description` are high-signal
+    * text for dedup and quality. With `pageUrlCol` set, `canonical` is
+    * RESOLVED to absolute form against the page's effective base — a
+    * relative rel=canonical ("/index") is host-ambiguous and would
+    * wrongly merge distinct sites in urlDedup. Same failure seam as
+    * [[extract]].
     */
   def extractPageMeta(df: DataFrame, idCol: String = "doc_id",
-      htmlCol: String = "html",
+      htmlCol: String = "html", pageUrlCol: Option[String] = None,
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("string"), col(htmlCol).cast("string"))
-      .as[(String, String)]
-      .mapPartitions(_.flatMap { case (id, html) =>
+    df.select(col(idCol).cast("string"), col(htmlCol).cast("string"),
+        pageUrlCol.map(c => col(c).cast("string"))
+          .getOrElse(lit(null.asInstanceOf[String])))
+      .as[(String, String, String)]
+      .mapPartitions(_.flatMap { case (id, html, pageUrl) =>
         if (id == null || html == null) {
           failedAcc.foreach(_.add(1L)); None
         } else
           try {
             val m = pageMeta(html)
-            Some((id, m.title, m.lang, m.canonical, m.description, m.robots,
-              m.base))
+            Some((id, m.title, m.lang, resolvedCanonical(m, pageUrl),
+              m.description, m.robots, m.base))
           } catch {
             case scala.util.control.NonFatal(_) =>
               failedAcc.foreach(_.add(1L)); None

@@ -240,7 +240,7 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(m2.title == "echte seite", m2)
   }
 
-  test("extractPageMeta: operator shape + null seam") {
+  test("extractPageMeta: operator shape + null seam + canonical resolution") {
     val sp = spark
     sparkUsed = true
     import sp.implicits._
@@ -252,6 +252,19 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(out.length == 1 && out.head.getString(1) == "T1" &&
       out.head.getString(2) == "en")
     assert(acc.value == 1L)
+    // a RELATIVE rel=canonical resolves against the page URL: without
+    // this, two sites declaring canonical "/index" would merge in
+    // urlDedup; multi-token rel ("canonical alternate") still matches
+    val rel = Seq(
+      ("s1", """<head><link rel="canonical alternate" href="/index"></head>""",
+        "https://site-one.example/a"),
+      ("s2", """<head><link rel="canonical" href="/index"></head>""",
+        "https://site-two.example/b")).toDF("doc_id", "html", "url")
+    val canon = HtmlExtract.extractPageMeta(rel, pageUrlCol = Some("url"))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(canon == Map(
+      "s1" -> "https://site-one.example/index",
+      "s2" -> "https://site-two.example/index"), canon)
   }
 
   test("resolveRef + extractLinks(pageUrlCol): RFC 3986 resolution with base-href priority") {
@@ -261,8 +274,19 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(resolveRef("https://ex.org/a/b", "../d") == "https://ex.org/d")
     assert(resolveRef("https://ex.org/a", "//other.net/p") == "https://other.net/p")
     assert(resolveRef("https://ex.org/a", "http://abs.example/z") == "http://abs.example/z")
-    // grammar-rejected href passes through verbatim (frontier keeps the row)
-    assert(resolveRef("https://ex.org/", "mit leerzeichen") == "mit leerzeichen")
+    // RFC 3986 (not java.net.URI's RFC 2396): a query-only ref KEEPS the
+    // base path — the pagination-link case
+    assert(resolveRef("https://ex.org/a/b", "?page=2") == "https://ex.org/a/b?page=2")
+    // above-root dot segments collapse instead of surviving as /../
+    assert(resolveRef("https://ex.org/a/", "../../x") == "https://ex.org/x")
+    // fragment-only ref: base path + query kept
+    assert(resolveRef("https://ex.org/a?q=1", "#sec") == "https://ex.org/a?q=1#sec")
+    // an href with raw spaces resolves WITH the spaces (total function —
+    // the frontier keeps the row rather than losing it)
+    assert(resolveRef("https://ex.org/d/", "mit leerzeichen") ==
+      "https://ex.org/d/mit leerzeichen")
+    // a schemeless base cannot anchor resolution
+    assert(resolveRef("nur/pfad", "x") == "x")
 
     val sp = spark
     sparkUsed = true
@@ -397,8 +421,8 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         HtmlExtract.LinkRow(r.getInt(1), r.getString(2), r.getString(3),
           r.getString(4))), id)
     }
-    // metadata == extractPageMeta()
-    HtmlExtract.extractPageMeta(pages).collect().foreach { r =>
+    // metadata == extractPageMeta() (same pageUrl, so same resolved canonical)
+    HtmlExtract.extractPageMeta(pages, pageUrlCol = Some("url")).collect().foreach { r =>
       val w = all(r.getString(0))
       assert((w.title, w.lang, w.canonical, w.description, w.robots, w.base) ==
         ((r.getString(1), r.getString(2), r.getString(3), r.getString(4),
