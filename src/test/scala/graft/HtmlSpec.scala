@@ -309,6 +309,30 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       ("d2", "rel2", "https://ex.org/artikel/rel2")), out)
   }
 
+  test("resolveRef matches the reference RFC 3986 resolver on 280 generated vectors") {
+    // vectors generated from urllib.parse.urljoin (a faithful RFC 3986
+    // §5 implementation incl. the reference resolution examples of
+    // §5.4): 10 bases x 28 refs covering dot segments, query/fragment
+    // -only refs, protocol-relative, userinfo/port bases. (The empty
+    // ref is excluded: urljoin special-cases it to return the base
+    // VERBATIM incl. its fragment, while RFC 5.2.2 takes the ref's
+    // absent fragment — and links() never emits empty hrefs anyway.)
+    val in = getClass.getResourceAsStream("/urljoin_vectors.tsv")
+    assert(in != null)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    assert(lines.length == 280)
+    val bad = lines.flatMap { l =>
+      val parts = l.split("\t", -1)
+      val (base, ref, expected) = (parts(0), parts(1), parts(2))
+      val got = HtmlExtract.resolveRef(base, ref)
+      if (got != expected) Some(s"base=$base ref=$ref expected=$expected got=$got")
+      else None
+    }
+    assert(bad.isEmpty, bad.take(10).mkString("\n"))
+  }
+
   test("links(): an SVG <a> never implicitly closes the outer HTML anchor") {
     val l = HtmlExtract.links(
       """<p><a href="/x">Start <svg><a href="/s">icon</a></svg> End</a></p>""")
