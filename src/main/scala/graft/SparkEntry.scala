@@ -485,6 +485,26 @@ object SparkEntry {
           graft.ops.Web.canonicalUrl(col("resolved")))
         .orderBy(col("doc_id"), col("offset"))
     }),
+    // the composed web-ingest pipeline (WebPrep): one-pass extraction ->
+    // robots gate -> canonical-priority URL dedup; the input carries TWO
+    // mirror fetches per page (desktop + amp-with-tracking), which the
+    // page-declared canonical collapses to one keeper — and the noindex
+    // seed subset vanishes entirely
+    "x15_web_prep" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val pages = sp.createDataset(
+        graft.fixtures.HtmlFixtures.corpus(30).flatMap { case (id, html) =>
+          Seq(
+            (s"$id-a", html, s"https://fetch.example/seite/$id"),
+            (s"$id-b", html, s"https://m.fetch.example/amp/$id?utm_source=amp"))
+        }).toDF("doc_id", "html", "url")
+      graft.pipeline.WebPrep.prepare(pages)
+        .select(col("doc_id"), col("dedup_url"), col("title"), col("lang"),
+          size(col("spans")).cast("int").as("n_spans"),
+          size(col("links")).cast("int").as("n_links"))
+        .orderBy(col("doc_id"))
+    }),
     // page-level crawl metadata (title/lang/canonical/description/robots/
     // base; canonical RESOLVED against the fetch URL) + the canonical-
     // priority URL a frontier dedups on: the page's own rel=canonical

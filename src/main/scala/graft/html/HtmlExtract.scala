@@ -685,11 +685,13 @@ object HtmlExtract {
       resolved: String)
 
   /** The one-pass web-document row: main-content spans + text, resolved
-    * out-links, and page metadata together.
+    * out-links, and page metadata together. `url` is the input page URL
+    * passed through verbatim (provenance + the dedup fallback when no
+    * rel=canonical is declared); null when no pageUrlCol was given.
     */
   final case class WebDoc(doc_id: String, spans: Seq[Span], text: String,
       links: Seq[LinkRow], title: String, lang: String, canonical: String,
-      description: String, robots: String, base: String)
+      description: String, robots: String, base: String, url: String)
 
   /** ONE-pass kernel: spans + links + metadata from a single tokenize
     * (see extractAll).
@@ -704,7 +706,7 @@ object HtmlExtract {
     }
     WebDoc(docId, doc.spans, doc.text, links, meta.title, meta.lang,
       resolvedCanonical(meta, pageUrl), meta.description, meta.robots,
-      meta.base)
+      meta.base, pageUrl)
   }
 
   /** The production web operator at 100 TB: [[extract]], [[extractLinks]]

@@ -238,6 +238,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 6, s"expected the near-dup page dropped, got $n of 7")
   }
 
+  test("WebPrep: robots gate, canonical mirror-collapse, frontier feed") {
+    val sp = spark
+    import sp.implicits._
+    val canonical = """<link rel="canonical" href="https://site.example/artikel/a1">"""
+    val body = "<p>" + ("inhalt mit vielen langen worten immer weiter so " * 4) +
+      """<a href="neu/seite">weiter</a></p>"""
+    val pages = Seq(
+      // one logical page fetched twice (desktop + tracking variant):
+      // the declared canonical must collapse them to ONE keeper
+      ("a-desktop", s"<head>$canonical</head><body>$body</body>",
+        "https://site.example/artikel/a1"),
+      ("b-mirror", s"<head>$canonical</head><body>$body</body>",
+        "https://m.site.example/amp/a1?utm_source=amp"),
+      // noindex page: dropped entirely, its links excluded from frontier
+      ("c-noindex", "<head><meta name=\"robots\" content=\"noindex\">" +
+        s"</head><body>$body</body>", "https://other.example/x"),
+      // no canonical: fetch URL (canonicalized) is the dedup key
+      ("d-plain", s"<body>$body</body>", "http://Plain.example/P?utm_medium=m"))
+      .toDF("doc_id", "html", "url")
+    val out = graft.pipeline.WebPrep.prepare(pages).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[String]("dedup_url")).toMap
+    assert(out == Map(
+      "a-desktop" -> "https://site.example/artikel/a1", // min doc_id keeper
+      "d-plain" -> "https://plain.example/P"), out)
+    // frontier: only non-noindex/nofollow pages contribute, links are
+    // resolved + canonicalized + first-seen deduplicated
+    val fr = graft.pipeline.WebPrep.frontier(pages).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fr == Map(
+      "https://site.example/artikel/neu/seite" -> "a-desktop",
+      "https://m.site.example/amp/neu/seite" -> "b-mirror",
+      "https://plain.example/neu/seite" -> "d-plain"), fr)
+  }
+
   test("stages without eval corpus or sampling: no such stage entries") {
     val names = CorpusPrep.stages(corpus, None,
       CorpusPrep.PrepConfig(sampleDefaultRate = 1.0)).map(_._1)
