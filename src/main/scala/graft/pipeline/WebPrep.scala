@@ -12,65 +12,90 @@ import org.apache.spark.sql.functions._
   *  1. ONE-pass extraction (`HtmlExtract.extractAll`): main-content
   *     spans + text, resolved out-links, page metadata — map-only;
   *  2. robots gate: pages whose meta robots declares `noindex` are
-  *     dropped BEFORE any shuffle spends cycles on them (the crawl
-  *     contract: such pages may be fetched for link discovery but must
-  *     not enter a corpus);
+  *     dropped from the CORPUS (their links still feed the frontier —
+  *     noindex forbids indexing, not link-following; only `nofollow`
+  *     gates link discovery);
   *  3. canonical-priority URL dedup: the dedup key is the page's own
-  *     rel=canonical (already resolved absolute) when declared, else the
-  *     fetch URL — both through `Web.canonicalUrl` — so mirror fetches
-  *     (`/amp/…`, `?utm=…`, scheme/case variants) of one logical page
-  *     collapse to the deterministic keeper (min doc_id), exactly the
-  *     dedup a frontier cannot do because only the PAGE declares its
-  *     canonical.
+  *     rel=canonical when it is absolute (scheme-bearing — a canonical
+  *     that could not be resolved is host-ambiguous and must NOT merge
+  *     across sites), else the fetch URL; keying and keeper semantics
+  *     are EXACTLY `Web.urlDedup` (null keys stay their own keepers,
+  *     min-doc_id keeper) — so mirror fetches (`/amp/…`, `?utm=…`,
+  *     scheme/case variants) of one logical page collapse to one row,
+  *     the dedup a frontier cannot do because only the PAGE declares
+  *     its canonical.
   *
   * Output: the kept WebDoc rows plus their `dedup_url`. Downstream,
-  * content-level dedup and quality filtering continue in
-  * [[CorpusPrep]] over (doc_id, text).
+  * content-level dedup and quality filtering continue in [[CorpusPrep]]
+  * over (doc_id, text).
   *
-  * Scale shape: stage 1-2 are map-only; stage 3 is one group + join-back
-  * on the canonical key, the same shape as `Web.urlDedup` — at 100 TB
-  * pre-hash the key with md5_long (`Web.urlDedupAtScale`'s layout) if
-  * URL strings dominate the shuffle; out-links for the frontier should
-  * be projected out BEFORE the dedup shuffle (they are the widest
-  * column), which `frontier()` below does.
+  * Scale shape: extraction + gate are map-only. The dedup decision runs
+  * over a NARROW (doc_id, dedup_url) projection through `Web.urlDedup`
+  * (its group/join shuffles carry only ids + keys; swap in
+  * `Web.urlDedupAtScale`'s md5_long layout at 100 TB), and the wide
+  * WebDoc rows join the keeper set once via a left-semi join on the
+  * UNIFORM doc_id key — the wide columns never shuffle on the skewed
+  * URL key (one viral canonical would be a hot key; doc_id is not).
+  *
+  * A pipeline needing corpus AND frontier should extract once and call
+  * the `*Extracted` variants on the shared output:
+  * {{{
+  *   val docs = HtmlExtract.extractAll(pages, pageUrlCol = Some("url")).toDF()
+  *   val corpus   = WebPrep.prepareExtracted(docs)
+  *   val frontier = WebPrep.frontierExtracted(docs)
+  * }}}
   */
 object WebPrep {
+
+  /** True when the canonical can anchor a cross-fetch merge: absolute
+    * (scheme-bearing) canonicals only — a relative one that could not be
+    * resolved (null page URL) would merge distinct sites declaring the
+    * same path.
+    */
+  private def absoluteCanonical = col("canonical") =!= "" &&
+    col("canonical").rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
 
   /** Extract + robots gate + canonical-priority dedup (see object doc). */
   def prepare(pages: DataFrame, idCol: String = "doc_id",
       htmlCol: String = "html", urlCol: String = "url",
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
-      : DataFrame = {
-    val docs = HtmlExtract
-      .extractAll(pages, idCol, htmlCol, Some(urlCol), failedAcc).toDF()
+      : DataFrame =
+    prepareExtracted(
+      HtmlExtract.extractAll(pages, idCol, htmlCol, Some(urlCol), failedAcc).toDF())
+
+  /** prepare() over an already-extracted `extractAll` output. */
+  def prepareExtracted(docs: DataFrame): DataFrame = {
     val live = docs.filter(!col("robots").contains("noindex"))
-    // frontier links are the widest column: drop them before the shuffle,
-    // join back only for the kept rows
-    val keyed = live
-      .withColumn("dedup_url", Web.canonicalUrl(
-        when(col("canonical") =!= "", col("canonical")).otherwise(col("url"))))
-    val keepers = keyed.select(col("doc_id"), col("dedup_url"))
-      .groupBy(col("dedup_url")).agg(min(col("doc_id")).as("keeper"))
-    keyed.join(keepers, Seq("dedup_url"))
-      .filter(col("doc_id") === col("keeper"))
-      .drop("keeper")
+    val keyed = live.withColumn("dedup_src",
+      when(absoluteCanonical, col("canonical")).otherwise(col("url")))
+    // narrow projection through the pinned null-safe dedup operator:
+    // rows whose key is null (no url, unresolvable canonical) stay their
+    // own keepers rather than vanishing through null-unsafe join equality
+    val decision = Web.urlDedup(
+      keyed.select(col("doc_id"), col("dedup_src").as("url")))
+    val keepers = decision.filter(col("keep"))
+      .select(col("doc_id"), col("canonical_url").as("dedup_url"))
+    // wide rows attach the decision once, on the uniform doc_id key
+    keyed.drop("dedup_src").join(keepers, Seq("doc_id"))
   }
 
   /** The crawl-frontier feed from the same pages: every out-link of
-    * every NON-noindex page (nofollow-all pages are also excluded),
-    * canonicalized and deduplicated — (url, first_seen_doc) rows ready
-    * to diff against the already-fetched set. Mirrors prepare()'s
-    * one-pass extraction; run either, or both on the same extractAll
-    * output if executing them together.
+    * every page not declaring `nofollow` (noindex pages DO contribute —
+    * they may be fetched for link discovery), canonicalized and
+    * deduplicated — (url, first_seen_doc) rows ready to diff against
+    * the already-fetched set.
     */
   def frontier(pages: DataFrame, idCol: String = "doc_id",
-      htmlCol: String = "html", urlCol: String = "url"): DataFrame = {
-    val docs = HtmlExtract
-      .extractAll(pages, idCol, htmlCol, Some(urlCol)).toDF()
-    docs.filter(!col("robots").contains("noindex") &&
-        !col("robots").contains("nofollow"))
+      htmlCol: String = "html", urlCol: String = "url",
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame =
+    frontierExtracted(
+      HtmlExtract.extractAll(pages, idCol, htmlCol, Some(urlCol), failedAcc).toDF())
+
+  /** frontier() over an already-extracted `extractAll` output. */
+  def frontierExtracted(docs: DataFrame): DataFrame =
+    docs.filter(!col("robots").contains("nofollow"))
       .select(col("doc_id"), explode(col("links")).as("l"))
       .select(col("doc_id"), Web.canonicalUrl(col("l.resolved")).as("url"))
       .groupBy(col("url")).agg(min(col("doc_id")).as("first_seen_doc"))
-  }
 }

@@ -262,14 +262,43 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(
       "a-desktop" -> "https://site.example/artikel/a1", // min doc_id keeper
       "d-plain" -> "https://plain.example/P"), out)
-    // frontier: only non-noindex/nofollow pages contribute, links are
-    // resolved + canonicalized + first-seen deduplicated
+    // frontier: noindex pages still contribute links (noindex forbids
+    // indexing, not link-following); only nofollow would gate them;
+    // links are resolved + canonicalized + first-seen deduplicated
     val fr = graft.pipeline.WebPrep.frontier(pages).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(fr == Map(
       "https://site.example/artikel/neu/seite" -> "a-desktop",
       "https://m.site.example/amp/neu/seite" -> "b-mirror",
+      "https://other.example/neu/seite" -> "c-noindex",
       "https://plain.example/neu/seite" -> "d-plain"), fr)
+    // nofollow DOES gate the frontier
+    val nf = Seq(("e", "<head><meta name=\"robots\" content=\"nofollow\"></head>" +
+      "<body><p><a href=\"/x\">l</a></p></body>", "https://nf.example/"))
+      .toDF("doc_id", "html", "url")
+    assert(graft.pipeline.WebPrep.frontier(nf).collect().isEmpty)
+    // shared-extraction variants == the all-in-one entry points
+    val docs = graft.html.HtmlExtract.extractAll(pages, pageUrlCol = Some("url")).toDF()
+    assert(graft.pipeline.WebPrep.prepareExtracted(docs).collect()
+      .map(r => r.getAs[String]("doc_id")).sorted.toSeq ==
+      Seq("a-desktop", "d-plain"))
+    assert(graft.pipeline.WebPrep.frontierExtracted(docs).collect()
+      .map(_.getString(0)).sorted.toSeq == fr.keys.toSeq.sorted)
+    // a null-url row with no canonical stays its own keeper (never
+    // silently vanishes through null-unsafe join equality)
+    val nullUrl = Seq(("n1", s"<body>$body</body>", null: String))
+      .toDF("doc_id", "html", "url")
+    val kept = graft.pipeline.WebPrep.prepare(nullUrl).collect()
+    assert(kept.length == 1 && kept.head.getAs[String]("doc_id") == "n1")
+    assert(kept.head.getAs[String]("dedup_url") == null)
+    // two sites declaring the SAME relative canonical with unknown fetch
+    // urls must NOT merge (host-ambiguous key refuses to anchor a merge)
+    val relCanon = Seq(
+      ("r1", "<head><link rel=\"canonical\" href=\"/index\"></head>" +
+        s"<body>$body</body>", null: String),
+      ("r2", "<head><link rel=\"canonical\" href=\"/index\"></head>" +
+        s"<body>$body</body>", null: String)).toDF("doc_id", "html", "url")
+    assert(graft.pipeline.WebPrep.prepare(relCanon).collect().length == 2)
   }
 
   test("stages without eval corpus or sampling: no such stage entries") {
