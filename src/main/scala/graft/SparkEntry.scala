@@ -487,9 +487,12 @@ object SparkEntry {
     }),
     // the composed web-ingest pipeline (WebPrep): one-pass extraction ->
     // robots gate -> canonical-priority URL dedup; the input carries TWO
-    // mirror fetches per page (desktop + amp-with-tracking), which the
-    // page-declared canonical collapses to one keeper — and the noindex
-    // seed subset vanishes entirely
+    // mirror fetches per page (desktop + amp-with-tracking). Pages with
+    // an ABSOLUTE canonical collapse to one keeper; the seed%3 subset
+    // declares its canonical RELATIVE, which resolves per-fetch-host and
+    // therefore does NOT merge (faithfully pinning why real sites
+    // declare canonicals absolute) — and the noindex seed subset
+    // vanishes entirely
     "x15_web_prep" -> ((s, dir) => {
       val sp = s
       import sp.implicits._

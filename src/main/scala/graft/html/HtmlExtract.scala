@@ -119,8 +119,9 @@ object HtmlExtract {
     * robots (noindex/nofollow gate web corpora before extraction), and
     * <base href> (the document's declared resolution base for relative
     * links — see resolveRef/extractLinks). Empty string = absent; first
-    * occurrence wins throughout (browser behavior for title and base;
-    * crawlers' convention for the rest).
+    * occurrence wins (browser behavior) — EXCEPT robots, where multiple
+    * meta tags union their comma-joined directives so the most
+    * restrictive applies (crawler convention).
     */
   final case class PageMeta(title: String, lang: String, canonical: String,
       description: String, robots: String, base: String)
@@ -467,9 +468,12 @@ object HtmlExtract {
               }
               i = found
             } else if (name == "head") {
-              inHead = !closing && !selfClosed
+              // literal head/body tags inside a skip container must not
+              // flip the head state either (same guard as the two
+              // auto-close paths)
+              if (skipDepth == 0) inHead = !closing && !selfClosed
             } else if (name == "body") {
-              inHead = false // head auto-closes, like a browser
+              if (skipDepth == 0) inHead = false // head auto-closes, like a browser
             } else if (name == "html" || name == "link" || name == "meta" ||
                 name == "base") {
               // page-metadata tags (all head-legal; first occurrence wins)
@@ -500,10 +504,17 @@ object HtmlExtract {
                     attrValue(attrs, "content")
                       .map(v => PyText.unescapeHtml(v).trim.replaceAll("\\s+", " "))
                       .filter(_.nonEmpty).foreach(metaDescription = _)
-                  else if (nm.contains("robots") && metaRobots.isEmpty)
+                  else if (nm.contains("robots"))
+                    // robots is NOT first-wins: multiple robots metas
+                    // union, so the most restrictive directive applies
+                    // (crawler convention) — token checks downstream see
+                    // every declared directive
                     attrValue(attrs, "content")
                       .map(_.trim.toLowerCase(java.util.Locale.ROOT))
-                      .filter(_.nonEmpty).foreach(metaRobots = _)
+                      .filter(_.nonEmpty).foreach { v =>
+                        metaRobots =
+                          if (metaRobots.isEmpty) v else metaRobots + "," + v
+                      }
               }
             } else if (ContainerSkipTags(name)) {
               if (closing) skipDepth = math.max(0, skipDepth - 1)
@@ -696,17 +707,24 @@ object HtmlExtract {
   /** ONE-pass kernel: spans + links + metadata from a single tokenize
     * (see extractAll).
     */
-  def extractAllRow(docId: String, html: String, pageUrl: String): WebDoc = {
-    val (bs, ls, imgs, meta) = tokenize(html)
-    val doc = assembleSpans(docId, bs, imgs)
+  /** THE one definition of per-link resolution (extractAllRow and
+    * extractLinks both call it — they can never diverge).
+    */
+  private def resolvedLinks(ls: Vector[(String, String)], meta: PageMeta,
+      pageUrl: String): Vector[LinkRow] = {
     val effectiveBase = effectiveBaseOf(meta, pageUrl)
-    val links = ls.zipWithIndex.map { case ((href, anchor), idx) =>
+    ls.zipWithIndex.map { case ((href, anchor), idx) =>
       LinkRow(idx, href, anchor,
         if (effectiveBase == null) href else resolveRef(effectiveBase, href))
     }
-    WebDoc(docId, doc.spans, doc.text, links, meta.title, meta.lang,
-      resolvedCanonical(meta, pageUrl), meta.description, meta.robots,
-      meta.base, pageUrl)
+  }
+
+  def extractAllRow(docId: String, html: String, pageUrl: String): WebDoc = {
+    val (bs, ls, imgs, meta) = tokenize(html)
+    val doc = assembleSpans(docId, bs, imgs)
+    WebDoc(docId, doc.spans, doc.text, resolvedLinks(ls, meta, pageUrl),
+      meta.title, meta.lang, resolvedCanonical(meta, pageUrl),
+      meta.description, meta.robots, meta.base, pageUrl)
   }
 
   /** The production web operator at 100 TB: [[extract]], [[extractLinks]]
@@ -810,13 +828,8 @@ object HtmlExtract {
             } else
               try {
                 val (_, ls, _, meta) = tokenize(html)
-                val effectiveBase = effectiveBaseOf(meta, pageUrl)
-                ls.iterator.zipWithIndex.map { case ((href, anchor), idx) =>
-                  val resolved =
-                    if (effectiveBase == null) href
-                    else resolveRef(effectiveBase, href)
-                  (id, idx, href, anchor, resolved)
-                }
+                resolvedLinks(ls, meta, pageUrl).iterator
+                  .map(l => (id, l.offset, l.href, l.anchor, l.resolved))
               } catch {
                 case scala.util.control.NonFatal(_) =>
                   failedAcc.foreach(_.add(1L)); Iterator.empty

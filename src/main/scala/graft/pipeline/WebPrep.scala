@@ -55,6 +55,16 @@ object WebPrep {
   private def absoluteCanonical = col("canonical") =!= "" &&
     col("canonical").rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
 
+  /** Robots DIRECTIVE check on the token level (the robots value is a
+    * comma/space-separated token list; a substring test would misread
+    * values like "nonelike"), including the standard `none` shorthand
+    * for noindex,nofollow.
+    */
+  private def robotsForbids(directive: String) = {
+    val toks = split(col("robots"), "[,\\s]+")
+    array_contains(toks, directive) || array_contains(toks, "none")
+  }
+
   /** Extract + robots gate + canonical-priority dedup (see object doc). */
   def prepare(pages: DataFrame, idCol: String = "doc_id",
       htmlCol: String = "html", urlCol: String = "url",
@@ -65,7 +75,7 @@ object WebPrep {
 
   /** prepare() over an already-extracted `extractAll` output. */
   def prepareExtracted(docs: DataFrame): DataFrame = {
-    val live = docs.filter(!col("robots").contains("noindex"))
+    val live = docs.filter(!robotsForbids("noindex"))
     val keyed = live.withColumn("dedup_src",
       when(absoluteCanonical, col("canonical")).otherwise(col("url")))
     // narrow projection through the pinned null-safe dedup operator:
@@ -94,7 +104,7 @@ object WebPrep {
 
   /** frontier() over an already-extracted `extractAll` output. */
   def frontierExtracted(docs: DataFrame): DataFrame =
-    docs.filter(!col("robots").contains("nofollow"))
+    docs.filter(!robotsForbids("nofollow"))
       .select(col("doc_id"), explode(col("links")).as("l"))
       .select(col("doc_id"), Web.canonicalUrl(col("l.resolved")).as("url"))
       .groupBy(col("url")).agg(min(col("doc_id")).as("first_seen_doc"))

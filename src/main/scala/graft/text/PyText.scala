@@ -241,8 +241,11 @@ object PyText {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
-    lines.map { l =>
+    lines.filter(_.nonEmpty).map { l =>
       val i = l.indexOf('\t')
+      // fail loudly AT LOAD on a malformed line, not with an opaque
+      // StringIndexOutOfBounds inside an executor task later
+      require(i > 0, s"malformed html5_entities.tsv line: '$l'")
       val sb = new StringBuilder
       var k = i + 1
       while (k < l.length) {

@@ -359,6 +359,17 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(!doc.text.contains("template text"), doc.text)
     assert(!doc.text.contains("seitentitel"))
     assert(doc.spans.forall(_.kind != "image"), doc.spans)
+    // literal <head>/<body> tags inside a skip container must not flip
+    // the head state either (same guard as the auto-close paths): a
+    // body-level template containing <head> leaves body extraction
+    // untouched, and its content never leaks
+    val literal = "<p>" + ("erster absatz worte laufen weiter hier " * 4) +
+      "</p><template><head>geister text</head></template><p>" +
+      ("zweiter absatz worte laufen wieder weiter " * 4) + "</p>"
+    val d2 = HtmlExtract.extractRow("d2", literal)
+    assert(d2.text.contains("erster absatz") && d2.text.contains("zweiter absatz"),
+      d2.text)
+    assert(!d2.text.contains("geister"), d2.text)
   }
 
   test("attrValue: quoted/unquoted/absent, delimiter-checked, case-insensitive") {

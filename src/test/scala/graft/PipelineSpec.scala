@@ -277,6 +277,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "<body><p><a href=\"/x\">l</a></p></body>", "https://nf.example/"))
       .toDF("doc_id", "html", "url")
     assert(graft.pipeline.WebPrep.frontier(nf).collect().isEmpty)
+    // robots "none" == noindex,nofollow: gated from BOTH surfaces; and a
+    // permissive first tag does not shadow a later restrictive one
+    // (multiple robots metas union - most restrictive wins)
+    val none = Seq(
+      ("f1", "<head><meta name=\"robots\" content=\"none\"></head>" +
+        s"<body>$body</body>", "https://n1.example/"),
+      ("f2", "<head><meta name=\"robots\" content=\"all\">" +
+        "<meta name=\"robots\" content=\"noindex\"></head>" +
+        s"<body>$body</body>", "https://n2.example/"))
+      .toDF("doc_id", "html", "url")
+    assert(graft.pipeline.WebPrep.prepare(none).collect().isEmpty)
+    assert(graft.pipeline.WebPrep.frontier(none).collect()
+      .map(_.getString(1)).toSeq == Seq("f2")) // f2: noindex but not nofollow
     // shared-extraction variants == the all-in-one entry points
     val docs = graft.html.HtmlExtract.extractAll(pages, pageUrlCol = Some("url")).toDF()
     assert(graft.pipeline.WebPrep.prepareExtracted(docs).collect()
