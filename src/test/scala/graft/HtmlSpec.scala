@@ -485,6 +485,31 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       Seq("avi", "bmp"))
   }
 
+  test("SpanMarkdown: unified span stream renders to training-shape markdown") {
+    import graft.assemble.SpanMarkdown
+    // CSV line parse is the exact inverse of the table-cell quoting
+    assert(SpanMarkdown.parseCsvLine("2025,\"Ein \"\"Zitat\"\"\",\"a,b\"") ==
+      Vector("2025", "Ein \"Zitat\"", "a,b"))
+    assert(SpanMarkdown.parseCsvLine("nur") == Vector("nur"))
+    assert(SpanMarkdown.parseCsvLine("a,,c") == Vector("a", "", "c"))
+    // full fixture page: headings leveled, lists dashed, tables piped,
+    // images as interleaved placeholders
+    val (id, html) = graft.fixtures.HtmlFixtures.corpus(1).head
+    val md = SpanMarkdown.render(HtmlExtract.extractRow(id, html).spans)
+    assert(md.contains("# "), md.take(200))      // h1
+    assert(md.contains("## "), md)               // h2
+    assert(md.split("\n").count(_.startsWith("- ")) == 3, md)
+    assert(md.contains("| Jahr | "), md)         // table header row piped
+    assert(md.contains("| --- | --- | --- |"), md)
+    assert(md.contains("![") && md.contains("](/media/"), md)
+    assert(!md.contains("\n\n\n"))
+    // cell round-trip through capture + render: a '|' in a cell is escaped
+    val tricky = "<p>" + ("kontext worte hier laufen weiter immer " * 4) +
+      "</p><table><tr><td>a|b</td><td>c</td></tr></table>"
+    val md2 = SpanMarkdown.render(HtmlExtract.extractRow("t", tricky).spans)
+    assert(md2.contains("| a\\|b | c |"), md2)
+  }
+
   test("fixture corpus: every page keeps its article, drops its chrome") {
     graft.fixtures.HtmlFixtures.corpus(10).foreach { case (id, html) =>
       val doc = HtmlExtract.extractRow(id, html)
