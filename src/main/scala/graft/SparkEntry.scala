@@ -485,6 +485,19 @@ object SparkEntry {
           graft.ops.Web.canonicalUrl(col("resolved")))
         .orderBy(col("doc_id"), col("offset"))
     }),
+    // markdown rendering of the unified span stream (SpanMarkdown): the
+    // training-text shape — leveled headings, dashed lists, pipe tables
+    // from the CSV captures, ![alt](ref) image placeholders — frozen
+    // over the HTML fixture corpus (the kind-richest span streams)
+    "x16_markdown" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val pages = sp.createDataset(graft.fixtures.HtmlFixtures.corpus(40))
+        .toDF("doc_id", "html")
+      graft.assemble.SpanMarkdown.renderDocs(
+        graft.html.HtmlExtract.extract(pages).toDF())
+        .orderBy(col("doc_id"))
+    }),
     // the composed web-ingest pipeline (WebPrep): one-pass extraction ->
     // robots gate -> canonical-priority URL dedup; the input carries TWO
     // mirror fetches per page (desktop + amp-with-tracking). Pages with
