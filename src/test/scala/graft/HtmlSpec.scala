@@ -508,6 +508,16 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "</p><table><tr><td>a|b</td><td>c</td></tr></table>"
     val md2 = SpanMarkdown.render(HtmlExtract.extractRow("t", tricky).spans)
     assert(md2.contains("| a\\|b | c |"), md2)
+    // the PDF kernel's span stream renders through the same function:
+    // its heading spans carry no hN level (level-1 '#', matching
+    // DocumentOutput.text(markdown=true)'s minimalism), bodies verbatim
+    val pdfDoc = graft.extract.Extractor.extractRow(
+      graft.fixtures.Fixtures.flagshipDoc, graft.reflow.ExtractConfig())
+    val md3 = SpanMarkdown.render(pdfDoc.spans)
+    assert(md3.nonEmpty)
+    assert(pdfDoc.spans.forall(s => s.kind != "heading") ||
+      md3.linesIterator.exists(_.startsWith("# ")), md3.take(200))
+    assert(!md3.contains("\n\n\n"))
   }
 
   test("fixture corpus: every page keeps its article, drops its chrome") {
