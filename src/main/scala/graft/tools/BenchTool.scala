@@ -68,6 +68,7 @@ object BenchTool {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "kernel" :: _ => kernel()
+    case "htmlkernel" :: _ => htmlKernel()
     case "sparkscale" :: _ => sparkScale()
     case "scan" :: _ => scan()
     case "deser" :: _ => deser()
@@ -107,6 +108,43 @@ object BenchTool {
       }
       pool.shutdown()
       println(f"[kernel] threads=$threads%2d wall=$wall%.2f s docs/sec=${n / wall}%.0f")
+    }
+  }
+
+  /** HTML-kernel (extractAllRow: tokenize + classify + links + meta)
+    * thread scaling without Spark — the web-side twin of `kernel`,
+    * backing the map-only scaling claim for the HTML path.
+    */
+  private def htmlKernel(): Unit = {
+    val pages = graft.fixtures.HtmlFixtures.corpus(60000).toArray
+    val n = pages.length
+    pages.take(4000).foreach { case (id, html) =>
+      graft.html.HtmlExtract.extractAllRow(id, html, s"https://f.example/$id")
+    } // JIT warmup
+    levels("1,4,16,32").foreach { threads =>
+      def once(): Double = {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        val idx = new java.util.concurrent.atomic.AtomicInteger(0)
+        val wall = timed {
+          (0 until threads).map { _ =>
+            pool.submit(new Runnable {
+              def run(): Unit = {
+                var i = idx.getAndIncrement()
+                while (i < n) {
+                  val (id, html) = pages(i)
+                  graft.html.HtmlExtract.extractAllRow(id, html,
+                    s"https://f.example/$id")
+                  i = idx.getAndIncrement()
+                }
+              }
+            })
+          }.foreach(_.get())
+        }
+        pool.shutdown()
+        n / wall
+      }
+      val best = Seq(once(), once()).max
+      println(f"[htmlkernel] threads=$threads%2d best pages/sec=$best%.0f")
     }
   }
 
