@@ -508,6 +508,18 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "</p><table><tr><td>a|b</td><td>c</td></tr></table>"
     val md2 = SpanMarkdown.render(HtmlExtract.extractRow("t", tricky).spans)
     assert(md2.contains("| a\\|b | c |"), md2)
+    // the operator face runs distributed and matches the kernel per doc
+    val sp = spark
+    sparkUsed = true
+    import sp.implicits._
+    val pages = sp.createDataset(graft.fixtures.HtmlFixtures.corpus(3))
+      .toDF("doc_id", "html")
+    val docs = HtmlExtract.extract(pages).toDF()
+    val viaOp = SpanMarkdown.renderDocs(docs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    HtmlExtract.extract(pages).collect().foreach { d =>
+      assert(viaOp(d.doc_id) == SpanMarkdown.render(d.spans), d.doc_id)
+    }
     // the PDF kernel's span stream renders through the same function:
     // its heading spans carry no hN level (level-1 '#', matching
     // DocumentOutput.text(markdown=true)'s minimalism), bodies verbatim

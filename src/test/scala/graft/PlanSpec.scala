@@ -110,9 +110,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "html")
     val p = plan(graft.html.HtmlExtract.extract(pages).toDF())
     assert(!p.contains("Exchange"), p)
-    // the out-link operator is the same map-only shape
-    val pl = plan(graft.html.HtmlExtract.extractLinks(pages))
-    assert(!pl.contains("Exchange"), pl)
+    // the out-link / metadata / one-pass / markdown operators are the
+    // same map-only shape
+    val withUrl = pages.withColumn("url",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("https://f.example/"),
+        org.apache.spark.sql.functions.col("doc_id")))
+    Seq(
+      graft.html.HtmlExtract.extractLinks(pages),
+      graft.html.HtmlExtract.extractPageMeta(withUrl, pageUrlCol = Some("url")),
+      graft.html.HtmlExtract.extractAll(withUrl, pageUrlCol = Some("url")).toDF(),
+      graft.assemble.SpanMarkdown.renderDocs(
+        graft.html.HtmlExtract.extract(pages).toDF())
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), p)
+    }
   }
 
   test("urlDedupAtScale: aggregation + join keyed on md5_long, not URL strings") {
