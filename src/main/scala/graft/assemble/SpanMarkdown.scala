@@ -67,18 +67,25 @@ object SpanMarkdown {
       mediaRef.charAt(1) - '0'
     else 1
 
-  /** One document's spans (emission order) -> markdown. */
+  /** One document's spans (emission order) -> markdown. Null cells from
+    * EXTERNAL span tables (our kernels never emit them) render as empty
+    * rather than NPE-ing the pass.
+    */
   def render(spans: Seq[Span]): String = {
     val blocks = spans.map { s =>
+      val text = if (s.text == null) "" else s.text
+      val ref = if (s.media_ref == null) "" else s.media_ref
       s.kind match {
-        case "heading" => "#" * headingLevel(s.media_ref) + " " + s.text
-        case "list" => "- " + s.text
-        case "table" => tableMarkdown(s.text)
-        case "image" => s"![${s.text}](${s.media_ref})"
-        case _ => s.text
+        case "heading" => "#" * headingLevel(s.media_ref) + " " + text
+        case "list" => "- " + text
+        case "table" => if (text.isEmpty) "" else tableMarkdown(text)
+        case "image" => s"![$text]($ref)"
+        case _ => text
       }
     }
-    blocks.mkString("\n\n").replaceAll("\n{3,}", "\n\n")
+    // empty blocks (null/empty external cells) drop rather than leaving
+    // stray blank paragraphs
+    blocks.filter(_.nonEmpty).mkString("\n\n").replaceAll("\n{3,}", "\n\n")
   }
 
   /** Operator face: (doc_id, markdown) from any extracted-doc frame with

@@ -527,6 +527,11 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       graft.fixtures.Fixtures.flagshipDoc, graft.reflow.ExtractConfig())
     val md3 = SpanMarkdown.render(pdfDoc.spans)
     assert(md3.nonEmpty)
+    // null cells from external span tables render empty, never NPE
+    import graft.model.Span
+    assert(SpanMarkdown.render(Seq(
+      Span("table", null, null, 0), Span("heading", null, null, 1),
+      Span("image", null, null, 2))) == "# \n\n![]()")
     assert(pdfDoc.spans.forall(s => s.kind != "heading") ||
       md3.linesIterator.exists(_.startsWith("# ")), md3.take(200))
     assert(!md3.contains("\n\n\n"))
