@@ -238,6 +238,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 6, s"expected the near-dup page dropped, got $n of 7")
   }
 
+  test("full raw-web path: WebPrep (url dedup) -> CorpusPrep (content dedup) compose") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    graft.functions.GraftFunctions.register(sp)
+    val base = graft.fixtures.HtmlFixtures.corpus(6)
+    // three duplicate classes: (1) a mirror FETCH of page 0 under a new
+    // url — caught by WebPrep's canonical dedup (same absolute canonical,
+    // seed 43 => not the relative-canonical subset); (2) a content CLONE
+    // of page 1 under its own id+canonical — passes url dedup, caught by
+    // CorpusPrep's near-dedup; (3) four distinct pages
+    val (id1, html1) = base(1)
+    val pages = (base.map { case (id, h) =>
+      (s"$id-a", h, s"https://fetch.example/seite/$id") } ++ Seq(
+      (s"${base.head._1}-mirror", base.head._2,
+        s"https://m.fetch.example/amp/${base.head._1}"),
+      ("clone-b", html1.replace(id1, "clone-b"),
+        "https://fetch.example/seite/clone-b")))
+      .toDF("doc_id", "html", "url")
+    val kept = graft.pipeline.WebPrep.prepare(pages)
+    val docs = kept
+      .select(col("doc_id").as("doc_id_str"), col("text"))
+      .withColumn("doc_id", call_function("md5_long", col("doc_id_str")))
+      .withColumn("lang", lit("de"))
+      .select("doc_id", "text", "lang")
+    val out = CorpusPrep.prepare(docs, None, CorpusPrep.PrepConfig(
+      quality = None,
+      nearDedup = Some(Dedup.MinHashParams(bands = 32, jaccardThreshold = 0.5))))
+    // WebPrep: the noindex seed page (web-00003, seed 45) is gated out
+    // (8 -> 7). Page 0 (seed 42) declares a RELATIVE canonical, which
+    // resolves per-fetch-host, so its mirror does NOT merge at the URL
+    // layer — but its content is identical, so CorpusPrep's dedup
+    // removes it; the clone falls to near-dedup: 5 survive
+    assert(kept.count() == 7, s"webprep kept ${kept.count()}")
+    val n = out.count()
+    assert(n == 5, s"expected 5 survivors, got $n")
+  }
+
   test("WebPrep: robots gate, canonical mirror-collapse, frontier feed") {
     val sp = spark
     import sp.implicits._
