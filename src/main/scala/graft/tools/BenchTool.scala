@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   * Commands (all read the graft.Bench corpus under target/bench unless
   * noted; override levels via PROBE_LEVELS):
   *  - kernel      raw extraction-kernel thread scaling, no Spark
+  *  - htmlkernel  web-kernel (extractAllRow) thread scaling, no Spark
   *  - sparkscale  pure-CPU Spark task scaling (no IO, no encoders)
   *  - scan        parquet scan scaling, nested-vectorized on/off
   *  - deser       parquet-read vs encoder-deserialization split
@@ -84,7 +85,36 @@ object BenchTool {
     case other => sys.error(s"unknown BenchTool command: $other (see scaladoc)")
   }
 
-  /** Raw kernel thread-scaling without Spark. */
+  /** Shared thread-scaling harness for the no-Spark kernel probes: a
+    * fixed pool work-steals item indices via one AtomicInteger; best-of-2
+    * per level; the pool always shuts down (even when a task throws).
+    * Returns docs-or-pages/sec per level and prints one line each.
+    */
+  private def threadScale(tag: String, n: Int, defaultLevels: String)(
+      work: Int => Unit): Unit =
+    levels(defaultLevels).foreach { threads =>
+      def once(): Double = {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        try {
+          val idx = new java.util.concurrent.atomic.AtomicInteger(0)
+          val wall = timed {
+            (0 until threads).map { _ =>
+              pool.submit(new Runnable {
+                def run(): Unit = {
+                  var i = idx.getAndIncrement()
+                  while (i < n) { work(i); i = idx.getAndIncrement() }
+                }
+              })
+            }.foreach(_.get())
+          }
+          n / wall
+        } finally pool.shutdown()
+      }
+      val best = Seq(once(), once()).max
+      println(f"[$tag] threads=$threads%2d best items/sec=$best%.0f")
+    }
+
+  /** Raw extraction-kernel thread-scaling without Spark. */
   private def kernel(): Unit = {
     val n = 20000
     val docs = (0 until n).map { i =>
@@ -93,22 +123,7 @@ object BenchTool {
     }.toArray
     val cfg = ExtractConfig()
     docs.take(4000).foreach(d => Extractor.extractRow(d, cfg)) // warmup
-    levels("1,4,16,32").foreach { threads =>
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-      val idx = new java.util.concurrent.atomic.AtomicInteger(0)
-      val wall = timed {
-        (0 until threads).map { _ =>
-          pool.submit(new Runnable {
-            def run(): Unit = {
-              var i = idx.getAndIncrement()
-              while (i < n) { Extractor.extractRow(docs(i), cfg); i = idx.getAndIncrement() }
-            }
-          })
-        }.foreach(_.get())
-      }
-      pool.shutdown()
-      println(f"[kernel] threads=$threads%2d wall=$wall%.2f s docs/sec=${n / wall}%.0f")
-    }
+    threadScale("kernel", n, "1,4,16,32")(i => Extractor.extractRow(docs(i), cfg))
   }
 
   /** HTML-kernel (extractAllRow: tokenize + classify + links + meta)
@@ -121,30 +136,9 @@ object BenchTool {
     pages.take(4000).foreach { case (id, html) =>
       graft.html.HtmlExtract.extractAllRow(id, html, s"https://f.example/$id")
     } // JIT warmup
-    levels("1,4,16,32").foreach { threads =>
-      def once(): Double = {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-        val idx = new java.util.concurrent.atomic.AtomicInteger(0)
-        val wall = timed {
-          (0 until threads).map { _ =>
-            pool.submit(new Runnable {
-              def run(): Unit = {
-                var i = idx.getAndIncrement()
-                while (i < n) {
-                  val (id, html) = pages(i)
-                  graft.html.HtmlExtract.extractAllRow(id, html,
-                    s"https://f.example/$id")
-                  i = idx.getAndIncrement()
-                }
-              }
-            })
-          }.foreach(_.get())
-        }
-        pool.shutdown()
-        n / wall
-      }
-      val best = Seq(once(), once()).max
-      println(f"[htmlkernel] threads=$threads%2d best pages/sec=$best%.0f")
+    threadScale("htmlkernel", n, "1,4,16,32") { i =>
+      val (id, html) = pages(i)
+      graft.html.HtmlExtract.extractAllRow(id, html, s"https://f.example/$id"): Unit
     }
   }
 

@@ -492,6 +492,10 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       Vector("2025", "Ein \"Zitat\"", "a,b"))
     assert(SpanMarkdown.parseCsvLine("nur") == Vector("nur"))
     assert(SpanMarkdown.parseCsvLine("a,,c") == Vector("a", "", "c"))
+    // quote-aware at the ROW level too: a quoted cell may contain
+    // newlines (legal in the PDF side's Parsr pass-through tables)
+    assert(SpanMarkdown.parseCsv("a,\"x\ny\"\nb,c") ==
+      Vector(Vector("a", "x\ny"), Vector("b", "c")))
     // full fixture page: headings leveled, lists dashed, tables piped,
     // images as interleaved placeholders
     val (id, html) = graft.fixtures.HtmlFixtures.corpus(1).head
@@ -499,8 +503,11 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(md.contains("# "), md.take(200))      // h1
     assert(md.contains("## "), md)               // h2
     assert(md.split("\n").count(_.startsWith("- ")) == 3, md)
-    assert(md.contains("| Jahr | "), md)         // table header row piped
+    assert(md.contains("| Jahr | "), md)         // the REAL header row
     assert(md.contains("| --- | --- | --- |"), md)
+    // the single-cell <caption> row renders as an italic caption line
+    // ABOVE the table, not as a bogus header
+    assert("\\*[^*\n]+\\*\n\n\\| Jahr \\|".r.findFirstIn(md).isDefined, md)
     assert(md.contains("![") && md.contains("](/media/"), md)
     assert(!md.contains("\n\n\n"))
     // cell round-trip through capture + render: a '|' in a cell is escaped

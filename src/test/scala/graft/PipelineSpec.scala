@@ -271,7 +271,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // resolves per-fetch-host, so its mirror does NOT merge at the URL
     // layer — but its content is identical, so CorpusPrep's dedup
     // removes it; the clone falls to near-dedup: 5 survive
-    assert(kept.count() == 7, s"webprep kept ${kept.count()}")
+    val nKept = kept.count()
+    assert(nKept == 7, s"webprep kept $nKept")
     val n = out.count()
     assert(n == 5, s"expected 5 survivors, got $n")
   }
