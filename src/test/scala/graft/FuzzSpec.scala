@@ -177,6 +177,13 @@ class FuzzSpec extends AnyFunSuite {
         graft.html.HtmlExtract.pageMeta(soup), soup)
       assert(graft.html.HtmlExtract.links(soup) ==
         graft.html.HtmlExtract.links(soup), soup)
+      // the one-pass row (incl. RFC 3986 resolution over fuzz hrefs and
+      // markdown rendering of the result) is total + deterministic
+      val w1 = graft.html.HtmlExtract.extractAllRow("f", soup, "https://f.x/a/b?q=1")
+      val w2 = graft.html.HtmlExtract.extractAllRow("f", soup, "https://f.x/a/b?q=1")
+      assert(w1 == w2, soup)
+      assert(graft.assemble.SpanMarkdown.render(w1.spans) ==
+        graft.assemble.SpanMarkdown.render(w2.spans), soup)
       // feature sanity on every block of every soup
       graft.html.HtmlExtract.blocks(soup).foreach { b =>
         assert(b.words >= 0 && b.linkWords >= 0 && b.linkWords <= b.words, soup)

@@ -275,6 +275,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nKept == 7, s"webprep kept $nKept")
     val n = out.count()
     assert(n == 5, s"expected 5 survivors, got $n")
+    // the keeper choice is deterministic: a second run keeps the SAME ids
+    val ids1 = kept.select("doc_id").collect().map(_.getString(0)).sorted.toSeq
+    val ids2 = graft.pipeline.WebPrep.prepare(pages)
+      .select("doc_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids1 == ids2)
   }
 
   test("WebPrep: robots gate, canonical mirror-collapse, frontier feed") {
