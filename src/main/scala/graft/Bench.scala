@@ -303,16 +303,30 @@ object Bench {
     var gateSpentMs = 0L
     var probeBest = 0.0
     var probeCount = 0
+    var probeSeed: Option[Double] = None // first-invocation seed (see below)
     def waitForQuietWindow(): Unit = {
-      // absolute reference: prior probe history; first invocation after
-      // this key's introduction falls back to the full-corpus kernel
-      // history (docs/s at n=4000 vs 20000 is within a few % — pool
-      // startup is sub-ms). With NO history of either kind this returns
-      // immediately: gating is skipped entirely for that round (the
-      // plateau rule needs probes this loop would have taken)
+      // absolute reference: prior probe history. With NO history at all
+      // this returns immediately: gating is skipped entirely for that
+      // round (the plateau rule needs probes this loop would have
+      // taken). On the FIRST invocation after this key's introduction
+      // (full-corpus kernel.n history exists but no probe history) the
+      // n=4000 probe must NOT be compared against the n=20000 kernel
+      // number — per-doc cost across corpus sizes can differ by more
+      // than the quietFrac margin and spuriously read the host as loud,
+      // burning budget/4 backing off. Seed with one ungated probe and
+      // gate subsequent probes against that.
       val best = histAtStart.get(s"kernelprobe$probeN.n$probeLevel")
-        .orElse(histAtStart.get(s"kernel.n$probeLevel"))
-        .getOrElse(return)
+        .orElse(probeSeed)
+        .getOrElse {
+          if (histAtStart.get(s"kernel.n$probeLevel").isEmpty) return
+          val t0 = System.currentTimeMillis()
+          val k0 = kernelCalibration(Seq(probeLevel), n = probeN)(probeLevel)
+          probeBest = math.max(probeBest, k0)
+          probeCount += 1
+          probeSeed = Some(k0)
+          gateSpentMs += System.currentTimeMillis() - t0
+          k0
+        }
       while (System.currentTimeMillis() - tBudget < budgetMs &&
           gateSpentMs < budgetMs / 4) {
         val t0 = System.currentTimeMillis()

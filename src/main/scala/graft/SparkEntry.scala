@@ -295,18 +295,21 @@ object SparkEntry {
     "q35_pack_sequences" -> ((s, dir) =>
       Corpus.packSequences(table(s, dir, "documents"), seqLen = 512,
         nShards = 4).orderBy(col("doc_id"))),
-    // URL canonicalization + dedup: five URL variants per page group
+    // URL canonicalization + dedup: six URL variants per page group
     // (tracking params / :443 / fragment / case+trailing-slash must
-    // collapse; a real query param must NOT) synthesized in-query; the
-    // oracle re-derives the canonical form with DuckDB's regex engine
+    // collapse; a real query param must NOT; a userinfo URL must strip
+    // its default port too, without case-folding the credentials)
+    // synthesized in-query; the oracle re-derives the canonical form
+    // with DuckDB's regex engine
     "q36_url_dedup" -> ((s, dir) => {
-      val grp = floor(col("doc_id") / 5).cast("long").cast("string")
-      val k = pmod(col("doc_id"), lit(5))
+      val grp = floor(col("doc_id") / 6).cast("long").cast("string")
+      val k = pmod(col("doc_id"), lit(6))
       val url = when(k === 0, concat(lit("http://Example"), grp,
           lit(".com/Path/p?utm_source=x&utm_medium=y")))
         .when(k === 1, concat(lit("https://example"), grp, lit(".com:443/Path/p")))
         .when(k === 2, concat(lit("https://example"), grp, lit(".com/Path/p#section-2")))
         .when(k === 3, concat(lit("HTTPS://EXAMPLE"), grp, lit(".com/Path/p/")))
+        .when(k === 4, concat(lit("https://User:Pw@example"), grp, lit(".com:443/Path/p")))
         .otherwise(concat(lit("https://example"), grp, lit(".com/Path/p?id=7")))
       Web.urlDedup(table(s, dir, "documents").select(col("doc_id"))
         .withColumn("url", url)).orderBy(col("doc_id"))
@@ -843,12 +846,13 @@ object SparkEntry {
     "q36_url_dedup" ->
       """WITH u AS (
         |  SELECT doc_id,
-        |    CASE CAST(doc_id % 5 AS INTEGER)
-        |      WHEN 0 THEN 'http://Example' || CAST(doc_id // 5 AS VARCHAR) || '.com/Path/p?utm_source=x&utm_medium=y'
-        |      WHEN 1 THEN 'https://example' || CAST(doc_id // 5 AS VARCHAR) || '.com:443/Path/p'
-        |      WHEN 2 THEN 'https://example' || CAST(doc_id // 5 AS VARCHAR) || '.com/Path/p#section-2'
-        |      WHEN 3 THEN 'HTTPS://EXAMPLE' || CAST(doc_id // 5 AS VARCHAR) || '.com/Path/p/'
-        |      ELSE 'https://example' || CAST(doc_id // 5 AS VARCHAR) || '.com/Path/p?id=7' END AS url
+        |    CASE CAST(doc_id % 6 AS INTEGER)
+        |      WHEN 0 THEN 'http://Example' || CAST(doc_id // 6 AS VARCHAR) || '.com/Path/p?utm_source=x&utm_medium=y'
+        |      WHEN 1 THEN 'https://example' || CAST(doc_id // 6 AS VARCHAR) || '.com:443/Path/p'
+        |      WHEN 2 THEN 'https://example' || CAST(doc_id // 6 AS VARCHAR) || '.com/Path/p#section-2'
+        |      WHEN 3 THEN 'HTTPS://EXAMPLE' || CAST(doc_id // 6 AS VARCHAR) || '.com/Path/p/'
+        |      WHEN 4 THEN 'https://User:Pw@example' || CAST(doc_id // 6 AS VARCHAR) || '.com:443/Path/p'
+        |      ELSE 'https://example' || CAST(doc_id // 6 AS VARCHAR) || '.com/Path/p?id=7' END AS url
         |  FROM documents
         |), c1 AS (
         |  SELECT doc_id,
@@ -861,7 +865,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    regexp_replace(
         |      regexp_replace(regexp_replace(u, '#.*$', ''), '^http://', 'https://'),
-        |      '^(https://[^/?#:]+):(80|443)([/?#]|$)', '\1\3') AS u
+        |      '^(https://(?:[^/?#]*@)?[^/?#:@]+):(80|443)([/?#]|$)', '\1\3') AS u
         |  FROM c1
         |), c5 AS (
         |  SELECT doc_id,

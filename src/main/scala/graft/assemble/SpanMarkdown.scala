@@ -34,7 +34,11 @@ object SpanMarkdown {
     val sb = new StringBuilder
     var i = 0
     var inQ = false
-    def endCell(): Unit = { row += sb.toString; sb.setLength(0) }
+    // a quote OPENS a quoted cell only at cell start — external (non-RFC-
+    // 4180) CSV like `5" nail,x` keeps its bare mid-cell quote literal
+    // instead of silently swallowing the delimiter and merging cells
+    var cellStarted = false
+    def endCell(): Unit = { row += sb.toString; sb.setLength(0); cellStarted = false }
     def endRow(): Unit = { endCell(); rows += row.result(); row.clear() }
     while (i < text.length) {
       val c = text.charAt(i)
@@ -45,10 +49,10 @@ object SpanMarkdown {
           } else inQ = false
         } else sb.append(c)
       } else c match {
-        case '"' => inQ = true
+        case '"' if !cellStarted => inQ = true; cellStarted = true
         case ',' => endCell()
         case '\n' => endRow()
-        case _ => sb.append(c)
+        case _ => sb.append(c); cellStarted = true
       }
       i += 1
     }

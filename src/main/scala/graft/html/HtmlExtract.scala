@@ -535,14 +535,21 @@ object HtmlExtract {
             } else if (BlockTags(name)) {
               flush()
               if (tableDepth > 0) {
+                // heading AND list bookkeeping are both suppressed while
+                // a table capture is open — an unclosed <ul> inside a
+                // captured table must not leave listDepth elevated (and
+                // tag every later body block "list") for the rest of the
+                // document
                 if (!closing && name == "tr") tableRowIdx += 1
-              } else if (!closing && name.length == 2 && name.charAt(0) == 'h' &&
-                  name.charAt(1) >= '1' && name.charAt(1) <= '6')
-                headingLevel = name.charAt(1) - '0'
-              else headingLevel = 0 // any other block boundary ends a heading
-              if (name == "ul" || name == "ol") {
-                if (closing) listDepth = math.max(0, listDepth - 1)
-                else if (!selfClosed) listDepth += 1
+              } else {
+                if (!closing && name.length == 2 && name.charAt(0) == 'h' &&
+                    name.charAt(1) >= '1' && name.charAt(1) <= '6')
+                  headingLevel = name.charAt(1) - '0'
+                else headingLevel = 0 // any other block boundary ends a heading
+                if (name == "ul" || name == "ol") {
+                  if (closing) listDepth = math.max(0, listDepth - 1)
+                  else if (!selfClosed) listDepth += 1
+                }
               }
             } else if (name == "img") {
               // (inHead is necessarily false here: <img> is not

@@ -49,7 +49,11 @@ object Web {
       regexp_replace(u0, headPat, ""))
     val u2 = regexp_replace(u1, "#.*$", "")
     val u3 = regexp_replace(u2, "^http://", "https://")
-    val u4 = regexp_replace(u3, "^(https://[^/?#:]+):(80|443)([/?#]|$)", "$1$3")
+    // optional userinfo before the host: userinfo may itself contain ':'
+    // (user:pw@host:443), so the host match must start AFTER the last '@'
+    // of the authority or the ':443' in a userinfo URL never strips
+    val u4 = regexp_replace(u3,
+      "^(https://(?:[^/?#]*@)?[^/?#:@]+):(80|443)([/?#]|$)", "$1$3")
     val trackPat = "([?&])(utm_[a-zA-Z0-9]+|fbclid|gclid)=[^&#]*&?"
     val u5 = regexp_replace(regexp_replace(regexp_replace(
       u4, trackPat, "$1"), trackPat, "$1"), trackPat, "$1")

@@ -61,7 +61,10 @@ object WebPrep {
     * for noindex,nofollow.
     */
   private def robotsForbids(directive: String) = {
-    val toks = split(col("robots"), "[,\\s]+")
+    // null robots (external frames that never ran extractAll, which
+    // always emits "") must read as 'no directives', not NULL — a NULL
+    // here would make filter(!robotsForbids) silently drop the row
+    val toks = split(coalesce(col("robots"), lit("")), "[,\\s]+")
     array_contains(toks, directive) || array_contains(toks, "none")
   }
 

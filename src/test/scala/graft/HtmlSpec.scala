@@ -430,6 +430,16 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(doc.spans.count(_.kind == "list") == 2,
       doc.spans.map(s => (s.kind, s.text.take(15))))
     assert(doc.spans.head.kind == "body")
+    // an UNCLOSED <ul> inside a captured table (common in real markup)
+    // must not leak list depth past the table: the following paragraph
+    // is body, not list
+    val leaky = "<table><tr><td><ul><li>punkt im feld</li></td></tr></table>" +
+      "<p>" + ("danach laufen die worte des textes ganz normal weiter " * 4) + "</p>"
+    val doc2 = HtmlExtract.extractRow("d2", leaky)
+    assert(doc2.spans.exists(_.kind == "body"),
+      doc2.spans.map(s => (s.kind, s.text.take(15))))
+    assert(!doc2.spans.exists(_.kind == "list"),
+      doc2.spans.map(s => (s.kind, s.text.take(15))))
   }
 
   test("extractAll: one tokenize pass == the three single-surface operators, field for field") {
@@ -492,6 +502,12 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       Vector("2025", "Ein \"Zitat\"", "a,b"))
     assert(SpanMarkdown.parseCsvLine("nur") == Vector("nur"))
     assert(SpanMarkdown.parseCsvLine("a,,c") == Vector("a", "", "c"))
+    // external (non-RFC-4180) CSV — PDF-side Parsr pass-through tables:
+    // a bare quote mid-cell is literal, it must NOT open a quoted run
+    // and swallow the delimiter
+    assert(SpanMarkdown.parseCsvLine("5\" nagel,x") == Vector("5\" nagel", "x"))
+    assert(SpanMarkdown.parseCsv("a\"b\nc,d") ==
+      Vector(Vector("a\"b"), Vector("c", "d")))
     // quote-aware at the ROW level too: a quoted cell may contain
     // newlines (legal in the PDF side's Parsr pass-through tables)
     assert(SpanMarkdown.parseCsv("a,\"x\ny\"\nb,c") ==

@@ -356,6 +356,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("r2", "<head><link rel=\"canonical\" href=\"/index\"></head>" +
         s"<body>$body</body>", null: String)).toDF("doc_id", "html", "url")
     assert(graft.pipeline.WebPrep.prepare(relCanon).collect().length == 2)
+    // EXTERNAL extracted frames may carry NULL robots (extractAll always
+    // emits ""); null must read as 'no directives', not silently drop the
+    // page from corpus and frontier
+    val extNull = docs.withColumn("robots",
+      org.apache.spark.sql.functions.lit(null).cast("string"))
+    assert(graft.pipeline.WebPrep.prepareExtracted(extNull).collect()
+      .map(r => r.getAs[String]("doc_id")).sorted.toSeq ==
+      Seq("a-desktop", "c-noindex", "d-plain")) // noindex info lost with robots=null
+    assert(graft.pipeline.WebPrep.frontierExtracted(extNull).collect()
+      .map(_.getString(0)).sorted.toSeq == fr.keys.toSeq.sorted)
   }
 
   test("stages without eval corpus or sampling: no such stage entries") {
