@@ -463,6 +463,20 @@ object SparkEntry {
       explodedSpans(graft.html.HtmlExtract.extract(pages).toDF())
         .orderBy(col("doc_id"), col("offset"))
     }),
+    // byte-level ingest (crawl-native input): the same extraction surface
+    // as x11, but fed raw BYTES through the charset-sniffing ladder — a
+    // mixed-encoding corpus (UTF-8 / 1252-mislabeled-as-latin1 / BOM'd /
+    // meta-declared / undeclared); every variant must decode to spans
+    // identical to the string path, which the frozen golden pins
+    "x17_bytes_ingest" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val pages = sp.createDataset(graft.fixtures.HtmlFixtures.bytesCorpus(40))
+        .toDF("doc_id", "html_bytes", "content_type")
+      explodedSpans(graft.html.HtmlExtract.extractBytes(pages,
+        htmlCol = "html_bytes", contentTypeCol = Some("content_type")).toDF())
+        .orderBy(col("doc_id"), col("offset"))
+    }),
     // LM scoring over the FIXTURE corpus (verdict r3 item 2): the same
     // Corpus.perplexityFilter as q34, but fixture-fed so the XGolden
     // freeze applies — retires the pipeline's last rows-only gate entry
@@ -523,6 +537,29 @@ object SparkEntry {
           size(col("spans")).cast("int").as("n_spans"),
           size(col("links")).cast("int").as("n_links"))
         .orderBy(col("doc_id"))
+    }),
+    // RFC 9309 robots.txt frontier gate: the fixture frontier (out-links
+    // of the synthetic corpus, canonicalized + first-seen-deduped) gated
+    // by a per-host rules table for a version-suffixed crawler token —
+    // pins group selection (specific group EXCLUDES the deny-all *
+    // group), wildcard + longest-match-allow evaluation, and the
+    // no-robots-row-passes contract, frozen for the whole frontier
+    "x18_robots_frontier" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val pages = sp.createDataset(graft.fixtures.HtmlFixtures.corpus(30))
+        .toDF("doc_id", "html")
+        .withColumn("url",
+          concat(lit("https://fetch.example/seite/"), col("doc_id")))
+      val frontier = graft.pipeline.WebPrep.frontier(pages)
+      val robots = Seq(
+        ("fetch.example",
+          "User-Agent: graftbot\nDisallow: /artikel/*\nAllow: /artikel/3\n" +
+          "Disallow: /*impressum$\nUser-Agent: *\nDisallow: /\n"))
+        .toDF("host", "robots_txt")
+      graft.pipeline.WebPrep
+        .frontierGated(frontier, robots, userAgent = "graftbot/1.0")
+        .orderBy(col("url"))
     }),
     // page-level crawl metadata (title/lang/canonical/description/robots/
     // base; canonical RESOLVED against the fetch URL) + the canonical-

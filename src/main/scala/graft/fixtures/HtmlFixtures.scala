@@ -90,4 +90,39 @@ object HtmlFixtures {
   /** (doc_id, html) rows, seeded. */
   def corpus(n: Int, seed: Long = 42L): Seq[(String, String)] =
     (0 until n).map(i => (f"web-$i%05d", page(f"web-$i%05d", seed + i)))
+
+  /** Mixed-encoding BYTE corpus for the byte-level ingest gate: the same
+    * synthetic pages, shipped the way a crawl delivers them — bytes plus
+    * an (often wrong) Content-Type. Variant = i % 5:
+    *
+    *  0. UTF-8 bytes, correct transport charset;
+    *  1. windows-1252 bytes MISLABELED as iso-8859-1 in transport (the
+    *     canonical web mess — the WHATWG label table maps it to 1252);
+    *  2. UTF-8 bytes WITH BOM and a wrong transport label (BOM wins);
+    *  3. windows-1252 bytes, no transport charset, `<meta
+    *     charset=windows-1252>` injected in the first KB (meta prescan);
+    *  4. UTF-8 bytes, no declaration anywhere (valid-UTF-8 sniff).
+    *
+    * Variants 0/1/2/4 decode back to the exact page string; variant 3's
+    * decoded page differs only by its injected meta tag (invisible to
+    * extraction — head metas emit no spans), so byte-path extraction
+    * must equal the string path for EVERY row. The pages are non-ASCII
+    * (the fixture vocabulary carries umlauts), so a wrong ladder step is
+    * visible, not masked by ASCII-only content.
+    * Returns (doc_id, bytes, content_type-or-null).
+    */
+  def bytesCorpus(n: Int, seed: Long = 42L)
+      : Seq[(String, Array[Byte], String)] =
+    corpus(n, seed).zipWithIndex.map { case ((id, html), i) =>
+      i % 5 match {
+        case 0 => (id, html.getBytes("UTF-8"), "text/html; charset=utf-8")
+        case 1 => (id, graft.html.HtmlCharset.encodeW1252(html),
+          "text/html; charset=iso-8859-1")
+        case 2 => (id, Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+          html.getBytes("UTF-8"), "text/html; charset=iso-8859-1")
+        case 3 => (id, graft.html.HtmlCharset.encodeW1252(html.replaceFirst(
+          "<head>", "<head><meta charset=\"windows-1252\">")), null)
+        case _ => (id, html.getBytes("UTF-8"), "text/html")
+      }
+    }
 }

@@ -883,4 +883,77 @@ object HtmlExtract {
       .toDF("doc_id", "title", "lang", "canonical", "description", "robots",
         "base")
   }
+
+  // ---------- byte-level ingest (crawl-native input) ----------
+  // Real crawl corpora arrive as bytes + Content-Type; the charset mess
+  // (BOM'd pages, windows-1252 mislabeled as latin1, undeclared
+  // encodings) is resolved by HtmlCharset's browser-style sniffing
+  // ladder HERE, inside the kernel, instead of being silently pushed
+  // onto the caller — where a wrong decode would be masked downstream
+  // by the PyText mojibake repair.
+
+  /** Byte-level [[extractRow]]: sniff + decode, then extract. */
+  def extractRowBytes(docId: String, bytes: Array[Byte],
+      contentType: String): ExtractedDoc =
+    extractRow(docId, HtmlCharset.decode(bytes, contentType))
+
+  /** Byte-level [[extractAllRow]]. */
+  def extractAllRowBytes(docId: String, bytes: Array[Byte],
+      contentType: String, pageUrl: String): WebDoc =
+    extractAllRow(docId, HtmlCharset.decode(bytes, contentType), pageUrl)
+
+  /** Byte-level [[extract]]: `htmlCol` is BINARY; `contentTypeCol`, when
+    * given, feeds the transport layer of the sniffing ladder. Decode and
+    * extraction run in the same map pass — map-only, zero shuffle, one
+    * failure seam for both.
+    */
+  def extractBytes(df: DataFrame, idCol: String = "doc_id",
+      htmlCol: String = "html_bytes", contentTypeCol: Option[String] = None,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[ExtractedDoc] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("string"), col(htmlCol).cast("binary"),
+        contentTypeCol.map(c => col(c).cast("string"))
+          .getOrElse(lit(null.asInstanceOf[String])))
+      .as[(String, Array[Byte], String)]
+      .mapPartitions(_.flatMap { case (id, bytes, ct) =>
+        if (id == null || bytes == null) { failedAcc.foreach(_.add(1L)); None }
+        else
+          try Some(extractRowBytes(id, bytes, ct))
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              failedAcc.foreach(_.add(1L)); None
+          }
+      })
+  }
+
+  /** Byte-level [[extractAll]]: the one-pass crawl-ingest operator over
+    * raw fetched bytes. Adds a `charset` column nowhere — the WebDoc
+    * shape is unchanged; use [[HtmlCharset.sniffCharset]] for decode
+    * diagnostics.
+    */
+  def extractAllBytes(df: DataFrame, idCol: String = "doc_id",
+      htmlCol: String = "html_bytes", contentTypeCol: Option[String] = None,
+      pageUrlCol: Option[String] = None,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[WebDoc] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("string"), col(htmlCol).cast("binary"),
+        contentTypeCol.map(c => col(c).cast("string"))
+          .getOrElse(lit(null.asInstanceOf[String])),
+        pageUrlCol.map(c => col(c).cast("string"))
+          .getOrElse(lit(null.asInstanceOf[String])))
+      .as[(String, Array[Byte], String, String)]
+      .mapPartitions(_.flatMap { case (id, bytes, ct, pageUrl) =>
+        if (id == null || bytes == null) { failedAcc.foreach(_.add(1L)); None }
+        else
+          try Some(extractAllRowBytes(id, bytes, ct, pageUrl))
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              failedAcc.foreach(_.add(1L)); None
+          }
+      })
+  }
 }

@@ -1,0 +1,186 @@
+package graft.ops
+
+/** RFC 9309 robots.txt engine: the fetch-side companion of WebPrep's
+  * meta-robots gate. A compliant crawl pipeline must gate its frontier
+  * against per-host robots.txt BEFORE fetching (meta robots can only
+  * gate what was already fetched).
+  *
+  * Parsing (RFC 9309 §2.2):
+  *  - lines are `field: value` records; `#` starts a comment; unknown
+  *    fields are ignored (§2.2.4 allows extensions — we skip them);
+  *  - consecutive `user-agent` lines open ONE group served by all the
+  *    named agents; `allow` / `disallow` lines attach to the open group;
+  *    a `user-agent` line after rules starts a new group;
+  *  - rules before any user-agent line are ignored (no group to attach
+  *    to, per the ABNF);
+  *  - an empty-value `disallow:` allows everything (historic idiom).
+  *
+  * Group selection (§2.2.1): case-insensitive product-token match; ALL
+  * groups matching the token merge; when none match, the `*` groups
+  * apply; a crawler token like "ExampleBot/1.2" matches the group token
+  * "examplebot" (token = up to the first `/`).
+  *
+  * Rule matching (§2.2.2): longest-match wins, measured in pattern
+  * octets; an `allow` beats a `disallow` of equal length; no matching
+  * rule means allowed (including: no robots.txt at all). Patterns are
+  * path prefixes with `*` (any octet run) and a trailing `$` (end
+  * anchor); matching starts at the first path octet.
+  */
+object RobotsTxt {
+
+  final case class Rule(allow: Boolean, pattern: String)
+  final case class Group(agents: Vector[String], rules: Vector[Rule])
+
+  /** Raw group structure (spec vectors + diagnostics). */
+  def parse(content: String): Vector[Group] = {
+    if (content == null) return Vector.empty
+    val groups = Vector.newBuilder[Group]
+    var agents = Vector.empty[String]
+    var rules = Vector.empty[Rule]
+    var inAgents = false // consecutive user-agent lines accumulate
+    def flush(): Unit =
+      if (agents.nonEmpty) { groups += Group(agents, rules) }
+    content.split("\r\n|\r|\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val field = line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!inAgents) { flush(); agents = Vector.empty; rules = Vector.empty }
+            inAgents = true
+            agents :+= value.toLowerCase(java.util.Locale.ROOT)
+          case "allow" | "disallow" if agents.nonEmpty =>
+            inAgents = false
+            // empty disallow = allow all: a no-op rule, recorded as an
+            // empty-pattern allow so the group stays non-vacuous
+            if (value.nonEmpty || field == "disallow")
+              rules :+= Rule(field == "allow" || value.isEmpty, value)
+          // unknown fields (sitemap, crawl-delay, extensions) are fully
+          // transparent: they neither attach to the group nor split a
+          // run of consecutive user-agent lines (the de-facto parser
+          // behavior of the large crawlers)
+          case _ => ()
+        }
+      }
+    }
+    flush()
+    groups.result()
+  }
+
+  private def tokenOf(userAgent: String): String = {
+    val ua = if (userAgent == null) "*" else userAgent
+    ua.takeWhile(_ != '/').trim.toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** The merged rule set governing `userAgent` (§2.2.1 group selection). */
+  def rulesFor(content: String, userAgent: String): Vector[Rule] = {
+    val groups = parse(content)
+    val tok = tokenOf(userAgent)
+    val specific = groups.filter(_.agents.contains(tok))
+    val chosen =
+      if (specific.nonEmpty && tok != "*") specific
+      else groups.filter(_.agents.contains("*"))
+    chosen.flatMap(_.rules)
+  }
+
+  /** One robots pattern against a path (+query) — `*` wildcard, `$`
+    * anchor, otherwise prefix semantics.
+    */
+  private[graft] def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.dropRight(1) else pattern
+    // greedy wildcard prefix match, hand-rolled (no regex compile per
+    // call): segments between '*' must appear in order; the first
+    // segment must sit at offset 0; anchored ⇒ the last segment must
+    // END the path
+    val segs = p.split("\\*", -1)
+    var pos = 0
+    var i = 0
+    while (i < segs.length) {
+      val seg = segs(i)
+      if (i == 0) {
+        if (!path.startsWith(seg)) return false
+        pos = seg.length
+      } else if (i == segs.length - 1 && anchored) {
+        // last segment under $: must match at the very end, at/after pos
+        if (!(path.length - seg.length >= pos && path.endsWith(seg)))
+          return false
+        pos = path.length
+      } else {
+        val at = path.indexOf(seg, pos)
+        if (at < 0) return false
+        pos = at + seg.length
+      }
+      i += 1
+    }
+    if (anchored && segs.length == 1) pos == path.length else true
+  }
+
+  /** §2.2.2 evaluation over a merged rule set. */
+  def allowed(rules: Seq[Rule], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (patternMatches(r.pattern, path)) {
+        val len = r.pattern.length
+        if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
+          bestLen = len; bestAllow = r.allow
+        }
+      }
+    }
+    bestAllow
+  }
+
+  /** Convenience: full decision from raw robots.txt + crawler UA + URL. */
+  def allowed(content: String, userAgent: String, url: String): Boolean =
+    allowed(rulesFor(content, userAgent), pathOf(url))
+
+  /** The path (+query) robots matching runs on; a URL with no path reads
+    * as "/". Fragments never reach a crawler.
+    */
+  private[graft] def pathOf(url: String): String = {
+    if (url == null) return "/"
+    val afterScheme = {
+      val i = url.indexOf("://")
+      if (i >= 0) i + 3 else 0
+    }
+    val slash = url.indexOf('/', afterScheme)
+    val raw = if (slash < 0) "/" else url.substring(slash)
+    val frag = raw.indexOf('#')
+    if (frag >= 0) { val p = raw.substring(0, frag); if (p.isEmpty) "/" else p }
+    else raw
+  }
+
+  // ---------- distributed faces (WebPrep.frontierGated plumbing) ----------
+  // The heavy parse runs ONCE per host on the small rules side; per-URL
+  // evaluation sees only the pre-compiled flat form. Compiled encoding:
+  // one string per rule, "A<pattern>" / "D<pattern>" — flat so it
+  // crosses the broadcast as a plain array<string> column.
+
+  /** robots.txt -> the compiled per-UA rule array (small-side UDF). */
+  def compiledRules(content: String, userAgent: String): Array[String] =
+    rulesFor(content, userAgent)
+      .map(r => (if (r.allow) "A" else "D") + r.pattern).toArray
+
+  /** Per-URL decision over the compiled form (frontier-side UDF). */
+  def allowedCompiled(compiled: Seq[String], url: String): Boolean = {
+    if (compiled == null) return true
+    val path = pathOf(url)
+    var bestLen = -1
+    var bestAllow = true
+    compiled.foreach { c =>
+      val allow = c.charAt(0) == 'A'
+      val pattern = c.substring(1)
+      if (patternMatches(pattern, path)) {
+        val len = pattern.length
+        if (len > bestLen || (len == bestLen && allow && !bestAllow)) {
+          bestLen = len; bestAllow = allow
+        }
+      }
+    }
+    bestAllow
+  }
+}

@@ -111,4 +111,53 @@ object WebPrep {
       .select(col("doc_id"), explode(col("links")).as("l"))
       .select(col("doc_id"), Web.canonicalUrl(col("l.resolved")).as("url"))
       .groupBy(col("url")).agg(min(col("doc_id")).as("first_seen_doc"))
+
+  /** RFC 9309 robots.txt gate for the frontier — the FETCH-side twin of
+    * the meta-robots gate above (meta robots can only judge what was
+    * already fetched; robots.txt must gate BEFORE fetch). `robotsTxt`
+    * is a per-host frame `(host, robots_txt)`; hosts ≪ URLs, so the
+    * rules side broadcasts, and each host's txt is parsed + compiled to
+    * the flat rule array ONCE there — the per-URL evaluation sees only
+    * the compiled form ([[graft.ops.RobotsTxt.allowedCompiled]]),
+    * never re-parses. URLs whose host has no robots row pass (an absent
+    * robots.txt allows everything). Host keying is the lowercased
+    * hostname without port (document the simplification: per-port
+    * robots differences are below this operator's resolution).
+    */
+  def frontierGated(frontier: DataFrame, robotsTxt: DataFrame,
+      userAgent: String = "*", urlCol: String = "url",
+      hostCol: String = "host", robotsTxtCol: String = "robots_txt")
+      : DataFrame = {
+    val ua = userAgent
+    val compile = udf((txt: String) =>
+      graft.ops.RobotsTxt.compiledRules(txt, ua))
+    val decide = udf((compiled: Seq[String], url: String) =>
+      graft.ops.RobotsTxt.allowedCompiled(compiled, url))
+    val rules = broadcast(robotsTxt.select(
+      regexp_replace(lower(trim(col(hostCol))), ":\\d+$", "").as("graft_host"),
+      compile(col(robotsTxtCol)).as("graft_rules")))
+    val hostOf = regexp_replace(lower(regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1)),
+      ":\\d+$", "")
+    frontier.withColumn("graft_host", hostOf)
+      .join(rules, Seq("graft_host"), "left")
+      .filter(col("graft_rules").isNull ||
+        decide(col("graft_rules"), col(urlCol)))
+      .drop("graft_host", "graft_rules")
+  }
+
+  /** The frontier diff the scaladoc of [[frontier]] promises: frontier
+    * minus the already-fetched set, as an operator. `fetched` URLs are
+    * canonicalized with the SAME chain the frontier keys on (the chain
+    * is idempotent, so feeding back an already-canonical crawl log is
+    * fine), then anti-joined on the url key — AQE picks broadcast vs
+    * sort-merge by the fetched side's actual size. Null-url frontier
+    * rows survive (null equals nothing in an anti join), mirroring
+    * urlDedup's null-preserving contract.
+    */
+  def frontierNew(frontier: DataFrame, fetched: DataFrame,
+      urlCol: String = "url", fetchedUrlCol: String = "url"): DataFrame =
+    frontier.join(
+      fetched.select(Web.canonicalUrl(col(fetchedUrlCol)).as(urlCol)),
+      Seq(urlCol), "left_anti")
 }

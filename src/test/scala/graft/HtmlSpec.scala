@@ -442,6 +442,81 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       doc2.spans.map(s => (s.kind, s.text.take(15))))
   }
 
+  test("byte-level ingest: charset sniffing ladder (BOM > transport > meta > content sniff)") {
+    import graft.html.HtmlCharset
+    val s = "früh 5 m² – ok" // umlaut + superscript + en-dash (all in 1252)
+    // BOM beats a wrong transport label
+    val bomd = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ s.getBytes("UTF-8")
+    assert(HtmlCharset.decodeWithCharset(bomd, "text/html; charset=iso-8859-1")
+      == ((s, "utf-8")))
+    // transport iso-8859-1 is an ALIAS of windows-1252 (WHATWG label
+    // table): 1252-encoded bytes labeled latin1 decode correctly,
+    // including a 0x80-0x9F byte latin1 itself cannot mean
+    val b1252 = HtmlCharset.encodeW1252(s)
+    assert(HtmlCharset.decodeWithCharset(b1252, "Text/HTML; Charset=\"ISO-8859-1\"")
+      == ((s, "windows-1252")))
+    // meta prescan (first KB) when transport is silent; both meta forms
+    val metaA = HtmlCharset.encodeW1252("<html><head><meta charset=windows-1252>" + s)
+    assert(HtmlCharset.decodeWithCharset(metaA, null)._1.endsWith(s))
+    val metaB = HtmlCharset.encodeW1252("<head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=iso-8859-1\">" + s)
+    assert(HtmlCharset.decodeWithCharset(metaB, "text/html")._1.endsWith(s))
+    // meta-declared utf-16 reads as utf-8 (spec: the prescan saw ASCII
+    // tags, the stream is not 16-bit)
+    val meta16 = ("<head><meta charset=utf-16>" + s).getBytes("UTF-8")
+    assert(HtmlCharset.decodeWithCharset(meta16, null)._1.endsWith(s))
+    // no declaration: valid UTF-8 sniffs as UTF-8...
+    assert(HtmlCharset.decodeWithCharset(s.getBytes("UTF-8"), "text/html")
+      == ((s, "utf-8")))
+    // ...and invalid UTF-8 falls back to windows-1252
+    assert(HtmlCharset.decodeWithCharset(b1252, null) == ((s, "windows-1252")))
+    // the five 1252-undefined bytes decode to C1 controls (WHATWG), and
+    // EVERY byte sequence decodes totally — never throws
+    assert(HtmlCharset.decodeWithCharset(Array(0x81.toByte), null)._1 == "\u0081")
+    val junk = Array(0xC3.toByte, 0x28.toByte, 0xFF.toByte, 0x00.toByte)
+    assert(HtmlCharset.decodeWithCharset(junk, "charset=utf-8")._1.nonEmpty)
+    // unknown label: ladder continues, not fatal
+    assert(HtmlCharset.decodeWithCharset(s.getBytes("UTF-8"),
+      "text/html; charset=klingon-8")._2 == "utf-8")
+    // UTF-16 BOMs
+    assert(HtmlCharset.decodeWithCharset(
+      Array(0xFF.toByte, 0xFE.toByte) ++ s.getBytes("UTF-16LE"), null)
+      == ((s, "utf-16le")))
+    assert(HtmlCharset.decodeWithCharset(
+      Array(0xFE.toByte, 0xFF.toByte) ++ s.getBytes("UTF-16BE"), null)
+      == ((s, "utf-16be")))
+    // a REAL other charset via the JDK registry tail (iso-8859-15: € at 0xA4)
+    assert(HtmlCharset.decodeWithCharset("€uro".getBytes("ISO-8859-15"),
+      "text/html; charset=iso-8859-15")._1 == "€uro")
+  }
+
+  test("byte-level ingest: mixed-encoding corpus extracts identically to the string path") {
+    val sp = spark
+    sparkUsed = true
+    import sp.implicits._
+    val n = 10
+    val strPages = sp.createDataset(graft.fixtures.HtmlFixtures.corpus(n))
+      .toDF("doc_id", "html")
+    val bytePages = sp.createDataset(graft.fixtures.HtmlFixtures.bytesCorpus(n))
+      .toDF("doc_id", "html_bytes", "content_type")
+    def norm(docs: Seq[graft.model.ExtractedDoc]) =
+      docs.sortBy(_.doc_id).map(d => (d.doc_id, d.spans, d.text))
+    val viaString = norm(HtmlExtract.extract(strPages).collect().toSeq)
+    val viaBytes = norm(graft.html.HtmlExtract.extractBytes(bytePages,
+      htmlCol = "html_bytes", contentTypeCol = Some("content_type"))
+      .collect().toSeq)
+    assert(viaBytes == viaString)
+    // null bytes row: failure seam counts it, row drops, job survives
+    val acc = sp.sparkContext.longAccumulator("failed")
+    val withNull = bytePages.unionByName(Seq(
+      ("broken", null.asInstanceOf[Array[Byte]], "text/html"))
+      .toDF("doc_id", "html_bytes", "content_type"))
+    assert(graft.html.HtmlExtract.extractBytes(withNull, htmlCol = "html_bytes",
+      contentTypeCol = Some("content_type"), failedAcc = Some(acc))
+      .count() == n)
+    assert(acc.value == 1L)
+  }
+
   test("extractAll: one tokenize pass == the three single-surface operators, field for field") {
     val sp = spark
     sparkUsed = true

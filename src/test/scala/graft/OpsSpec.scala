@@ -394,6 +394,56 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L)._1 == "https://u@example.com:8080/x" && out(6L)._2)
   }
 
+  test("robots.txt: RFC 9309 parse, group selection, longest-match evaluation") {
+    import graft.ops.RobotsTxt
+    // §2.2.2 "most specific match": allow of equal-or-longer length wins
+    val pub = "User-Agent: *\nAllow: /publications/\nDisallow: /\n"
+    assert(RobotsTxt.allowed(pub, "anybot", "https://ex.com/publications/card"))
+    assert(!RobotsTxt.allowed(pub, "anybot", "https://ex.com/"))
+    assert(!RobotsTxt.allowed(pub, "anybot", "https://ex.com/else"))
+    // §5.2 longest-match example
+    val lm = "User-Agent: *\nAllow: /example/page/\n" +
+      "Disallow: /example/page/disallowed.gif\n"
+    assert(RobotsTxt.allowed(lm, "b", "https://ex.com/example/page/"))
+    assert(!RobotsTxt.allowed(lm, "b", "https://ex.com/example/page/disallowed.gif"))
+    // equal-length tie: allow wins
+    val tie = "User-Agent: *\nAllow: /page\nDisallow: /page\n"
+    assert(RobotsTxt.allowed(tie, "b", "https://ex.com/page"))
+    // wildcards + end anchor
+    val wild = "User-Agent: *\nDisallow: /fish*\nDisallow: /*.php$\n"
+    assert(!RobotsTxt.allowed(wild, "b", "https://ex.com/fishheads/x"))
+    assert(!RobotsTxt.allowed(wild, "b", "https://ex.com/a/f.php"))
+    assert(RobotsTxt.allowed(wild, "b", "https://ex.com/a/f.php5"))
+    assert(RobotsTxt.allowed(wild, "b", "https://ex.com/salmon"))
+    // group selection: the specific group EXCLUDES the * group; the
+    // crawler token matches case-insensitively, version suffix ignored
+    val grp = "User-Agent: ExampleBot\nDisallow: /foo\n" +
+      "User-Agent: *\nDisallow: /bar\n"
+    assert(!RobotsTxt.allowed(grp, "examplebot/1.2", "https://ex.com/foo"))
+    assert(RobotsTxt.allowed(grp, "ExampleBot", "https://ex.com/bar"))
+    assert(!RobotsTxt.allowed(grp, "otherbot", "https://ex.com/bar"))
+    assert(RobotsTxt.allowed(grp, "otherbot", "https://ex.com/foo"))
+    // two groups naming the same token MERGE; consecutive UA lines share
+    // one group; unknown fields (sitemap) are transparent
+    val merged = "User-Agent: a\nUser-Agent: b\nDisallow: /x\n" +
+      "Sitemap: https://ex.com/s.xml\nUser-Agent: a\nDisallow: /y\n"
+    assert(!RobotsTxt.allowed(merged, "a", "https://ex.com/x"))
+    assert(!RobotsTxt.allowed(merged, "a", "https://ex.com/y"))
+    assert(!RobotsTxt.allowed(merged, "b", "https://ex.com/x"))
+    assert(RobotsTxt.allowed(merged, "b", "https://ex.com/y"))
+    // empty disallow: allows everything; absent/null robots too
+    assert(RobotsTxt.allowed("User-Agent: *\nDisallow:\n", "b", "https://e/x"))
+    assert(RobotsTxt.allowed(null: String, "b", "https://e/x"))
+    // query is part of the matched path; fragment is not; no-path url is "/"
+    assert(RobotsTxt.pathOf("https://e.com/a/b?q=1#f") == "/a/b?q=1")
+    assert(RobotsTxt.pathOf("https://e.com") == "/")
+    // compiled face == direct evaluation
+    val rules = RobotsTxt.compiledRules(wild, "b")
+    assert(!RobotsTxt.allowedCompiled(rules, "https://ex.com/fish"))
+    assert(RobotsTxt.allowedCompiled(rules, "https://ex.com/salmon"))
+    assert(RobotsTxt.allowedCompiled(null, "https://ex.com/fish")) // no row: allowed
+  }
+
   test("urlDedupAtScale: identical keep-set to the string-keyed operator") {
     val sp = spark
     import sp.implicits._

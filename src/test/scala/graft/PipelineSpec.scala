@@ -368,6 +368,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getString(0)).sorted.toSeq == fr.keys.toSeq.sorted)
   }
 
+  test("frontierGated: per-host robots.txt gates the frontier before fetch") {
+    val sp = spark
+    import sp.implicits._
+    val frontier = Seq(
+      ("https://site.example/artikel/a1", "d1"),
+      ("https://site.example/artikel/frei", "d1"),
+      ("https://site.example/impressum", "d2"),
+      ("https://User:Pw@site.example/artikel/a2", "d2"), // userinfo: same host
+      ("https://offen.example/alles", "d3"))             // host w/o robots row
+      .toDF("url", "first_seen_doc")
+    val robots = Seq(
+      // crawler-specific group: /artikel/* closed except /artikel/frei;
+      // the * group (deny all) must NOT leak onto graftbot
+      ("Site.Example", "User-Agent: graftbot\nDisallow: /artikel/*\n" +
+        "Allow: /artikel/frei\nUser-Agent: *\nDisallow: /\n"),
+      ("unrelated.example", "User-Agent: *\nDisallow: /\n"))
+      .toDF("host", "robots_txt")
+    val kept = graft.pipeline.WebPrep
+      .frontierGated(frontier, robots, userAgent = "graftbot/2.0")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(kept == Seq("https://offen.example/alles",
+      "https://site.example/artikel/frei",
+      "https://site.example/impressum"), kept)
+    // columns pass through unchanged
+    assert(graft.pipeline.WebPrep.frontierGated(frontier, robots)
+      .columns.toSeq == Seq("url", "first_seen_doc"))
+  }
+
+  test("frontierNew: frontier minus the fetched set (canonicalized anti-join)") {
+    val sp = spark
+    import sp.implicits._
+    val frontier = Seq(
+      ("https://site.example/a", "d1"),
+      ("https://site.example/b", "d2"),
+      (null.asInstanceOf[String], "d3")) // null url survives the anti join
+      .toDF("url", "first_seen_doc")
+    // fetched log arrives UN-canonicalized: variants of /a must still diff
+    val fetched = Seq("http://Site.Example/a?utm_source=x").toDF("url")
+    val out = graft.pipeline.WebPrep.frontierNew(frontier, fetched)
+      .collect().map(r => Option(r.getString(0)).orNull).toSeq
+    assert(out.toSet == Set("https://site.example/b", null), out)
+  }
+
   test("stages without eval corpus or sampling: no such stage entries") {
     val names = CorpusPrep.stages(corpus, None,
       CorpusPrep.PrepConfig(sampleDefaultRate = 1.0)).map(_._1)
