@@ -511,8 +511,17 @@ object SparkEntry {
       import sp.implicits._
       val pages = sp.createDataset(graft.fixtures.HtmlFixtures.corpus(40))
         .toDF("doc_id", "html")
-      graft.assemble.SpanMarkdown.renderDocs(
+      val htmlMd = graft.assemble.SpanMarkdown.renderDocs(
         graft.html.HtmlExtract.extract(pages).toDF())
+      // PDF face: leveled heading spans (media_ref "hN", the HTML
+      // convention now carried by emitSpans) render as ##-leveled
+      // markdown through the SAME renderer
+      val pdfDocs = sp.createDataset(graft.fixtures.Fixtures.headingCorpus(8))
+        .mapPartitions(_.flatMap { row =>
+          try Some(Extractor.extractRow(row, ExtractConfig()))
+          catch { case _: ExtractionException => None }
+        }).toDF()
+      htmlMd.unionByName(graft.assemble.SpanMarkdown.renderDocs(pdfDocs))
         .orderBy(col("doc_id"))
     }),
     // the composed web-ingest pipeline (WebPrep): one-pass extraction ->

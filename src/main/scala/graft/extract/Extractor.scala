@@ -246,6 +246,14 @@ object Extractor {
       e.typ match {
         case "image" | "drawing" => emit(e.typ, "", e.mediaRef)
         case "table" => emit("table", e.payload, e.mediaRef)
+        case "heading" =>
+          // carry the heading LEVEL in media_ref as "hN" — the HTML
+          // kernel's convention, which SpanMarkdown already renders;
+          // export_heading parks the level in the idxPage slot (the
+          // reference's positional-arg quirk, export.py:503-509), and
+          // levels outside 1..6 render at the minimal level like before
+          emit("heading", e.render,
+            if (e.idxPage >= 1 && e.idxPage <= 6) s"h${e.idxPage}" else "")
         case t => emit(t, e.render, "")
       }
     }

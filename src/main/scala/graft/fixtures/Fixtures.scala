@@ -173,6 +173,38 @@ object Fixtures {
     }
   }
 
+  /** Leveled-heading corpus (x16's PDF face): per doc, headings of level
+    * 1..3 each followed by a body paragraph — pins the `hN` media_ref
+    * convention (the HTML kernel's) on PDF-side heading spans through to
+    * SpanMarkdown's `#`-leveled rendering. Heading elements ride the
+    * standard paragraph geometry with `typ`/`level` overridden (the
+    * codec carries `level=` on heading spans; export_heading parks it in
+    * the idx_page slot downstream — the reference's quirk).
+    */
+  def headingCorpus(n: Int, seed: Long = 99L): IndexedSeq[DocRow] =
+    (0 until n).map { i =>
+      val rng = new Rng(seed + i)
+      val elems = Vector.newBuilder[graft.model.Elem]
+      var t0 = 40.0
+      (1 to 3).foreach { lvl =>
+        val htxt = (0 until 2 + rng.nextInt(2))
+          .map(_ => bodyVocab(rng.nextInt(bodyVocab.length)))
+        elems += paragraph(s"hd$i-h$lvl", Seq(htxt), "font3",
+          t0 = t0, w = 180.0, h = 12.0, justify = false)
+          .copy(typ = "heading", level = lvl)
+        t0 += 30.0
+        // multi-line bodies: the doc-info line statistics need line
+        // pairs (doc_info.py:217-234 medians), a single-line doc fails
+        // extraction with "empty line statistics"
+        val ptxt = (0 until 2).map(_ => (0 until 6 + rng.nextInt(4))
+          .map(_ => bodyVocab(rng.nextInt(bodyVocab.length))))
+        elems += paragraph(s"hd$i-p$lvl", ptxt, "font1", t0 = t0)
+        t0 += 50.0
+      }
+      DocRow(f"hdoc-$i%05d",
+        SpanCodec.encode(DocTree(fonts, Vector(Page(elems.result())))))
+    }
+
   /** Footer-differential corpus (x07): every doc has page-number footers;
     * every second doc additionally carries a real footer that must survive
     * the page-number strip.

@@ -486,7 +486,7 @@ object HtmlExtract {
                 case "base" =>
                   if (metaBase.isEmpty)
                     attrValue(attrs, "href")
-                      .map(v => PyText.unescapeHtml(v).trim).filter(_.nonEmpty)
+                      .map(v => PyText.unescapeHtmlAttr(v).trim).filter(_.nonEmpty)
                       .foreach(metaBase = _)
                 case "link" =>
                   // rel is a SPACE-SEPARATED token set per HTML
@@ -495,14 +495,14 @@ object HtmlExtract {
                       attrValue(attrs, "rel").exists(_.split("\\s+")
                         .exists(_.equalsIgnoreCase("canonical"))))
                     attrValue(attrs, "href")
-                      .map(v => PyText.unescapeHtml(v).trim).filter(_.nonEmpty)
+                      .map(v => PyText.unescapeHtmlAttr(v).trim).filter(_.nonEmpty)
                       .foreach(metaCanonical = _)
                 case _ =>
                   val nm = attrValue(attrs, "name")
                     .map(_.trim.toLowerCase(java.util.Locale.ROOT))
                   if (nm.contains("description") && metaDescription.isEmpty)
                     attrValue(attrs, "content")
-                      .map(v => PyText.unescapeHtml(v).trim.replaceAll("\\s+", " "))
+                      .map(v => PyText.unescapeHtmlAttr(v).trim.replaceAll("\\s+", " "))
                       .filter(_.nonEmpty).foreach(metaDescription = _)
                   else if (nm.contains("robots"))
                     // robots is NOT first-wins: multiple robots metas
@@ -557,10 +557,10 @@ object HtmlExtract {
               if (!closing && skipDepth == 0 && tableDepth == 0) {
                 val attrs = html.substring(nameStart + name.length, math.min(j, n))
                 attrValue(attrs, "src")
-                  .map(v => PyText.unescapeHtml(v).trim).filter(_.nonEmpty)
+                  .map(v => PyText.unescapeHtmlAttr(v).trim).filter(_.nonEmpty)
                   .foreach { src =>
                     val alt = attrValue(attrs, "alt")
-                      .map(v => PyText.unescapeHtml(v).trim.replaceAll("\\s+", " "))
+                      .map(v => PyText.unescapeHtmlAttr(v).trim.replaceAll("\\s+", " "))
                       .getOrElse("")
                     outImages += ((blockCount, src, alt))
                   }
@@ -578,7 +578,7 @@ object HtmlExtract {
                   emitLink() // implicit close of an unclosed previous anchor
                   linkHref = attrValue(
                     html.substring(nameStart + name.length, math.min(j, n)), "href")
-                    .map(v => PyText.unescapeHtml(v).trim)
+                    .map(v => PyText.unescapeHtmlAttr(v).trim)
                     .filter(_.nonEmpty).orNull
                   if (selfClosed) emitLink()
                 }

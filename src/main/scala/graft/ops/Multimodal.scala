@@ -178,8 +178,13 @@ object Multimodal {
     * XOracleGen (the same review-the-diff contract as any intentional
     * kernel change).
     */
-  def aviMjpegPayload(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
-    def jpegFrame(f: Int): Array[Byte] = {
+  /** One baseline JPEG per frame over the shared deterministic pixel
+    * pattern (frame f follows patternRgb(seed + f)) — the sample payload
+    * of BOTH compressed-container generators (AVI MJPEG and MP4).
+    */
+  private def jpegFrames(seed: Long, w: Int, h: Int,
+      frames: Int): IndexedSeq[Array[Byte]] =
+    (0 until frames).map { f =>
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
       var y = 0
@@ -192,7 +197,9 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "jpg", out)
       out.toByteArray
     }
-    val encoded = (0 until frames).map(jpegFrame)
+
+  def aviMjpegPayload(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val encoded = jpegFrames(seed, w, h, frames)
     val moviBody = encoded.map(e => 8 + e.length + (e.length & 1)).sum
     val bb = java.nio.ByteBuffer.allocate(
       12 + 8 + 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40 + 8 + 4 + moviBody)
@@ -223,6 +230,188 @@ object Multimodal {
       if ((e.length & 1) == 1) bb.put(0.toByte) // RIFF even padding
     }
     bb.array()
+  }
+
+  /** Deterministic MJPEG-in-MP4 (ISO BMFF / QuickTime box structure)
+    * payload — the MOV/MP4 twin of [[aviMjpegPayload]]: `ftyp` + `mdat`
+    * holding one complete baseline JPEG per sample + `moov` with REAL
+    * sample tables (`tkhd` 16.16 dims, `stsd` entry fourcc 'jpeg',
+    * `stts`/`stsc`/`stsz`/`stco`). Box lengths are big-endian, unlike
+    * RIFF's little-endian — the two container walks share only the JPEG
+    * frame bytes. Same JDK-pinned determinism caveat as
+    * aviMjpegPayload (the JPEG writer plugin).
+    */
+  def mp4MjpegPayload(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val enc = jpegFrames(seed, w, h, frames)
+    def be(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def be2(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(2).putShort(v.toShort).array()
+    def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val len = 8 + parts.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len); bb.put(ascii(typ)); parts.foreach(bb.put)
+      bb.array()
+    }
+    val matrix = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .flatMap(be)
+    val duration = frames * 40
+    val ftyp = box("ftyp", ascii("isom"), be(0), ascii("isom"), ascii("mp41"))
+    val mdat = box("mdat", enc.flatten.toArray)
+    // absolute sample offsets: mdat payload starts after ftyp + 8-byte
+    // mdat header — computed BEFORE moov because moov trails the mdat
+    val base = ftyp.length + 8
+    val offsets = enc.scanLeft(base)(_ + _.length).init
+    val mvhd = box("mvhd", be(0), be(0), be(0), be(1000), be(duration),
+      be(0x00010000), be2(0x0100), be2(0), be(0), be(0), matrix,
+      Array.fill(24)(0.toByte), be(2))
+    val tkhd = box("tkhd", be(7), be(0), be(0), be(1), be(0), be(duration),
+      be(0), be(0), be2(0), be2(0), be2(0), be2(0), matrix,
+      be(w << 16), be(h << 16))
+    val mdhd = box("mdhd", be(0), be(0), be(0), be(1000), be(duration),
+      be2(0x55C4), be2(0))
+    val hdlr = box("hdlr", be(0), be(0), ascii("vide"), be(0), be(0), be(0),
+      Array(0.toByte))
+    val vmhd = box("vmhd", be(1), be(0), be2(0), be2(0))
+    val dinf = box("dinf", box("dref", be(0), be(1), box("url ", be(1))))
+    val entry = box("jpeg",
+      Array.fill(6)(0.toByte), be2(1),        // reserved + data_ref_index
+      be2(0), be2(0), be(0), be(0), be(0),    // pre_defined / reserved
+      be2(w), be2(h), be(0x00480000), be(0x00480000), be(0),
+      be2(1), Array.fill(32)(0.toByte),       // frame_count + compressor
+      be2(24), be2(0xFFFF))
+    val stsd = box("stsd", be(0), be(1), entry)
+    val stts = box("stts", be(0), be(1), be(frames), be(40))
+    val stsc = box("stsc", be(0), be(1), be(1), be(1), be(1))
+    val stsz = box("stsz", be(0), be(0), be(frames),
+      enc.toArray.flatMap(e => be(e.length)))
+    val stco = box("stco", be(0), be(frames), offsets.toArray.flatMap(be))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  private def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** Minimal real ISO BMFF (MP4/MOV) walk — the big-endian counterpart
+    * of [[aviParse]]: `tkhd` dims of the first video trak, the sample
+    * table resolved to absolute (offset, length) frames via
+    * stsc/stsz/stco (co64 accepted for the offsets), and the codec
+    * bucket from the `stsd` entry fourcc:
+    *
+    *  - "mjpg": each sample is an independent JPEG ('jpeg' — the
+    *    QuickTime photo-JPEG convention our generator writes — or the
+    *    MJPEG variants mjpa/dmb1);
+    *  - "other": any real inter-frame codec (avc1/hvc1/mp4v/…) — frame
+    *    bytes are NOT independently decodable; features degrade to the
+    *    documented hash seam.
+    *
+    * Fails loudly on a box soup without moov/trak/stbl — never a silent
+    * (0,0,0). 64-bit `largesize` boxes are followed; version-1 tables
+    * where only version 0 is generated (tkhd/mdhd) are still read.
+    */
+  private def mp4Parse(b: Array[Byte]): (MediaHeader, Seq[(Int, Int)], String) = {
+    val bb = java.nio.ByteBuffer.wrap(b) // ISO BMFF is big-endian
+    def typOf(off: Int): String = new String(b, off + 4, 4, "US-ASCII")
+    // all children named `name` inside [start, end): (payloadStart, end)
+    def boxes(start: Int, end: Int, name: String): Vector[(Int, Int)] = {
+      val out = Vector.newBuilder[(Int, Int)]
+      var off = start
+      while (off + 8 <= end) {
+        var size = bb.getInt(off).toLong & 0xFFFFFFFFL
+        var hdr = 8
+        if (size == 1 && off + 16 <= end) { size = bb.getLong(off + 8); hdr = 16 }
+        else if (size == 0) size = (end - off).toLong
+        require(size >= hdr && off + size <= end, "bad MP4 box size")
+        if (typOf(off) == name) out += ((off + hdr, (off + size).toInt))
+        off += size.toInt
+      }
+      out.result()
+    }
+    def first(start: Int, end: Int, name: String): (Int, Int) = {
+      val v = boxes(start, end, name)
+      require(v.nonEmpty, s"MP4 without $name box")
+      v.head
+    }
+    val (moovS, moovE) = first(0, b.length, "moov")
+    // first VIDEO trak (hdlr 'vide'), else the first trak
+    val traks = boxes(moovS, moovE, "trak")
+    require(traks.nonEmpty, "MP4 without trak box")
+    val trak = traks.find { case (ts, te) =>
+      try {
+        val (ms, me) = first(ts, te, "mdia")
+        val (hs, _) = first(ms, me, "hdlr")
+        new String(b, hs + 8, 4, "US-ASCII") == "vide"
+      } catch { case _: Exception => false }
+    }.getOrElse(traks.head)
+    val (tkS, tkE) = first(trak._1, trak._2, "tkhd")
+    val tkVer = b(tkS) & 0xFF
+    val dimOff = tkS + (if (tkVer == 1) 88 else 76)
+    require(dimOff + 8 <= tkE, "short tkhd")
+    val w = bb.getInt(dimOff) >>> 16
+    val h = bb.getInt(dimOff + 4) >>> 16
+    val (mdS, mdE) = first(trak._1, trak._2, "mdia")
+    val (mnS, mnE) = first(mdS, mdE, "minf")
+    val (stS, stE) = first(mnS, mnE, "stbl")
+    // stsd entry fourcc -> codec bucket
+    val (sdS, _) = first(stS, stE, "stsd")
+    val fourcc = new String(b, sdS + 8 + 4, 4, "US-ASCII")
+      .toLowerCase(java.util.Locale.ROOT).trim
+    val codec = if (Set("jpeg", "mjpa", "mjpb", "mjpg", "dmb1")(fourcc))
+      "mjpg" else "other"
+    // stsz: fixed size or per-sample table
+    val (szS, szE) = first(stS, stE, "stsz")
+    val fixedSize = bb.getInt(szS + 4)
+    val nSamples = bb.getInt(szS + 8)
+    require(nSamples >= 0 && (fixedSize != 0 ||
+      szS + 12 + 4L * nSamples <= szE), "short stsz")
+    def sizeOf(i: Int): Int =
+      if (fixedSize != 0) fixedSize else bb.getInt(szS + 12 + 4 * i)
+    // chunk offsets: stco (32-bit) or co64
+    val chunkOffsets: IndexedSeq[Long] = {
+      val co = boxes(stS, stE, "stco")
+      if (co.nonEmpty) {
+        val (cS, _) = co.head
+        val n = bb.getInt(cS + 4)
+        (0 until n).map(i => (bb.getInt(cS + 8 + 4 * i).toLong) & 0xFFFFFFFFL)
+      } else {
+        val (cS, _) = first(stS, stE, "co64")
+        val n = bb.getInt(cS + 4)
+        (0 until n).map(i => bb.getLong(cS + 8 + 8 * i))
+      }
+    }
+    // stsc runs -> samples per chunk (chunk c uses the last run whose
+    // first_chunk <= c)
+    val (scS, _) = first(stS, stE, "stsc")
+    val nRuns = bb.getInt(scS + 4)
+    val runs = (0 until nRuns).map(i =>
+      (bb.getInt(scS + 8 + 12 * i), bb.getInt(scS + 8 + 12 * i + 4)))
+    def samplesPerChunk(c1: Int): Int = {
+      var spc = 1
+      runs.foreach { case (fc, s) => if (fc <= c1) spc = s }
+      spc
+    }
+    val frames = Vector.newBuilder[(Int, Int)]
+    var sample = 0
+    var ci = 0
+    while (ci < chunkOffsets.length && sample < nSamples) {
+      var off = chunkOffsets(ci)
+      var k = 0
+      val spc = samplesPerChunk(ci + 1)
+      while (k < spc && sample < nSamples) {
+        val len = sizeOf(sample)
+        require(off + len <= b.length, "MP4 sample past end of file")
+        frames += ((off.toInt, len))
+        off += len; sample += 1; k += 1
+      }
+      ci += 1
+    }
+    (MediaHeader("mp4", w, h, nSamples), frames.result(), codec)
   }
 
   private def isAvi(b: Array[Byte]): Boolean =
@@ -303,6 +492,7 @@ object Multimodal {
       return MediaHeader("grft", bb.getInt, bb.getInt, bb.getInt)
     }
     if (isAvi(bytes)) return aviParse(bytes)._1
+    if (isMp4(bytes)) return mp4Parse(bytes)._1
     if (isWav(bytes)) {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(bytes))
@@ -431,11 +621,12 @@ object Multimodal {
             bb.put(m.bytes, 16, m.bytes.length - 16)
             m.copy(bytes = bb.array())
           case "wav" => m
-          // video containers and multi-frame images (AVI, animated GIF):
-          // frame-accurate transforms belong at the video seam (ffmpeg in
-          // production) — passing through unchanged beats silently
-          // re-encoding frame 0 as a 1-frame BMP and dropping the rest
-          case "avi" => m
+          // video containers and multi-frame images (AVI, MP4, animated
+          // GIF): frame-accurate transforms belong at the video seam
+          // (ffmpeg in production) — passing through unchanged beats
+          // silently re-encoding frame 0 as a 1-frame BMP and dropping
+          // the rest
+          case "avi" | "mp4" => m
           case _ if h.frames > 1 => m
           case _ =>
             val scale = math.min(1.0, maxDim.toDouble / math.max(h.width, h.height))
@@ -514,6 +705,7 @@ object Multimodal {
       case "grft" => hashFeatures(bytes, dim)
       case "wav" => wavFeatures(bytes, dim)
       case "avi" => aviGridFeatures(bytes, dim)
+      case "mp4" => mp4GridFeatures(bytes, dim)
       case _ => imageGridFeatures(bytes, dim)
     }
   }
@@ -554,9 +746,34 @@ object Multimodal {
     val stride = (w * 3 + 3) & ~3
     if (codec != "dib" || frames.isEmpty || frames.head._2 < stride * ht)
       return hashFeatures(bytes, dim)
-    val (off, len) = frames.head
-    require(len >= stride * ht) // rechecked above; guards the row loop
+    gridFromDib(bytes, w, ht, stride, frames.head._1, side)
+  }
+
+  /** Grid-luminance features over an MP4's FIRST sample — the ISO BMFF
+    * twin of [[aviGridFeatures]]'s MJPEG branch: photo-JPEG samples
+    * ('jpeg'/mjpa/dmb1 stsd entries) are independent JPEGs, decoded with
+    * the JRE reader into the same grid accumulator; inter-frame codecs
+    * (avc1/…) degrade to the documented hash seam.
+    */
+  private def mp4GridFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val side = math.sqrt(dim.toDouble).toInt
+    require(side * side == dim,
+      s"image grid features need a perfect-square dim, got $dim")
+    val (_, frames, codec) = mp4Parse(bytes)
+    if (codec == "mjpg" && frames.nonEmpty) {
+      val (off, len) = frames.head
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes, off, len))
+      require(img != null, "MP4 JPEG sample-0 decode returned null")
+      bufferedImageGrid(img, side)
+    } else hashFeatures(bytes, dim)
+  }
+
+  private def gridFromDib(bytes: Array[Byte], w: Int, ht: Int, stride: Int,
+      off: Int, side: Int): Array[Float] = {
+    // caller guards frame length >= stride * ht before dispatching here
     gridAccumulate(w, ht, side, { (x, y) =>
+
       val row = off + (ht - 1 - y) * stride // bottom-up rows
       val b = bytes(row + x * 3) & 0xFF
       val g = bytes(row + x * 3 + 1) & 0xFF
@@ -678,12 +895,16 @@ object Multimodal {
         if (k == "image") {
           val (aSeed, aw, ah) = dims(ref + "-anim")
           val (mSeed, mw, mh) = dims(ref + "-mjpg")
+          val (pSeed, pw, ph) = dims(ref + "-mp4")
           Iterator(
             MediaRow(d, ref, k, bmpPayload(seed, w, h)),
             MediaRow(d, ref + "-anim", "drawing", aviPayload(aSeed, aw, ah, 8)),
             // MJPEG sibling: the compressed-video decode path (JRE JPEG
             // reader per frame) is exercised by the gate queries too
-            MediaRow(d, ref + "-mjpg", "drawing", aviMjpegPayload(mSeed, mw, mh, 4)))
+            MediaRow(d, ref + "-mjpg", "drawing", aviMjpegPayload(mSeed, mw, mh, 4)),
+            // MP4 sibling: the ISO BMFF container walk (big-endian box
+            // soup, sample tables) with the same photo-JPEG samples
+            MediaRow(d, ref + "-mp4", "drawing", mp4MjpegPayload(pSeed, pw, ph, 4)))
         } else
           Iterator(MediaRow(d, ref, k, aviPayload(seed, w, h, 8)))
       }.toDF()

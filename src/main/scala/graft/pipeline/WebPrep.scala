@@ -146,6 +146,57 @@ object WebPrep {
       .drop("graft_host", "graft_rules")
   }
 
+  /** Streaming face of [[prepare]] for incremental crawl ingest — the
+    * same three stages on arrival: one-pass extraction (row kernel,
+    * carrying the event time through), meta-robots noindex gate,
+    * canonical-priority URL dedup as FIRST-arrival suppression within
+    * the watermark horizon (`dropDuplicatesWithinWatermark` on the
+    * dedup key — state holds key + timestamp, never the page). Same
+    * split as dedupExactStream: the stream suppresses on arrival, the
+    * periodic batch [[prepare]] stays the cross-horizon authority.
+    *
+    * Conventions carried over: a null id/html/event-time row is counted
+    * on `failedAcc` and dropped (no poison rows into stateful stages —
+    * a streaming task failure crash-loops on checkpoint replay); rows
+    * whose dedup key is NULL (no fetch URL, unresolvable canonical) are
+    * EXCLUDED like `Web.urlDedupStream` excludes them — state equality
+    * would collapse every null-key page into one.
+    *
+    * Output: the WebDoc columns + the event-time column + `dedup_url`
+    * (the canonicalized dedup key of the kept first arrival).
+    */
+  def prepareStream(pages: DataFrame, eventTimeCol: String,
+      watermark: String, idCol: String = "doc_id",
+      htmlCol: String = "html", urlCol: String = "url",
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val extracted = pages
+      .select(col(idCol).cast("string"), col(htmlCol).cast("string"),
+        col(urlCol).cast("string"),
+        col(eventTimeCol).cast("timestamp"))
+      .as[(String, String, String, java.sql.Timestamp)]
+      .mapPartitions(_.flatMap { case (id, html, url, ts) =>
+        if (id == null || html == null || ts == null) {
+          failedAcc.foreach(_.add(1L)); None
+        } else
+          try Some((HtmlExtract.extractAllRow(id, html, url), ts))
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              failedAcc.foreach(_.add(1L)); None
+          }
+      })
+      .select(col("_1.*"), col("_2").as(eventTimeCol))
+    extracted
+      .filter(!robotsForbids("noindex"))
+      .withColumn("dedup_url", Web.canonicalUrl(
+        when(absoluteCanonical, col("canonical")).otherwise(col("url"))))
+      .filter(col("dedup_url").isNotNull)
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("dedup_url")
+  }
+
   /** The frontier diff the scaladoc of [[frontier]] promises: frontier
     * minus the already-fetched set, as an operator. `fetched` URLs are
     * canonicalized with the SAME chain the frontier keys on (the chain

@@ -96,9 +96,11 @@ object PyText {
     *  9. NFC normalization.
     *
     * Named-entity coverage is COMPLETE (full WHATWG semicolon-form list,
-    * Html5Entities); excluded by contract: semicolon-less legacy forms,
-    * and Latin ligature decomposition (NFKC-only in ftfy too). Fixtures
-    * stay inside this subset (FIXTURES.md §7).
+    * Html5Entities, PLUS the 106 semicolon-less legacy names with
+    * CPython html.unescape's longest-match-then-backtrack rule);
+    * excluded by contract: semicolon-less NUMERIC forms, the C1 numeric
+    * remap, and Latin ligature decomposition (NFKC-only in ftfy too).
+    * Fixtures stay inside this subset (FIXTURES.md §7).
     */
   def fixBadUnicode(s: String): String = {
     var cur = s
@@ -223,21 +225,21 @@ object PyText {
     * names, including the six mathematical-alphanumeric letter families,
     * the 93 multi-CODEPOINT entities (`fjlig` -> "fj", `ThickSpace` ->
     * U+205F U+200A, combining-mark pairs like `bnequiv`), and every rare
-    * negated-relation/operator name. This retires the round-3 "HTML5
-    * long tail" item completely: the only remaining exclusion is the
-    * semicolon-LESS legacy forms, excluded by CONTRACT, not omission —
-    * unknown/unterminated references stay verbatim (conservative vs
-    * html.unescape's longest-prefix rewriting; ftfy's "don't make it
-    * worse" principle applied one step further).
+    * negated-relation/operator name. Together with the LEGACY
+    * semicolon-less table below, named-reference coverage now equals
+    * `html.unescape`'s (the reference's actual dependency through
+    * cleantext/ftfy); the remaining exclusions are semicolon-less
+    * NUMERIC forms and the C1 numeric remap, both still excluded by
+    * documented contract.
     *
     * The resource is generated once from the public WHATWG table (the
     * same data `html.entities.html5` ships) with XGolden-style escaping
     * (`\\`, `\t`, `\n`, `\r`); PyTextSpec pins family exceptions,
     * long names, remaps (ohm/angst), and multi-codepoint cases.
     */
-  private lazy val Html5Entities: Map[String, String] = {
-    val in = getClass.getResourceAsStream("/graft/html5_entities.tsv")
-    require(in != null, "html5_entities.tsv resource missing")
+  private def loadEntityTsv(resource: String): Map[String, String] = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"$resource resource missing")
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
@@ -245,7 +247,7 @@ object PyText {
       val i = l.indexOf('\t')
       // fail loudly AT LOAD on a malformed line, not with an opaque
       // StringIndexOutOfBounds inside an executor task later
-      require(i > 0, s"malformed html5_entities.tsv line: '$l'")
+      require(i > 0, s"malformed $resource line: '$l'")
       val sb = new StringBuilder
       var k = i + 1
       while (k < l.length) {
@@ -265,26 +267,88 @@ object PyText {
     }.toMap
   }
 
+  private lazy val Html5Entities: Map[String, String] =
+    loadEntityTsv("/graft/html5_entities.tsv")
+
+  /** The 106 WHATWG LEGACY names that decode WITHOUT a trailing
+    * semicolon (`&amp`, `&AMP`, `&copy`, the latin-1 letter set …) —
+    * exactly the semicolon-less keys of `html.entities.html5`. These
+    * participate in the spec's longest-match-then-backtrack rule (an
+    * unknown reference body is retried against its legacy-name
+    * prefixes, CPython html.unescape's loop), which web text hits
+    * constantly (`&ampx` -> `&x`, `&notit;` -> `¬it;`).
+    */
+  private lazy val LegacyEntities: Map[String, String] =
+    loadEntityTsv("/graft/html5_entities_legacy.tsv")
+
+  // named body is a maximal alphanumeric run with OPTIONAL semicolon —
+  // the semicolon-less legacy forms and the backtrack rule need to see
+  // the whole run; numeric forms still require the ';' (documented
+  // contract: html.unescape also accepts bare numerics, we don't)
   private val EntityRe =
-    "&(#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|[a-zA-Z][a-zA-Z0-9]{1,30});".r
+    "&(#[0-9]{1,7};|#[xX][0-9a-fA-F]{1,6};|[a-zA-Z][a-zA-Z0-9]{1,31};?)".r
 
   /** package-visible: the HTML main-content extractor decodes entities
     * with the same table/semantics as the ftfy step (graft.html).
+    * TEXT semantics = CPython `html.unescape` for named references:
+    * exact semicolon form, else the legacy semicolon-less table, else
+    * longest-match-then-backtrack over legacy-name prefixes (length >=
+    * 2), else verbatim.
     */
-  private[graft] def unescapeHtml(s: String): String = {
-    if (s.indexOf('&') < 0 || s.indexOf(';') < 0) return s
+  private[graft] def unescapeHtml(s: String): String =
+    unescapeHtml(s, inAttribute = false)
+
+  /** ATTRIBUTE semantics (WHATWG tokenizer): a legacy (semicolon-less)
+    * match whose next character is `=` or alphanumeric is NOT decoded —
+    * the rule that keeps `href="?a=1&copy=2"` a working URL — and the
+    * backtrack rule never fires (the char after the matched prefix is
+    * alphanumeric by construction). Exact semicolon forms and numeric
+    * references decode as in text.
+    */
+  private[graft] def unescapeHtmlAttr(s: String): String =
+    unescapeHtml(s, inAttribute = true)
+
+  private def unescapeHtml(s: String, inAttribute: Boolean): String = {
+    if (s.indexOf('&') < 0) return s
     def codePoint(cp: Int, orig: String): String =
       if (cp >= 0x20 && cp <= 0x10FFFF &&
         !(cp >= 0xD800 && cp <= 0xDFFF)) new String(Character.toChars(cp))
       else orig
+    // CPython's backtrack loop: longest legacy-name prefix, length >= 2;
+    // the suffix (alphanumerics and/or the trailing ';') stays verbatim
+    def backtrack(body: String): String = {
+      var x = body.length - 1
+      while (x >= 2) {
+        val p = body.substring(0, x)
+        LegacyEntities.get(p) match {
+          case Some(v) => return v + body.substring(x)
+          case None => ()
+        }
+        x -= 1
+      }
+      "&" + body
+    }
     EntityRe.replaceAllIn(s, m => {
       val body = m.group(1)
       val rep =
         if (body.startsWith("#x") || body.startsWith("#X"))
-          codePoint(Integer.parseInt(body.substring(2), 16), m.matched)
+          codePoint(Integer.parseInt(body.substring(2,
+            body.length - 1), 16), m.matched)
         else if (body.startsWith("#"))
-          codePoint(body.substring(1).toInt, m.matched)
-        else NamedEntities.getOrElse(body, m.matched)
+          codePoint(body.substring(1, body.length - 1).toInt, m.matched)
+        else if (body.endsWith(";")) {
+          NamedEntities.get(body.dropRight(1)) match {
+            case Some(v) => v
+            case None => if (inAttribute) m.matched else backtrack(body)
+          }
+        } else if (inAttribute) {
+          // next char after the maximal run: '=' suppresses the legacy
+          // decode; any other non-alphanumeric allows it
+          val next = m.end
+          val nextIsEq = next < s.length && s.charAt(next) == '='
+          if (nextIsEq) m.matched
+          else LegacyEntities.getOrElse(body, m.matched)
+        } else LegacyEntities.getOrElse(body, backtrack(body))
       scala.util.matching.Regex.quoteReplacement(rep)
     })
   }

@@ -562,12 +562,12 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val docs = HtmlExtract.extract(pages).toDF()
     val media = graft.ops.Multimodal.syntheticMediaFor(docs)
     val feats = graft.ops.Multimodal.extractFeatures(media, 16).collect()
-    // 4 pages x 1 article figure x (bmp + anim + mjpg siblings)
-    assert(feats.length == 12, feats.length)
+    // 4 pages x 1 article figure x (bmp + anim + mjpg + mp4 siblings)
+    assert(feats.length == 16, feats.length)
     assert(feats.forall(_.getSeq[Float](2).length == 16))
     val meta = graft.ops.Multimodal.extractMeta(media).collect()
     assert(meta.map(_.getAs[String]("format")).distinct.sorted.toSeq ==
-      Seq("avi", "bmp"))
+      Seq("avi", "bmp", "mp4"))
   }
 
   test("SpanMarkdown: unified span stream renders to training-shape markdown") {

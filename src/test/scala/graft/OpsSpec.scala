@@ -590,6 +590,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.util.Arrays.equals(fv, Multimodal.featureVector(mj, 16)))
   }
 
+  test("multimodal real codec: MJPEG-in-MP4 (ISO BMFF walk, sample-0 decode)") {
+    val mp = Multimodal.mp4MjpegPayload(seed = 11L, w = 50, h = 20, frames = 4)
+    assert(Multimodal.decodeMeta(mp) == Multimodal.MediaHeader("mp4", 50, 20, 4))
+    assert(java.util.Arrays.equals(mp, Multimodal.mp4MjpegPayload(11L, 50, 20, 4)))
+    // sample 0 carries the SAME source pixels as frame 0 of the MJPEG AVI
+    // twin AND the raw BMP twin: the two container walks must surface the
+    // IDENTICAL JPEG bytes (bit-equal features), and both stay JPEG-close
+    // to the raw grid
+    val fv = Multimodal.featureVector(mp, 16)
+    val avi = Multimodal.featureVector(
+      Multimodal.aviMjpegPayload(seed = 11L, w = 50, h = 20, frames = 4), 16)
+    assert(java.util.Arrays.equals(fv, avi),
+      "MP4 and AVI walks decode the same JPEG sample")
+    val raw = Multimodal.featureVector(
+      Multimodal.bmpPayload(seed = 11L, w = 50, h = 20), 16)
+    val maxErr = fv.zip(raw).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr < 0.05, s"MP4-vs-raw grid L-inf $maxErr")
+    // a non-JPEG stsd entry ('avc1' etc.) degrades to the hash seam:
+    // flip the sample-entry fourcc in place
+    val other = mp.clone()
+    val i = indexOfBytes(other, "jpeg".getBytes("US-ASCII"),
+      indexOfBytes(other, "stsd".getBytes("US-ASCII"), 0))
+    assert(i > 0)
+    "avc1".getBytes("US-ASCII").zipWithIndex.foreach { case (b, k) => other(i + k) = b }
+    val deg = Multimodal.featureVector(other, 16)
+    assert(deg.length == 16 && deg.toSeq != fv.toSeq)
+  }
+
+  private def indexOfBytes(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(0, from)
+    while (i + needle.length <= hay.length) {
+      var k = 0
+      while (k < needle.length && hay(i + k) == needle(k)) k += 1
+      if (k == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
   test("multimodal failure seam: poisoned rows degrade/drop and are counted, never abort") {
     val sp = spark
     import sp.implicits._

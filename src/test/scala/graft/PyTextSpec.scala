@@ -108,6 +108,33 @@ class PyTextSpec extends AnyFunSuite {
     assert(PyText.fixBadUnicode("AT&T; no entity") == "AT&T; no entity")
   }
 
+  test("unescapeHtml: semicolon-less legacy forms + longest-match backtrack (html.unescape semantics)") {
+    // the 106-name WHATWG legacy list decodes WITHOUT the semicolon
+    assert(PyText.fixBadUnicode("a &amp b") == "a & b")
+    assert(PyText.fixBadUnicode("&copy 2026 &reg") == "© 2026 ®")
+    assert(PyText.fixBadUnicode("&AMP &LT x") == "& < x")
+    assert(PyText.fixBadUnicode("Caf&eacute au lait") == "Café au lait")
+    // CPython's longest-match-then-backtrack: an unknown body is retried
+    // against its legacy-name prefixes — &ampx is NOT an entity, but its
+    // 'amp' prefix is
+    assert(PyText.fixBadUnicode("&ampx") == "&x")
+    assert(PyText.fixBadUnicode("&notit; stays-not") == "¬it; stays-not")
+    assert(PyText.fixBadUnicode("&notin") == "¬in") // no ';': not ∉
+    assert(PyText.fixBadUnicode("&notin;") == "∉")  // with ';': ∉
+    // non-legacy names still need the semicolon; no prefix rescues them
+    assert(PyText.fixBadUnicode("&alpha stays") == "&alpha stays")
+    assert(PyText.fixBadUnicode("&zz12 stays") == "&zz12 stays")
+    // ATTRIBUTE rules (WHATWG tokenizer): a legacy match followed by '='
+    // or an alphanumeric is unconsumed — query strings survive
+    assert(PyText.unescapeHtmlAttr("/p?a=1&copy=2") == "/p?a=1&copy=2")
+    assert(PyText.unescapeHtmlAttr("/p?x&ampy") == "/p?x&ampy")
+    assert(PyText.unescapeHtmlAttr("/p?a=1&amp;b=2") == "/p?a=1&b=2")
+    assert(PyText.unescapeHtmlAttr("say &amp again") == "say & again")
+    assert(PyText.unescapeHtmlAttr("end &amp") == "end &")
+    // ...while TEXT decodes the same inputs aggressively, like a browser
+    assert(PyText.fixBadUnicode("a=1&copy=2") == "a=1©=2")
+  }
+
   test("fixBadUnicode: full HTML4 entity table (ftfy unescape_html vectors)") {
     // vector from ftfy's own test corpus (test_entities): named entity +
     // already-decoded text left alone on the re-pass
@@ -169,8 +196,9 @@ class PyTextSpec extends AnyFunSuite {
     assert(fix("&bnequiv;") == "\u2261\u20e5")
     // truly unknown names still stay verbatim (conservative contract)
     assert(fix("&NoSuchEntityZz;") == "&NoSuchEntityZz;")
-    // semicolon-less legacy forms stay verbatim BY CONTRACT
-    assert(fix("a &amp b") == "a &amp b")
+    // semicolon-less LEGACY forms decode too (html.unescape parity —
+    // the r04 contract exclusion is closed)
+    assert(fix("a &amp b") == "a & b")
   }
 
   test("width table equals per-char NFKC over the whole FF01-FFEF block") {

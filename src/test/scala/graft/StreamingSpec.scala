@@ -235,6 +235,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.toSeq == Seq(1L, 3L), kept.mkString(","))
   }
 
+  test("WebPrep.prepareStream: extract + robots gate + url dedup on arrival, two micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val canonical = """<link rel="canonical" href="https://site.example/artikel/a1">"""
+    val body = "<p>" + ("inhalt mit vielen langen worten immer weiter so " * 4) + "</p>"
+    val acc = spark.sparkContext.longAccumulator("webprep_failed")
+    val mem = MemoryStream[(String, String, String, java.sql.Timestamp)]
+    val q = graft.pipeline.WebPrep
+      .prepareStream(mem.toDF.toDF("doc_id", "html", "url", "ts"),
+        "ts", "10 minutes", failedAcc = Some(acc))
+      .writeStream.format("memory").queryName("webprep_stream")
+      .outputMode("append").start()
+    // batch 1: the desktop fetch + a noindex page + a poison row
+    mem.addData(
+      ("a-desktop", s"<head>$canonical</head><body>$body</body>",
+        "https://site.example/artikel/a1", ts(0)),
+      ("c-noindex", "<head><meta name=\"robots\" content=\"noindex\">" +
+        s"</head><body>$body</body>", "https://other.example/x", ts(0)),
+      ("broken", null, "https://x.example/", ts(0)))
+    q.processAllAvailable()
+    // batch 2: the mirror fetch of the SAME logical page (amp + tracking,
+    // same declared canonical) must be suppressed by state; a new page
+    // passes
+    mem.addData(
+      ("b-mirror", s"<head>$canonical</head><body>$body</body>",
+        "https://m.site.example/amp/a1?utm_source=amp", ts(2)),
+      ("d-plain", s"<body>$body</body>", "http://Plain.example/P?utm_medium=m", ts(2)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("webprep_stream").collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[String]("dedup_url")).toMap
+    assert(rows == Map(
+      "a-desktop" -> "https://site.example/artikel/a1",
+      "d-plain" -> "https://plain.example/P"), rows)
+    assert(acc.value == 1L) // the poison row is counted, not fatal
+  }
+
   test("stateless corpus ops (pii scrub, quality filter) run unchanged on a stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
