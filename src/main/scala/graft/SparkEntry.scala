@@ -547,6 +547,28 @@ object SparkEntry {
           size(col("links")).cast("int").as("n_links"))
         .orderBy(col("doc_id"))
     }),
+    // WARC crawl-container ingest: the mixed-encoding fixture corpus
+    // shipped through a REAL WARC file (warcinfo + HTTP-enveloped
+    // response records, Content-Length framing) -> streaming record
+    // parse -> charset ladder -> one-pass extraction; the frozen golden
+    // pins record framing, HTTP split, URI carry and span equality with
+    // the string path (ids are the WARC record ids, so rows key on url)
+    "x19_warc_ingest" -> ((s, dir) => {
+      val pages = graft.fixtures.HtmlFixtures.bytesCorpus(40)
+      val warc = graft.sources.Warc.writeWarc(pages.map { case (id, bytes, ct) =>
+        (s"https://fetch.example/$id", if (ct == null) "text/html" else ct, bytes)
+      })
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x19")
+      val p = tmp.resolve("fixture.warc")
+      java.nio.file.Files.write(p, warc)
+      val docs = graft.sources.Warc.extractAll(s, p.toString, minPartitions = 4)
+      docs.select(col("doc_id"), col("url"),
+          posexplode(col("spans")).as(Seq("pos", "sp")))
+        .select(col("doc_id"), col("url"), col("sp.kind").as("kind"),
+          col("sp.text").as("text"), col("sp.media_ref").as("media_ref"),
+          col("sp.offset").as("offset"))
+        .orderBy(col("url"), col("offset"))
+    }),
     // RFC 9309 robots.txt frontier gate: the fixture frontier (out-links
     // of the synthetic corpus, canonicalized + first-seen-deduped) gated
     // by a per-host rules table for a version-suffixed crawler token —

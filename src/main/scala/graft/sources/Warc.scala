@@ -1,0 +1,284 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** WARC ingest (ISO 28500) — the container format web crawls actually
+  * arrive in (Common Crawl, Heritrix, wget --warc). Completes the
+  * crawl-native path end to end:
+  *
+  *   WARC file -> response records (url, bytes, Content-Type)
+  *     -> HtmlExtract.extractAllBytes (charset ladder)
+  *       -> WebPrep (robots gate + canonical URL dedup)
+  *         -> CorpusPrep (content dedup + quality)
+  *
+  * Format notes (all from the public ISO 28500 spec + the Common Crawl
+  * convention):
+  *  - a WARC file is a sequence of records; each record is a version
+  *    line (`WARC/1.0` / `WARC/1.1`), CRLF-separated named header
+  *    fields, a blank line, exactly `Content-Length` octets of block,
+  *    then CRLF CRLF;
+  *  - `response` records hold a full HTTP response in the block: status
+  *    line + headers + CRLF CRLF + payload. The PAYLOAD is the page
+  *    bytes; the HTTP `Content-Type` header feeds the charset ladder;
+  *  - `.warc.gz` files are per-record gzip MEMBERS concatenated —
+  *    `GZIPInputStream` consumes multi-member streams, so one streaming
+  *    decompressor covers the whole file;
+  *  - header names are case-insensitive; block bytes are binary (the
+  *    Content-Length framing, never delimiters, bounds them).
+  *
+  * Scale shape: files are read via `sparkContext.binaryFiles`
+  * (PortableDataStream — each task STREAMS its file; memory is bounded
+  * by the largest single record, not the file), one task per WARC file
+  * — the standard WARC-on-Spark layout, map-only. A truncated or
+  * malformed record ends that file's iteration and counts on
+  * `failedAcc` (the per-row failure convention); records already parsed
+  * are kept.
+  */
+object Warc {
+
+  /** One parsed record (response records carry the HTTP split). */
+  final case class WarcRecord(
+      recordId: String, warcType: String, targetUri: String,
+      warcDate: String, httpStatus: Int, httpContentType: String,
+      body: Array[Byte])
+
+  private val CRLF = "\r\n"
+
+  /** Read one CRLF-terminated ASCII line from the stream; null at EOF
+    * before any byte. WARC header lines are ASCII by spec.
+    */
+  private def readLine(in: java.io.InputStream): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0) {
+      if (c == '\n') {
+        val s = sb.toString
+        return if (s.nonEmpty && s.charAt(s.length - 1) == '\r')
+          s.substring(0, s.length - 1) else s
+      }
+      sb.append(c.toChar)
+      c = in.read()
+    }
+    sb.toString
+  }
+
+  private def readFully(in: java.io.InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      require(r >= 0, s"WARC truncated: wanted $n block bytes, got $off")
+      off += r
+    }
+    buf
+  }
+
+  /** Parse `name: value` header lines up to the blank separator into a
+    * lowercased-name map (first occurrence wins, like the crawlers).
+    */
+  private def readHeaders(in: java.io.InputStream): Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    val seen = scala.collection.mutable.Set.empty[String]
+    var line = readLine(in)
+    while (line != null && line.nonEmpty) {
+      val i = line.indexOf(':')
+      if (i > 0) {
+        val k = line.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+        if (seen.add(k)) m += k -> line.substring(i + 1).trim
+      }
+      line = readLine(in)
+    }
+    m.result()
+  }
+
+  /** Streaming record iterator over a raw (already-decompressed if
+    * needed) WARC stream. Lazy: one record in memory at a time.
+    */
+  def records(in0: java.io.InputStream): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private val in = new java.io.BufferedInputStream(in0, 1 << 16)
+      private var nextRec: WarcRecord = null
+      private var done = false
+
+      private def advance(): Unit = {
+        // skip inter-record blank lines, find the version line
+        var line = readLine(in)
+        while (line != null && line.isEmpty) line = readLine(in)
+        if (line == null) { done = true; return }
+        require(line.startsWith("WARC/"),
+          s"not a WARC record boundary: '${line.take(40)}'")
+        val h = readHeaders(in)
+        val len = h.getOrElse("content-length",
+          sys.error("WARC record without Content-Length")).toInt
+        val block = readFully(in, len)
+        val typ = h.getOrElse("warc-type", "")
+        var status = 0
+        var httpCt = ""
+        var body = block
+        if (typ == "response" && block.length >= 5 &&
+            new String(block, 0, 5, "US-ASCII") == "HTTP/") {
+          // split the HTTP envelope: status line + headers + CRLFCRLF
+          val sep = indexOfCrlfCrlf(block)
+          val headEnd = if (sep < 0) block.length else sep
+          val head = new String(block, 0, headEnd, "ISO-8859-1")
+          val lines = head.split("\r\n|\n")
+          status = lines.headOption.map(_.split("\\s+"))
+            .filter(_.length >= 2).flatMap(a => a(1).toIntOption).getOrElse(0)
+          httpCt = lines.drop(1)
+            .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:"))
+            .map(l => l.substring(l.indexOf(':') + 1).trim).getOrElse("")
+          body = if (sep < 0) Array.emptyByteArray
+          else java.util.Arrays.copyOfRange(block, sep + 4, block.length)
+        }
+        nextRec = WarcRecord(
+          h.getOrElse("warc-record-id", ""), typ,
+          // Common Crawl wraps the URI in <...> in some generators
+          h.getOrElse("warc-target-uri", "").stripPrefix("<").stripSuffix(">"),
+          h.getOrElse("warc-date", ""), status, httpCt, body)
+      }
+
+      private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
+        var i = 0
+        while (i + 3 < b.length) {
+          if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
+            b(i + 3) == '\n') return i
+          i += 1
+        }
+        -1
+      }
+
+      def hasNext: Boolean = {
+        if (nextRec == null && !done) advance()
+        nextRec != null
+      }
+      def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+    }
+
+  private def isGzip(in: java.io.InputStream): java.io.InputStream = {
+    val b = new java.io.BufferedInputStream(in, 1 << 16)
+    b.mark(2)
+    val m0 = b.read(); val m1 = b.read()
+    b.reset()
+    if (m0 == 0x1f && m1 == 0x8b)
+      // multi-member: GZIPInputStream consumes concatenated members
+      new java.util.zip.GZIPInputStream(b, 1 << 16)
+    else b
+  }
+
+  /** The crawl-ingest operator: every HTTP-200 `response` record of
+    * every WARC file under `path` (glob ok; `.warc` and `.warc.gz`
+    * both) as rows ready for [[graft.html.HtmlExtract.extractAllBytes]]
+    * / [[graft.pipeline.WebPrep]]:
+    *
+    *   (doc_id = WARC-Record-ID, url = WARC-Target-URI,
+    *    content_type = HTTP Content-Type, http_status, fetch_ts =
+    *    WARC-Date, html_bytes = HTTP payload)
+    *
+    * One streaming task per file (binaryFiles); `minPartitions` spreads
+    * small file counts across the cluster. A malformed tail ends that
+    * FILE's parse (records before it are kept) and counts on
+    * `failedAcc` — never aborts the job.
+    */
+  def responses(spark: SparkSession, path: String, minPartitions: Int = 32,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path, minPartitions)
+      .flatMap { case (_, pds) =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, String, Int, String, Array[Byte])]
+        val in = isGzip(pds.open())
+        try {
+          val it = records(in)
+          var ok = true
+          while (ok) {
+            // a malformed record throws inside hasNext (the lazy
+            // advance) or next: keep what parsed, count the file once,
+            // stop this file
+            try {
+              if (!it.hasNext) ok = false
+              else {
+                val r = it.next()
+                if (r.warcType == "response" && r.httpStatus == 200)
+                  out += ((r.recordId, r.targetUri, r.httpContentType,
+                    r.httpStatus, r.warcDate, r.body))
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                failedAcc.foreach(_.add(1L)); ok = false
+            }
+          }
+        } finally in.close()
+        out
+      }
+      .toDF("doc_id", "url", "content_type", "http_status", "fetch_ts",
+        "html_bytes")
+  }
+
+  /** WARC -> extracted web documents in one composed call: the full
+    * crawl-native path (responses -> charset ladder -> one-pass
+    * extractAll). Returns the WebDoc columns.
+    */
+  def extractAll(spark: SparkSession, path: String, minPartitions: Int = 32,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame =
+    graft.html.HtmlExtract.extractAllBytes(
+      responses(spark, path, minPartitions, failedAcc),
+      htmlCol = "html_bytes", contentTypeCol = Some("content_type"),
+      pageUrlCol = Some("url"), failedAcc = failedAcc).toDF()
+
+  // ---------- fixture writer (tests + the x19 gate) ----------
+
+  /** Serialize (url, contentType, body) responses as a REAL WARC file:
+    * a `warcinfo` record then one `response` record per page, each with
+    * a full HTTP envelope. `gzipPerRecord` writes the Common Crawl
+    * `.warc.gz` shape (one gzip member per record). Deterministic for
+    * the plain form; the gzip form is exercised in unit tests only (the
+    * deflate byte stream is JDK-build-pinned, same caveat as the JPEG
+    * writer — gates freeze the PLAIN form).
+    */
+  def writeWarc(pages: Seq[(String, String, Array[Byte])],
+      gzipPerRecord: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def record(headers: Seq[(String, String)], block: Array[Byte]): Unit = {
+      val sb = new java.lang.StringBuilder()
+      sb.append("WARC/1.0").append(CRLF)
+      headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append(CRLF) }
+      sb.append("Content-Length: ").append(block.length).append(CRLF)
+      sb.append(CRLF)
+      val rec = new java.io.ByteArrayOutputStream()
+      rec.write(sb.toString.getBytes("US-ASCII"))
+      rec.write(block)
+      rec.write((CRLF + CRLF).getBytes("US-ASCII"))
+      if (gzipPerRecord) {
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(rec.toByteArray); gz.finish()
+      } else out.write(rec.toByteArray)
+    }
+    record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> "<urn:uuid:graft-warcinfo-0>",
+      "WARC-Date" -> "2026-01-01T00:00:00Z",
+      "Content-Type" -> "application/warc-fields"),
+      ("software: graft-fixture" + CRLF).getBytes("US-ASCII"))
+    pages.zipWithIndex.foreach { case ((url, ct, body), i) =>
+      val http = new java.io.ByteArrayOutputStream()
+      http.write(("HTTP/1.1 200 OK" + CRLF +
+        "Content-Type: " + ct + CRLF +
+        "Content-Length: " + body.length + CRLF + CRLF).getBytes("US-ASCII"))
+      http.write(body)
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:graft-rec-$i>",
+        "WARC-Date" -> "2026-01-01T00:00:00Z",
+        "WARC-Target-URI" -> url,
+        "Content-Type" -> "application/http; msgtype=response"),
+        http.toByteArray)
+    }
+    out.toByteArray
+  }
+}
