@@ -73,7 +73,11 @@ final case class JobConfig(
       * (doc_id, html) — same chunking, bucketed pruning, skew salting
       * (keyed on html length instead of span count), doc/chunk resume
       * and per-partition lineage metrics; only the per-row kernel and
-      * the input columns differ.
+      * the input columns differ. "html_bytes": the same web kernel over
+      * crawl-native (doc_id, html_bytes[, content_type]) rows — the
+      * charset ladder (HtmlCharset) runs inside the same map pass; a
+      * missing content_type column reads as null (ladder continues at
+      * the meta prescan / content sniff).
       */
     inputKind: String = "spans",
     extract: ExtractConfig = ExtractConfig())
@@ -248,6 +252,42 @@ object ExtractJob {
     spark.createDataset(rdd)
   }
 
+  /** Crawl-native twin of extractChunkHtml: (doc_id, html_bytes,
+    * content_type) rows through the charset ladder + web kernel in ONE
+    * map pass, same metrics contract. A null content_type cell is fine
+    * (the ladder continues); null bytes are a counted metrics failure.
+    */
+  def extractChunkHtmlBytes(
+      docs: org.apache.spark.sql.DataFrame,
+      cfg: JobConfig,
+      chunkId: Int,
+      metricsAcc: CollectionAccumulator[PartitionMetric]): Dataset[ExtractedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val runId = cfg.runId
+    val rdd = docs.select("doc_id", "html_bytes", "content_type")
+      .queryExecution.toRdd.mapPartitions { it =>
+        val m = new PartitionInstrumentation(runId, chunkId)
+        val out = it.flatMap { row =>
+          m.nDocs += 1
+          var docId = "(null doc_id)"
+          try {
+            if (!row.isNullAt(0)) docId = row.getUTF8String(0).toString
+            require(!row.isNullAt(1), "null html_bytes")
+            val ct = if (row.isNullAt(2)) null else row.getUTF8String(2).toString
+            val r = graft.html.HtmlExtract.extractRowBytes(
+              docId, row.getBinary(1), ct)
+            m.spansOut += r.spans.length
+            Some(r)
+          } catch {
+            case scala.util.control.NonFatal(e) => m.failed(docId, e); None
+          }
+        }
+        m.wrap(out, metricsAcc)
+      }
+    spark.createDataset(rdd)
+  }
+
   /** Chunk ids already recorded complete in the metrics table (resume).
     * A MISSING metrics table means a fresh run (empty set); an EXISTING
     * table that cannot be read fails loudly — silently returning empty
@@ -317,19 +357,29 @@ object ExtractJob {
 
     (0 until cfg.chunks).foreach { chunk =>
       if (!done.contains(chunk)) {
-        // the two kernels share every job mechanism; only the data column
-        // and the per-row function differ
-        val dataCol = if (cfg.inputKind == "html") "html" else "spans"
+        // the kernels share every job mechanism; only the data columns
+        // and the per-row function differ. html_bytes additionally
+        // carries content_type when the input has it (a crawl table
+        // without one still works — the charset ladder continues past
+        // the absent transport layer)
+        def inputCols(df: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = cfg.inputKind match {
+          case "html" => df.select("doc_id", "html")
+          case "html_bytes" =>
+            if (df.columns.contains("content_type"))
+              df.select("doc_id", "html_bytes", "content_type")
+            else df.select(col("doc_id"), col("html_bytes"),
+              lit(null).cast("string").as("content_type"))
+          case _ => df.select("doc_id", "spans")
+        }
         val slice =
           if (cfg.bucketedInput) {
             // partition pruning on the bucket= layout: only this chunk's
             // files are scanned (JobSpec asserts the pushed filter)
-            spark.read.format(cfg.format).load(cfg.inputPath)
-              .filter(col("bucket") === chunk)
-              .select("doc_id", dataCol)
+            inputCols(spark.read.format(cfg.format).load(cfg.inputPath)
+              .filter(col("bucket") === chunk))
           } else {
-            val docs = spark.read.format(cfg.format).load(cfg.inputPath)
-              .select("doc_id", dataCol)
+            val docs = inputCols(spark.read.format(cfg.format).load(cfg.inputPath))
             if (cfg.chunks == 1) docs
             else docs.filter(pmod(xxhash64(col("doc_id")), lit(cfg.chunks)) === chunk)
           }
@@ -360,16 +410,23 @@ object ExtractJob {
             // bigDocSpanThreshold for layout docs, char length vs
             // bigDocHtmlChars for pages (the units differ by ~an order of
             // magnitude — see the JobConfig scaladoc)
-            val (sizeCol, threshold) =
-              if (cfg.inputKind == "html") (length(col("html")), cfg.bigDocHtmlChars)
-              else (size(col("spans")), cfg.bigDocSpanThreshold)
+            val (sizeCol, threshold) = cfg.inputKind match {
+              case "html" => (length(col("html")), cfg.bigDocHtmlChars)
+              // length(binary) = octet count; bytes-per-char ~1 for the
+              // dominant encodings, so the same char threshold applies
+              case "html_bytes" => (length(col("html_bytes")), cfg.bigDocHtmlChars)
+              case _ => (size(col("spans")), cfg.bigDocSpanThreshold)
+            }
             repartitionSkewAwareDf(sliceTodo, cfg.numPartitions,
               threshold, sizeCol)
           } else sliceTodo // ingest-time layout already distributes: map-only
         val acc = spark.sparkContext.collectionAccumulator[PartitionMetric](s"metrics-$chunk")
-        val out =
-          if (cfg.inputKind == "html") extractChunkHtml(part, cfg, chunk, acc)
-          else extractChunk(part.select("doc_id", "spans").as[DocRow], cfg, chunk, acc)
+        val out = cfg.inputKind match {
+          case "html" => extractChunkHtml(part, cfg, chunk, acc)
+          case "html_bytes" => extractChunkHtmlBytes(part, cfg, chunk, acc)
+          case _ =>
+            extractChunk(part.select("doc_id", "spans").as[DocRow], cfg, chunk, acc)
+        }
         // chunk mode: Overwrite — the chunk directory is the retry unit, so
         // a crashed-after-partial-commit attempt (committer v2, speculative
         // tasks) is simply replaced on resume — idempotent by construction.
@@ -416,7 +473,7 @@ object ExtractJob {
     *     [--run-id r] [--partitions n] [--chunks k] [--format parquet] \
     *     [--big-doc-spans n] [--big-doc-html-chars n] [--fast true|false] \
     *     [--bucketed-input true|false] [--repartition true|false] \
-    *     [--input-kind spans|html]
+    *     [--input-kind spans|html|html_bytes]
     *
     * The session is taken from spark-submit's conf (master, executors,
     * AQE, shuffle partitions come from the cluster submit, not the code).

@@ -231,6 +231,76 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("charset ladder: TOTAL over random bytes + random content types, deterministic") {
+    val cts = Vector(null, "", "text/html", "text/html; charset=utf-8",
+      "text/html; charset=iso-8859-1", "charset=utf-16", "charset=bogus-999",
+      "text/html; charset=\"windows-1252\"", "application/octet-stream")
+    (0L until 400L).foreach { seed =>
+      val rng = new Fixtures.Rng(0xBEEF + seed)
+      val n = rng.nextInt(600)
+      val bytes = Array.fill(n)(rng.nextInt(256).toByte)
+      val ct = cts(rng.nextInt(cts.length))
+      // any byte sequence decodes (never throws), to a non-null string,
+      // with a non-null chosen label, deterministically
+      val (s1, c1) = graft.html.HtmlCharset.decodeWithCharset(bytes, ct)
+      val (s2, c2) = graft.html.HtmlCharset.decodeWithCharset(bytes, ct)
+      assert(s1 != null && c1 != null, s"seed=$seed")
+      assert(s1 == s2 && c1 == c2, s"seed=$seed nondeterministic")
+      // and the decoded text feeds the tokenizer without incident
+      graft.html.HtmlExtract.extractRow(s"fz-$seed", s1): Unit
+    }
+  }
+
+  test("robots.txt: parse + evaluation TOTAL over adversarial rule text") {
+    val lines = Vector("User-Agent: *", "User-Agent:", "user-agent: a",
+      "Disallow: /", "Disallow:", "Allow: /*.x$", "Allow: ****", "Allow: $",
+      "Disallow: /a*b*c$", "garbage", ": :", "#c", "Crawl-Delay: 5",
+      "Sitemap: https://e/s.xml", "Disallow: /:", "Allow: //", "\t", "")
+    (0L until 400L).foreach { seed =>
+      val rng = new Fixtures.Rng(0xCAFE + seed)
+      val txt = (0 until rng.nextInt(20))
+        .map(_ => lines(rng.nextInt(lines.length))).mkString("\n")
+      val ua = Vector("*", "a", "Bot/1.0", "")(rng.nextInt(4))
+      val url = Vector("https://e/x", "https://e", "e", null, "https://e/a*b")(
+        rng.nextInt(5))
+      val d1 = graft.ops.RobotsTxt.allowed(txt, ua, url)
+      assert(d1 == graft.ops.RobotsTxt.allowed(txt, ua, url),
+        s"seed=$seed nondeterministic")
+      // the compiled distributed face agrees with the direct evaluation
+      val compiled = graft.ops.RobotsTxt.compiledRules(txt, ua)
+      assert(graft.ops.RobotsTxt.allowedCompiled(compiled.toSeq, url) == d1,
+        s"seed=$seed compiled face diverges")
+    }
+  }
+
+  test("WARC round-trip: random binary bodies (with embedded fake boundaries) survive framing") {
+    (0L until 60L).foreach { seed =>
+      val rng = new Fixtures.Rng(0xD00D + seed)
+      val pages = (0 until 1 + rng.nextInt(5)).map { i =>
+        val n = rng.nextInt(400)
+        val body = Array.fill(n)(rng.nextInt(256).toByte)
+        // adversarial prefix: a fake record boundary INSIDE the body
+        val evil =
+          if (rng.nextInt(2) == 0)
+            "\r\n\r\nWARC/1.0\r\nContent-Length: 7\r\n".getBytes("US-ASCII") ++ body
+          else body
+        (s"https://f$seed.example/p$i", "application/octet-stream", evil)
+      }
+      val warc = graft.sources.Warc.writeWarc(pages,
+        gzipPerRecord = rng.nextInt(2) == 0)
+      val in: java.io.InputStream = {
+        val raw = new java.io.ByteArrayInputStream(warc)
+        if (warc(0) == 0x1f.toByte) new java.util.zip.GZIPInputStream(raw) else raw
+      }
+      val rs = graft.sources.Warc.records(in).filter(_.warcType == "response").toVector
+      assert(rs.length == pages.length, s"seed=$seed")
+      rs.zip(pages).foreach { case (r, (url, _, body)) =>
+        assert(r.targetUri == url, s"seed=$seed")
+        assert(java.util.Arrays.equals(r.body, body), s"seed=$seed body mangled")
+      }
+    }
+  }
+
   test("xgolden escape/unescape round-trip on adversarial strings") {
     // the escaping underpins 13 frozen-golden gate rows: any string the
     // extraction kernel can emit must survive TSV freeze + thaw exactly

@@ -78,6 +78,39 @@ class JobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.find(_.doc_id == "web-00003").get == direct)
   }
 
+  test("html_bytes job: crawl-native bytes through the chunked machinery (charset ladder inside)") {
+    import spark.implicits._
+    // mixed encodings + a poison row; the ladder runs inside the chunk map
+    val pages = graft.fixtures.HtmlFixtures.bytesCorpus(20) :+
+      (("bytes-broken", null.asInstanceOf[Array[Byte]], "text/html"))
+    pages.toDF("doc_id", "html_bytes", "content_type")
+      .write.mode("overwrite").parquet(s"$dir/bin")
+    val cfg = JobConfig(s"$dir/bin", s"$dir/bout", s"$dir/bm",
+      runId = "rb", numPartitions = 4, chunks = 2, inputKind = "html_bytes",
+      bigDocHtmlChars = 2000)
+    ExtractJob.run(spark, cfg)
+    val out = ExtractJob.readOutput(spark, cfg).collect()
+    assert(out.length == 20)
+    // byte path through the JOB == string kernel called directly, for
+    // every mixed-encoding variant
+    val want = graft.fixtures.HtmlFixtures.corpus(20).map { case (id, html) =>
+      id -> graft.html.HtmlExtract.extractRow(id, html)
+    }.toMap
+    out.foreach(d => assert(d == want(d.doc_id), d.doc_id))
+    val metrics = spark.read.parquet(s"$dir/bm")
+    assert(metrics.filter(
+      org.apache.spark.sql.functions.col("status") === "done_with_failures" &&
+        org.apache.spark.sql.functions.col("error").contains("bytes-broken"))
+      .count() >= 1)
+    // a content_type-less input table still runs (ladder continues)
+    pages.toDF("doc_id", "html_bytes", "content_type").drop("content_type")
+      .write.mode("overwrite").parquet(s"$dir/bin2")
+    val cfg2 = cfg.copy(inputPath = s"$dir/bin2", outputPath = s"$dir/bout2",
+      metricsPath = s"$dir/bm2", runId = "rb2")
+    ExtractJob.run(spark, cfg2)
+    assert(ExtractJob.readOutput(spark, cfg2).count() == 20)
+  }
+
   test("chunked run produces identical output to single-chunk run") {
     import spark.implicits._
     val docs = corpus(60)

@@ -128,6 +128,41 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("byte-level ingest: extractBytes/extractAllBytes stay map-only (zero Exchange)") {
+    val sp = spark
+    import sp.implicits._
+    val pages = sp.createDataset(graft.fixtures.HtmlFixtures.bytesCorpus(4))
+      .toDF("doc_id", "html_bytes", "content_type")
+      .withColumn("url", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("https://f.example/"),
+        org.apache.spark.sql.functions.col("doc_id")))
+    Seq(
+      graft.html.HtmlExtract.extractBytes(pages, htmlCol = "html_bytes",
+        contentTypeCol = Some("content_type")).toDF(),
+      graft.html.HtmlExtract.extractAllBytes(pages, htmlCol = "html_bytes",
+        contentTypeCol = Some("content_type"), pageUrlCol = Some("url")).toDF()
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), p)
+    }
+  }
+
+  test("frontierGated: rules side broadcast; the frontier never shuffles for the join") {
+    val sp = spark
+    import sp.implicits._
+    val frontier = (1 to 100)
+      .map(i => (s"https://h$i.example/p$i", s"d$i"))
+      .toDF("url", "first_seen_doc")
+    val robots = Seq(("h1.example", "User-Agent: *\nDisallow: /x\n"))
+      .toDF("host", "robots_txt")
+    val p = plan(graft.pipeline.WebPrep.frontierGated(frontier, robots))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only Exchange is the broadcast of the tiny rules table — the
+    // frontier side itself never repartitions
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("urlDedupAtScale: aggregation + join keyed on md5_long, not URL strings") {
     val sp = spark
     import sp.implicits._
