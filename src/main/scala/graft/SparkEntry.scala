@@ -569,6 +569,70 @@ object SparkEntry {
           col("sp.offset").as("offset"))
         .orderBy(col("url"), col("offset"))
     }),
+    // sitemap frontier seeding: robots.txt Sitemap advertisements name
+    // the fixture files (urlset XML with entity-escaped locs + lastmod
+    // variants, a text sitemap, a sitemapindex whose child refs must
+    // NOT seed) -> distributed Sitemap.entries parse ->
+    // frontierFromSitemaps (canonicalize, dedup, max-lastmod) -> the
+    // RFC 9309 robots gate on the same rules — pinning the whole
+    // discover-and-seed path a crawl starts from
+    "x20_sitemap_frontier" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val robotsTxt = "User-Agent: *\nDisallow: /blocked/\n" +
+        "Sitemap: https://seed.example/sitemap-a.xml\n" +
+        "Sitemap: https://seed.example/sitemap-b.txt\n"
+      // the advertisement drives which files the gate writes + reads
+      val ads = graft.ops.RobotsTxt.sitemaps(robotsTxt)
+        .map(_.substring("https://seed.example/".length))
+      val urlset =
+        """<?xml version="1.0" encoding="UTF-8"?>
+          |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+          |<url><loc>HTTP://Seed.Example/katalog?item=7&amp;lang=de#frag</loc><lastmod>2026-01-05</lastmod><changefreq>weekly</changefreq><priority>0.8</priority></url>
+          |<url><loc>http://seed.example/katalog?item=7&amp;lang=de</loc><lastmod>2026-03-01</lastmod></url>
+          |<url><loc>https://seed.example/blocked/intern</loc><lastmod>2026-02-02</lastmod></url>
+          |<url><loc>https://seed.example/artikel/&#252;ber-uns</loc></url>
+          |</urlset>""".stripMargin
+      val textmap = "https://seed.example/katalog?item=7&lang=de\n" +
+        "https://seed.example/impressum\nkein-url\n"
+      val index = "<sitemapindex><sitemap>" +
+        "<loc>https://seed.example/sitemap-more.xml</loc>" +
+        "</sitemap></sitemapindex>"
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x20")
+      java.nio.file.Files.write(tmp.resolve(ads(0)),
+        urlset.getBytes("UTF-8"))
+      java.nio.file.Files.write(tmp.resolve(ads(1)),
+        textmap.getBytes("UTF-8"))
+      java.nio.file.Files.write(tmp.resolve("sitemap-c.xml"),
+        index.getBytes("UTF-8"))
+      val entries = graft.sources.Sitemap.entries(
+        s, tmp.toString + "/*", minPartitions = 2)
+      val seeds = graft.pipeline.WebPrep.frontierFromSitemaps(entries)
+      val robots = Seq(("seed.example", robotsTxt)).toDF("host", "robots_txt")
+      graft.pipeline.WebPrep.frontierGated(seeds, robots)
+        .orderBy(col("url"))
+    }),
+    // WET round-trip: the composed WebPrep corpus written as sharded
+    // Common Crawl-style WET files (warcinfo + conversion records,
+    // Content-Length framing, per-record gzip members) through the
+    // distributed sink, read back through the WET source — pinning the
+    // sink/source pair as an identity on (url, text) and the
+    // deterministic epoch date fallback
+    "x21_wet_roundtrip" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val pages = sp.createDataset(graft.fixtures.HtmlFixtures.corpus(30))
+        .toDF("doc_id", "html")
+        .withColumn("url",
+          concat(lit("https://fetch.example/seite/"), col("doc_id")))
+      val corpus = graft.pipeline.WebPrep.prepare(pages)
+        .select(col("dedup_url").as("url"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x21")
+      graft.sources.Warc.writeWetShards(corpus.repartition(3),
+        tmp.toString, gzipPerRecord = true)
+      graft.sources.Warc.wetText(s, tmp.toString + "/*", minPartitions = 2)
+        .orderBy(col("url"))
+    }),
     // RFC 9309 robots.txt frontier gate: the fixture frontier (out-links
     // of the synthetic corpus, canonicalized + first-seen-deduped) gated
     // by a per-host rules table for a version-suffixed crawler token —

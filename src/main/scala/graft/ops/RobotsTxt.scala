@@ -70,6 +70,31 @@ object RobotsTxt {
     groups.result()
   }
 
+  /** The `Sitemap:` advertisements of a robots.txt — sitemaps.org's
+    * discovery mechanism, carried as an RFC 9309 extension field.
+    * Global, not group-scoped (the spec places them outside any group);
+    * values are absolute URLs, kept verbatim (they key a FETCH, so
+    * canonicalization happens frontier-side). Field name matching is
+    * case-insensitive like every robots field; relative values are
+    * dropped (the spec requires absolute).
+    */
+  def sitemaps(content: String): Vector[String] = {
+    if (content == null) return Vector.empty
+    val out = Vector.newBuilder[String]
+    content.split("\r\n|\r|\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          line.substring(0, colon).trim
+            .equalsIgnoreCase("sitemap")) {
+        val value = line.substring(colon + 1).trim
+        if (value.startsWith("http://") || value.startsWith("https://"))
+          out += value
+      }
+    }
+    out.result()
+  }
+
   private def tokenOf(userAgent: String): String = {
     val ua = if (userAgent == null) "*" else userAgent
     ua.takeWhile(_ != '/').trim.toLowerCase(java.util.Locale.ROOT)

@@ -197,6 +197,32 @@ object WebPrep {
       .dropDuplicatesWithinWatermark("dedup_url")
   }
 
+  /** Frontier SEEDS from sitemap entries ([[graft.sources.Sitemap]]
+    * rows): page-URL entries only, canonicalized with the SAME chain
+    * the link frontier keys on, deduplicated to one row per canonical
+    * URL keeping the lexicographically greatest `lastmod` (W3C datetime
+    * strings in one UTC form order chronologically under string max;
+    * mixed non-UTC offsets can misorder within a day — below this
+    * hint's resolution; a missing lastmod is "" and loses to any real
+    * one).
+    * Output `(url, lastmod)` — same url key as [[frontier]], so
+    * [[frontierGated]] and [[frontierNew]] compose directly:
+    * {{{
+    *   val seeds = WebPrep.frontierFromSitemaps(
+    *     Sitemap.entries(spark, "s3a://crawl/sitemaps/sitemap-*.xml.gz"))
+    *   val toFetch = WebPrep.frontierNew(
+    *     WebPrep.frontierGated(seeds, robotsTxt), fetchedLog)
+    * }}}
+    * Map-side-combinable max() agg on the url key — the same scale
+    * shape as [[frontier]]'s min() (a viral URL dedups locally before
+    * the shuffle).
+    */
+  def frontierFromSitemaps(entries: DataFrame): DataFrame =
+    entries.filter(col("kind") === "url")
+      .select(Web.canonicalUrl(col("loc")).as("url"), col("lastmod"))
+      .filter(col("url").isNotNull)
+      .groupBy(col("url")).agg(max(col("lastmod")).as("lastmod"))
+
   /** The frontier diff the scaladoc of [[frontier]] promises: frontier
     * minus the already-fetched set, as an operator. `fetched` URLs are
     * canonicalized with the SAME chain the frontier keys on (the chain

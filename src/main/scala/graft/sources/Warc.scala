@@ -231,7 +231,30 @@ object Warc {
       htmlCol = "html_bytes", contentTypeCol = Some("content_type"),
       pageUrlCol = Some("url"), failedAcc = failedAcc).toDF()
 
-  // ---------- fixture writer (tests + the x19 gate) ----------
+  // ---------- writers ----------
+
+  /** One record onto `out`: version line, headers, Content-Length
+    * framing, block, record terminator — optionally as its own gzip
+    * member (the Common Crawl `.gz` shape). Shared by the WARC fixture
+    * writer and the WET sink.
+    */
+  private def writeRecord(out: java.io.OutputStream,
+      headers: Seq[(String, String)], block: Array[Byte],
+      gzipPerRecord: Boolean): Unit = {
+    val sb = new java.lang.StringBuilder()
+    sb.append("WARC/1.0").append(CRLF)
+    headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append(CRLF) }
+    sb.append("Content-Length: ").append(block.length).append(CRLF)
+    sb.append(CRLF)
+    val rec = new java.io.ByteArrayOutputStream()
+    rec.write(sb.toString.getBytes("US-ASCII"))
+    rec.write(block)
+    rec.write((CRLF + CRLF).getBytes("US-ASCII"))
+    if (gzipPerRecord) {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(rec.toByteArray); gz.finish()
+    } else out.write(rec.toByteArray)
+  }
 
   /** Serialize (url, contentType, body) responses as a REAL WARC file:
     * a `warcinfo` record then one `response` record per page, each with
@@ -244,21 +267,8 @@ object Warc {
   def writeWarc(pages: Seq[(String, String, Array[Byte])],
       gzipPerRecord: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    def record(headers: Seq[(String, String)], block: Array[Byte]): Unit = {
-      val sb = new java.lang.StringBuilder()
-      sb.append("WARC/1.0").append(CRLF)
-      headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append(CRLF) }
-      sb.append("Content-Length: ").append(block.length).append(CRLF)
-      sb.append(CRLF)
-      val rec = new java.io.ByteArrayOutputStream()
-      rec.write(sb.toString.getBytes("US-ASCII"))
-      rec.write(block)
-      rec.write((CRLF + CRLF).getBytes("US-ASCII"))
-      if (gzipPerRecord) {
-        val gz = new java.util.zip.GZIPOutputStream(out)
-        gz.write(rec.toByteArray); gz.finish()
-      } else out.write(rec.toByteArray)
-    }
+    def record(headers: Seq[(String, String)], block: Array[Byte]): Unit =
+      writeRecord(out, headers, block, gzipPerRecord)
     record(Seq(
       "WARC-Type" -> "warcinfo",
       "WARC-Record-ID" -> "<urn:uuid:graft-warcinfo-0>",
@@ -280,5 +290,159 @@ object Warc {
         http.toByteArray)
     }
     out.toByteArray
+  }
+
+  // ---------- WET: extracted-text interchange (sink + source) ----------
+
+  /** Serialize (url, date, text) extracted documents as one WET file —
+    * the Common Crawl extracted-text convention: a `warcinfo` record
+    * then one `conversion` record per document (`Content-Type:
+    * text/plain`, UTF-8 block, no HTTP envelope — a conversion record's
+    * block IS the payload). `idPrefix` keys the deterministic record
+    * ids. Plain form is byte-deterministic (the gate freezes the
+    * round-trip rows, not the bytes, so the gzip caveat of [[writeWarc]]
+    * doesn't bind here either way).
+    */
+  def writeWet(docs: Seq[(String, String, String)],
+      gzipPerRecord: Boolean = false,
+      idPrefix: String = "graft-wet"): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeWet(out, docs, gzipPerRecord, idPrefix)
+    out.toByteArray
+  }
+
+  private def writeWet(out: java.io.OutputStream,
+      docs: Iterator[(String, String, String)],
+      gzipPerRecord: Boolean, idPrefix: String): Unit = {
+    writeRecord(out, Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:uuid:$idPrefix-warcinfo>",
+      "WARC-Date" -> "2026-01-01T00:00:00Z",
+      "Content-Type" -> "application/warc-fields"),
+      ("software: graft-wet" + CRLF).getBytes("US-ASCII"),
+      gzipPerRecord)
+    var i = 0
+    docs.foreach { case (url, date, text) =>
+      writeRecord(out, Seq(
+        "WARC-Type" -> "conversion",
+        "WARC-Record-ID" -> s"<urn:uuid:$idPrefix-$i>",
+        "WARC-Date" -> (if (date == null || date.isEmpty)
+          "2026-01-01T00:00:00Z" else date),
+        "WARC-Target-URI" -> (if (url == null) "" else url),
+        "Content-Type" -> "text/plain"),
+        (if (text == null) "" else text).getBytes("UTF-8"),
+        gzipPerRecord)
+      i += 1
+    }
+  }
+
+  private def writeWet(out: java.io.OutputStream,
+      docs: Seq[(String, String, String)],
+      gzipPerRecord: Boolean, idPrefix: String): Unit =
+    writeWet(out, docs.iterator, gzipPerRecord, idPrefix)
+
+  /** The distributed WET SINK: one `part-NNNNN.warc.wet[.gz]` shard per
+    * non-empty partition of `docs` under `dir` — the crawl-pipeline
+    * hand-off format (extracted text consumable by anything that reads
+    * Common Crawl WET, including [[wetText]] below). Executor-side
+    * streaming writes through the Hadoop FileSystem API (so `dir` can
+    * be any supported scheme); each task streams its partition record
+    * by record — memory is bounded by one document, and shard count =
+    * partition count, the knob the caller already owns
+    * (`docs.repartition(n)` for ~uniform shard sizes). `dateCol` rows
+    * missing/empty fall back to a fixed epoch so output is
+    * deterministic, never wall-clock-stamped.
+    */
+  def writeWetShards(docs: org.apache.spark.sql.DataFrame, dir: String,
+      urlCol: String = "url", textCol: String = "text",
+      dateCol: Option[String] = None,
+      gzipPerRecord: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = docs.sparkSession
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val ext = if (gzipPerRecord) ".warc.wet.gz" else ".warc.wet"
+    val rows = docs.select(
+      col(urlCol).cast("string"),
+      dateCol.map(c => col(c).cast("string")).getOrElse(lit("")),
+      col(textCol).cast("string"))
+    import spark.implicits._
+    rows.as[(String, String, String)].foreachPartition {
+      (it: Iterator[(String, String, String)]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val path = new org.apache.hadoop.fs.Path(
+            dir, f"part-$pid%05d$ext")
+          val fs = path.getFileSystem(confSer.value)
+          val out = fs.create(path, true)
+          try writeWet(out, it, gzipPerRecord, f"graft-wet-$pid%05d")
+          finally out.close()
+        }
+    }
+  }
+
+  /** The WET SOURCE: every `conversion` record of every WET file under
+    * `path` as `(url, fetch_ts, text)` rows — the inverse of
+    * [[writeWetShards]] and a direct reader for external WET corpora.
+    * Same scale/failure shape as [[responses]]: one streaming task per
+    * file, malformed tail keeps prior records and counts on
+    * `failedAcc`.
+    */
+  def wetText(spark: SparkSession, path: String, minPartitions: Int = 32,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path, minPartitions)
+      .flatMap { case (_, pds) =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, String)]
+        val in = isGzip(pds.open())
+        try {
+          val it = records(in)
+          var ok = true
+          while (ok) {
+            try {
+              if (!it.hasNext) ok = false
+              else {
+                val r = it.next()
+                if (r.warcType == "conversion")
+                  out += ((r.targetUri, r.warcDate,
+                    new String(r.body, "UTF-8")))
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                failedAcc.foreach(_.add(1L)); ok = false
+            }
+          }
+        } finally in.close()
+        out
+      }
+      .toDF("url", "fetch_ts", "text")
+  }
+
+  /** WARC -> bucketed landing table: the ingest step that makes a crawl
+    * container corpus a FIRST-CLASS [[graft.job.ExtractJob]] input.
+    * Container files cannot be partition-pruned (a k-chunk job over raw
+    * WARCs would re-parse every file per chunk — k full parses of a
+    * 100 TB crawl); this one pass parses each WARC exactly once and
+    * lays the `(doc_id, url, content_type, http_status, fetch_ts,
+    * html_bytes)` rows out as the `bucket=pmod(xxhash64(doc_id),
+    * chunks)` directories ExtractJob's `bucketedInput=true` prunes —
+    * the same contract as [[graft.job.ExtractJob.bucketizeInput]], fed
+    * from the container format. Downstream:
+    * `ExtractJob.run(cfg.copy(inputKind = "html_bytes", inputPath =
+    * tablePath, bucketedInput = true))` with chunk/doc resume and
+    * lineage metrics exactly as for any landed table.
+    */
+  def ingestToTable(spark: SparkSession, warcPath: String,
+      tablePath: String, chunks: Int, minPartitions: Int = 32,
+      format: String = "parquet",
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    responses(spark, warcPath, minPartitions, failedAcc)
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(chunks)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").format(format).save(tablePath)
   }
 }
