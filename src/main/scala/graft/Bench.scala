@@ -140,7 +140,7 @@ object Bench {
   /** Build the app jar from compiled classes (no sbt nesting): spark-submit
     * needs a primary jar to ship to the local-cluster executor JVMs.
     */
-  private def ensureAppJar(): Option[String] = {
+  private[graft] def ensureAppJar(): Option[String] = {
     val classes = new java.io.File(s"$repoRoot/target/scala-2.13/classes")
     if (!classes.isDirectory) return None
     val jarPath = s"$repoRoot/target/scala-2.13/graft-app.jar"

@@ -250,7 +250,9 @@ object Sitemap {
     * this same operator — the index expansion is a FETCH, so it cannot
     * happen inside one pass). A malformed/oversized file contributes no
     * rows and counts once on `failedAcc`; a spec-cap truncation keeps
-    * the parsed prefix and also counts.
+    * the parsed prefix and also counts. Size `minPartitions` at several
+    * times the core count (see the straggler note on
+    * [[Warc.responses]]).
     */
   def entries(spark: SparkSession, path: String, minPartitions: Int = 32,
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)

@@ -179,7 +179,12 @@ object Warc {
     *    WARC-Date, html_bytes = HTTP payload)
     *
     * One streaming task per file (binaryFiles); `minPartitions` spreads
-    * small file counts across the cluster. A malformed tail ends that
+    * small file counts across the cluster. Size it at SEVERAL times the
+    * total core count, not 1x: at one task per core a straggling wave
+    * idles cores for its whole tail and gunzip I/O cannot overlap
+    * extraction CPU — the crawlio probe measured ~3x lower throughput
+    * and 0.52 vs 0.84 scaling efficiency at 1x (BENCH/BASELINE.md,
+    * round 5). A malformed tail ends that
     * FILE's parse (records before it are kept) and counts on
     * `failedAcc` — never aborts the job.
     */
@@ -386,7 +391,8 @@ object Warc {
     * [[writeWetShards]] and a direct reader for external WET corpora.
     * Same scale/failure shape as [[responses]]: one streaming task per
     * file, malformed tail keeps prior records and counts on
-    * `failedAcc`.
+    * `failedAcc`; size `minPartitions` at several times the core count
+    * (see the straggler note on [[responses]]).
     */
   def wetText(spark: SparkSession, path: String, minPartitions: Int = 32,
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)

@@ -27,6 +27,53 @@ object ClusterBench {
     val mode = args.lift(2).getOrElse("shuffle")
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("clusterbench").toString
+    // crawl-container legs (BenchTool crawlio drives these): corpusPath is
+    // a directory of fixture WARC / WET shards; work is map-only end to
+    // end, so the cross-JVM shuffle bias noted for e2e does not apply
+    if (mode == "crawlio" || mode == "wetio") {
+      // sink on tmpfs when available: at 16 cores one shared VM disk
+      // serializes the gzip shard writes (a real cluster writes to
+      // per-node disks/DFS), and the probe measures operator scaling,
+      // not the sandbox's single disk
+      val sinkBase = {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite)
+          java.nio.file.Files.createTempDirectory(
+            shm.toPath, "clusterbench").toString
+        else out
+      }
+      def once(tag: String): Double = {
+        val t0 = System.nanoTime()
+        if (mode == "crawlio")
+          graft.sources.Warc.extractAll(spark,
+              corpusPath + "/crawl-*.warc.gz", minPartitions = totalCores * 6)
+            .write.mode("overwrite").format("noop").save()
+        else
+          graft.sources.Warc.writeWetShards(
+            graft.sources.Warc.wetText(spark, corpusPath + "/part-*",
+              minPartitions = totalCores * 6),
+            s"$sinkBase/$tag", gzipPerRecord = true)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val n =
+        if (mode == "crawlio")
+          graft.sources.Warc.responses(spark,
+            corpusPath + "/crawl-*.warc.gz", minPartitions = totalCores * 6).count()
+        else graft.sources.Warc.wetText(spark, corpusPath + "/part-*",
+          minPartitions = totalCores * 6).count()
+      once("warm")
+      val best = Seq(once("t1"), once("t2")).min
+      println(f"[cluster] mode=$mode cores=$totalCores docs=$n best=$best%.2f s (${n / best}%.0f docs/s)")
+      if (sinkBase.startsWith("/dev/shm/")) { // free the tmpfs scratch
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(sinkBase))
+      }
+      spark.stop()
+      return
+    }
     def once(tag: String): Double = {
       val docs = spark.read.parquet(corpusPath)
         .select("doc_id", "spans").as[graft.model.DocRow]
