@@ -250,15 +250,14 @@ object Sitemap {
     * this same operator — the index expansion is a FETCH, so it cannot
     * happen inside one pass). A malformed/oversized file contributes no
     * rows and counts once on `failedAcc`; a spec-cap truncation keeps
-    * the parsed prefix and also counts. Size `minPartitions` at several
-    * times the core count (see the straggler note on
-    * [[Warc.responses]]).
+    * the parsed prefix and also counts. `minPartitions` 0 = auto (6x
+    * total cores — see the straggler note on [[Warc.responses]]).
     */
-  def entries(spark: SparkSession, path: String, minPartitions: Int = 32,
+  def entries(spark: SparkSession, path: String, minPartitions: Int = 0,
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     import spark.implicits._
-    spark.sparkContext.binaryFiles(path, minPartitions)
+    spark.sparkContext.binaryFiles(path, Warc.autoParts(spark, minPartitions))
       .flatMap { case (file, pds) =>
         try {
           val p = parse(pds.toArray())

@@ -158,6 +158,13 @@ object Warc {
       }
     }
 
+  /** 0 = auto: 6x total cores — the straggler/overlap sweet spot the
+    * crawlio probe measured (see [[responses]]'s scaladoc).
+    */
+  private[graft] def autoParts(spark: SparkSession, minPartitions: Int): Int =
+    if (minPartitions > 0) minPartitions
+    else spark.sparkContext.defaultParallelism * 6
+
   private def isGzip(in: java.io.InputStream): java.io.InputStream = {
     val b = new java.io.BufferedInputStream(in, 1 << 16)
     b.mark(2)
@@ -179,20 +186,20 @@ object Warc {
     *    WARC-Date, html_bytes = HTTP payload)
     *
     * One streaming task per file (binaryFiles); `minPartitions` spreads
-    * small file counts across the cluster. Size it at SEVERAL times the
-    * total core count, not 1x: at one task per core a straggling wave
-    * idles cores for its whole tail and gunzip I/O cannot overlap
-    * extraction CPU — the crawlio probe measured ~3x lower throughput
-    * and 0.52 vs 0.84 scaling efficiency at 1x (BENCH/BASELINE.md,
-    * round 5). A malformed tail ends that
+    * small file counts across the cluster. The default (0 = auto) is 6x
+    * `defaultParallelism` — SEVERAL tasks per core, not 1x: at one task
+    * per core a straggling wave idles cores for its whole tail and
+    * gunzip I/O cannot overlap extraction CPU — the crawlio probe
+    * measured ~3x lower throughput and 0.52 vs 0.84 scaling efficiency
+    * at 1x (BENCH/BASELINE.md, round 5). A malformed tail ends that
     * FILE's parse (records before it are kept) and counts on
     * `failedAcc` — never aborts the job.
     */
-  def responses(spark: SparkSession, path: String, minPartitions: Int = 32,
+  def responses(spark: SparkSession, path: String, minPartitions: Int = 0,
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     import spark.implicits._
-    spark.sparkContext.binaryFiles(path, minPartitions)
+    spark.sparkContext.binaryFiles(path, autoParts(spark, minPartitions))
       .flatMap { case (_, pds) =>
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(String, String, String, Int, String, Array[Byte])]
@@ -228,7 +235,7 @@ object Warc {
     * crawl-native path (responses -> charset ladder -> one-pass
     * extractAll). Returns the WebDoc columns.
     */
-  def extractAll(spark: SparkSession, path: String, minPartitions: Int = 32,
+  def extractAll(spark: SparkSession, path: String, minPartitions: Int = 0,
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame =
     graft.html.HtmlExtract.extractAllBytes(
@@ -391,14 +398,14 @@ object Warc {
     * [[writeWetShards]] and a direct reader for external WET corpora.
     * Same scale/failure shape as [[responses]]: one streaming task per
     * file, malformed tail keeps prior records and counts on
-    * `failedAcc`; size `minPartitions` at several times the core count
-    * (see the straggler note on [[responses]]).
+    * `failedAcc`; `minPartitions` 0 = auto (6x total cores — see the
+    * straggler note on [[responses]]).
     */
-  def wetText(spark: SparkSession, path: String, minPartitions: Int = 32,
+  def wetText(spark: SparkSession, path: String, minPartitions: Int = 0,
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     import spark.implicits._
-    spark.sparkContext.binaryFiles(path, minPartitions)
+    spark.sparkContext.binaryFiles(path, autoParts(spark, minPartitions))
       .flatMap { case (_, pds) =>
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(String, String, String)]
@@ -441,7 +448,7 @@ object Warc {
     * lineage metrics exactly as for any landed table.
     */
   def ingestToTable(spark: SparkSession, warcPath: String,
-      tablePath: String, chunks: Int, minPartitions: Int = 32,
+      tablePath: String, chunks: Int, minPartitions: Int = 0,
       format: String = "parquet",
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
       : Unit = {
