@@ -633,6 +633,33 @@ object SparkEntry {
       graft.sources.Warc.wetText(s, tmp.toString + "/*", minPartitions = 2)
         .orderBy(col("url"))
     }),
+    // Crawl-delay politeness schedule: the fixture frontier split across
+    // two hosts — one declaring a crawler-specific Crawl-delay, one with
+    // no delay (default pacing) — through fetchSchedule. Pins group-
+    // scoped delay selection (specific group's 2.5s, not *'s 60s), the
+    // default-delay fallback, per-host fetch sequencing by url, and the
+    // not_before offset math, frozen for the whole plan
+    "x22_fetch_schedule" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val pages = sp.createDataset(graft.fixtures.HtmlFixtures.corpus(30))
+        .toDF("doc_id", "html")
+        .withColumn("url",
+          concat(lit("https://fetch.example/seite/"), col("doc_id")))
+      // spread the frontier over two politeness domains deterministically
+      val frontier = graft.pipeline.WebPrep.frontier(pages)
+        .withColumn("url", when(crc32(col("url")) % 2 === 0,
+          regexp_replace(col("url"), "^https://fetch\\.example/",
+            "https://mirror.example/")).otherwise(col("url")))
+      val robots = Seq(
+        ("fetch.example", "User-Agent: graftbot\nCrawl-delay: 2.5\n" +
+          "Disallow: /nix\nUser-Agent: *\nCrawl-delay: 60\n"),
+        ("mirror.example", "User-Agent: *\nDisallow: /nix\n"))
+        .toDF("host", "robots_txt")
+      graft.pipeline.WebPrep.fetchSchedule(frontier, robots,
+          userAgent = "graftbot/1.0", defaultDelaySeconds = 1.0)
+        .orderBy(col("host"), col("fetch_seq"))
+    }),
     // RFC 9309 robots.txt frontier gate: the fixture frontier (out-links
     // of the synthetic corpus, canonicalized + first-seen-deduped) gated
     // by a per-host rules table for a version-suffixed crawler token —

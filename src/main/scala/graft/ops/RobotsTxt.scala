@@ -29,7 +29,17 @@ package graft.ops
 object RobotsTxt {
 
   final case class Rule(allow: Boolean, pattern: String)
-  final case class Group(agents: Vector[String], rules: Vector[Rule])
+
+  /** `delay` carries the group's `Crawl-delay:` seconds when present —
+    * an RFC 9309 §2.2.4 extension field honored by the large non-Google
+    * crawlers (Bing/Yandex semantics: group-scoped, like allow/
+    * disallow). Kept OUT of rule matching entirely; like every other
+    * extension field it neither splits a run of consecutive user-agent
+    * lines nor ends one. Last valid value in a group wins; a negative
+    * or non-numeric value is ignored.
+    */
+  final case class Group(agents: Vector[String], rules: Vector[Rule],
+      delay: Option[Double] = None)
 
   /** Raw group structure (spec vectors + diagnostics). */
   def parse(content: String): Vector[Group] = {
@@ -37,9 +47,10 @@ object RobotsTxt {
     val groups = Vector.newBuilder[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]
+    var delay: Option[Double] = None
     var inAgents = false // consecutive user-agent lines accumulate
     def flush(): Unit =
-      if (agents.nonEmpty) { groups += Group(agents, rules) }
+      if (agents.nonEmpty) { groups += Group(agents, rules, delay) }
     content.split("\r\n|\r|\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val colon = line.indexOf(':')
@@ -49,7 +60,10 @@ object RobotsTxt {
         val value = line.substring(colon + 1).trim
         field match {
           case "user-agent" =>
-            if (!inAgents) { flush(); agents = Vector.empty; rules = Vector.empty }
+            if (!inAgents) {
+              flush(); agents = Vector.empty; rules = Vector.empty
+              delay = None
+            }
             inAgents = true
             agents :+= value.toLowerCase(java.util.Locale.ROOT)
           case "allow" | "disallow" if agents.nonEmpty =>
@@ -58,7 +72,13 @@ object RobotsTxt {
             // empty-pattern allow so the group stays non-vacuous
             if (value.nonEmpty || field == "disallow")
               rules :+= Rule(field == "allow" || value.isEmpty, value)
-          // unknown fields (sitemap, crawl-delay, extensions) are fully
+          case "crawl-delay" if agents.nonEmpty =>
+            // group-scoped extension value; does NOT flip inAgents —
+            // extension fields stay transparent to agent-run grouping
+            // (see the Group scaladoc)
+            value.toDoubleOption.filter(d => d >= 0 && !d.isInfinite)
+              .foreach(d => delay = Some(d))
+          // unknown fields (sitemap, other extensions) are fully
           // transparent: they neither attach to the group nor split a
           // run of consecutive user-agent lines (the de-facto parser
           // behavior of the large crawlers)
@@ -100,15 +120,30 @@ object RobotsTxt {
     ua.takeWhile(_ != '/').trim.toLowerCase(java.util.Locale.ROOT)
   }
 
-  /** The merged rule set governing `userAgent` (§2.2.1 group selection). */
-  def rulesFor(content: String, userAgent: String): Vector[Rule] = {
+  /** §2.2.1 group selection: ALL groups naming the token merge; the `*`
+    * groups apply only when none do.
+    */
+  private def groupsFor(content: String, userAgent: String): Vector[Group] = {
     val groups = parse(content)
     val tok = tokenOf(userAgent)
     val specific = groups.filter(_.agents.contains(tok))
-    val chosen =
-      if (specific.nonEmpty && tok != "*") specific
-      else groups.filter(_.agents.contains("*"))
-    chosen.flatMap(_.rules)
+    if (specific.nonEmpty && tok != "*") specific
+    else groups.filter(_.agents.contains("*"))
+  }
+
+  /** The merged rule set governing `userAgent` (§2.2.1 group selection). */
+  def rulesFor(content: String, userAgent: String): Vector[Rule] =
+    groupsFor(content, userAgent).flatMap(_.rules)
+
+  /** The `Crawl-delay:` seconds governing `userAgent`, under the same
+    * group selection as [[rulesFor]]. When several matching groups carry
+    * delays the MAXIMUM wins — the conservative merge for a politeness
+    * bound (fetch no faster than any applicable group asks). None when
+    * no matching group declares one (including: no robots.txt).
+    */
+  def crawlDelay(content: String, userAgent: String): Option[Double] = {
+    val ds = groupsFor(content, userAgent).flatMap(_.delay)
+    if (ds.isEmpty) None else Some(ds.max)
   }
 
   /** One robots pattern against a path (+query) — `*` wildcard, `$`

@@ -237,4 +237,74 @@ object WebPrep {
     frontier.join(
       fetched.select(Web.canonicalUrl(col(fetchedUrlCol)).as(urlCol)),
       Seq(urlCol), "left_anti")
+
+  /** Politeness schedule for a fetch cycle: per-host fetch sequencing
+    * under each host's `Crawl-delay` (RFC 9309 extension field honored
+    * Bing/Yandex-style by [[graft.ops.RobotsTxt.crawlDelay]]; hosts
+    * without one pace at `defaultDelaySeconds`). For every frontier URL:
+    *
+    *   - `host`       — the lowercased port-less host the URL fetches
+    *     from (the politeness domain);
+    *   - `delay_s`    — the host's effective inter-fetch delay;
+    *   - `fetch_seq`  — 1-based position in the host's fetch order
+    *     (ordered by `urlCol`, deterministic when URLs are unique per
+    *     host — which [[frontier]]'s dedup guarantees);
+    *   - `not_before_s` — `(fetch_seq - 1) * delay_s`, the earliest
+    *     offset from cycle start a delay-respecting fetcher may issue
+    *     the request.
+    *
+    * `maxPerHost` is the cycle horizon: a host never yields more rows
+    * than a polite fetcher could reach this cycle (at delay 1s a day is
+    * 86,400 fetches), so one viral host cannot flood the plan. Null
+    * URLs are dropped (nothing to fetch).
+    *
+    * Scale shape: the delays side broadcasts (hosts ≪ URLs, parse once
+    * per host). The sequencing window shuffles only narrow frontier
+    * rows on the host key, and the host-skew a single window partition
+    * would suffer (one host with 10^8 frontier URLs = one task) is
+    * bounded by a salted two-phase top-k: phase 1 ranks within
+    * (host, hash-salt of `saltParts` buckets) and keeps `maxPerHost`
+    * per bucket — the global per-host top-k is a subset of the union of
+    * per-bucket top-ks — so phase 2's exact per-host window never sees
+    * more than `saltParts * maxPerHost` rows for any host, whatever the
+    * input skew.
+    */
+  def fetchSchedule(frontier: DataFrame, robotsTxt: DataFrame,
+      userAgent: String = "*", defaultDelaySeconds: Double = 1.0,
+      maxPerHost: Int = 86400, saltParts: Int = 32,
+      urlCol: String = "url", hostCol: String = "host",
+      robotsTxtCol: String = "robots_txt"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ua = userAgent
+    val delayOf = udf((txt: String) =>
+      graft.ops.RobotsTxt.crawlDelay(txt, ua)
+        .map(java.lang.Double.valueOf).orNull)
+    val delays = broadcast(robotsTxt.select(
+      regexp_replace(lower(trim(col(hostCol))), ":\\d+$", "").as("graft_host"),
+      delayOf(col(robotsTxtCol)).as("graft_robots_delay")))
+    val hostOf = regexp_replace(lower(regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1)),
+      ":\\d+$", "")
+    val bounded = frontier
+      .filter(col(urlCol).isNotNull)
+      .withColumn("graft_host", hostOf)
+      .withColumn("graft_salt",
+        pmod(xxhash64(col(urlCol)), lit(saltParts.toLong)))
+      .withColumn("graft_r1", row_number().over(
+        Window.partitionBy(col("graft_host"), col("graft_salt"))
+          .orderBy(col(urlCol))))
+      .filter(col("graft_r1") <= maxPerHost)
+      .drop("graft_salt", "graft_r1")
+    bounded
+      .join(delays, Seq("graft_host"), "left")
+      .withColumn("delay_s",
+        coalesce(col("graft_robots_delay"), lit(defaultDelaySeconds)))
+      .drop("graft_robots_delay")
+      .withColumn("fetch_seq", row_number().over(
+        Window.partitionBy(col("graft_host")).orderBy(col(urlCol))))
+      .filter(col("fetch_seq") <= maxPerHost)
+      .withColumn("not_before_s",
+        (col("fetch_seq") - lit(1)).cast("double") * col("delay_s"))
+      .withColumnRenamed("graft_host", "host")
+  }
 }

@@ -444,6 +444,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RobotsTxt.allowedCompiled(null, "https://ex.com/fish")) // no row: allowed
   }
 
+  test("robots.txt: Crawl-delay is group-scoped, specific beats *, max-merge, bad values ignored") {
+    import graft.ops.RobotsTxt
+    val txt = "User-Agent: graftbot\nCrawl-Delay: 2.5\nDisallow: /x\n" +
+      "User-Agent: *\nCrawl-delay: 10\n"
+    // group selection mirrors rulesFor: the specific group's delay, not *'s
+    assert(RobotsTxt.crawlDelay(txt, "graftbot/1.0") == Some(2.5))
+    assert(RobotsTxt.crawlDelay(txt, "otherbot") == Some(10.0))
+    // no matching declaration / no robots at all
+    assert(RobotsTxt.crawlDelay("User-Agent: a\nDisallow: /\n", "a") == None)
+    assert(RobotsTxt.crawlDelay(null, "a") == None)
+    // invalid values ignored; last valid in a group wins
+    assert(RobotsTxt.crawlDelay(
+      "User-Agent: a\nCrawl-delay: nope\nCrawl-delay: -1\n", "a") == None)
+    assert(RobotsTxt.crawlDelay(
+      "User-Agent: a\nCrawl-delay: 3\nCrawl-delay: 7\n", "a") == Some(7.0))
+    // several matching groups merge conservatively (max)
+    assert(RobotsTxt.crawlDelay(
+      "User-Agent: a\nCrawl-delay: 3\nDisallow: /x\n" +
+      "User-Agent: a\nCrawl-delay: 9\nDisallow: /y\n", "a") == Some(9.0))
+    // extension transparency kept: the delay line neither splits an
+    // agent run nor ends one — b still joins a's group, rules unchanged
+    val run = "User-Agent: a\nCrawl-delay: 4\nUser-Agent: b\nDisallow: /z\n"
+    assert(RobotsTxt.crawlDelay(run, "b") == Some(4.0))
+    assert(!RobotsTxt.allowed(run, "b", "https://e/z"))
+    // a delay before any user-agent line has no group to attach to
+    assert(RobotsTxt.crawlDelay("Crawl-delay: 5\nUser-Agent: a\nDisallow: /\n", "a") == None)
+  }
+
   test("urlDedupAtScale: identical keep-set to the string-keyed operator") {
     val sp = spark
     import sp.implicits._

@@ -411,6 +411,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSet == Set("https://site.example/b", null), out)
   }
 
+  test("fetchSchedule: per-host sequencing under Crawl-delay, default pacing, horizon cap") {
+    val sp = spark
+    import sp.implicits._
+    val frontier = Seq(
+      ("https://slow.example/a", "d1"),
+      ("https://slow.example/b", "d2"),
+      ("https://slow.example/c", "d3"),
+      ("https://fast.example/p", "d4"),
+      ("https://fast.example/q", "d5"),
+      (null.asInstanceOf[String], "d6")) // nothing to fetch: dropped
+      .toDF("url", "first_seen_doc")
+    val robots = Seq(
+      ("Slow.Example", "User-Agent: *\nCrawl-delay: 30\nDisallow: /x\n"),
+      ("fast.example", "User-Agent: *\nDisallow: /x\n")) // no delay declared
+      .toDF("host", "robots_txt")
+    val out = graft.pipeline.WebPrep
+      .fetchSchedule(frontier, robots, defaultDelaySeconds = 1.0)
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[String]("url"),
+        r.getAs[Double]("delay_s"), r.getAs[Int]("fetch_seq"),
+        r.getAs[Double]("not_before_s"))).sortBy(t => (t._1, t._4)).toSeq
+    assert(out == Seq(
+      ("fast.example", "https://fast.example/p", 1.0, 1, 0.0),
+      ("fast.example", "https://fast.example/q", 1.0, 2, 1.0),
+      ("slow.example", "https://slow.example/a", 30.0, 1, 0.0),
+      ("slow.example", "https://slow.example/b", 30.0, 2, 30.0),
+      ("slow.example", "https://slow.example/c", 30.0, 3, 60.0)), out)
+    // horizon cap: maxPerHost bounds each host's plan, keeping the
+    // FIRST urls in fetch order; two-phase salted top-k == naive top-k
+    val capped = graft.pipeline.WebPrep
+      .fetchSchedule(frontier, robots, maxPerHost = 2, saltParts = 4)
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[String]("url")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(capped == Seq(
+      ("fast.example", "https://fast.example/p"),
+      ("fast.example", "https://fast.example/q"),
+      ("slow.example", "https://slow.example/a"),
+      ("slow.example", "https://slow.example/b")), capped)
+    // frontier columns pass through
+    assert(graft.pipeline.WebPrep.fetchSchedule(frontier, robots)
+      .columns.toSet == Set("host", "url", "first_seen_doc",
+        "delay_s", "fetch_seq", "not_before_s"))
+  }
+
   test("stages without eval corpus or sampling: no such stage entries") {
     val names = CorpusPrep.stages(corpus, None,
       CorpusPrep.PrepConfig(sampleDefaultRate = 1.0)).map(_._1)
