@@ -660,6 +660,30 @@ object SparkEntry {
           userAgent = "graftbot/1.0", defaultDelaySeconds = 1.0)
         .orderBy(col("host"), col("fetch_seq"))
     }),
+    // The composed crawl loop end-to-end over the deterministic fixture
+    // site: seeds -> robots gate -> fetched-set diff -> politeness plan
+    // -> simulated fetch -> extraction -> corpus + next frontier, cycled
+    // to exhaustion with landed checkpoints. Pins BFS layering (cycle
+    // column), the noindex drop WITH link follow-through, in-loop
+    // canonical collapse (hop1/1 keeps dedup_url hop1/0), the robots
+    // subtree never fetched, and back-link refetch suppression
+    "x23_crawl_loop" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val web = graft.fixtures.HtmlFixtures.site(depth = 2, fanout = 2)
+        .toDF("url", "html")
+      val seeds = Seq("https://crawl.example/start").toDF("url")
+      val robots = Seq(graft.fixtures.HtmlFixtures.siteRobots())
+        .toDF("host", "robots_txt")
+      val cfg = graft.pipeline.CrawlLoop.CrawlConfig(
+        outDir = java.nio.file.Files
+          .createTempDirectory("graft-x23").toString,
+        cycles = 10)
+      graft.pipeline.CrawlLoop.run(s, web, seeds, robots, cfg)
+      graft.pipeline.CrawlLoop.readDocs(s, cfg)
+        .select(col("cycle"), col("url"), col("dedup_url"), col("title"))
+        .orderBy(col("cycle"), col("url"))
+    }),
     // RFC 9309 robots.txt frontier gate: the fixture frontier (out-links
     // of the synthetic corpus, canonicalized + first-seen-deduped) gated
     // by a per-host rules table for a version-suffixed crawler token —

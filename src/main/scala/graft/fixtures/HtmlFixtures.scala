@@ -125,4 +125,81 @@ object HtmlFixtures {
         case _ => (id, html.getBytes("UTF-8"), "text/html")
       }
     }
+
+  /** A deterministic crawlable mini-web on one host — (url, html) rows
+    * for the [[graft.pipeline.CrawlLoop]] surface. BFS layout:
+    *
+    *   /start  ->  /hop1/0 .. /hop1/{fanout-1}  ->  /hop2/… (depth layers)
+    *
+    * with the traps a crawl loop must absorb:
+    *  - EVERY page links back to /start and to /impressum (refetch
+    *    pressure — the fetched-set diff must suppress both forever);
+    *  - every page links into /geheim/<i>, a subtree the companion
+    *    robots.txt disallows; /geheim/0 EXISTS in the web, so a broken
+    *    robots gate shows up as a fetched document, not a silent no-op;
+    *  - /hop1/0 declares meta robots `noindex` (dropped from the corpus,
+    *    its links still feed the frontier);
+    *  - /hop1/1 declares rel=canonical to /hop1/0's url (canonical-
+    *    priority dedup collapses the pair in-loop);
+    *  - every page links to /tot/<i> — dead URLs with no page behind
+    *    them (a simulated fetch resolves them to nothing).
+    *
+    * Leaf pages link only to the traps, so a loop given enough cycles
+    * exhausts at depth+2 (layers, then impressum/geheim remainder).
+    */
+  def site(depth: Int, fanout: Int, host: String = "crawl.example",
+      seed: Long = 99L): Seq[(String, String)] = {
+    def url(path: String) = s"https://$host$path"
+    def pageAt(path: String, title: String, links: Seq[(String, String)],
+        noindex: Boolean, canonical: String, salt: Long): String = {
+      val rng = new Fixtures.Rng(seed + salt)
+      val body = links.map { case (h, a) =>
+        s"""<p><a href="$h">$a</a> ${para(rng, 10 + rng.nextInt(6))}</p>"""
+      }.mkString("\n")
+      s"""<!DOCTYPE html>
+         |<html lang="de"><head><title>$title</title>
+         |${if (noindex) "<meta name=\"robots\" content=\"noindex\">" else ""}
+         |${if (canonical != null) s"""<link rel="canonical" href="$canonical">""" else ""}
+         |</head>
+         |<body>
+         |<article><h1>$title</h1>
+         |<p>${para(rng, 20 + rng.nextInt(8))}</p>
+         |$body
+         |<p>${para(rng, 16 + rng.nextInt(8))}</p>
+         |</article>
+         |<footer><p><a href="/impressum">Impressum</a></p></footer>
+         |</body></html>""".stripMargin
+    }
+    def traps(i: Int): Seq[(String, String)] =
+      Seq(("/start", "Zur Startseite"), (s"/geheim/${i % 3}", "Intern"),
+        (s"/tot/$i", "Archiv"))
+    val layers = (1 to depth).map { h =>
+      (0 until math.pow(fanout, h).toInt).map { i =>
+        val children =
+          if (h == depth) Seq.empty
+          else (0 until fanout).map(j =>
+            (s"/hop${h + 1}/${i * fanout + j}", s"Weiter $j"))
+        val path = s"/hop$h/$i"
+        (url(path), pageAt(path, s"Seite $h-$i", children ++ traps(i),
+          noindex = h == 1 && i == 0,
+          canonical = if (h == 1 && i == 1) url("/hop1/0") else null,
+          salt = h * 1000L + i))
+      }
+    }.flatten
+    val root = (url("/start"), pageAt("/start", "Start",
+      (0 until fanout).map(j => (s"/hop1/$j", s"Einstieg $j")) ++ traps(0),
+      noindex = false, canonical = null, salt = 1L))
+    val impressum = (url("/impressum"), pageAt("/impressum", "Impressum",
+      traps(1), noindex = false, canonical = null, salt = 2L))
+    val geheim = (url("/geheim/0"), pageAt("/geheim/0", "Geheim",
+      Seq.empty, noindex = false, canonical = null, salt = 3L))
+    Seq(root, impressum, geheim) ++ layers
+  }
+
+  /** The companion robots.txt for [[site]]'s host: the /geheim subtree
+    * is closed and a Crawl-delay paces the host.
+    */
+  def siteRobots(host: String = "crawl.example",
+      crawlDelay: Double = 2.0): (String, String) =
+    (host, s"User-Agent: *\nDisallow: /geheim/\nCrawl-delay: $crawlDelay\n")
 }

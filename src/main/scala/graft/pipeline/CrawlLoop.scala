@@ -1,0 +1,170 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The batch crawl-cycle driver: [[WebPrep]]'s operators composed into
+  * the iteration a crawler actually runs, with the same landed-table
+  * checkpoint/resume contract as [[graft.job.ExtractJob]]. One cycle:
+  *
+  *   frontier -> robots gate ([[WebPrep.frontierGated]])
+  *            -> minus fetched set ([[WebPrep.frontierNew]])
+  *            -> politeness plan ([[WebPrep.fetchSchedule]], horizon-capped)
+  *            -> fetch (here: a join against the landed `web` table —
+  *               the seam where a real fetcher cluster sits)
+  *            -> one-pass extraction ([[graft.html.HtmlExtract.extractAll]])
+  *            -> corpus rows ([[WebPrep.prepareExtracted]]) landed under
+  *               `outDir/docs/cycle=N`
+  *            -> next frontier (link discovery UNION the politeness
+  *               rollover — URLs the horizon cap deferred are NOT lost,
+  *               they re-enter the next cycle) landed under
+  *               `outDir/frontier/cycle=N`
+  *            -> one metrics row appended (exact resume boundary).
+  *
+  * Resume mirrors ExtractJob's: a cycle with a `done` metrics row for
+  * this run_id is never re-run; a crash mid-cycle re-runs that cycle
+  * whole (each cycle's two directory writes are Overwrite — the cycle is
+  * the idempotent retry unit); a run whose metrics carry `exhausted` is
+  * complete regardless of `cycles`. The loop is driver-orchestrated like
+  * any iterative Spark algorithm (PageRank-style): each cycle is a fully
+  * distributed job, the driver holds only counters, and lineage is
+  * truncated by the landed tables, never by driver-side state.
+  *
+  * Scale shape per cycle: frontier frames are NARROW (url-only) through
+  * every shuffle; the wide fetched rows join the plan on the url key
+  * exactly once and move map-only through extraction; the fetched-set
+  * diff reads a dedicated url-only fetch-log table (never the wide
+  * corpus rows). The fetched-set anti-join grows with the crawl — at
+  * 10^12 URLs swap the string key for `Web.urlDedupAtScale`'s md5_long
+  * layout; the join stays AQE broadcast-or-SMJ either way.
+  */
+object CrawlLoop {
+
+  final case class CrawlConfig(
+      outDir: String,
+      cycles: Int,
+      runId: String = "crawl-1",
+      userAgent: String = "*",
+      defaultDelaySeconds: Double = 1.0,
+      maxPerHost: Int = 86400,
+      format: String = "parquet")
+
+  /** Per-cycle lineage metrics (one row per completed cycle). */
+  final case class CycleMetric(run_id: String, cycle: Int,
+      frontier_in: Long, gated: Long, to_fetch: Long, fetched: Long,
+      docs_kept: Long, frontier_out: Long, wall_ms: Long, status: String,
+      ts: Long)
+
+  private def docsDir(cfg: CrawlConfig) = s"${cfg.outDir}/docs"
+  private def frontierDir(cfg: CrawlConfig) = s"${cfg.outDir}/frontier"
+  // the fetch LOG is its own narrow table, distinct from the corpus: a
+  // page fetched but deduped away (canonical collapse) must still count
+  // as fetched, or any later re-link would refetch it every cycle
+  private def fetchedDir(cfg: CrawlConfig) = s"${cfg.outDir}/fetched"
+  private def metricsPath(cfg: CrawlConfig) = s"${cfg.outDir}/metrics"
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Completed cycles of this run (+ whether the crawl already reported
+    * exhaustion) — the resume state. An unreadable existing metrics
+    * table is an error, never a silent restart-from-zero (the ExtractJob
+    * rule).
+    */
+  def completedCycles(spark: SparkSession, cfg: CrawlConfig)
+      : (Set[Int], Boolean) = {
+    if (!exists(spark, metricsPath(cfg))) return (Set.empty, false)
+    try {
+      val rows = spark.read.format(cfg.format).load(metricsPath(cfg))
+        .filter(col("run_id") === cfg.runId)
+        .select(col("cycle"), col("status"))
+        .collect()
+      val done = rows.filter(r => r.getString(1) == "done" ||
+        r.getString(1) == "exhausted").map(_.getInt(0)).toSet
+      (done, rows.exists(_.getString(1) == "exhausted"))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalStateException(
+          s"crawl metrics ${metricsPath(cfg)} exists but is unreadable — " +
+            "refusing to guess the resume state", e)
+    }
+  }
+
+  /** All landed corpus rows (every completed cycle; `cycle` becomes a
+    * partition-discovered column).
+    */
+  def readDocs(spark: SparkSession, cfg: CrawlConfig): DataFrame =
+    spark.read.format(cfg.format).load(docsDir(cfg))
+
+  /** Run (or resume) the crawl: `web` is the fetchable universe
+    * `(url, html)` — a landed WARC table via [[graft.sources.Warc]], or
+    * a synthetic site in tests; `seeds` carries a `url` column;
+    * `robotsTxt` is the per-host `(host, robots_txt)` frame both gates
+    * and the politeness planner read.
+    */
+  def run(spark: SparkSession, web: DataFrame, seeds: DataFrame,
+      robotsTxt: DataFrame, cfg: CrawlConfig): Unit = {
+    import spark.implicits._
+    require(cfg.cycles > 0, "cycles must be positive")
+    val (done, exhausted) = completedCycles(spark, cfg)
+    if (exhausted) return
+    var cycle = if (done.isEmpty) 0 else done.max + 1
+    var continue = true
+    while (cycle < cfg.cycles && continue) {
+      val t0 = System.nanoTime()
+      val frontier =
+        if (cycle == 0)
+          seeds.select(graft.ops.Web.canonicalUrl(col("url")).as("url"))
+            .filter(col("url").isNotNull).distinct()
+        else spark.read.format(cfg.format)
+          .load(s"${frontierDir(cfg)}/cycle=${cycle - 1}")
+      val gated = WebPrep.frontierGated(frontier, robotsTxt, cfg.userAgent)
+      val fetchedLog =
+        if (exists(spark, fetchedDir(cfg)))
+          spark.read.format(cfg.format).load(fetchedDir(cfg)).select(col("url"))
+        else Seq.empty[String].toDF("url")
+      val toFetch = WebPrep.frontierNew(gated, fetchedLog)
+        .filter(col("url").isNotNull).persist()
+      val frontierIn = frontier.count()
+      val gatedN = gated.count()
+      val toFetchN = toFetch.count()
+      val plan = WebPrep.fetchSchedule(toFetch, robotsTxt, cfg.userAgent,
+        cfg.defaultDelaySeconds, cfg.maxPerHost).select(col("url")).persist()
+      // horizon rollover: URLs the per-host cap deferred re-enter the
+      // next cycle's frontier instead of silently vanishing
+      val rollover = toFetch.select(col("url"))
+        .join(plan, Seq("url"), "left_anti")
+      val pages = web.join(plan, Seq("url"))
+        .withColumn("doc_id", col("url"))
+      val extracted = graft.html.HtmlExtract
+        .extractAll(pages, "doc_id", "html", Some("url")).toDF().persist()
+      val fetchedN = extracted.count()
+      val corpus = WebPrep.prepareExtracted(extracted)
+      corpus.write.mode(SaveMode.Overwrite).format(cfg.format)
+        .save(s"${docsDir(cfg)}/cycle=$cycle")
+      extracted.select(col("url"))
+        .write.mode(SaveMode.Overwrite).format(cfg.format)
+        .save(s"${fetchedDir(cfg)}/cycle=$cycle")
+      val frontierNext = WebPrep.frontierExtracted(extracted)
+        .select(col("url")).union(rollover).distinct()
+      frontierNext.write.mode(SaveMode.Overwrite).format(cfg.format)
+        .save(s"${frontierDir(cfg)}/cycle=$cycle")
+      // footer-only counts of what was just landed (no recompute)
+      val keptN = spark.read.format(cfg.format)
+        .load(s"${docsDir(cfg)}/cycle=$cycle").count()
+      val frontierOutN = spark.read.format(cfg.format)
+        .load(s"${frontierDir(cfg)}/cycle=$cycle").count()
+      val status = if (toFetchN == 0) "exhausted" else "done"
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      spark.createDataset(Seq(CycleMetric(cfg.runId, cycle, frontierIn,
+          gatedN, toFetchN, fetchedN, keptN, frontierOutN, wallMs, status,
+          System.currentTimeMillis())))
+        .write.mode(SaveMode.Append).format(cfg.format).save(metricsPath(cfg))
+      toFetch.unpersist(); plan.unpersist(); extracted.unpersist()
+      if (status == "exhausted") continue = false
+      cycle += 1
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.pipeline.CrawlLoop
+import graft.pipeline.CrawlLoop.CrawlConfig
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .appName("crawlloop-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshCfg(cycles: Int): CrawlConfig = CrawlConfig(
+    outDir = java.nio.file.Files.createTempDirectory("crawlloop").toString,
+    cycles = cycles)
+
+  private def siteFrames() = {
+    val sp = spark
+    import sp.implicits._
+    val web = graft.fixtures.HtmlFixtures.site(depth = 2, fanout = 2)
+      .toDF("url", "html")
+    val seeds = Seq("https://crawl.example/start").toDF("url")
+    val robots = Seq(graft.fixtures.HtmlFixtures.siteRobots())
+      .toDF("host", "robots_txt")
+    (web, seeds, robots)
+  }
+
+  private def docsByCycle(cfg: CrawlConfig): Map[Int, Set[String]] =
+    CrawlLoop.readDocs(spark, cfg)
+      .select("cycle", "url").collect()
+      .groupBy(_.getInt(0)).map { case (c, rs) =>
+        c -> rs.map(_.getString(1)).toSet
+      }
+
+  private def metrics(cfg: CrawlConfig) =
+    spark.read.parquet(cfg.outDir + "/metrics")
+      .orderBy("cycle").collect()
+      .map(r => (r.getAs[Int]("cycle"), r.getAs[Long]("frontier_in"),
+        r.getAs[Long]("to_fetch"), r.getAs[Long]("fetched"),
+        r.getAs[Long]("docs_kept"), r.getAs[String]("status")))
+
+  test("BFS layering, robots subtree never fetched, dedup + noindex in-loop, exhaustion") {
+    val (web, seeds, robots) = siteFrames()
+    val cfg = freshCfg(cycles = 10)
+    CrawlLoop.run(spark, web, seeds, robots, cfg)
+    val byCycle = docsByCycle(cfg)
+    // cycle 0: the seed alone
+    assert(byCycle(0) == Set("https://crawl.example/start"))
+    // cycle 1: /hop1/0 is fetched but noindex-dropped from the corpus;
+    // /hop1/1 survives AS the keeper of its declared canonical
+    // (dedup_url = .../hop1/0 — pinned below); /impressum lands;
+    // /geheim/* must never appear (robots), /tot/* never (dead)
+    assert(!byCycle.values.flatten.exists(_.contains("/geheim")))
+    assert(!byCycle.values.flatten.exists(_.contains("/tot")))
+    assert(byCycle(1) == Set("https://crawl.example/hop1/1",
+      "https://crawl.example/impressum"))
+    assert(CrawlLoop.readDocs(spark, cfg)
+      .filter(org.apache.spark.sql.functions.col("url")
+        === "https://crawl.example/hop1/1")
+      .select("dedup_url").collect().map(_.getString(0)).toSeq ==
+      Seq("https://crawl.example/hop1/0"))
+    // cycle 2: the full leaf layer
+    assert(byCycle(2) == (0 until 4)
+      .map(i => s"https://crawl.example/hop2/$i").toSet)
+    val ms = metrics(cfg)
+    // fetched counts the noindex + canonical pages (they ARE fetched);
+    // /start is never refetched despite every page linking back to it
+    assert(ms(0)._4 == 1 && ms(1)._4 == 3 && ms(2)._4 == 4, ms.mkString(";"))
+    // exhaustion: after the leaves, only already-fetched + dead + robots-
+    // closed urls remain -> a cycle with to_fetch 0 ends the run early
+    assert(ms.last._6 == "exhausted" && ms.last._3 == 0)
+    assert(ms.length < 10, s"expected early exhaustion, ran ${ms.length}")
+    // noindex page's LINKS were followed: its children are leaf pages
+    // fetched in cycle 2 (hop2/0, hop2/1 are hop1/0's children)
+    assert(byCycle(2).contains("https://crawl.example/hop2/0"))
+  }
+
+  test("resume: completed cycles never re-run; exhausted run is a no-op") {
+    val (web, seeds, robots) = siteFrames()
+    val cfg = freshCfg(cycles = 10)
+    CrawlLoop.run(spark, web, seeds, robots, cfg)
+    val before = metrics(cfg).toSeq
+    val docsBefore = docsByCycle(cfg)
+    // the run exhausted: a re-run must change nothing (no new metrics
+    // rows, no rewritten docs)
+    CrawlLoop.run(spark, web, seeds, robots, cfg)
+    assert(metrics(cfg).toSeq == before)
+    assert(docsByCycle(cfg) == docsBefore)
+  }
+
+  test("resume mid-crawl: a fresh run capped at 1 cycle continues where it stopped") {
+    val (web, seeds, robots) = siteFrames()
+    val cfg1 = freshCfg(cycles = 1)
+    CrawlLoop.run(spark, web, seeds, robots, cfg1)
+    assert(metrics(cfg1).length == 1 && docsByCycle(cfg1).keySet == Set(0))
+    // same outDir, raised budget: cycles 1.. run; cycle 0 is not redone
+    val cfg2 = cfg1.copy(cycles = 10)
+    CrawlLoop.run(spark, web, seeds, robots, cfg2)
+    val full = docsByCycle(cfg2)
+    assert(full.keySet.max >= 2)
+    assert(full(0) == Set("https://crawl.example/start"))
+    assert(metrics(cfg2).count(_._1 == 0) == 1) // exactly one cycle-0 row
+  }
+}
