@@ -98,6 +98,26 @@ object CrawlLoop {
   def readDocs(spark: SparkSession, cfg: CrawlConfig): DataFrame =
     spark.read.format(cfg.format).load(docsDir(cfg))
 
+  /** Adapter for the fetch seam: a WARC-landed byte table (the
+    * [[graft.sources.Warc.responses]] / `ingestToTable` column shape) as
+    * the `(url, html)` web frame [[run]] expects, decoded through the
+    * same charset ladder as the byte-level extract path (BOM, transport
+    * charset, meta prescan, UTF-8 sniff, windows-1252 fallback).
+    * Undecodable rows (null bytes) drop and count on `failedAcc`.
+    */
+  def webFromBytes(pages: DataFrame, urlCol: String = "url",
+      bytesCol: String = "html_bytes",
+      contentTypeCol: String = "content_type",
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val dec = udf((b: Array[Byte], ct: String) =>
+      if (b == null) { failedAcc.foreach(_.add(1L)); null }
+      else graft.html.HtmlCharset.decode(b, ct))
+    pages.select(col(urlCol).as("url"),
+        dec(col(bytesCol), col(contentTypeCol)).as("html"))
+      .filter(col("html").isNotNull)
+  }
+
   /** Run (or resume) the crawl: `web` is the fetchable universe
     * `(url, html)` — a landed WARC table via [[graft.sources.Warc]], or
     * a synthetic site in tests; `seeds` carries a `url` column;

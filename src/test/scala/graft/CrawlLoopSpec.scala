@@ -81,6 +81,36 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byCycle(2).contains("https://crawl.example/hop2/0"))
   }
 
+  test("webFromBytes: a WARC-landed crawl container drives the loop to the same corpus") {
+    val sp = spark
+    import sp.implicits._
+    val site = graft.fixtures.HtmlFixtures.site(depth = 2, fanout = 2)
+    // the site shipped as a WARC container, the way a fetcher lands it
+    val warc = graft.sources.Warc.writeWarc(site.map { case (url, html) =>
+      (url, "text/html; charset=utf-8", html.getBytes("UTF-8"))
+    }, gzipPerRecord = true)
+    val dir = java.nio.file.Files.createTempDirectory("crawlwarc")
+    java.nio.file.Files.write(dir.resolve("site.warc.gz"), warc)
+    val web = CrawlLoop.webFromBytes(
+      graft.sources.Warc.responses(sp, dir.toString + "/*"))
+    val seeds = Seq("https://crawl.example/start").toDF("url")
+    val robots = Seq(graft.fixtures.HtmlFixtures.siteRobots())
+      .toDF("host", "robots_txt")
+    val cfg = freshCfg(cycles = 10)
+    CrawlLoop.run(sp, web, seeds, robots, cfg)
+    // identical corpus to the in-memory web frame (CrawlLoopSpec test 1)
+    val got = CrawlLoop.readDocs(sp, cfg).select("cycle", "url").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq(
+      (0, "https://crawl.example/start"),
+      (1, "https://crawl.example/hop1/1"),
+      (1, "https://crawl.example/impressum"),
+      (2, "https://crawl.example/hop2/0"),
+      (2, "https://crawl.example/hop2/1"),
+      (2, "https://crawl.example/hop2/2"),
+      (2, "https://crawl.example/hop2/3")), got)
+  }
+
   test("resume: completed cycles never re-run; exhausted run is a no-op") {
     val (web, seeds, robots) = siteFrames()
     val cfg = freshCfg(cycles = 10)
