@@ -589,8 +589,20 @@ object Bench {
       lines ++= "and task-granularity sweeps are flat or negative, so the residual\n"
       lines ++= "gap is shared-memory contention that multi-node executors (each\n"
       lines ++= "with its own memory controllers and disks) do not share.\n"
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$repoRoot/BENCH/BASELINE.md"), lines.toString)
+      // the generated report carries no "## " headings; everything from
+      // the first one on is the hand-maintained record (passing-window
+      // history, htmlkernel/crawlio probes, sf1 pointer) — preserve it
+      // instead of clobbering it on every bench invocation
+      val target = java.nio.file.Paths.get(s"$repoRoot/BENCH/BASELINE.md")
+      val manualTail =
+        if (java.nio.file.Files.exists(target)) {
+          val prev = java.nio.file.Files.readString(target)
+          val at = prev.linesIterator.toVector.indexWhere(_.startsWith("## "))
+          if (at < 0) ""
+          else prev.linesIterator.toVector.drop(at).mkString("", "\n", "\n")
+        } else ""
+      java.nio.file.Files.writeString(target,
+        lines.toString + (if (manualTail.isEmpty) "" else "\n" + manualTail))
     } catch { case _: Exception => }
   }
 }

@@ -76,20 +76,30 @@ object CrawlLoop {
   def completedCycles(spark: SparkSession, cfg: CrawlConfig)
       : (Set[Int], Boolean) = {
     if (!exists(spark, metricsPath(cfg))) return (Set.empty, false)
-    try {
-      val rows = spark.read.format(cfg.format).load(metricsPath(cfg))
-        .filter(col("run_id") === cfg.runId)
-        .select(col("cycle"), col("status"))
-        .collect()
-      val done = rows.filter(r => r.getString(1) == "done" ||
-        r.getString(1) == "exhausted").map(_.getInt(0)).toSet
-      (done, rows.exists(_.getString(1) == "exhausted"))
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        throw new IllegalStateException(
-          s"crawl metrics ${metricsPath(cfg)} exists but is unreadable — " +
-            "refusing to guess the resume state", e)
-    }
+    val all =
+      try {
+        spark.read.format(cfg.format).load(metricsPath(cfg))
+          .select(col("run_id"), col("cycle"), col("status"))
+          .collect()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalStateException(
+            s"crawl metrics ${metricsPath(cfg)} exists but is unreadable — " +
+              "refusing to guess the resume state", e)
+      }
+    // one outDir = one crawl lineage: a different run_id would restart
+    // the cycle counter over this run's landed cycle dirs while the
+    // old run's higher cycles survive — a silently MIXED corpus. Fail
+    // loudly instead; a fresh crawl belongs in a fresh outDir.
+    val others = all.map(_.getString(0)).distinct.filterNot(_ == cfg.runId)
+    require(others.isEmpty,
+      s"outDir ${cfg.outDir} already holds crawl run(s) " +
+        s"${others.mkString(",")} — resume with that run_id or use a " +
+        "fresh outDir (cycle dirs would interleave two crawls)")
+    val rows = all.filter(_.getString(0) == cfg.runId)
+    val done = rows.filter(r => r.getString(2) == "done" ||
+      r.getString(2) == "exhausted").map(_.getInt(1)).toSet
+    (done, rows.exists(_.getString(2) == "exhausted"))
   }
 
   /** All landed corpus rows (every completed cycle; `cycle` becomes a

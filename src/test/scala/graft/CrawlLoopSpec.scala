@@ -124,6 +124,16 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docsByCycle(cfg) == docsBefore)
   }
 
+  test("a different run_id in an existing outDir is refused, not silently mixed") {
+    val (web, seeds, robots) = siteFrames()
+    val cfg = freshCfg(cycles = 1)
+    CrawlLoop.run(spark, web, seeds, robots, cfg)
+    val e = intercept[IllegalArgumentException] {
+      CrawlLoop.run(spark, web, seeds, robots, cfg.copy(runId = "crawl-2"))
+    }
+    assert(e.getMessage.contains("crawl-1"))
+  }
+
   test("resume mid-crawl: a fresh run capped at 1 cycle continues where it stopped") {
     val (web, seeds, robots) = siteFrames()
     val cfg1 = freshCfg(cycles = 1)
