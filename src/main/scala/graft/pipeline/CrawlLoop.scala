@@ -114,18 +114,30 @@ object CrawlLoop {
     * same charset ladder as the byte-level extract path (BOM, transport
     * charset, meta prescan, UTF-8 sniff, windows-1252 fallback).
     * Undecodable rows (null bytes) drop and count on `failedAcc`.
+    * Refetches of one url (a WARC landing keeps every capture) collapse
+    * LATEST-fetch-wins on `tsCol` (WARC-Date strings in one UTC form
+    * order chronologically under string max; payload breaks exact-ts
+    * ties) — pass `tsCol = null` to keep every capture row instead.
     */
   def webFromBytes(pages: DataFrame, urlCol: String = "url",
       bytesCol: String = "html_bytes",
       contentTypeCol: String = "content_type",
+      tsCol: String = "fetch_ts",
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     val dec = udf((b: Array[Byte], ct: String) =>
       if (b == null) { failedAcc.foreach(_.add(1L)); null }
       else graft.html.HtmlCharset.decode(b, ct))
-    pages.select(col(urlCol).as("url"),
-        dec(col(bytesCol), col(contentTypeCol)).as("html"))
+    val decoded = pages.select(col(urlCol).as("url"),
+        dec(col(bytesCol), col(contentTypeCol)).as("html"),
+        (if (tsCol == null) lit("") else coalesce(col(tsCol), lit("")))
+          .as("graft_ts"))
       .filter(col("html").isNotNull)
+    if (tsCol == null) decoded.drop("graft_ts")
+    else decoded
+      .groupBy(col("url"))
+      .agg(max(struct(col("graft_ts"), col("html"))).as("graft_m"))
+      .select(col("url"), col("graft_m.html").as("html"))
   }
 
   /** Run (or resume) the crawl: `web` is the fetchable universe
@@ -166,7 +178,13 @@ object CrawlLoop {
       // next cycle's frontier instead of silently vanishing
       val rollover = toFetch.select(col("url"))
         .join(plan, Seq("url"), "left_anti")
+      // a web table may carry several rows per url (WARC relandings
+      // refetch pages); collapse AFTER the plan join so the dedup
+      // shuffle moves only this cycle's bounded fetch set, with a
+      // deterministic winner (max payload — [[webFromBytes]] already
+      // resolves refetches latest-fetch-wins upstream)
       val pages = web.join(plan, Seq("url"))
+        .groupBy(col("url")).agg(max(col("html")).as("html"))
         .withColumn("doc_id", col("url"))
       val extracted = graft.html.HtmlExtract
         .extractAll(pages, "doc_id", "html", Some("url")).toDF().persist()

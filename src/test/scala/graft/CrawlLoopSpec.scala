@@ -124,6 +124,35 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docsByCycle(cfg) == docsBefore)
   }
 
+  test("duplicate-url web rows: refetches collapse, latest capture wins in webFromBytes") {
+    val sp = spark
+    import sp.implicits._
+    // run-level defense: two web rows for /start -> one corpus row,
+    // deterministic (max payload) winner
+    val (web0, seeds, robots) = siteFrames()
+    val startHtml = web0.filter($"url" === "https://crawl.example/start")
+      .collect()(0).getString(1)
+    val web = web0.union(Seq(
+      ("https://crawl.example/start", startHtml.replace("Start", "Alt")))
+      .toDF("url", "html"))
+    val cfg = freshCfg(cycles = 1)
+    CrawlLoop.run(sp, web, seeds, robots, cfg)
+    val rows = CrawlLoop.readDocs(sp, cfg).select("url", "title").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("https://crawl.example/start", "Start")), rows)
+    // byte-level: webFromBytes keeps the LATEST capture per url
+    val captures = Seq(
+      ("https://a.example/p", "2026-01-02T00:00:00Z", "<p>neu</p>"),
+      ("https://a.example/p", "2026-01-01T00:00:00Z", "<p>alt</p>"))
+      .map { case (u, ts, h) => (u, ts, "text/html", h.getBytes("UTF-8")) }
+      .toDF("url", "fetch_ts", "content_type", "html_bytes")
+    val got = CrawlLoop.webFromBytes(captures).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("https://a.example/p", "<p>neu</p>")), got)
+    // tsCol = null keeps every capture
+    assert(CrawlLoop.webFromBytes(captures, tsCol = null).count() == 2)
+  }
+
   test("a different run_id in an existing outDir is refused, not silently mixed") {
     val (web, seeds, robots) = siteFrames()
     val cfg = freshCfg(cycles = 1)
