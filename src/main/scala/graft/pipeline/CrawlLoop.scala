@@ -162,7 +162,12 @@ object CrawlLoop {
             .filter(col("url").isNotNull).distinct()
         else spark.read.format(cfg.format)
           .load(s"${frontierDir(cfg)}/cycle=${cycle - 1}")
+      // narrow url-only frames; gated caches so the robots-gate UDF pass
+      // runs once (the count and the anti-join lineage share it).
+      // frontier.count() on the landed dir is a footer-level read (empty
+      // projection), not a data pass
       val gated = WebPrep.frontierGated(frontier, robotsTxt, cfg.userAgent)
+        .persist()
       val fetchedLog =
         if (exists(spark, fetchedDir(cfg)))
           spark.read.format(cfg.format).load(fetchedDir(cfg)).select(col("url"))
@@ -210,7 +215,8 @@ object CrawlLoop {
           gatedN, toFetchN, fetchedN, keptN, frontierOutN, wallMs, status,
           System.currentTimeMillis())))
         .write.mode(SaveMode.Append).format(cfg.format).save(metricsPath(cfg))
-      toFetch.unpersist(); plan.unpersist(); extracted.unpersist()
+      gated.unpersist(); toFetch.unpersist(); plan.unpersist()
+      extracted.unpersist()
       if (status == "exhausted") continue = false
       cycle += 1
     }

@@ -91,6 +91,7 @@ object BenchTool {
     case "plandump" :: qs => planDump(qs)
     case "heavygen" :: rest => heavyGen(rest.headOption.map(_.toInt).getOrElse(40000))
     case "crawlio" :: _ => crawlIo()
+    case "crawlloop" :: _ => crawlLoopProbe()
     case other => sys.error(s"unknown BenchTool command: $other (see scaladoc)")
   }
 
@@ -606,39 +607,10 @@ object BenchTool {
       spark.stop()
       new java.io.File(wetDir, "done").createNewFile(): Unit
     }
-    def report(tag: String, tps: Seq[(Int, Double)]): Unit = {
-      tps.foreach { case (cores, tp) =>
-        println(f"[crawlio] $tag cores=$cores%2d best pages/sec=$tp%.0f")
-      }
-      if (tps.length >= 2) {
-        val (l0, t0) = tps.head; val (l1, t1) = tps.last
-        val eff = (t1 / t0) / (l1.toDouble / l0)
-        println(f"[crawlio] $tag scaling $l0->$l1 efficiency=$eff%.3f")
-      }
-    }
     // preferred mode: REAL separate executor JVMs (1x4 vs 4x4 cores) via
     // spark-submit local-cluster — thread-mode local[N] shares one
     // heap/GC and reads ~0.3-0.5 even for this map-only path. Thread
     // fallback only when /opt/spark is absent.
-    def clusterRun(executors: Int, corpusDir: String, mode: String): Option[Double] = {
-      val submit = new java.io.File("/opt/spark/bin/spark-submit")
-      if (!submit.canExecute) return None
-      graft.Bench.ensureAppJar().flatMap { jar =>
-        val cmd = java.util.Arrays.asList(
-          submit.getAbsolutePath,
-          "--master", s"local-cluster[$executors,4,12288]",
-          "--conf", "spark.ui.enabled=false",
-          "--class", "graft.tools.ClusterBench",
-          jar, corpusDir, (executors * 4).toString, mode)
-        val pb = new ProcessBuilder(cmd)
-        pb.environment().put("SPARK_HOME", "/opt/spark")
-        pb.redirectErrorStream(true)
-        val p = pb.start()
-        val outLines = new String(p.getInputStream.readAllBytes(), "UTF-8")
-        p.waitFor()
-        "\\((\\d+) docs/s\\)".r.findFirstMatchIn(outLines).map(_.group(1).toDouble)
-      }
-    }
     val useCluster = new java.io.File("/opt/spark/bin/spark-submit").canExecute
     if (useCluster) {
       report("warc_extract[cluster]", Seq(1, 4).flatMap { ex =>
@@ -671,6 +643,129 @@ object BenchTool {
         }
         once()
         val best = nPages / Seq(once(), once()).min
+        spark.stop()
+        level -> best
+      })
+    }
+  }
+
+  /** Probe report: per-level throughput + N->4N efficiency. */
+  private def report(tag: String, tps: Seq[(Int, Double)]): Unit = {
+    tps.foreach { case (cores, tp) =>
+      println(f"[crawlio] $tag cores=$cores%2d best pages/sec=$tp%.0f")
+    }
+    if (tps.length >= 2) {
+      val (l0, t0) = tps.head; val (l1, t1) = tps.last
+      val eff = (t1 / t0) / (l1.toDouble / l0)
+      println(f"[crawlio] $tag scaling $l0->$l1 efficiency=$eff%.3f")
+    }
+  }
+
+  /** One ClusterBench child run (REAL separate executor JVMs via
+    * spark-submit local-cluster); parses the docs/s line.
+    */
+  private def clusterRun(executors: Int, corpusDir: String,
+      mode: String): Option[Double] = {
+    val submit = new java.io.File("/opt/spark/bin/spark-submit")
+    if (!submit.canExecute) return None
+    graft.Bench.ensureAppJar().flatMap { jar =>
+      val cmd = java.util.Arrays.asList(
+        submit.getAbsolutePath,
+        "--master", s"local-cluster[$executors,4,12288]",
+        "--conf", "spark.ui.enabled=false",
+        // size shuffles to the actual cores: the default 200 turns the
+        // crawl loop's ~8 small shuffles per cycle into 1,600 tiny tasks
+        // of pure scheduling overhead per cycle
+        "--conf", s"spark.sql.shuffle.partitions=${executors * 4 * 2}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
+        // local-cluster[N,c,MEM] sizes the WORKER; the executor JVM still
+        // launches at the 1g default and the 1-executor leg OOMs caching
+        // the crawl cycle's extracted set — give executors the worker's
+        // memory (total heap is then equal at both levels: 1x10g vs 4x2.5g)
+        "--conf", s"spark.executor.memory=${10240 / executors}m",
+        "--class", "graft.tools.ClusterBench",
+        jar, corpusDir, (executors * 4).toString, mode)
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_HOME", "/opt/spark")
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val outLines = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.waitFor()
+      val parsed = "\\((\\d+) docs/s\\)".r
+        .findFirstMatchIn(outLines).map(_.group(1).toDouble)
+      if (parsed.isEmpty)
+        // a dropped level silently skews the efficiency pair — say why
+        println(s"[crawlio] WARN child failed (executors=$executors, " +
+          s"mode=$mode); tail:\n" +
+          outLines.linesIterator.toSeq.takeRight(8).mkString("\n"))
+      parsed
+    }
+  }
+
+  /** Composed crawl-loop scaling: the FULL CrawlLoop (politeness plan,
+    * fetched-set diff, extraction, per-cycle landed tables) run to
+    * exhaustion over a multi-host fixture web — 8 hosts so the per-host
+    * politeness windows parallelize, the real crawl shape (a one-host
+    * web serializes on its own politeness by construction). Fixture web
+    * landed once as parquet; each measured run is a fresh full crawl in
+    * a fresh tmpfs outDir (see ClusterBench "crawlloop"). Cluster mode
+    * = real separate executor JVMs, 1x4 vs 4x4 cores.
+    */
+  private def crawlLoopProbe(): Unit = {
+    val nHosts = 8
+    // 8 x (3 + 300 + 300^2) = 722,424 pages: the fixture pages are light
+    // (~1 KB), so the web must be this big before operator compute
+    // dominates the ~0.5s/job local-cluster scheduling floor
+    val fanout = 300
+    val dir = new java.io.File(s"$repoRoot/target/bench/site_${nHosts}x$fanout")
+    val webDir = new java.io.File(dir, "web")
+    if (!new java.io.File(dir, "done").exists) {
+      dir.mkdirs()
+      val spark = session(8)
+      import spark.implicits._
+      (0 until nHosts).foreach { i =>
+        spark.createDataset(graft.fixtures.HtmlFixtures
+            .site(2, fanout, host = s"crawl$i.example"))
+          .toDF("url", "html")
+          .repartition(8).write.mode("append").parquet(webDir.getPath)
+      }
+      spark.stop()
+      new java.io.File(dir, "done").createNewFile(): Unit
+    }
+    if (new java.io.File("/opt/spark/bin/spark-submit").canExecute) {
+      report("crawl_loop[cluster]", Seq(1, 4).flatMap { ex =>
+        clusterRun(ex, webDir.getPath, "crawlloop").map(ex * 4 -> _)
+      })
+      // single-big-cycle leg: all urls seeded at once — the operator
+      // path without the BFS barrier count (see ClusterBench)
+      report("crawl_seed[cluster]", Seq(1, 4).flatMap { ex =>
+        clusterRun(ex, webDir.getPath, "crawlseed").map(ex * 4 -> _)
+      })
+    } else {
+      report("crawl_loop[threads]", levels("4,16").map { level =>
+        val spark = session(level)
+        import spark.implicits._
+        val web = spark.read.parquet(webDir.getPath)
+        val seeds = (0 until nHosts)
+          .map(i => s"https://crawl$i.example/start").toDF("url")
+        val robots = (0 until nHosts)
+          .map(i => graft.fixtures.HtmlFixtures
+            .siteRobots(s"crawl$i.example")).toDF("host", "robots_txt")
+        def once(): (Double, Long) = {
+          val outd = java.nio.file.Files
+            .createTempDirectory("graft-crawlloop").toString
+          val cfg = graft.pipeline.CrawlLoop.CrawlConfig(outd, cycles = 10)
+          val w = timed(graft.pipeline.CrawlLoop
+            .run(spark, web, seeds, robots, cfg))
+          val n = spark.read.parquet(outd + "/metrics")
+            .agg(org.apache.spark.sql.functions.sum("fetched"))
+            .collect()(0).getLong(0)
+          (w, n)
+        }
+        once()
+        val rs = Seq(once(), once())
+        val best = rs.map { case (w, n) => n / w }.max
         spark.stop()
         level -> best
       })

@@ -163,6 +163,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("fetchSchedule: delays broadcast; window shuffles carry only narrow frontier keys") {
+    val sp = spark
+    import sp.implicits._
+    val frontier = (1 to 100)
+      .map(i => (s"https://h${i % 7}.example/p$i", s"d$i"))
+      .toDF("url", "first_seen_doc")
+    val robots = Seq(("h1.example", "User-Agent: *\nCrawl-delay: 2\n"))
+      .toDF("host", "robots_txt")
+    val p = plan(graft.pipeline.WebPrep.fetchSchedule(frontier, robots))
+    // per-host delay table joins by broadcast, never sort-merge
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly the two politeness windows' hash Exchanges (salted phase,
+    // host phase) — nothing else repartitions, and both partition on the
+    // derived host key, not the url
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9#, ]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toVector
+    assert(hashEx.length == 2, p)
+    assert(hashEx.forall(_.contains("graft_host")), hashEx)
+  }
+
   test("urlDedupAtScale: aggregation + join keyed on md5_long, not URL strings") {
     val sp = spark
     import sp.implicits._
