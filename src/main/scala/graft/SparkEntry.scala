@@ -569,6 +569,31 @@ object SparkEntry {
           col("sp.offset").as("offset"))
         .orderBy(col("url"), col("offset"))
     }),
+    // redirect edges through the WARC path: 3xx records' Location
+    // headers (relative and absolute, with the canonical chain's
+    // scheme/port/tracking folds) resolved into frontier-ready
+    // (url, redirect_url) rows; 3xx-without-Location and error statuses
+    // contribute nothing, and the 200 page lands as a doc, not an edge
+    "x24_redirect_edges" -> ((s, dir) => {
+      val page = graft.fixtures.HtmlFixtures.page("redir-00", 7L)
+      val warc = graft.sources.Warc.writeWarcWithStatus(Seq(
+        ("https://fetch.example/alt", "text/html", Array.emptyByteArray,
+          301, "/neu/ort"),
+        ("https://fetch.example/tief/pfad", "text/html",
+          Array.emptyByteArray, 308, "anders.html?utm_source=mail"),
+        ("https://fetch.example/extern", "text/html", Array.emptyByteArray,
+          302, "HTTP://Ziel.Example:80/Seite#frag"),
+        ("https://fetch.example/ohne", "text/html", Array.emptyByteArray,
+          303, ""),
+        ("https://fetch.example/echt", "text/html; charset=utf-8",
+          page.getBytes("UTF-8"), 200, "")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x24")
+      val p = tmp.resolve("fixture.warc")
+      java.nio.file.Files.write(p, warc)
+      graft.sources.Warc.redirectEdges(
+          graft.sources.Warc.responses(s, p.toString, minPartitions = 2))
+        .orderBy(col("url"))
+    }),
     // sitemap frontier seeding: robots.txt Sitemap advertisements name
     // the fixture files (urlset XML with entity-escaped locs + lastmod
     // variants, a text sitemap, a sitemapindex whose child refs must

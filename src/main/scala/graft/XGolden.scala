@@ -32,7 +32,7 @@ object XGolden {
     "x12_lm_scores", "x13_html_links", "x14_html_meta", "x15_web_prep",
     "x16_markdown", "x17_bytes_ingest", "x18_robots_frontier",
     "x19_warc_ingest", "x20_sitemap_frontier", "x21_wet_roundtrip",
-    "x22_fetch_schedule", "x23_crawl_loop",
+    "x22_fetch_schedule", "x23_crawl_loop", "x24_redirect_edges",
     "q17_multimodal_meta", "q18_multimodal_frames", "q27_media_neardup")
 
   private def duckType(sparkType: String): String = sparkType match {

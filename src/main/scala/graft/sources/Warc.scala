@@ -36,11 +36,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Warc {
 
-  /** One parsed record (response records carry the HTTP split). */
+  /** One parsed record (response records carry the HTTP split;
+    * `httpLocation` is the raw Location header of a redirect response,
+    * "" otherwise).
+    */
   final case class WarcRecord(
       recordId: String, warcType: String, targetUri: String,
       warcDate: String, httpStatus: Int, httpContentType: String,
-      body: Array[Byte])
+      body: Array[Byte], httpLocation: String = "")
 
   private val CRLF = "\r\n"
 
@@ -115,6 +118,7 @@ object Warc {
         val typ = h.getOrElse("warc-type", "")
         var status = 0
         var httpCt = ""
+        var location = ""
         var body = block
         if (typ == "response" && block.length >= 5 &&
             new String(block, 0, 5, "US-ASCII") == "HTTP/") {
@@ -125,9 +129,11 @@ object Warc {
           val lines = head.split("\r\n|\n")
           status = lines.headOption.map(_.split("\\s+"))
             .filter(_.length >= 2).flatMap(a => a(1).toIntOption).getOrElse(0)
-          httpCt = lines.drop(1)
-            .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:"))
+          def header(name: String): String = lines.drop(1)
+            .find(_.toLowerCase(java.util.Locale.ROOT).startsWith(name + ":"))
             .map(l => l.substring(l.indexOf(':') + 1).trim).getOrElse("")
+          httpCt = header("content-type")
+          location = header("location")
           body = if (sep < 0) Array.emptyByteArray
           else java.util.Arrays.copyOfRange(block, sep + 4, block.length)
         }
@@ -135,7 +141,7 @@ object Warc {
           h.getOrElse("warc-record-id", ""), typ,
           // Common Crawl wraps the URI in <...> in some generators
           h.getOrElse("warc-target-uri", "").stripPrefix("<").stripSuffix(">"),
-          h.getOrElse("warc-date", ""), status, httpCt, body)
+          h.getOrElse("warc-date", ""), status, httpCt, body, location)
       }
 
       private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
@@ -178,12 +184,15 @@ object Warc {
 
   /** The crawl-ingest operator: every HTTP-200 `response` record of
     * every WARC file under `path` (glob ok; `.warc` and `.warc.gz`
-    * both) as rows ready for [[graft.html.HtmlExtract.extractAllBytes]]
-    * / [[graft.pipeline.WebPrep]]:
+    * both), PLUS every 3xx redirect response carrying a Location (their
+    * targets are crawl edges — see [[redirectEdges]]), as rows ready
+    * for [[graft.html.HtmlExtract.extractAllBytes]] /
+    * [[graft.pipeline.WebPrep]]:
     *
     *   (doc_id = WARC-Record-ID, url = WARC-Target-URI,
     *    content_type = HTTP Content-Type, http_status, fetch_ts =
-    *    WARC-Date, html_bytes = HTTP payload)
+    *    WARC-Date, html_bytes = HTTP payload, redirect = raw Location
+    *    header or "")
     *
     * One streaming task per file (binaryFiles); `minPartitions` spreads
     * small file counts across the cluster. The default (0 = auto) is 6x
@@ -202,7 +211,7 @@ object Warc {
     spark.sparkContext.binaryFiles(path, autoParts(spark, minPartitions))
       .flatMap { case (_, pds) =>
         val out = scala.collection.mutable.ArrayBuffer
-          .empty[(String, String, String, Int, String, Array[Byte])]
+          .empty[(String, String, String, Int, String, Array[Byte], String)]
         val in = isGzip(pds.open())
         try {
           val it = records(in)
@@ -215,9 +224,15 @@ object Warc {
               if (!it.hasNext) ok = false
               else {
                 val r = it.next()
-                if (r.warcType == "response" && r.httpStatus == 200)
+                val isRedirect = r.httpStatus >= 300 && r.httpStatus < 400 &&
+                  r.httpLocation.nonEmpty
+                if (r.warcType == "response" &&
+                    (r.httpStatus == 200 || isRedirect))
                   out += ((r.recordId, r.targetUri, r.httpContentType,
-                    r.httpStatus, r.warcDate, r.body))
+                    r.httpStatus, r.warcDate,
+                    // a redirect's body is an error page, not content
+                    if (isRedirect) Array.emptyByteArray else r.body,
+                    r.httpLocation))
               }
             } catch {
               case scala.util.control.NonFatal(_) =>
@@ -228,7 +243,33 @@ object Warc {
         out
       }
       .toDF("doc_id", "url", "content_type", "http_status", "fetch_ts",
-        "html_bytes")
+        "html_bytes", "redirect")
+  }
+
+  /** The redirect EDGES of a responses/landing frame: one row per 3xx
+    * response with a Location, `(url, redirect_url)` — the raw Location
+    * resolved RFC 3986-style against the fetch URL (relative Locations
+    * are ubiquitous despite RFC 7231 only blessing URI references) and
+    * canonicalized with the SAME chain the frontier keys on, ready to
+    * union into the next cycle's frontier:
+    * {{{
+    *   val edges = Warc.redirectEdges(Warc.responses(spark, warcPath))
+    *   val next  = frontierNext.union(edges.select("redirect_url")).distinct()
+    * }}}
+    * Map-only; null/empty targets drop.
+    */
+  def redirectEdges(responses: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val resolve = udf((base: String, loc: String) =>
+      graft.html.HtmlExtract.resolveRef(
+        if (base == null) "" else base, loc))
+    responses
+      .filter(col("http_status") >= 300 && col("http_status") < 400 &&
+        col("redirect").isNotNull && col("redirect") =!= "")
+      .select(col("url"),
+        graft.ops.Web.canonicalUrl(resolve(col("url"), col("redirect")))
+          .as("redirect_url"))
+      .filter(col("redirect_url").isNotNull)
   }
 
   /** WARC -> extracted web documents in one composed call: the full
@@ -237,11 +278,14 @@ object Warc {
     */
   def extractAll(spark: SparkSession, path: String, minPartitions: Int = 0,
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
-      : DataFrame =
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
     graft.html.HtmlExtract.extractAllBytes(
-      responses(spark, path, minPartitions, failedAcc),
+      responses(spark, path, minPartitions, failedAcc)
+        .filter(col("http_status") === 200), // redirects are edges, not pages
       htmlCol = "html_bytes", contentTypeCol = Some("content_type"),
       pageUrlCol = Some("url"), failedAcc = failedAcc).toDF()
+  }
 
   // ---------- writers ----------
 
@@ -277,6 +321,17 @@ object Warc {
     * writer — gates freeze the PLAIN form).
     */
   def writeWarc(pages: Seq[(String, String, Array[Byte])],
+      gzipPerRecord: Boolean = false): Array[Byte] =
+    writeWarcWithStatus(
+      pages.map { case (url, ct, body) => (url, ct, body, 200, "") },
+      gzipPerRecord)
+
+  /** [[writeWarc]] with explicit HTTP status + Location per record —
+    * the fixture writer for redirect responses (status 3xx, location
+    * non-empty emits a Location header and no meaningful body).
+    */
+  def writeWarcWithStatus(
+      pages: Seq[(String, String, Array[Byte], Int, String)],
       gzipPerRecord: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def record(headers: Seq[(String, String)], block: Array[Byte]): Unit =
@@ -287,10 +342,13 @@ object Warc {
       "WARC-Date" -> "2026-01-01T00:00:00Z",
       "Content-Type" -> "application/warc-fields"),
       ("software: graft-fixture" + CRLF).getBytes("US-ASCII"))
-    pages.zipWithIndex.foreach { case ((url, ct, body), i) =>
+    pages.zipWithIndex.foreach { case ((url, ct, body, status, loc), i) =>
+      val reason = if (status == 200) "OK"
+        else if (status >= 300 && status < 400) "Redirect" else "Status"
       val http = new java.io.ByteArrayOutputStream()
-      http.write(("HTTP/1.1 200 OK" + CRLF +
+      http.write((s"HTTP/1.1 $status $reason" + CRLF +
         "Content-Type: " + ct + CRLF +
+        (if (loc != null && loc.nonEmpty) "Location: " + loc + CRLF else "") +
         "Content-Length: " + body.length + CRLF + CRLF).getBytes("US-ASCII"))
       http.write(body)
       record(Seq(
