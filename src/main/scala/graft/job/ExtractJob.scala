@@ -366,9 +366,16 @@ object ExtractJob {
             : org.apache.spark.sql.DataFrame = cfg.inputKind match {
           case "html" => df.select("doc_id", "html")
           case "html_bytes" =>
-            if (df.columns.contains("content_type"))
-              df.select("doc_id", "html_bytes", "content_type")
-            else df.select(col("doc_id"), col("html_bytes"),
+            // a WARC landing (Warc.ingestToTable) carries 3xx redirect
+            // rows — crawl EDGES with empty bodies; only HTTP-200
+            // captures are documents (mirrors Warc.extractAll's filter)
+            val content =
+              if (df.columns.contains("http_status"))
+                df.filter(col("http_status") === 200)
+              else df
+            if (content.columns.contains("content_type"))
+              content.select("doc_id", "html_bytes", "content_type")
+            else content.select(col("doc_id"), col("html_bytes"),
               lit(null).cast("string").as("content_type"))
           case _ => df.select("doc_id", "spans")
         }

@@ -32,11 +32,13 @@ object RobotsTxt {
 
   /** `delay` carries the group's `Crawl-delay:` seconds when present —
     * an RFC 9309 §2.2.4 extension field honored by the large non-Google
-    * crawlers (Bing/Yandex semantics: group-scoped, like allow/
-    * disallow). Kept OUT of rule matching entirely; like every other
-    * extension field it neither splits a run of consecutive user-agent
-    * lines nor ends one. Last valid value in a group wins; a negative
-    * or non-numeric value is ignored.
+    * crawlers (Bing/Yandex semantics: a group RULE line, like allow/
+    * disallow — so it ENDS a run of consecutive user-agent lines; in
+    * `ua: slowbot / crawl-delay: 60 / ua: *` the `*` opens a NEW group
+    * and slowbot's delay does not leak onto every other crawler). Kept
+    * OUT of rule matching entirely. Last valid value in a group wins; a
+    * negative or non-numeric value is ignored. Other extension fields
+    * (sitemap, …) remain fully transparent to grouping.
     */
   final case class Group(agents: Vector[String], rules: Vector[Rule],
       delay: Option[Double] = None)
@@ -73,9 +75,10 @@ object RobotsTxt {
             if (value.nonEmpty || field == "disallow")
               rules :+= Rule(field == "allow" || value.isEmpty, value)
           case "crawl-delay" if agents.nonEmpty =>
-            // group-scoped extension value; does NOT flip inAgents —
-            // extension fields stay transparent to agent-run grouping
-            // (see the Group scaladoc)
+            // a group rule line (Bing/Yandex semantics): ends the agent
+            // run like allow/disallow, so a following user-agent line
+            // starts a NEW group (see the Group scaladoc)
+            inAgents = false
             value.toDoubleOption.filter(d => d >= 0 && !d.isInfinite)
               .foreach(d => delay = Some(d))
           // unknown fields (sitemap, other extensions) are fully

@@ -57,9 +57,10 @@ object CrawlLoop {
 
   private def docsDir(cfg: CrawlConfig) = s"${cfg.outDir}/docs"
   private def frontierDir(cfg: CrawlConfig) = s"${cfg.outDir}/frontier"
-  // the fetch LOG is its own narrow table, distinct from the corpus: a
-  // page fetched but deduped away (canonical collapse) must still count
-  // as fetched, or any later re-link would refetch it every cycle
+  // the fetch LOG is its own narrow table, distinct from the corpus: it
+  // records every ATTEMPTED url (the politeness plan), so pages deduped
+  // away by canonical collapse, dead urls, and extraction failures all
+  // still count as fetched — any later re-link must not refetch them
   private def fetchedDir(cfg: CrawlConfig) = s"${cfg.outDir}/fetched"
   private def metricsPath(cfg: CrawlConfig) = s"${cfg.outDir}/metrics"
 
@@ -118,17 +119,26 @@ object CrawlLoop {
     * LATEST-fetch-wins on `tsCol` (WARC-Date strings in one UTC form
     * order chronologically under string max; payload breaks exact-ts
     * ties) — pass `tsCol = null` to keep every capture row instead.
+    * When the frame carries `statusCol` (the responses/landing shape),
+    * only HTTP-200 rows become pages: a 3xx capture's empty body must
+    * not enter the web as a blank page — and under latest-fetch-wins a
+    * NEWER 301 capture would otherwise erase a real older 200.
     */
   def webFromBytes(pages: DataFrame, urlCol: String = "url",
       bytesCol: String = "html_bytes",
       contentTypeCol: String = "content_type",
       tsCol: String = "fetch_ts",
+      statusCol: String = "http_status",
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     val dec = udf((b: Array[Byte], ct: String) =>
       if (b == null) { failedAcc.foreach(_.add(1L)); null }
       else graft.html.HtmlCharset.decode(b, ct))
-    val decoded = pages.select(col(urlCol).as("url"),
+    val contentOnly =
+      if (statusCol != null && pages.columns.contains(statusCol))
+        pages.filter(col(statusCol) === 200)
+      else pages
+    val decoded = contentOnly.select(col(urlCol).as("url"),
         dec(col(bytesCol), col(contentTypeCol)).as("html"),
         (if (tsCol == null) lit("") else coalesce(col(tsCol), lit("")))
           .as("graft_ts"))
@@ -170,7 +180,15 @@ object CrawlLoop {
         .persist()
       val fetchedLog =
         if (exists(spark, fetchedDir(cfg)))
-          spark.read.format(cfg.format).load(fetchedDir(cfg)).select(col("url"))
+          spark.read.format(cfg.format).load(fetchedDir(cfg))
+            // COMPLETED cycles only: a crashed attempt of THIS cycle may
+            // have landed its own fetched/cycle=N before dying ahead of
+            // the metrics row — reading it back would make the retry see
+            // to_fetch=0, overwrite the cycle with nothing and falsely
+            // record exhaustion (the cycle must stay the idempotent
+            // retry unit)
+            .filter(col("cycle") < cycle)
+            .select(col("url"))
         else Seq.empty[String].toDF("url")
       val toFetch = WebPrep.frontierNew(gated, fetchedLog)
         .filter(col("url").isNotNull).persist()
@@ -197,8 +215,12 @@ object CrawlLoop {
       val corpus = WebPrep.prepareExtracted(extracted)
       corpus.write.mode(SaveMode.Overwrite).format(cfg.format)
         .save(s"${docsDir(cfg)}/cycle=$cycle")
-      extracted.select(col("url"))
-        .write.mode(SaveMode.Overwrite).format(cfg.format)
+      // the log records ATTEMPTS (the politeness plan), not extraction
+      // output: a dead url or a page whose extraction failed must not
+      // pass the fetched-set diff again every time a later page re-links
+      // it — permanent-skip is the crawl default; retries belong to the
+      // fetch seam, which can re-inject urls via the seeds of a later run
+      plan.write.mode(SaveMode.Overwrite).format(cfg.format)
         .save(s"${fetchedDir(cfg)}/cycle=$cycle")
       val frontierNext = WebPrep.frontierExtracted(extracted)
         .select(col("url")).union(rollover).distinct()

@@ -47,6 +47,21 @@ import org.apache.spark.sql.functions._
   */
 object WebPrep {
 
+  /** The politeness/robots domain of a URL: lowercased host, userinfo
+    * and port stripped — THE one definition shared by the gate and the
+    * scheduler so they can never disagree on a host. (Known
+    * simplifications, shared by both: per-port robots differences and
+    * IPv6 literals are below this resolution.)
+    */
+  private def urlHost(urlCol: String) =
+    regexp_replace(lower(regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1)),
+      ":\\d+$", "")
+
+  /** The same normalization for a robots-table host cell. */
+  private def normHost(hostCol: String) =
+    regexp_replace(lower(trim(col(hostCol))), ":\\d+$", "")
+
   /** True when the canonical can anchor a cross-fetch merge: absolute
     * (scheme-bearing) canonicals only — a relative one that could not be
     * resolved (null page URL) would merge distinct sites declaring the
@@ -134,12 +149,9 @@ object WebPrep {
     val decide = udf((compiled: Seq[String], url: String) =>
       graft.ops.RobotsTxt.allowedCompiled(compiled, url))
     val rules = broadcast(robotsTxt.select(
-      regexp_replace(lower(trim(col(hostCol))), ":\\d+$", "").as("graft_host"),
+      normHost(hostCol).as("graft_host"),
       compile(col(robotsTxtCol)).as("graft_rules")))
-    val hostOf = regexp_replace(lower(regexp_extract(col(urlCol),
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1)),
-      ":\\d+$", "")
-    frontier.withColumn("graft_host", hostOf)
+    frontier.withColumn("graft_host", urlHost(urlCol))
       .join(rules, Seq("graft_host"), "left")
       .filter(col("graft_rules").isNull ||
         decide(col("graft_rules"), col(urlCol)))
@@ -280,14 +292,11 @@ object WebPrep {
       graft.ops.RobotsTxt.crawlDelay(txt, ua)
         .map(java.lang.Double.valueOf).orNull)
     val delays = broadcast(robotsTxt.select(
-      regexp_replace(lower(trim(col(hostCol))), ":\\d+$", "").as("graft_host"),
+      normHost(hostCol).as("graft_host"),
       delayOf(col(robotsTxtCol)).as("graft_robots_delay")))
-    val hostOf = regexp_replace(lower(regexp_extract(col(urlCol),
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1)),
-      ":\\d+$", "")
     val bounded = frontier
       .filter(col(urlCol).isNotNull)
-      .withColumn("graft_host", hostOf)
+      .withColumn("graft_host", urlHost(urlCol))
       .withColumn("graft_salt",
         pmod(xxhash64(col(urlCol)), lit(saltParts.toLong)))
       .withColumn("graft_r1", row_number().over(

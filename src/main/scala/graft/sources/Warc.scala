@@ -165,11 +165,17 @@ object Warc {
     }
 
   /** 0 = auto: 6x total cores — the straggler/overlap sweet spot the
-    * crawlio probe measured (see [[responses]]'s scaladoc).
+    * crawlio probe measured (see [[responses]]'s scaladoc). CAVEAT:
+    * `defaultParallelism` reflects only the executors registered at
+    * call time, so a job that builds its sources immediately after
+    * session startup on a dynamic cluster can undercount — the floor
+    * below (the old fixed default) bounds the damage, but on a large
+    * cluster pass `minPartitions` explicitly (or size from the intended
+    * executor count) rather than trusting a cold session's view.
     */
   private[graft] def autoParts(spark: SparkSession, minPartitions: Int): Int =
     if (minPartitions > 0) minPartitions
-    else spark.sparkContext.defaultParallelism * 6
+    else math.max(spark.sparkContext.defaultParallelism * 6, 32)
 
   private def isGzip(in: java.io.InputStream): java.io.InputStream = {
     val b = new java.io.BufferedInputStream(in, 1 << 16)

@@ -761,6 +761,13 @@ object BenchTool {
           val n = spark.read.parquet(outd + "/metrics")
             .agg(org.apache.spark.sql.functions.sum("fetched"))
             .collect()(0).getLong(0)
+          // a full 722k-page crawl output per measured run — reclaim it
+          // (the cluster leg rm's its /dev/shm sink the same way)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          rm(new java.io.File(outd))
           (w, n)
         }
         once()

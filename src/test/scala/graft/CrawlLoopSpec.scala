@@ -151,6 +151,37 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(("https://a.example/p", "<p>neu</p>")), got)
     // tsCol = null keeps every capture
     assert(CrawlLoop.webFromBytes(captures, tsCol = null).count() == 2)
+    // a NEWER 3xx capture must not erase a real older 200 under
+    // latest-fetch-wins: status-bearing frames keep only HTTP-200 rows
+    val withRedirect = Seq(
+      ("https://a.example/p", "2026-01-01T00:00:00Z", 200, "<p>echt</p>"),
+      ("https://a.example/p", "2026-02-01T00:00:00Z", 301, ""))
+      .map { case (u, ts, st, h) =>
+        (u, ts, st, "text/html", h.getBytes("UTF-8")) }
+      .toDF("url", "fetch_ts", "http_status", "content_type", "html_bytes")
+    val kept = CrawlLoop.webFromBytes(withRedirect).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(kept == Seq(("https://a.example/p", "<p>echt</p>")), kept)
+  }
+
+  test("crash-retry: a dangling fetched log from a crashed cycle cannot fake exhaustion") {
+    val (web, seeds, robots) = siteFrames()
+    val cfg = freshCfg(cycles = 1)
+    CrawlLoop.run(spark, web, seeds, robots, cfg)
+    // simulate a cycle-1 attempt that crashed AFTER landing its fetch
+    // log but BEFORE its metrics row: the dangling log holds exactly the
+    // urls the retry would want to fetch
+    val dangling = spark.read.parquet(cfg.outDir + "/frontier/cycle=0")
+      .select("url")
+    dangling.write.parquet(cfg.outDir + "/fetched/cycle=1")
+    CrawlLoop.run(spark, web, seeds, robots, cfg.copy(cycles = 10))
+    // the retry must NOT see its own crashed attempt as already-fetched
+    // (that would record to_fetch=0 -> false exhaustion, empty cycle 1)
+    val byCycle = docsByCycle(cfg)
+    assert(byCycle(1) == Set("https://crawl.example/hop1/1",
+      "https://crawl.example/impressum"), byCycle)
+    assert(byCycle(2).size == 4)
+    assert(metrics(cfg).count(m => m._1 == 1 && m._6 == "exhausted") == 0)
   }
 
   test("a different run_id in an existing outDir is refused, not silently mixed") {

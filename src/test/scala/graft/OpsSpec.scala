@@ -463,11 +463,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RobotsTxt.crawlDelay(
       "User-Agent: a\nCrawl-delay: 3\nDisallow: /x\n" +
       "User-Agent: a\nCrawl-delay: 9\nDisallow: /y\n", "a") == Some(9.0))
-    // extension transparency kept: the delay line neither splits an
-    // agent run nor ends one — b still joins a's group, rules unchanged
+    // a delay line is a group RULE (Bing/Yandex): it ENDS the agent
+    // run, so b opens its own group — a's delay must NOT leak onto b
+    // (the classic 'ua: slowbot / crawl-delay / ua: *' shape), and b's
+    // rules never attach to a
     val run = "User-Agent: a\nCrawl-delay: 4\nUser-Agent: b\nDisallow: /z\n"
-    assert(RobotsTxt.crawlDelay(run, "b") == Some(4.0))
+    assert(RobotsTxt.crawlDelay(run, "a") == Some(4.0))
+    assert(RobotsTxt.crawlDelay(run, "b") == None)
     assert(!RobotsTxt.allowed(run, "b", "https://e/z"))
+    assert(RobotsTxt.allowed(run, "a", "https://e/z"))
+    // sitemap (a non-rule extension) stays transparent: the run survives
+    val sm = "User-Agent: a\nSitemap: https://e/s.xml\nUser-Agent: b\nDisallow: /z\n"
+    assert(!RobotsTxt.allowed(sm, "a", "https://e/z"))
+    assert(!RobotsTxt.allowed(sm, "b", "https://e/z"))
     // a delay before any user-agent line has no group to attach to
     assert(RobotsTxt.crawlDelay("Crawl-delay: 5\nUser-Agent: a\nDisallow: /\n", "a") == None)
   }
