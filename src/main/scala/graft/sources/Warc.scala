@@ -210,46 +210,98 @@ object Warc {
     * FILE's parse (records before it are kept) and counts on
     * `failedAcc` — never aborts the job.
     */
+  /** The shared per-stream parse loop of [[responses]] /
+    * [[responsesStream]]: HTTP-200 pages + 3xx-with-Location edges as
+    * 7-tuples, malformed tail kept-prefix + counted (see [[responses]]).
+    */
+  private def parseResponses(in0: java.io.InputStream,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator])
+      : scala.collection.mutable.ArrayBuffer[
+        (String, String, String, Int, String, Array[Byte], String)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, Int, String, Array[Byte], String)]
+    val in = isGzip(in0)
+    try {
+      val it = records(in)
+      var ok = true
+      while (ok) {
+        // a malformed record throws inside hasNext (the lazy advance)
+        // or next: keep what parsed, count the file once, stop this file
+        try {
+          if (!it.hasNext) ok = false
+          else {
+            val r = it.next()
+            val isRedirect = r.httpStatus >= 300 && r.httpStatus < 400 &&
+              r.httpLocation.nonEmpty
+            if (r.warcType == "response" &&
+                (r.httpStatus == 200 || isRedirect))
+              out += ((r.recordId, r.targetUri, r.httpContentType,
+                r.httpStatus, r.warcDate,
+                // a redirect's body is an error page, not content
+                if (isRedirect) Array.emptyByteArray else r.body,
+                r.httpLocation))
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            failedAcc.foreach(_.add(1L)); ok = false
+        }
+      }
+    } finally in.close()
+    out
+  }
+
   def responses(spark: SparkSession, path: String, minPartitions: Int = 0,
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(path, autoParts(spark, minPartitions))
-      .flatMap { case (_, pds) =>
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(String, String, String, Int, String, Array[Byte], String)]
-        val in = isGzip(pds.open())
-        try {
-          val it = records(in)
-          var ok = true
-          while (ok) {
-            // a malformed record throws inside hasNext (the lazy
-            // advance) or next: keep what parsed, count the file once,
-            // stop this file
-            try {
-              if (!it.hasNext) ok = false
-              else {
-                val r = it.next()
-                val isRedirect = r.httpStatus >= 300 && r.httpStatus < 400 &&
-                  r.httpLocation.nonEmpty
-                if (r.warcType == "response" &&
-                    (r.httpStatus == 200 || isRedirect))
-                  out += ((r.recordId, r.targetUri, r.httpContentType,
-                    r.httpStatus, r.warcDate,
-                    // a redirect's body is an error page, not content
-                    if (isRedirect) Array.emptyByteArray else r.body,
-                    r.httpLocation))
-              }
-            } catch {
-              case scala.util.control.NonFatal(_) =>
-                failedAcc.foreach(_.add(1L)); ok = false
-            }
-          }
-        } finally in.close()
-        out
-      }
+      .flatMap { case (_, pds) => parseResponses(pds.open(), failedAcc) }
       .toDF("doc_id", "url", "content_type", "http_status", "fetch_ts",
         "html_bytes", "redirect")
+  }
+
+  /** STREAMING WARC ingest for a continuously-landing crawl: as shards
+    * arrive under `dir`, each micro-batch parses only the NEW files
+    * into the same rows as [[responses]] plus `event_time` (the shard's
+    * file modification time — the arrival clock watermarks and
+    * `WebPrep.prepareStream` key on). File-source checkpointing makes
+    * each shard exactly-once; the malformed-tail seam is per-file as in
+    * batch.
+    *
+    * Memory shape: the `binaryFile` source delivers a whole shard per
+    * row (unlike batch's record-level streaming via binaryFiles), so a
+    * task holds one shard's bytes + its parsed rows — keep shards at
+    * the few-hundred-MB crawl convention and size executors
+    * accordingly; `maxFilesPerTrigger` bounds a micro-batch.
+    */
+  def responsesStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 8,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      // the binaryFile source's FIXED schema, stated explicitly (a
+      // streaming source cannot infer one)
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(org.apache.spark.sql.functions.col("modificationTime"),
+        org.apache.spark.sql.functions.col("content"))
+      .as[(java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (ts, bytes) =>
+        parseResponses(new java.io.ByteArrayInputStream(bytes), failedAcc)
+          .map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7, ts))
+      }
+      .toDF("doc_id", "url", "content_type", "http_status", "fetch_ts",
+        "html_bytes", "redirect", "event_time")
   }
 
   /** The redirect EDGES of a responses/landing frame: one row per 3xx

@@ -215,6 +215,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("responsesStream: WARC shards land incrementally, rows == batch, redirects carried") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-warcstream")
+    val in = root.resolve("in"); val cp = root.resolve("cp")
+    val outDir = root.resolve("out")
+    java.nio.file.Files.createDirectories(in)
+    def shard(name: String, pages: Seq[(String, String, Array[Byte], Int, String)]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        graft.sources.Warc.writeWarcWithStatus(pages, gzipPerRecord = true))
+    val p1 = ("https://s.example/a", "text/html; charset=utf-8",
+      "<p>eins</p>".getBytes("UTF-8"), 200, "")
+    val p2 = ("https://s.example/alt", "text/html",
+      Array.emptyByteArray, 301, "/neu")
+    shard("w1.warc.gz", Seq(p1, p2))
+    def drain(): Unit = {
+      val q = graft.sources.Warc.responsesStream(spark, in.toString)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", cp.toString)
+        .outputMode("append").trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    def landed() = spark.read.parquet(outDir.toString)
+    assert(landed().count() == 2)
+    // second shard: only the NEW file is parsed (file-source checkpoint)
+    val p3 = ("https://s.example/b", "text/html; charset=utf-8",
+      "<p>zwei</p>".getBytes("UTF-8"), 200, "")
+    shard("w2.warc.gz", Seq(p3))
+    drain()
+    val rows = landed().collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Int]("http_status"),
+        r.getAs[String]("redirect"),
+        new String(r.getAs[Array[Byte]]("html_bytes"), "UTF-8")))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("https://s.example/a", 200, "", "<p>eins</p>"),
+      ("https://s.example/alt", 301, "/neu", ""),
+      ("https://s.example/b", 200, "", "<p>zwei</p>")), rows)
+    // event_time present (the shard arrival clock for watermarking)
+    assert(landed()
+      .filter(org.apache.spark.sql.functions.col("event_time").isNull)
+      .count() == 0)
+    // stream rows == the batch reader on the same dir (modulo event_time)
+    val batch = graft.sources.Warc.responses(spark, in.toString + "/*")
+      .collect().map(r => (r.getAs[String]("url"), r.getAs[Int]("http_status")))
+      .sorted.toSeq
+    assert(batch == rows.map(t => (t._1, t._2)))
+  }
+
   test("streaming url dedup: canonical variants suppressed on arrival") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
