@@ -301,6 +301,31 @@ object SparkEntry {
     // its default port too, without case-folding the credentials)
     // synthesized in-query; the oracle re-derives the canonical form
     // with DuckDB's regex engine
+    // sitemap-freshness recrawl: seeds (url, lastmod) vs a fetch log
+    // whose urls arrive UN-canonicalized (scheme/host case, :80, utm)
+    // and with superseded older captures — stale = lastmod newer than
+    // the LATEST canonical fetch. The oracle re-derives the canonical
+    // chain, the per-url max, the join and the string-datetime compare
+    "q37_recrawl_stale" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val grp = floor(col("doc_id") / 10).cast("long").cast("string")
+      val pg = pmod(col("doc_id"), lit(10)).cast("string")
+      val canonicalSite =
+        concat(lit("https://site"), grp, lit(".example/page/"), pg)
+      val seeds = d.select(canonicalSite.as("url"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("2026-03-01T00:00:00Z"))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("2026-01-01T00:00:00Z"))
+          .otherwise(lit("")).as("lastmod"))
+      val variant = concat(lit("HTTP://Site"), grp,
+        lit(".Example:80/page/"), pg, lit("?utm_source=x"))
+      val fetched = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(variant.as("url"), lit("2026-02-01T00:00:00Z").as("fetch_ts"))
+        .union(d.filter(pmod(col("doc_id"), lit(4)) === 0)
+          .select(canonicalSite.as("url"),
+            lit("2025-06-01T00:00:00Z").as("fetch_ts")))
+      graft.pipeline.WebPrep.frontierStale(seeds, fetched)
+        .orderBy(col("url"))
+    }),
     "q36_url_dedup" -> ((s, dir) => {
       val grp = floor(col("doc_id") / 6).cast("long").cast("string")
       val k = pmod(col("doc_id"), lit(6))
@@ -1051,6 +1076,51 @@ object SparkEntry {
     // md5_number_upper == graft md5_long (same first-8-bytes-LE value), so
     // the sampling decision is recomputed exactly: mask to 60 bits, mod
     // 10000, compare to the per-stratum integer threshold.
+    "q37_recrawl_stale" ->
+      """WITH seeds AS (
+        |  SELECT 'https://site' || CAST(doc_id // 10 AS VARCHAR) || '.example/page/' || CAST(doc_id % 10 AS VARCHAR) AS url,
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN '2026-03-01T00:00:00Z'
+        |      WHEN 1 THEN '2026-01-01T00:00:00Z'
+        |      ELSE '' END AS lastmod
+        |  FROM documents
+        |), f0 AS (
+        |  SELECT 'HTTP://Site' || CAST(doc_id // 10 AS VARCHAR) || '.Example:80/page/' || CAST(doc_id % 10 AS VARCHAR) || '?utm_source=x' AS url,
+        |    '2026-02-01T00:00:00Z' AS fetch_ts
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'https://site' || CAST(doc_id // 10 AS VARCHAR) || '.example/page/' || CAST(doc_id % 10 AS VARCHAR),
+        |    '2025-06-01T00:00:00Z'
+        |  FROM documents WHERE doc_id % 4 = 0
+        |), c1 AS (
+        |  SELECT fetch_ts,
+        |    lower(regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]*@)?([^/?#]*)', 1)) ||
+        |    regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]*@)?([^/?#]*)', 2) ||
+        |    lower(regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]*@)?([^/?#]*)', 3)) ||
+        |    regexp_replace(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS u
+        |  FROM f0
+        |), c4 AS (
+        |  SELECT fetch_ts,
+        |    regexp_replace(
+        |      regexp_replace(regexp_replace(u, '#.*$', ''), '^http://', 'https://'),
+        |      '^(https://(?:[^/?#]*@)?[^/?#:@]+):(80|443)([/?#]|$)', '\1\3') AS u
+        |  FROM c1
+        |), c5 AS (
+        |  SELECT fetch_ts,
+        |    regexp_replace(regexp_replace(regexp_replace(u,
+        |      '([?&])(utm_[a-zA-Z0-9]+|fbclid|gclid)=[^&#]*&?', '\1', 'g'),
+        |      '([?&])(utm_[a-zA-Z0-9]+|fbclid|gclid)=[^&#]*&?', '\1', 'g'),
+        |      '([?&])(utm_[a-zA-Z0-9]+|fbclid|gclid)=[^&#]*&?', '\1', 'g') AS u
+        |  FROM c4
+        |), lastf AS (
+        |  SELECT regexp_replace(regexp_replace(u, '[?&]+$', ''), '/$', '') AS url,
+        |    max(fetch_ts) AS fetched_ts
+        |  FROM c5 GROUP BY 1
+        |)
+        |SELECT s.url, s.lastmod, l.fetched_ts
+        |FROM seeds s JOIN lastf l USING (url)
+        |WHERE s.lastmod <> '' AND s.lastmod > l.fetched_ts
+        |ORDER BY s.url""".stripMargin,
     "q36_url_dedup" ->
       """WITH u AS (
         |  SELECT doc_id,

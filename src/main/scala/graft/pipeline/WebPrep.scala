@@ -235,6 +235,36 @@ object WebPrep {
       .filter(col("url").isNotNull)
       .groupBy(col("url")).agg(max(col("lastmod")).as("lastmod"))
 
+  /** RECRAWL candidates from sitemap freshness: pages already fetched
+    * whose sitemap `lastmod` is newer than their last fetch — the
+    * incremental-crawl complement of [[frontierNew]] (which finds the
+    * never-fetched; this finds the fetched-but-stale). `seeds` is the
+    * [[frontierFromSitemaps]] shape `(url, lastmod)`; `fetched` carries
+    * `(url, fetch ts)` — e.g. the WARC landing's `fetch_ts`, or a crawl
+    * log — canonicalized here with the shared chain. Comparison is
+    * string max over W3C datetimes with the SAME one-UTC-form caveat as
+    * [[frontierFromSitemaps]] (sitemap dates and WARC-Dates both use
+    * it); a missing/empty lastmod or fetch ts never marks a page stale.
+    * Output `(url, lastmod, fetched_ts)` — feed the urls back through
+    * [[frontierGated]] -> [[fetchSchedule]] like any frontier. Inner
+    * join on the uniform url key, AQE broadcast-or-SMJ.
+    */
+  def frontierStale(seeds: DataFrame, fetched: DataFrame,
+      fetchedUrlCol: String = "url", fetchedTsCol: String = "fetch_ts")
+      : DataFrame = {
+    // one ts per canonical url: a landing holding several captures
+    // compares against the LATEST fetch
+    val lastFetch = fetched
+      .select(Web.canonicalUrl(col(fetchedUrlCol)).as("url"),
+        col(fetchedTsCol).cast("string").as("fetched_ts"))
+      .filter(col("url").isNotNull && col("fetched_ts").isNotNull &&
+        col("fetched_ts") =!= "")
+      .groupBy(col("url")).agg(max(col("fetched_ts")).as("fetched_ts"))
+    seeds.filter(col("lastmod").isNotNull && col("lastmod") =!= "")
+      .join(lastFetch, Seq("url"))
+      .filter(col("lastmod") > col("fetched_ts"))
+  }
+
   /** The frontier diff the scaladoc of [[frontier]] promises: frontier
     * minus the already-fetched set, as an operator. `fetched` URLs are
     * canonicalized with the SAME chain the frontier keys on (the chain

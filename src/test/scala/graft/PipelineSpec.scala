@@ -454,6 +454,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         "delay_s", "fetch_seq", "not_before_s"))
   }
 
+  test("frontierStale: sitemap lastmod newer than the last fetch marks recrawl candidates") {
+    val sp = spark
+    import sp.implicits._
+    val seeds = Seq(
+      ("https://s.example/a", "2026-03-01T00:00:00Z"),  // newer than fetch: stale
+      ("https://s.example/b", "2026-01-01T00:00:00Z"),  // older: fresh
+      ("https://s.example/c", "2026-03-01T00:00:00Z"),  // never fetched: not here (frontierNew's job)
+      ("https://s.example/d", ""))                       // no lastmod: never stale
+      .toDF("url", "lastmod")
+    // fetched log arrives un-canonicalized and with multiple captures:
+    // the LATEST fetch is the comparison point
+    val fetched = Seq(
+      ("http://S.Example/a?utm_source=x", "2026-02-01T00:00:00Z"),
+      ("https://s.example/b", "2026-02-01T00:00:00Z"),
+      ("https://s.example/b", "2025-12-01T00:00:00Z"), // stale old capture, superseded
+      ("https://s.example/d", "2026-02-01T00:00:00Z"))
+      .toDF("url", "fetch_ts")
+    val out = graft.pipeline.WebPrep.frontierStale(seeds, fetched)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(out == Seq(("https://s.example/a",
+      "2026-03-01T00:00:00Z", "2026-02-01T00:00:00Z")), out)
+  }
+
   test("stages without eval corpus or sampling: no such stage entries") {
     val names = CorpusPrep.stages(corpus, None,
       CorpusPrep.PrepConfig(sampleDefaultRate = 1.0)).map(_._1)
