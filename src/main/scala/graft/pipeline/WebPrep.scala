@@ -209,6 +209,54 @@ object WebPrep {
       .dropDuplicatesWithinWatermark("dedup_url")
   }
 
+  /** Byte-level twin of [[prepareStream]], shaped for
+    * [[graft.sources.Warc.responsesStream]]'s rows: the same three
+    * stages on arrival, with the charset ladder inside the extraction
+    * pass (decode + extract in ONE map, one failure seam) and non-200
+    * rows dropped up front (redirect captures are edges, not pages).
+    * Together they are the continuous crawl-to-corpus path:
+    * {{{
+    *   val corpus = WebPrep.prepareBytesStream(
+    *     Warc.responsesStream(spark, "s3a://crawl/landing/"), "event_time")
+    * }}}
+    */
+  def prepareBytesStream(pages: DataFrame, eventTimeCol: String = "event_time",
+      watermark: String = "1 hour", idCol: String = "doc_id",
+      bytesCol: String = "html_bytes", contentTypeCol: String = "content_type",
+      urlCol: String = "url",
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val content =
+      if (pages.columns.contains("http_status"))
+        pages.filter(col("http_status") === 200)
+      else pages
+    val extracted = content
+      .select(col(idCol).cast("string"), col(bytesCol).cast("binary"),
+        col(contentTypeCol).cast("string"), col(urlCol).cast("string"),
+        col(eventTimeCol).cast("timestamp"))
+      .as[(String, Array[Byte], String, String, java.sql.Timestamp)]
+      .mapPartitions(_.flatMap { case (id, bytes, ct, url, ts) =>
+        if (id == null || bytes == null || ts == null) {
+          failedAcc.foreach(_.add(1L)); None
+        } else
+          try Some((HtmlExtract.extractAllRowBytes(id, bytes, ct, url), ts))
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              failedAcc.foreach(_.add(1L)); None
+          }
+      })
+      .select(col("_1.*"), col("_2").as(eventTimeCol))
+    extracted
+      .filter(!robotsForbids("noindex"))
+      .withColumn("dedup_url", Web.canonicalUrl(
+        when(absoluteCanonical, col("canonical")).otherwise(col("url"))))
+      .filter(col("dedup_url").isNotNull)
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("dedup_url")
+  }
+
   /** Frontier SEEDS from sitemap entries ([[graft.sources.Sitemap]]
     * rows): page-URL entries only, canonicalized with the SAME chain
     * the link frontier keys on, deduplicated to one row per canonical

@@ -266,6 +266,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch == rows.map(t => (t._1, t._2)))
   }
 
+  test("prepareBytesStream: WARC shards -> streamed corpus (charset ladder, mirror suppressed, redirects out)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-bytestream")
+    val in = root.resolve("in"); val cp = root.resolve("cp")
+    val outDir = root.resolve("out")
+    java.nio.file.Files.createDirectories(in)
+    // seed 4: no noindex (4 % 5 != 0), declares an absolute
+    // rel=canonical (4 % 3 == 1) -> the dedup key is the canonical
+    val page = graft.fixtures.HtmlFixtures.page("bs-00", 4L)
+    // windows-1252 bytes with transport charset: the ladder must decode
+    val w1252 = graft.html.HtmlCharset.encodeW1252(page)
+    java.nio.file.Files.write(in.resolve("w1.warc.gz"),
+      graft.sources.Warc.writeWarcWithStatus(Seq(
+        ("https://b.example/seite", "text/html; charset=windows-1252",
+          w1252, 200, ""),
+        // mirror fetch of the SAME logical page (utm variant): the
+        // canonical-priority dedup must suppress the second arrival
+        ("https://b.example/seite?utm_source=x", "text/html; charset=windows-1252",
+          w1252, 200, ""),
+        ("https://b.example/alt", "text/html", Array.emptyByteArray,
+          301, "/seite")), gzipPerRecord = true))
+    val q = graft.pipeline.WebPrep.prepareBytesStream(
+        graft.sources.Warc.responsesStream(spark, in.toString))
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", cp.toString)
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(outDir.toString)
+      .select("url", "dedup_url", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    // exactly ONE corpus row: redirect excluded, mirror suppressed
+    assert(rows.length == 1, rows.map(t => (t._1, t._2)))
+    assert(rows(0)._2 == "https://example.org/artikel/bs-00")
+    // page carries rel=canonical (fixture), so dedup keyed on it; text
+    // equals the string-path extraction (the ladder decoded correctly)
+    assert(rows(0)._3 == graft.html.HtmlExtract.extractRow("bs-00", page).text)
+  }
+
   test("streaming url dedup: canonical variants suppressed on arrival") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
