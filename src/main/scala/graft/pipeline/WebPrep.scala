@@ -200,6 +200,16 @@ object WebPrep {
           }
       })
       .select(col("_1.*"), col("_2").as(eventTimeCol))
+    streamPrepTail(extracted, eventTimeCol, watermark)
+  }
+
+  /** THE post-extraction streaming contract, shared by [[prepareStream]]
+    * and [[prepareBytesStream]] so the two faces can never diverge:
+    * meta-robots noindex gate, canonical-priority dedup key, null-key
+    * exclusion, watermark, first-arrival suppression.
+    */
+  private def streamPrepTail(extracted: DataFrame, eventTimeCol: String,
+      watermark: String): DataFrame =
     extracted
       .filter(!robotsForbids("noindex"))
       .withColumn("dedup_url", Web.canonicalUrl(
@@ -207,7 +217,6 @@ object WebPrep {
       .filter(col("dedup_url").isNotNull)
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("dedup_url")
-  }
 
   /** Byte-level twin of [[prepareStream]], shaped for
     * [[graft.sources.Warc.responsesStream]]'s rows: the same three
@@ -248,13 +257,7 @@ object WebPrep {
           }
       })
       .select(col("_1.*"), col("_2").as(eventTimeCol))
-    extracted
-      .filter(!robotsForbids("noindex"))
-      .withColumn("dedup_url", Web.canonicalUrl(
-        when(absoluteCanonical, col("canonical")).otherwise(col("url"))))
-      .filter(col("dedup_url").isNotNull)
-      .withWatermark(eventTimeCol, watermark)
-      .dropDuplicatesWithinWatermark("dedup_url")
+    streamPrepTail(extracted, eventTimeCol, watermark)
   }
 
   /** Frontier SEEDS from sitemap entries ([[graft.sources.Sitemap]]
@@ -302,9 +305,19 @@ object WebPrep {
       : DataFrame = {
     // one ts per canonical url: a landing holding several captures
     // compares against the LATEST fetch
+    // a TimestampType ts must render in the SAME W3C form the lastmod
+    // strings use — a bare string cast gives 'yyyy-MM-dd HH:mm:ss',
+    // whose ' ' < 'T' makes every same-day lastmod compare newer
+    val tsAsW3c = fetched.schema(fetchedTsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        date_format(to_utc_timestamp(col(fetchedTsCol),
+            fetched.sparkSession.sessionState.conf.sessionLocalTimeZone),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'")
+      case _ => col(fetchedTsCol).cast("string")
+    }
     val lastFetch = fetched
       .select(Web.canonicalUrl(col(fetchedUrlCol)).as("url"),
-        col(fetchedTsCol).cast("string").as("fetched_ts"))
+        tsAsW3c.as("fetched_ts"))
       .filter(col("url").isNotNull && col("fetched_ts").isNotNull &&
         col("fetched_ts") =!= "")
       .groupBy(col("url")).agg(max(col("fetched_ts")).as("fetched_ts"))

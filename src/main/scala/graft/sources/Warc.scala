@@ -188,6 +188,56 @@ object Warc {
     else b
   }
 
+  /** The shared LAZY parse of [[responses]] / [[responsesStream]]:
+    * HTTP-200 pages + 3xx-with-Location edges as 7-tuples, one record
+    * in memory at a time (the object scaladoc's "bounded by the largest
+    * single record" contract — a 1 GB Common Crawl shard must never
+    * buffer whole). A malformed record ends THIS stream's iteration
+    * (prefix kept, counted once on `failedAcc`); the underlying stream
+    * closes on exhaustion or failure — Spark consumes flatMap iterators
+    * fully, so the close always runs in the normal path.
+    */
+  private def parseResponses(in0: java.io.InputStream,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator])
+      : Iterator[(String, String, String, Int, String, Array[Byte], String)] =
+    new Iterator[(String, String, String, Int, String, Array[Byte], String)] {
+      private val in = isGzip(in0)
+      private val it = records(in)
+      private var nextRow
+        : (String, String, String, Int, String, Array[Byte], String) = null
+      private var done = false
+      private def close(): Unit =
+        try in.close() catch { case scala.util.control.NonFatal(_) => () }
+      private def advance(): Unit =
+        while (nextRow == null && !done) {
+          // a malformed record throws inside hasNext (the lazy advance)
+          // or next: keep what parsed, count the file once, stop
+          try {
+            if (!it.hasNext) { done = true; close() }
+            else {
+              val r = it.next()
+              val isRedirect = r.httpStatus >= 300 && r.httpStatus < 400 &&
+                r.httpLocation.nonEmpty
+              if (r.warcType == "response" &&
+                  (r.httpStatus == 200 || isRedirect))
+                nextRow = (r.recordId, r.targetUri, r.httpContentType,
+                  r.httpStatus, r.warcDate,
+                  // a redirect's body is an error page, not content
+                  if (isRedirect) Array.emptyByteArray else r.body,
+                  r.httpLocation)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              failedAcc.foreach(_.add(1L)); done = true; close()
+          }
+        }
+      def hasNext: Boolean = { advance(); nextRow != null }
+      def next(): (String, String, String, Int, String, Array[Byte], String) = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextRow; nextRow = null; r
+      }
+    }
+
   /** The crawl-ingest operator: every HTTP-200 `response` record of
     * every WARC file under `path` (glob ok; `.warc` and `.warc.gz`
     * both), PLUS every 3xx redirect response carrying a Location (their
@@ -210,46 +260,6 @@ object Warc {
     * FILE's parse (records before it are kept) and counts on
     * `failedAcc` — never aborts the job.
     */
-  /** The shared per-stream parse loop of [[responses]] /
-    * [[responsesStream]]: HTTP-200 pages + 3xx-with-Location edges as
-    * 7-tuples, malformed tail kept-prefix + counted (see [[responses]]).
-    */
-  private def parseResponses(in0: java.io.InputStream,
-      failedAcc: Option[org.apache.spark.util.LongAccumulator])
-      : scala.collection.mutable.ArrayBuffer[
-        (String, String, String, Int, String, Array[Byte], String)] = {
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, String, Int, String, Array[Byte], String)]
-    val in = isGzip(in0)
-    try {
-      val it = records(in)
-      var ok = true
-      while (ok) {
-        // a malformed record throws inside hasNext (the lazy advance)
-        // or next: keep what parsed, count the file once, stop this file
-        try {
-          if (!it.hasNext) ok = false
-          else {
-            val r = it.next()
-            val isRedirect = r.httpStatus >= 300 && r.httpStatus < 400 &&
-              r.httpLocation.nonEmpty
-            if (r.warcType == "response" &&
-                (r.httpStatus == 200 || isRedirect))
-              out += ((r.recordId, r.targetUri, r.httpContentType,
-                r.httpStatus, r.warcDate,
-                // a redirect's body is an error page, not content
-                if (isRedirect) Array.emptyByteArray else r.body,
-                r.httpLocation))
-          }
-        } catch {
-          case scala.util.control.NonFatal(_) =>
-            failedAcc.foreach(_.add(1L)); ok = false
-        }
-      }
-    } finally in.close()
-    out
-  }
-
   def responses(spark: SparkSession, path: String, minPartitions: Int = 0,
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
@@ -262,17 +272,25 @@ object Warc {
 
   /** STREAMING WARC ingest for a continuously-landing crawl: as shards
     * arrive under `dir`, each micro-batch parses only the NEW files
-    * into the same rows as [[responses]] plus `event_time` (the shard's
-    * file modification time — the arrival clock watermarks and
-    * `WebPrep.prepareStream` key on). File-source checkpointing makes
-    * each shard exactly-once; the malformed-tail seam is per-file as in
-    * batch.
+    * into the same rows as [[responses]] plus `event_time` — the
+    * record's own WARC-Date (capture time) when it parses as a
+    * timestamp, else the shard's file modification time. Preferring the
+    * in-band capture clock matters operationally: mtime-preserving
+    * placement (`aws s3 sync`, `rsync -t`, distcp, backfills of old
+    * shards) would otherwise land rows hours behind the watermark and
+    * the downstream dedup would silently drop them as late.
+    *
+    * File-source checkpointing makes each shard exactly-once — WHICH
+    * REQUIRES ATOMIC PLACEMENT (write to a temp name outside `dir`,
+    * then rename in; the universal Spark file-source contract): a shard
+    * written in place can be read mid-write, and its tail is then never
+    * re-read. The malformed-tail seam is per-file as in batch.
     *
     * Memory shape: the `binaryFile` source delivers a whole shard per
-    * row (unlike batch's record-level streaming via binaryFiles), so a
-    * task holds one shard's bytes + its parsed rows — keep shards at
-    * the few-hundred-MB crawl convention and size executors
-    * accordingly; `maxFilesPerTrigger` bounds a micro-batch.
+    * row (the parse itself stays record-lazy), so a task holds one
+    * shard's bytes — keep shards at the few-hundred-MB crawl convention
+    * and size executors accordingly; `maxFilesPerTrigger` bounds a
+    * micro-batch.
     */
   def responsesStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 8,
@@ -301,7 +319,13 @@ object Warc {
           .map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7, ts))
       }
       .toDF("doc_id", "url", "content_type", "http_status", "fetch_ts",
-        "html_bytes", "redirect", "event_time")
+        "html_bytes", "redirect", "landed_time")
+      .withColumn("event_time",
+        org.apache.spark.sql.functions.coalesce(
+          // try_: a malformed WARC-Date must fall back, not throw (ANSI)
+          org.apache.spark.sql.functions.expr("try_to_timestamp(fetch_ts)"),
+          org.apache.spark.sql.functions.col("landed_time")))
+      .drop("landed_time")
   }
 
   /** The redirect EDGES of a responses/landing frame: one row per 3xx

@@ -475,6 +475,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
     assert(out == Seq(("https://s.example/a",
       "2026-03-01T00:00:00Z", "2026-02-01T00:00:00Z")), out)
+    // a TimestampType fetch ts renders in the SAME W3C form before the
+    // string compare — a bare cast's 'yyyy-MM-dd HH:mm:ss' (' ' < 'T')
+    // would make every same-day lastmod read newer and re-queue the page
+    val fetchedTs = Seq(
+      ("https://s.example/a", java.sql.Timestamp.from(
+        java.time.Instant.parse("2026-02-01T00:00:00Z"))),
+      ("https://s.example/b", java.sql.Timestamp.from(
+        java.time.Instant.parse("2026-02-01T00:00:00Z"))))
+      .toDF("url", "fetch_ts")
+    val sameDaySeeds = Seq(
+      ("https://s.example/a", "2026-03-01T00:00:00Z"),  // genuinely newer
+      ("https://s.example/b", "2026-02-01T00:00:00Z"))  // SAME instant: not stale
+      .toDF("url", "lastmod")
+    val outTs = graft.pipeline.WebPrep.frontierStale(sameDaySeeds, fetchedTs)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(outTs == Seq(("https://s.example/a", "2026-02-01T00:00:00Z")), outTs)
   }
 
   test("stages without eval corpus or sampling: no such stage entries") {
