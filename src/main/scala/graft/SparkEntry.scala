@@ -301,6 +301,27 @@ object SparkEntry {
     // its default port too, without case-folding the credentials)
     // synthesized in-query; the oracle re-derives the canonical form
     // with DuckDB's regex engine
+    // the politeness plan ANALYTICALLY: 500 urls over 7 hosts, two
+    // hosts declaring Crawl-delays, horizon cap 40 biting on every host
+    // (~71 urls each) — DuckDB re-derives host extraction, the per-host
+    // fetch sequence window, the cap, and the not_before offset math;
+    // the delay values re-derive as reviewed CASE literals (the parse
+    // itself is pinned by OpsSpec vectors + the frozen x22)
+    "q38_fetch_schedule" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val frontier = d.select(concat(lit("https://h"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".example/p"),
+        col("doc_id").cast("string")).as("url"))
+      val sp2 = s
+      import sp2.implicits._
+      val robots = Seq(
+        ("h0.example", "User-Agent: *\nCrawl-delay: 2.5\n"),
+        ("h1.example", "User-Agent: *\nCrawl-delay: 10\n"))
+        .toDF("host", "robots_txt")
+      graft.pipeline.WebPrep.fetchSchedule(frontier, robots,
+          defaultDelaySeconds = 1.0, maxPerHost = 40)
+        .orderBy(col("host"), col("fetch_seq"))
+    }),
     // sitemap-freshness recrawl: seeds (url, lastmod) vs a fetch log
     // whose urls arrive UN-canonicalized (scheme/host case, :80, utm)
     // and with superseded older captures — stale = lastmod newer than
@@ -1076,6 +1097,31 @@ object SparkEntry {
     // md5_number_upper == graft md5_long (same first-8-bytes-LE value), so
     // the sampling decision is recomputed exactly: mask to 60 bits, mod
     // 10000, compare to the per-stratum integer threshold.
+    "q38_fetch_schedule" ->
+      """WITH f AS (
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents
+        |), h AS (
+        |  SELECT url,
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1)),
+        |      ':[0-9]+$', '') AS host
+        |  FROM f
+        |), d AS (
+        |  SELECT url, host,
+        |    CASE host WHEN 'h0.example' THEN 2.5
+        |              WHEN 'h1.example' THEN 10.0
+        |              ELSE 1.0 END AS delay_s
+        |  FROM h
+        |), r AS (
+        |  SELECT url, host, delay_s,
+        |    CAST(row_number() OVER (PARTITION BY host ORDER BY url) AS INTEGER) AS fetch_seq
+        |  FROM d
+        |)
+        |SELECT host, url, delay_s, fetch_seq,
+        |  CAST(fetch_seq - 1 AS DOUBLE) * delay_s AS not_before_s
+        |FROM r WHERE fetch_seq <= 40
+        |ORDER BY host, fetch_seq""".stripMargin,
     "q37_recrawl_stale" ->
       """WITH seeds AS (
         |  SELECT 'https://site' || CAST(doc_id // 10 AS VARCHAR) || '.example/page/' || CAST(doc_id % 10 AS VARCHAR) AS url,
