@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   * distributed job, the driver holds only counters, and lineage is
   * truncated by the landed tables, never by driver-side state.
   *
+  * The loop covers link discovery; the sibling frontier feeds compose
+  * at the seeds seam of a later run (or a custom cycle): redirect
+  * targets via [[graft.sources.Warc.redirectEdges]] over the landed
+  * responses, sitemap seeds via [[WebPrep.frontierFromSitemaps]], and
+  * freshness recrawl via [[WebPrep.frontierStale]] over this loop's own
+  * `fetched/` log — all keyed on the same canonical url.
+  *
   * Scale shape per cycle: frontier frames are NARROW (url-only) through
   * every shuffle; the wide fetched rows join the plan on the url key
   * exactly once and move map-only through extraction; the fetched-set

@@ -585,7 +585,11 @@ object Warc {
     * from the container format. Downstream:
     * `ExtractJob.run(cfg.copy(inputKind = "html_bytes", inputPath =
     * tablePath, bucketedInput = true))` with chunk/doc resume and
-    * lineage metrics exactly as for any landed table.
+    * lineage metrics exactly as for any landed table. 3xx redirect
+    * rows land too (with their `redirect` column — [[redirectEdges]]
+    * reads them straight off the table, no container re-parse); the
+    * job's html_bytes path filters to HTTP 200 so they never become
+    * documents.
     */
   def ingestToTable(spark: SparkSession, warcPath: String,
       tablePath: String, chunks: Int, minPartitions: Int = 0,
