@@ -301,6 +301,49 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("WARC truncation sweep: a cut at ANY byte yields a kept prefix, never a throw") {
+    // pins the lazy parseResponses failure seam: a partially-delivered
+    // shard (network cut, mid-write read) must degrade to prefix-kept +
+    // counted, whatever byte the cut lands on
+    val pages = (0 until 4).map(i =>
+      (s"https://t.example/p$i", "text/html",
+        s"<p>Seite $i</p>".getBytes("UTF-8"), if (i == 2) 301 else 200,
+        if (i == 2) "/ziel" else ""))
+    val warc = graft.sources.Warc.writeWarcWithStatus(pages) // plain form
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-fuzz-trunc")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+    val full = {
+      val dir = java.nio.file.Files.createTempDirectory("fuzz-trunc")
+      java.nio.file.Files.write(dir.resolve("full.warc"), warc)
+      graft.sources.Warc.responses(spark, dir.toString + "/*").count()
+    }
+    assert(full == 4)
+    // sweep a spread of cut points incl. the header and both ends. A
+    // cut AT a record boundary is itself a well-formed shorter WARC
+    // (prefix parsed, nothing to count), so the invariants are: never
+    // throw, never exceed the full count, never lose rows SILENTLY
+    // mid-record (a mid-record cut must count the file failed), and the
+    // seam actually fires somewhere in the sweep
+    val cuts = (0 until warc.length by 97) ++ Seq(1, warc.length - 1)
+    var seamFired = 0L
+    cuts.foreach { cut =>
+      val dir = java.nio.file.Files.createTempDirectory("fuzz-trunc")
+      java.nio.file.Files.write(dir.resolve("cut.warc"),
+        java.util.Arrays.copyOfRange(warc, 0, cut))
+      val acc = spark.sparkContext.longAccumulator(s"trunc-$cut")
+      val n = graft.sources.Warc
+        .responses(spark, dir.toString + "/*", failedAcc = Some(acc))
+        .count() // must not throw, whatever the cut
+      assert(n <= full, s"cut=$cut")
+      seamFired += acc.value
+    }
+    assert(seamFired >= 1, "no cut in the sweep exercised the failure seam")
+    } finally spark.stop()
+  }
+
   test("xgolden escape/unescape round-trip on adversarial strings") {
     // the escaping underpins 13 frozen-golden gate rows: any string the
     // extraction kernel can emit must survive TSV freeze + thaw exactly
