@@ -38,14 +38,28 @@ object Warc {
 
   /** One parsed record (response records carry the HTTP split;
     * `httpLocation` is the raw Location header of a redirect response,
-    * "" otherwise).
+    * "" otherwise; `refersTo` is a `revisit` record's
+    * WARC-Refers-To-Target-URI — or its WARC-Refers-To record id when
+    * the URI form is absent — "" for other types; `payloadError` names
+    * the HTTP transfer/content coding that could not be decoded, "" when
+    * the payload is clean — the per-RECORD failure seam: a bad payload
+    * must not end the file's iteration the way a torn WARC frame does,
+    * because the Content-Length framing around it is intact).
     */
   final case class WarcRecord(
       recordId: String, warcType: String, targetUri: String,
       warcDate: String, httpStatus: Int, httpContentType: String,
-      body: Array[Byte], httpLocation: String = "")
+      body: Array[Byte], httpLocation: String = "",
+      refersTo: String = "", payloadError: String = "")
 
   private val CRLF = "\r\n"
+
+  /** Absolute cap on one record's DECODED payload: a hostile gzip bomb
+    * inside a single response record must not balloon a task (the WARC
+    * Content-Length bounds only the compressed form). 1 GiB — far above
+    * any real page, same spirit as the Sitemap spec caps.
+    */
+  val MaxDecodedPayload: Long = 1L << 30
 
   /** Read one CRLF-terminated ASCII line from the stream; null at EOF
     * before any byte. WARC header lines are ASCII by spec.
@@ -95,6 +109,138 @@ object Warc {
     m.result()
   }
 
+  // ---------- HTTP payload decoding (RFC 9112 §7.1 + RFC 9110 §8.4) ----------
+  // Real crawl WARCs (Heritrix, wget --warc) store the raw HTTP message:
+  // a `Transfer-Encoding: chunked` body carries hex chunk-size lines and
+  // a `Content-Encoding: gzip` body is binary — both must be decoded
+  // BEFORE the charset ladder or the page text is silently mojibake.
+  // Codings are applied by the sender in list order, so the receiver
+  // decodes each list in REVERSE; Transfer-Encoding is undone before
+  // Content-Encoding. Unknown codings (br, zstd, ...) are a per-record
+  // payload failure, never a guess.
+
+  /** RFC 9112 §7.1 chunked de-framing: hex size line (`;ext` tolerated),
+    * CRLF, exactly `size` octets, CRLF, repeat; terminal 0-size chunk
+    * then trailer lines until a blank. Bare-LF line endings tolerated
+    * (real servers emit them). Malformed/truncated framing throws — the
+    * caller maps it onto the record's `payloadError` seam.
+    */
+  private[graft] def deChunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    def line(): String = {
+      val nl = {
+        var j = i
+        while (j < b.length && b(j) != '\n') j += 1
+        require(j < b.length, "chunked payload truncated in a size line")
+        j
+      }
+      val end = if (nl > i && b(nl - 1) == '\r') nl - 1 else nl
+      val s = new String(b, i, end - i, "US-ASCII")
+      i = nl + 1
+      s
+    }
+    var more = true
+    while (more) {
+      val sizeTok = line().takeWhile(c => c != ';' && !c.isWhitespace)
+      val size = java.lang.Long.parseLong(sizeTok, 16)
+      require(size >= 0 && size <= b.length - i,
+        s"chunk size $size exceeds remaining payload")
+      if (size == 0L) {
+        // trailer section: header lines until the blank terminator (a
+        // truncated trailer is tolerated — the data is already whole)
+        var t = if (i < b.length) line() else ""
+        while (t.nonEmpty && i < b.length) t = line()
+        more = false
+      } else {
+        out.write(b, i, size.toInt)
+        i += size.toInt
+        // the CRLF after the chunk data
+        if (i < b.length) line()
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Fully inflate one gzip payload (multi-member tolerated), capped at
+    * [[MaxDecodedPayload]].
+    */
+  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b), 1 << 16)
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        require(out.size() <= MaxDecodedPayload, "decoded payload exceeds cap")
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Inflate one `deflate` payload. The web's deflate mess: RFC 9110
+    * says zlib-wrapped, but a long tail of servers send RAW deflate —
+    * try zlib first, retry nowrap on a header error (the standard
+    * browser fallback). Inflaters are `end()`ed deterministically.
+    */
+  private def inflateAll(b: Array[Byte], nowrap: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(nowrap)
+    try {
+      inf.setInput(b)
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+      val buf = new Array[Byte](1 << 16)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0) {
+          require(!inf.needsInput() && !inf.needsDictionary(),
+            "deflate payload truncated")
+        } else {
+          out.write(buf, 0, n)
+          require(out.size() <= MaxDecodedPayload, "decoded payload exceeds cap")
+        }
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  private def deflateDecode(b: Array[Byte]): Array[Byte] =
+    try inflateAll(b, nowrap = false)
+    catch { case scala.util.control.NonFatal(_) => inflateAll(b, nowrap = true) }
+
+  /** Decode one HTTP payload under its Transfer-Encoding and
+    * Content-Encoding header values (either may be a comma-separated
+    * coding list; "" = absent). Returns Right(decoded bytes) or
+    * Left(the coding token that failed / was unknown).
+    */
+  private[graft] def decodeHttpPayload(transferEncoding: String,
+      contentEncoding: String, body: Array[Byte])
+      : Either[String, Array[Byte]] = {
+    def codings(v: String): Seq[String] =
+      if (v == null || v.isEmpty) Nil
+      else v.split(',').toSeq.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty)
+    var cur = body
+    // reverse order: the LAST-applied coding is undone first
+    (codings(transferEncoding).reverse ++ codings(contentEncoding).reverse)
+      .foreach { c =>
+        try {
+          c match {
+            case "chunked" => cur = deChunk(cur)
+            case "gzip" | "x-gzip" => cur = gunzipAll(cur)
+            case "deflate" => cur = deflateDecode(cur)
+            case "identity" | "none" => ()
+            case other => return Left(other)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => return Left(c)
+        }
+      }
+    Right(cur)
+  }
+
   /** Streaming record iterator over a raw (already-decompressed if
     * needed) WARC stream. Lazy: one record in memory at a time.
     */
@@ -120,6 +266,7 @@ object Warc {
         var httpCt = ""
         var location = ""
         var body = block
+        var payloadError = ""
         if (typ == "response" && block.length >= 5 &&
             new String(block, 0, 5, "US-ASCII") == "HTTP/") {
           // split the HTTP envelope: status line + headers + CRLFCRLF
@@ -136,12 +283,31 @@ object Warc {
           location = header("location")
           body = if (sep < 0) Array.emptyByteArray
           else java.util.Arrays.copyOfRange(block, sep + 4, block.length)
+          // de-frame chunked transfer + inflate gzip/deflate BEFORE the
+          // payload ever meets the charset ladder; an unknown or broken
+          // coding flags THIS record and empties its body (mojibake must
+          // never decode silently)
+          decodeHttpPayload(header("transfer-encoding"),
+              header("content-encoding"), body) match {
+            case Right(decoded) => body = decoded
+            case Left(coding) =>
+              payloadError = coding; body = Array.emptyByteArray
+          }
         }
+        // a revisit record's identity: the refetched URI (or the record
+        // id of the capture it deduplicates to, when the URI is absent)
+        val refersTo =
+          if (typ == "revisit")
+            h.getOrElse("warc-refers-to-target-uri",
+              h.getOrElse("warc-refers-to", ""))
+              .stripPrefix("<").stripSuffix(">")
+          else ""
         nextRec = WarcRecord(
           h.getOrElse("warc-record-id", ""), typ,
           // Common Crawl wraps the URI in <...> in some generators
           h.getOrElse("warc-target-uri", "").stripPrefix("<").stripSuffix(">"),
-          h.getOrElse("warc-date", ""), status, httpCt, body, location)
+          h.getOrElse("warc-date", ""), status, httpCt, body, location,
+          refersTo, payloadError)
       }
 
       private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
@@ -188,55 +354,78 @@ object Warc {
     else b
   }
 
-  /** The shared LAZY parse of [[responses]] / [[responsesStream]]:
-    * HTTP-200 pages + 3xx-with-Location edges as 7-tuples, one record
-    * in memory at a time (the object scaladoc's "bounded by the largest
-    * single record" contract — a 1 GB Common Crawl shard must never
-    * buffer whole). A malformed record ends THIS stream's iteration
-    * (prefix kept, counted once on `failedAcc`); the underlying stream
-    * closes on exhaustion or failure — Spark consumes flatMap iterators
-    * fully, so the close always runs in the normal path.
+  /** THE lazy per-file scaffold every WARC-family reader shares: gzip
+    * sniff, streaming record parse, per-record row selection via `f`,
+    * the failure seam (a torn WARC frame ends THIS file's iteration,
+    * prefix kept, counted once on `failedAcc`), and deterministic close
+    * — on exhaustion, on failure, AND via a task-completion listener
+    * when one is available, because an early-terminating plan
+    * (limit/take/show) abandons a flatMap iterator mid-stream and would
+    * otherwise leak a file handle per touched WARC file. Memory is
+    * bounded by the largest single record (a 1 GB Common Crawl shard
+    * must never buffer whole).
     */
-  private def parseResponses(in0: java.io.InputStream,
-      failedAcc: Option[org.apache.spark.util.LongAccumulator])
-      : Iterator[(String, String, String, Int, String, Array[Byte], String)] =
-    new Iterator[(String, String, String, Int, String, Array[Byte], String)] {
+  private def lazyRows[T >: Null <: AnyRef](in0: java.io.InputStream,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator],
+      f: WarcRecord => Option[T]): Iterator[T] =
+    new Iterator[T] {
       private val in = isGzip(in0)
       private val it = records(in)
-      private var nextRow
-        : (String, String, String, Int, String, Array[Byte], String) = null
+      private var nextRow: T = null
       private var done = false
+      private var closed = false
       private def close(): Unit =
-        try in.close() catch { case scala.util.control.NonFatal(_) => () }
+        if (!closed) {
+          closed = true
+          try in.close() catch { case scala.util.control.NonFatal(_) => () }
+        }
+      locally {
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
+      }
       private def advance(): Unit =
         while (nextRow == null && !done) {
           // a malformed record throws inside hasNext (the lazy advance)
           // or next: keep what parsed, count the file once, stop
           try {
             if (!it.hasNext) { done = true; close() }
-            else {
-              val r = it.next()
-              val isRedirect = r.httpStatus >= 300 && r.httpStatus < 400 &&
-                r.httpLocation.nonEmpty
-              if (r.warcType == "response" &&
-                  (r.httpStatus == 200 || isRedirect))
-                nextRow = (r.recordId, r.targetUri, r.httpContentType,
-                  r.httpStatus, r.warcDate,
-                  // a redirect's body is an error page, not content
-                  if (isRedirect) Array.emptyByteArray else r.body,
-                  r.httpLocation)
-            }
+            else f(it.next()).foreach(nextRow = _)
           } catch {
             case scala.util.control.NonFatal(_) =>
               failedAcc.foreach(_.add(1L)); done = true; close()
           }
         }
       def hasNext: Boolean = { advance(); nextRow != null }
-      def next(): (String, String, String, Int, String, Array[Byte], String) = {
+      def next(): T = {
         if (!hasNext) throw new NoSuchElementException
         val r = nextRow; nextRow = null; r
       }
     }
+
+  /** The shared LAZY parse of [[responses]] / [[responsesStream]]:
+    * HTTP-200 pages + 3xx-with-Location edges as 7-tuples over
+    * [[lazyRows]]. A record whose HTTP payload failed to decode
+    * (unknown/broken transfer or content coding) is skipped and counted
+    * on `failedAcc` — per RECORD, because the WARC framing around it is
+    * intact and the rest of the file must still land.
+    */
+  private def parseResponses(in0: java.io.InputStream,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator])
+      : Iterator[(String, String, String, Int, String, Array[Byte], String)] =
+    lazyRows(in0, failedAcc, { r =>
+      val isRedirect = r.httpStatus >= 300 && r.httpStatus < 400 &&
+        r.httpLocation.nonEmpty
+      if (r.warcType != "response" ||
+          !(r.httpStatus == 200 || isRedirect)) None
+      else if (r.payloadError.nonEmpty) {
+        failedAcc.foreach(_.add(1L)); None
+      } else
+        Some((r.recordId, r.targetUri, r.httpContentType,
+          r.httpStatus, r.warcDate,
+          // a redirect's body is an error page, not content
+          if (isRedirect) Array.emptyByteArray else r.body,
+          r.httpLocation))
+    })
 
   /** The crawl-ingest operator: every HTTP-200 `response` record of
     * every WARC file under `path` (glob ok; `.warc` and `.warc.gz`
@@ -354,6 +543,40 @@ object Warc {
       .filter(col("redirect_url").isNotNull)
   }
 
+  /** The `revisit` records of a crawl — Common Crawl and Heritrix emit
+    * one per URL re-fetch whose payload was deduplicated away
+    * (WARC-Refers-To points at the original capture), so a deduplicated
+    * crawl's refetch EVENTS live here, not in `response` records. A
+    * fetch log built from [[responses]] alone would see such a page as
+    * never-refetched and [[graft.pipeline.WebPrep.frontierStale]] would
+    * recrawl it forever; union these rows into the fetched/staleness
+    * feeds:
+    * {{{
+    *   val fetched = Warc.responses(spark, path).select("url", "fetch_ts")
+    *     .union(Warc.revisits(spark, path).select("url", "fetch_ts"))
+    *   val stale = WebPrep.frontierStale(seeds, fetched)
+    * }}}
+    * Rows: `(url = WARC-Target-URI, fetch_ts = WARC-Date, refers_to =
+    * WARC-Refers-To-Target-URI, or the referred record id when the URI
+    * header is absent)` — no payload (a revisit block holds at most the
+    * HTTP headers of the duplicate response). Same per-file streaming /
+    * failure shape as [[responses]].
+    */
+  def revisits(spark: SparkSession, path: String, minPartitions: Int = 0,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path, autoParts(spark, minPartitions))
+      .flatMap { case (_, pds) =>
+        lazyRows(pds.open(), failedAcc, { r =>
+          if (r.warcType == "revisit")
+            Some((r.targetUri, r.warcDate, r.refersTo))
+          else None
+        })
+      }
+      .toDF("url", "fetch_ts", "refers_to")
+  }
+
   /** WARC -> extracted web documents in one composed call: the full
     * crawl-native path (responses -> charset ladder -> one-pass
     * extractAll). Returns the WebDoc columns.
@@ -389,10 +612,21 @@ object Warc {
     rec.write(block)
     rec.write((CRLF + CRLF).getBytes("US-ASCII"))
     if (gzipPerRecord) {
-      val gz = new java.util.zip.GZIPOutputStream(out)
-      gz.write(rec.toByteArray); gz.finish()
+      // close() (not just finish()) so the Deflater's native buffer is
+      // released deterministically — a WET shard writes one member per
+      // document and must not lean on GC timing for native memory; the
+      // non-closing wrapper keeps the underlying shard stream open
+      val gz = new java.util.zip.GZIPOutputStream(nonClosing(out))
+      gz.write(rec.toByteArray); gz.close()
     } else out.write(rec.toByteArray)
   }
+
+  private def nonClosing(under: java.io.OutputStream): java.io.OutputStream =
+    new java.io.FilterOutputStream(under) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        under.write(b, off, len)
+      override def close(): Unit = under.flush()
+    }
 
   /** Serialize (url, contentType, body) responses as a REAL WARC file:
     * a `warcinfo` record then one `response` record per page, each with
@@ -414,6 +648,70 @@ object Warc {
     */
   def writeWarcWithStatus(
       pages: Seq[(String, String, Array[Byte], Int, String)],
+      gzipPerRecord: Boolean = false): Array[Byte] =
+    writeWarcRecords(pages.map { case (url, ct, body, status, loc) =>
+      HttpFixture(url, ct, body, status = status, location = loc)
+    }, gzipPerRecord)
+
+  /** One fixture record for [[writeWarcRecords]]. `transferEncoding` /
+    * `contentEncoding` drive how the BODY is framed on the wire
+    * ("chunked", "gzip", "deflate", "" = identity — the writer applies
+    * the coding, so a reader must undo it to recover `body`); unknown
+    * tokens are written verbatim over the raw body (the unknown-coding
+    * fixture). `warcType = "revisit"` writes a payload-less revisit
+    * record carrying `refersTo` as WARC-Refers-To-Target-URI.
+    */
+  final case class HttpFixture(url: String, contentType: String,
+      body: Array[Byte], status: Int = 200, location: String = "",
+      transferEncoding: String = "", contentEncoding: String = "",
+      warcType: String = "response", refersTo: String = "",
+      date: String = "2026-01-01T00:00:00Z")
+
+  /** Deterministic chunked framing for fixtures: fixed 7-octet chunks
+    * (several per body, exercising multi-chunk reassembly), a chunk
+    * extension on the first size line, and a trailer header after the
+    * terminal chunk — the corners RFC 9112 §7.1 allows.
+    */
+  private def chunkEncode(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + 64)
+    var i = 0
+    var first = true
+    while (i < body.length) {
+      val n = math.min(7, body.length - i)
+      val ext = if (first) ";graft=fixture" else ""
+      out.write((n.toHexString + ext + CRLF).getBytes("US-ASCII"))
+      out.write(body, i, n)
+      out.write(CRLF.getBytes("US-ASCII"))
+      i += n
+      first = false
+    }
+    out.write(("0" + CRLF + "X-Graft-Trailer: done" + CRLF + CRLF)
+      .getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  private def gzipEncode(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(body); gz.close()
+    out.toByteArray
+  }
+
+  private def deflateEncode(body: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(body); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 14)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** The general fixture writer: warcinfo + one record per
+    * [[HttpFixture]], with real on-the-wire transfer/content codings.
+    */
+  def writeWarcRecords(pages: Seq[HttpFixture],
       gzipPerRecord: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def record(headers: Seq[(String, String)], block: Array[Byte]): Unit =
@@ -424,22 +722,50 @@ object Warc {
       "WARC-Date" -> "2026-01-01T00:00:00Z",
       "Content-Type" -> "application/warc-fields"),
       ("software: graft-fixture" + CRLF).getBytes("US-ASCII"))
-    pages.zipWithIndex.foreach { case ((url, ct, body, status, loc), i) =>
-      val reason = if (status == 200) "OK"
-        else if (status >= 300 && status < 400) "Redirect" else "Status"
-      val http = new java.io.ByteArrayOutputStream()
-      http.write((s"HTTP/1.1 $status $reason" + CRLF +
-        "Content-Type: " + ct + CRLF +
-        (if (loc != null && loc.nonEmpty) "Location: " + loc + CRLF else "") +
-        "Content-Length: " + body.length + CRLF + CRLF).getBytes("US-ASCII"))
-      http.write(body)
-      record(Seq(
-        "WARC-Type" -> "response",
-        "WARC-Record-ID" -> s"<urn:uuid:graft-rec-$i>",
-        "WARC-Date" -> "2026-01-01T00:00:00Z",
-        "WARC-Target-URI" -> url,
-        "Content-Type" -> "application/http; msgtype=response"),
-        http.toByteArray)
+    pages.zipWithIndex.foreach { case (p, i) =>
+      if (p.warcType == "revisit") {
+        record(Seq(
+          "WARC-Type" -> "revisit",
+          "WARC-Record-ID" -> s"<urn:uuid:graft-rec-$i>",
+          "WARC-Date" -> p.date,
+          "WARC-Target-URI" -> p.url,
+          "WARC-Refers-To-Target-URI" -> p.refersTo,
+          "WARC-Profile" ->
+            "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+          Array.emptyByteArray)
+      } else {
+        val reason = if (p.status == 200) "OK"
+          else if (p.status >= 300 && p.status < 400) "Redirect" else "Status"
+        val encoded = {
+          var b = p.body
+          p.contentEncoding match {
+            case "gzip" | "x-gzip" => b = gzipEncode(b)
+            case "deflate" => b = deflateEncode(b)
+            case _ => () // identity or unknown-token fixture: raw body
+          }
+          if (p.transferEncoding == "chunked") b = chunkEncode(b)
+          b
+        }
+        val http = new java.io.ByteArrayOutputStream()
+        http.write((s"HTTP/1.1 ${p.status} $reason" + CRLF +
+          "Content-Type: " + p.contentType + CRLF +
+          (if (p.location != null && p.location.nonEmpty)
+            "Location: " + p.location + CRLF else "") +
+          (if (p.transferEncoding.nonEmpty)
+            "Transfer-Encoding: " + p.transferEncoding + CRLF
+          else "Content-Length: " + encoded.length + CRLF) +
+          (if (p.contentEncoding.nonEmpty)
+            "Content-Encoding: " + p.contentEncoding + CRLF else "") +
+          CRLF).getBytes("US-ASCII"))
+        http.write(encoded)
+        record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> s"<urn:uuid:graft-rec-$i>",
+          "WARC-Date" -> p.date,
+          "WARC-Target-URI" -> p.url,
+          "Content-Type" -> "application/http; msgtype=response"),
+          http.toByteArray)
+      }
     }
     out.toByteArray
   }
@@ -545,30 +871,17 @@ object Warc {
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     import spark.implicits._
+    // the same record-lazy scaffold as responses: one record in memory
+    // at a time (a real Common Crawl WET shard is 150-400 MB
+    // uncompressed — the file must never buffer whole), close on
+    // exhaustion/failure/task completion
     spark.sparkContext.binaryFiles(path, autoParts(spark, minPartitions))
       .flatMap { case (_, pds) =>
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(String, String, String)]
-        val in = isGzip(pds.open())
-        try {
-          val it = records(in)
-          var ok = true
-          while (ok) {
-            try {
-              if (!it.hasNext) ok = false
-              else {
-                val r = it.next()
-                if (r.warcType == "conversion")
-                  out += ((r.targetUri, r.warcDate,
-                    new String(r.body, "UTF-8")))
-              }
-            } catch {
-              case scala.util.control.NonFatal(_) =>
-                failedAcc.foreach(_.add(1L)); ok = false
-            }
-          }
-        } finally in.close()
-        out
+        lazyRows(pds.open(), failedAcc, { r =>
+          if (r.warcType == "conversion")
+            Some((r.targetUri, r.warcDate, new String(r.body, "UTF-8")))
+          else None
+        })
       }
       .toDF("url", "fetch_ts", "text")
   }

@@ -344,6 +344,45 @@ class FuzzSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("chunked de-framing: TOTAL over truncations and garbage, exact on well-formed framings") {
+    // the HTTP-payload twin of the WARC truncation sweep: deChunk must
+    // either return bytes or throw (the per-record payloadError seam) —
+    // never hang, never return wrong data on a well-formed input
+    val rng = new Fixtures.Rng(777L)
+    (0 until 200).foreach { i =>
+      val body = new Array[Byte](rng.nextInt(200))
+      var j = 0
+      while (j < body.length) { body(j) = (rng.nextInt(256) - 128).toByte; j += 1 }
+      // well-formed framing with random chunk sizes round-trips exactly
+      val out = new java.io.ByteArrayOutputStream()
+      var off = 0
+      while (off < body.length) {
+        val n = math.min(1 + rng.nextInt(17), body.length - off)
+        out.write((n.toHexString + "\r\n").getBytes("US-ASCII"))
+        out.write(body, off, n)
+        out.write("\r\n".getBytes("US-ASCII"))
+        off += n
+      }
+      out.write("0\r\n\r\n".getBytes("US-ASCII"))
+      val framed = out.toByteArray
+      assert(java.util.Arrays.equals(graft.sources.Warc.deChunk(framed), body), s"i=$i")
+      // ANY truncation of that framing: prefix bytes or an exception,
+      // deterministically — never an OOM-scale allocation or a hang
+      val cut = rng.nextInt(framed.length + 1)
+      val torn = java.util.Arrays.copyOfRange(framed, 0, cut)
+      try {
+        val got = graft.sources.Warc.deChunk(torn)
+        assert(got.length <= body.length, s"i=$i cut=$cut")
+      } catch { case scala.util.control.NonFatal(_) => () }
+      // random garbage: same totality contract
+      val junk = new Array[Byte](rng.nextInt(64))
+      j = 0
+      while (j < junk.length) { junk(j) = (rng.nextInt(256) - 128).toByte; j += 1 }
+      try { graft.sources.Warc.deChunk(junk); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   test("xgolden escape/unescape round-trip on adversarial strings") {
     // the escaping underpins 13 frozen-golden gate rows: any string the
     // extraction kernel can emit must survive TSV freeze + thaw exactly
