@@ -640,6 +640,117 @@ object SparkEntry {
           graft.sources.Warc.responses(s, p.toString, minPartitions = 2))
         .orderBy(col("url"))
     }),
+    // HTTP payload codings through the WARC path: the SAME page body
+    // shipped identity, chunked, gzip'd, deflate'd and chunked+gzip'd —
+    // all five must extract byte-identically (the de-framing/inflation
+    // runs before the charset ladder); a brotli record (no JVM decoder)
+    // is skipped on the failure seam, never mojibake. Pins RFC 9112
+    // chunk reassembly (multi-chunk, extension, trailer), both deflate
+    // wrappings' fallback order, and coding-chain reversal
+    "x25_http_payload" -> ((s, dir) => {
+      val body = ("<html><head><meta charset=\"utf-8\"><title>kodiert</title>" +
+        "</head><body><article><p>Übertragungs-Kodierung: der gleiche " +
+        "Inhalt, fünfmal verpackt — und einmal brotli, das niemals " +
+        "stillschweigend als windows-1252 gelesen werden darf.</p>" +
+        "</article></body></html>").getBytes("UTF-8")
+      val mk = (n: String, te: String, ce: String) => graft.sources.Warc
+        .HttpFixture(s"https://enc.example/$n",
+          "text/html; charset=utf-8", body,
+          transferEncoding = te, contentEncoding = ce)
+      val warc = graft.sources.Warc.writeWarcRecords(Seq(
+        mk("identity", "", ""),
+        mk("chunked", "chunked", ""),
+        mk("gzip", "", "gzip"),
+        mk("deflate", "", "deflate"),
+        mk("chunked-gzip", "chunked", "gzip"),
+        mk("brotli", "", "br")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x25")
+      val p = tmp.resolve("enc.warc")
+      java.nio.file.Files.write(p, warc)
+      graft.sources.Warc.extractAll(s, p.toString, minPartitions = 2)
+        .select(col("url"), col("title"), col("text"))
+        .orderBy(col("url"))
+    }),
+    // revisit-aware recrawl staleness: a deduplicated crawl's refetch
+    // EVENTS live in `revisit` records; fed into the fetched/staleness
+    // chain they must suppress recrawl of a page whose latest capture
+    // is a revisit. Pins revisit record parsing (WARC-Refers-To-Target-
+    // URI), the responses∪revisits fetch-log union, and that fetched_ts
+    // reflects the REVISIT date (2026-03-01) — not the original
+    // response (2026-01-01) — in the surviving stale rows
+    "x26_revisit_stale" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val page = "<p>inhalt</p>".getBytes("UTF-8")
+      val warc = graft.sources.Warc.writeWarcRecords(Seq(
+        graft.sources.Warc.HttpFixture("https://rev.example/eins",
+          "text/html", page, date = "2026-01-01T00:00:00Z"),
+        graft.sources.Warc.HttpFixture("https://rev.example/eins",
+          "text/html", Array.emptyByteArray, warcType = "revisit",
+          refersTo = "https://rev.example/eins",
+          date = "2026-03-01T00:00:00Z"),
+        graft.sources.Warc.HttpFixture("https://rev.example/zwei",
+          "text/html", page, date = "2026-01-01T00:00:00Z"),
+        graft.sources.Warc.HttpFixture("https://rev.example/drei",
+          "text/html", page, date = "2026-05-01T00:00:00Z")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x26")
+      val p = tmp.resolve("rev.warc")
+      java.nio.file.Files.write(p, warc)
+      val fetched = graft.sources.Warc
+        .responses(s, p.toString, minPartitions = 2)
+        .select(col("url"), col("fetch_ts"))
+        .union(graft.sources.Warc
+          .revisits(s, p.toString, minPartitions = 2)
+          .select(col("url"), col("fetch_ts")))
+      val seeds = Seq(
+        // eins: lastmod newer than even the revisit -> stale, with the
+        // revisit's ts as fetched_ts (the revisit visibility proof);
+        // zwei: stale vs its one response; drei: fresh, absent
+        ("https://rev.example/eins", "2026-04-01T00:00:00Z"),
+        ("https://rev.example/zwei", "2026-02-01T00:00:00Z"),
+        ("https://rev.example/drei", "2026-02-01T00:00:00Z"))
+        .toDF("url", "lastmod")
+      graft.pipeline.WebPrep.frontierStale(seeds, fetched)
+        .orderBy(col("url"))
+    }),
+    // one-level sitemapindex expansion through the fetch seam: the
+    // index's children are robots-gated, fetched, and parsed; a nested
+    // index's children come back as kind=sitemap rows for the NEXT
+    // cycle; a blocked child is never fetched; a missing child counts
+    // on the seam. Pins the discover->expand->seed path end to end
+    "x27_sitemap_index" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x27")
+      val childA =
+        """<urlset><url><loc>https://idx.example/seite-a</loc><lastmod>2026-01-03</lastmod></url>
+          |<url><loc>HTTP://Idx.Example/seite-b?utm_source=x</loc></url></urlset>""".stripMargin
+      val nested = "<sitemapindex><sitemap>" +
+        "<loc>https://idx.example/tiefer.xml</loc></sitemap></sitemapindex>"
+      java.nio.file.Files.write(tmp.resolve("kind-a.xml"),
+        childA.getBytes("UTF-8"))
+      java.nio.file.Files.write(tmp.resolve("kind-n.xml"),
+        nested.getBytes("UTF-8"))
+      java.nio.file.Files.write(tmp.resolve("index.xml"),
+        ("<sitemapindex>" +
+          "<sitemap><loc>https://idx.example/kind-a.xml</loc></sitemap>" +
+          "<sitemap><loc>https://idx.example/kind-n.xml</loc></sitemap>" +
+          "<sitemap><loc>https://idx.example/blocked/kind-x.xml</loc></sitemap>" +
+          "</sitemapindex>").getBytes("UTF-8"))
+      val entries = graft.sources.Sitemap.entries(
+        s, tmp.toString + "/index.xml", minPartitions = 1)
+      val base = tmp.toString
+      val fetch: String => Array[Byte] = { url =>
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          base, url.substring(url.lastIndexOf('/') + 1)))
+      }
+      val robots = Seq(("idx.example", "User-Agent: *\nDisallow: /blocked/\n"))
+        .toDF("host", "robots_txt")
+      graft.pipeline.WebPrep.expandSitemapIndex(
+          entries, fetch, robotsTxt = Some(robots))
+        .select(col("kind"), col("loc"), col("lastmod"))
+        .orderBy(col("kind"), col("loc"))
+    }),
     // sitemap frontier seeding: robots.txt Sitemap advertisements name
     // the fixture files (urlset XML with entity-escaped locs + lastmod
     // variants, a text sitemap, a sitemapindex whose child refs must

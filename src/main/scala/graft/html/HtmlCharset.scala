@@ -124,12 +124,102 @@ object HtmlCharset {
 
   private val CtCharset =
     java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*\"?'?\\s*([^;,\\s\"']+)")
-  // catches both <meta charset=x> and the charset= inside a http-equiv
-  // content attribute; bounded accept — a declaration inside an HTML
-  // comment in the first KB is taken at face value (documented deviation
-  // from the spec's full prescan state machine)
-  private val MetaCharset = java.util.regex.Pattern.compile(
-    "(?i)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?\\s*([a-zA-Z0-9!#$%&+\\-^_`{}~.:]+)")
+
+  // ---------- binary-magic sniff ----------
+  // A payload that is unmistakably a binary container (a gzip'd body the
+  // transport lied about, a mislabeled image/PDF/archive) must FAIL the
+  // decode, not quietly become windows-1252 noise in the corpus. The
+  // set is conservative: only magics that cannot open a text document.
+  private def looksBinary(b: Array[Byte]): Boolean = {
+    def at(i: Int, v: Int): Boolean = i < b.length && (b(i) & 0xFF) == v
+    def ascii(i: Int, s: String): Boolean =
+      i + s.length <= b.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+    (at(0, 0x1f) && at(1, 0x8b)) ||                      // gzip
+    ascii(0, "PK\u0003\u0004") ||                        // zip/ooxml/jar
+    (at(0, 0x89) && ascii(1, "PNG")) ||                  // png
+    (at(0, 0xFF) && at(1, 0xD8) && at(2, 0xFF)) ||       // jpeg
+    ascii(0, "GIF87a") || ascii(0, "GIF89a") ||          // gif
+    ascii(0, "RIFF") ||                                  // webp/wav/avi
+    ascii(0, "%PDF-") ||                                 // pdf
+    ascii(0, "OggS") ||                                  // ogg
+    ascii(4, "ftyp")                                     // mp4/iso-bmff
+  }
+
+  // ---------- WHATWG-style meta prescan ----------
+  // A bounded attribute-level scanner over the first KB (replacing the
+  // old regex, which matched `charset=` anywhere within 512 chars of
+  // `<meta` — including inside an unrelated attribute VALUE like
+  // <meta name=description content="...charset=euc-jp...">). Comments
+  // are skipped like the spec's prescan. Remaining bounded-accept
+  // deviations: tags other than <meta> are skipped to their first '>'
+  // (a quoted '>' inside another tag's attribute ends that skip early),
+  // and <script>/<style> bodies are not special-cased.
+  private def metaCharsetScan(p: String): Option[String] = {
+    val lower = p.toLowerCase(java.util.Locale.ROOT)
+    var i = 0
+    while (i < p.length) {
+      val lt = lower.indexOf('<', i)
+      if (lt < 0) return None
+      if (lower.startsWith("<!--", lt)) {
+        val end = lower.indexOf("-->", lt + 4)
+        if (end < 0) return None
+        i = end + 3
+      } else if (lower.startsWith("<meta", lt) && lt + 5 < p.length &&
+          (p.charAt(lt + 5).isWhitespace || p.charAt(lt + 5) == '/')) {
+        // attribute walk (the spec's "get an attribute" loop, bounded)
+        var j = lt + 5
+        var charsetAttr: String = null
+        var httpEquiv: String = null
+        var content: String = null
+        var inTag = true
+        while (inTag && j < p.length) {
+          while (j < p.length &&
+            (p.charAt(j).isWhitespace || p.charAt(j) == '/')) j += 1
+          if (j >= p.length || p.charAt(j) == '>') inTag = false
+          else {
+            val nameStart = j
+            while (j < p.length && !p.charAt(j).isWhitespace &&
+              p.charAt(j) != '=' && p.charAt(j) != '/' &&
+              p.charAt(j) != '>') j += 1
+            val name = lower.substring(nameStart, j)
+            while (j < p.length && p.charAt(j).isWhitespace) j += 1
+            var value = ""
+            if (j < p.length && p.charAt(j) == '=') {
+              j += 1
+              while (j < p.length && p.charAt(j).isWhitespace) j += 1
+              if (j < p.length && (p.charAt(j) == '"' || p.charAt(j) == '\'')) {
+                val q = p.charAt(j)
+                val close = p.indexOf(q, j + 1)
+                if (close < 0) { value = p.substring(j + 1); j = p.length }
+                else { value = p.substring(j + 1, close); j = close + 1 }
+              } else {
+                val vs = j
+                while (j < p.length && !p.charAt(j).isWhitespace &&
+                  p.charAt(j) != '>') j += 1
+                value = p.substring(vs, j)
+              }
+            }
+            // first occurrence wins, like attribute parsing everywhere
+            name match {
+              case "charset" if charsetAttr == null => charsetAttr = value
+              case "http-equiv" if httpEquiv == null => httpEquiv = value
+              case "content" if content == null => content = value
+              case _ => ()
+            }
+          }
+        }
+        if (charsetAttr != null && charsetAttr.nonEmpty)
+          return Some(charsetAttr)
+        if (httpEquiv != null && content != null &&
+            httpEquiv.equalsIgnoreCase("content-type")) {
+          val m = CtCharset.matcher(content)
+          if (m.find()) return Some(m.group(1))
+        }
+        i = if (j > lt) j else lt + 5
+      } else i = lt + 1
+    }
+    None
+  }
 
   private def strictUtf8Valid(b: Array[Byte], from: Int): Boolean = {
     val dec = StandardCharsets.UTF_8.newDecoder()
@@ -157,12 +247,18 @@ object HtmlCharset {
     }
 
   /** The sniffing ladder. Returns (decoded text, chosen charset label);
-    * null bytes yield (null, null). Total: never throws on any byte
-    * sequence.
+    * null bytes yield (null, null); a payload opening with an
+    * unmistakable binary magic (gzip, zip, png/jpeg/gif, RIFF, PDF,
+    * ogg, ISO-BMFF) yields (null, "binary") — the defensive guard
+    * against compressed/mislabeled bodies decoding as windows-1252
+    * noise (the caller's failure seam counts them). Total: never throws
+    * on any byte sequence.
     */
   def decodeWithCharset(bytes: Array[Byte], contentType: String)
       : (String, String) = {
     if (bytes == null) return (null, null)
+    // 0. binary magic — a certain NON-text, before any declaration
+    if (looksBinary(bytes)) return (null, "binary")
     // 1. BOM — certain, beats all declarations
     if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
         bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
@@ -180,10 +276,10 @@ object HtmlCharset {
     }
     // 3. bounded meta prescan over an ASCII-superset view of the prefix
     val prefix = decodeW1252(bytes, 0, math.min(1024, bytes.length))
-    val mm = MetaCharset.matcher(prefix)
-    if (mm.find()) resolveLabel(mm.group(1), inMeta = true).foreach { enc =>
-      return (decodeWith(enc, bytes, 0), enc.label)
-    }
+    metaCharsetScan(prefix)
+      .flatMap(resolveLabel(_, inMeta = true)).foreach { enc =>
+        return (decodeWith(enc, bytes, 0), enc.label)
+      }
     // 4. content sniff: valid UTF-8 or the 1252 fallback
     if (strictUtf8Valid(bytes, 0)) (decodeWith(Utf8, bytes, 0), "utf-8")
     else (decodeWith(W1252, bytes, 0), "windows-1252")

@@ -892,15 +892,29 @@ object HtmlExtract {
   // onto the caller — where a wrong decode would be masked downstream
   // by the PyText mojibake repair.
 
+  /** A decode the charset ladder REFUSED (binary magic under a text
+    * label — see [[HtmlCharset.decodeWithCharset]]): throw so the
+    * caller's per-row failure seam counts it, instead of the old path
+    * where a compressed body silently decoded as windows-1252 noise.
+    */
+  private def decodeOrFail(docId: String, bytes: Array[Byte],
+      contentType: String): String = {
+    val s = HtmlCharset.decode(bytes, contentType)
+    if (s == null)
+      throw new IllegalArgumentException(
+        s"$docId: binary payload under a text decode (magic sniff)")
+    s
+  }
+
   /** Byte-level [[extractRow]]: sniff + decode, then extract. */
   def extractRowBytes(docId: String, bytes: Array[Byte],
       contentType: String): ExtractedDoc =
-    extractRow(docId, HtmlCharset.decode(bytes, contentType))
+    extractRow(docId, decodeOrFail(docId, bytes, contentType))
 
   /** Byte-level [[extractAllRow]]. */
   def extractAllRowBytes(docId: String, bytes: Array[Byte],
       contentType: String, pageUrl: String): WebDoc =
-    extractAllRow(docId, HtmlCharset.decode(bytes, contentType), pageUrl)
+    extractAllRow(docId, decodeOrFail(docId, bytes, contentType), pageUrl)
 
   /** Byte-level [[extract]]: `htmlCol` is BINARY; `contentTypeCol`, when
     * given, feeds the transport layer of the sniffing ladder. Decode and

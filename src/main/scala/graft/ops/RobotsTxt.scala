@@ -149,8 +149,51 @@ object RobotsTxt {
     if (ds.isEmpty) None else Some(ds.max)
   }
 
+  /** RFC 9309 §2.2.2 percent-encoding equivalence: a rule `/foo%3Cbar`
+    * must match a fetch of `/foo<bar` and vice versa, so BOTH sides are
+    * normalized to one form before octet comparison — every `%XX`
+    * decodes to its octet EXCEPT `%2F` (a decoded '/' would conflate an
+    * encoded-slash path segment with a real separator) and, because on
+    * the pattern side a decoded '$'/'*' would become a metacharacter,
+    * `%24` and `%2A`; those three keep their encoded form, hex
+    * uppercased so the two sides still compare equal. Idempotence
+    * caveat handled: a decoded '%' (from `%25`) is re-escaped so a
+    * second pass cannot re-decode what the first produced. Non-ASCII
+    * octets decode to their single-byte char — both sides identically,
+    * so comparisons stay octet-faithful.
+    */
+  private[graft] def normPercent(s: String): String = {
+    if (s == null || s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    def hex(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
+        val v = (hex(s.charAt(i + 1)) << 4) | hex(s.charAt(i + 2))
+        if (v == 0x2F || v == 0x24 || v == 0x2A || v == 0x25)
+          // kept encoded (separator/metachar/escape), one canonical case
+          sb.append('%').append(Character.toUpperCase(s.charAt(i + 1)))
+            .append(Character.toUpperCase(s.charAt(i + 2)))
+        else sb.append(v.toChar)
+        i += 3
+      } else if (c == '%') {
+        // a bare '%' (no valid hex pair) canonicalizes to its encoded
+        // form so `/100%` and a rule's `/100%25` land on one spelling
+        sb.append("%25"); i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** One robots pattern against a path (+query) — `*` wildcard, `$`
-    * anchor, otherwise prefix semantics.
+    * anchor, otherwise prefix semantics. Both sides are expected in
+    * [[normPercent]] form (the public eval faces normalize once).
     */
   private[graft] def patternMatches(pattern: String, path: String): Boolean = {
     val anchored = pattern.endsWith("$")
@@ -182,13 +225,20 @@ object RobotsTxt {
     if (anchored && segs.length == 1) pos == path.length else true
   }
 
-  /** §2.2.2 evaluation over a merged rule set. */
+  /** §2.2.2 evaluation over a merged rule set. Pattern and path are
+    * percent-normalized ([[normPercent]]) before octet comparison;
+    * longest-match precedence is measured on the normalized pattern —
+    * consistently on both eval faces, and identically for the allow and
+    * disallow rule it arbitrates between.
+    */
   def allowed(rules: Seq[Rule], path: String): Boolean = {
+    val p = normPercent(path)
     var bestLen = -1
     var bestAllow = true
     rules.foreach { r =>
-      if (patternMatches(r.pattern, path)) {
-        val len = r.pattern.length
+      val pat = normPercent(r.pattern)
+      if (patternMatches(pat, p)) {
+        val len = pat.length
         if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
           bestLen = len; bestAllow = r.allow
         }
@@ -223,15 +273,18 @@ object RobotsTxt {
   // one string per rule, "A<pattern>" / "D<pattern>" — flat so it
   // crosses the broadcast as a plain array<string> column.
 
-  /** robots.txt -> the compiled per-UA rule array (small-side UDF). */
+  /** robots.txt -> the compiled per-UA rule array (small-side UDF).
+    * Patterns are stored percent-NORMALIZED so the per-URL hot path
+    * never re-normalizes the rule side.
+    */
   def compiledRules(content: String, userAgent: String): Array[String] =
     rulesFor(content, userAgent)
-      .map(r => (if (r.allow) "A" else "D") + r.pattern).toArray
+      .map(r => (if (r.allow) "A" else "D") + normPercent(r.pattern)).toArray
 
   /** Per-URL decision over the compiled form (frontier-side UDF). */
   def allowedCompiled(compiled: Seq[String], url: String): Boolean = {
     if (compiled == null) return true
-    val path = pathOf(url)
+    val path = normPercent(pathOf(url))
     var bestLen = -1
     var bestAllow = true
     compiled.foreach { c =>

@@ -42,11 +42,24 @@ import org.apache.spark.sql.functions._
   * exactly once and move map-only through extraction; the fetched-set
   * diff reads a dedicated url-only fetch-log table (never the wide
   * corpus rows). The fetched-set anti-join grows with the crawl — at
-  * 10^12 URLs swap the string key for `Web.urlDedupAtScale`'s md5_long
-  * layout; the join stays AQE broadcast-or-SMJ either way.
+  * 10^12 URLs set `CrawlConfig.hashedUrlKeys` to route it (and the
+  * frontier dedup) through `Web.urlDedupAtScale`'s md5_long layout;
+  * the join stays AQE broadcast-or-SMJ either way.
   */
 object CrawlLoop {
 
+  /** `hashedUrlKeys`: the 10^12-URL layout the object scaladoc
+    * promises — the fetched-set anti-join and the frontier dedup key
+    * `md5_long(url)` (8 bytes) instead of the raw URL string (mean
+    * crawl URL ~70 bytes), the same convention as
+    * [[graft.ops.Web.urlDedupAtScale]]; the fetched log lands as
+    * `url_h` longs. Kept output (docs, frontier, metrics) is IDENTICAL
+    * either way (CrawlLoopSpec pins the equality) — only shuffle/log
+    * width changes; collision odds as documented on urlDedupAtScale.
+    * NOTE: flip it only on a FRESH outDir — the fetched log's landed
+    * schema differs between modes, so resuming a string-keyed crawl
+    * hashed (or vice versa) fails on read.
+    */
   final case class CrawlConfig(
       outDir: String,
       cycles: Int,
@@ -54,7 +67,8 @@ object CrawlLoop {
       userAgent: String = "*",
       defaultDelaySeconds: Double = 1.0,
       maxPerHost: Int = 86400,
-      format: String = "parquet")
+      format: String = "parquet",
+      hashedUrlKeys: Boolean = false)
 
   /** Per-cycle lineage metrics (one row per completed cycle). */
   final case class CycleMetric(run_id: String, cycle: Int,
@@ -121,7 +135,8 @@ object CrawlLoop {
     * the `(url, html)` web frame [[run]] expects, decoded through the
     * same charset ladder as the byte-level extract path (BOM, transport
     * charset, meta prescan, UTF-8 sniff, windows-1252 fallback).
-    * Undecodable rows (null bytes) drop and count on `failedAcc`.
+    * Undecodable rows (null bytes, or a binary-magic payload the
+    * ladder refuses) drop and count on `failedAcc`.
     * Refetches of one url (a WARC landing keeps every capture) collapse
     * LATEST-fetch-wins on `tsCol` (WARC-Date strings in one UTC form
     * order chronologically under string max; payload breaks exact-ts
@@ -138,9 +153,12 @@ object CrawlLoop {
       statusCol: String = "http_status",
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
-    val dec = udf((b: Array[Byte], ct: String) =>
-      if (b == null) { failedAcc.foreach(_.add(1L)); null }
-      else graft.html.HtmlCharset.decode(b, ct))
+    val dec = udf((b: Array[Byte], ct: String) => {
+      // null bytes AND ladder refusals (binary magic under a text
+      // label) both count — a refused decode must not vanish silently
+      val s = if (b == null) null else graft.html.HtmlCharset.decode(b, ct)
+      if (s == null) { failedAcc.foreach(_.add(1L)); null } else s
+    })
     val contentOnly =
       if (statusCol != null && pages.columns.contains(statusCol))
         pages.filter(col(statusCol) === 200)
@@ -167,10 +185,28 @@ object CrawlLoop {
       robotsTxt: DataFrame, cfg: CrawlConfig): Unit = {
     import spark.implicits._
     require(cfg.cycles > 0, "cycles must be positive")
+    if (cfg.hashedUrlKeys) graft.functions.GraftFunctions.register(spark)
     val (done, exhausted) = completedCycles(spark, cfg)
     if (exhausted) return
     var cycle = if (done.isEmpty) 0 else done.max + 1
     var continue = true
+    // the per-cycle landed writes (docs, fetched log, next frontier) are
+    // independent given the persisted intermediates — overlapping them
+    // trims the measured fixed per-cycle barrier cost (each was a
+    // driver-synchronous job launch + parquet commit in sequence); a
+    // failure in any write still aborts the cycle BEFORE its metrics
+    // row, so the cycle stays the idempotent Overwrite retry unit
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    def awaitAll(fs: Seq[scala.concurrent.Future[_]]): Unit = {
+      // wait for EVERY write before rethrowing, so a failed cycle never
+      // leaves a concurrent write racing a retry's Overwrite
+      val rs = fs.map(f => scala.util.Try(
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+      rs.foreach(_.get)
+    }
+    try {
     while (cycle < cfg.cycles && continue) {
       val t0 = System.nanoTime()
       val frontier =
@@ -185,6 +221,10 @@ object CrawlLoop {
       // projection), not a data pass
       val gated = WebPrep.frontierGated(frontier, robotsTxt, cfg.userAgent)
         .persist()
+      // the fetched-set key: raw url strings, or the 8-byte md5_long
+      // layout under cfg.hashedUrlKeys (both sides of the diff are
+      // already canonical — seeds/frontier rows pass canonicalUrl before
+      // landing, so hashing needs no re-canonicalization)
       val fetchedLog =
         if (exists(spark, fetchedDir(cfg)))
           spark.read.format(cfg.format).load(fetchedDir(cfg))
@@ -195,10 +235,19 @@ object CrawlLoop {
             // record exhaustion (the cycle must stay the idempotent
             // retry unit)
             .filter(col("cycle") < cycle)
-            .select(col("url"))
+            .drop("cycle")
+        else if (cfg.hashedUrlKeys) Seq.empty[Long].toDF("url_h")
         else Seq.empty[String].toDF("url")
-      val toFetch = WebPrep.frontierNew(gated, fetchedLog)
-        .filter(col("url").isNotNull).persist()
+      val toFetch = (
+        if (cfg.hashedUrlKeys)
+          gated.filter(col("url").isNotNull)
+            .withColumn("graft_url_h", expr("md5_long(url)"))
+            .join(fetchedLog, col("graft_url_h") === col("url_h"),
+              "left_anti")
+            .drop("graft_url_h")
+        else WebPrep.frontierNew(gated, fetchedLog)
+          .filter(col("url").isNotNull)
+      ).persist()
       val frontierIn = frontier.count()
       val gatedN = gated.count()
       val toFetchN = toFetch.count()
@@ -220,24 +269,52 @@ object CrawlLoop {
         .extractAll(pages, "doc_id", "html", Some("url")).toDF().persist()
       val fetchedN = extracted.count()
       val corpus = WebPrep.prepareExtracted(extracted)
-      corpus.write.mode(SaveMode.Overwrite).format(cfg.format)
-        .save(s"${docsDir(cfg)}/cycle=$cycle")
       // the log records ATTEMPTS (the politeness plan), not extraction
       // output: a dead url or a page whose extraction failed must not
       // pass the fetched-set diff again every time a later page re-links
       // it — permanent-skip is the crawl default; retries belong to the
       // fetch seam, which can re-inject urls via the seeds of a later run
-      plan.write.mode(SaveMode.Overwrite).format(cfg.format)
-        .save(s"${fetchedDir(cfg)}/cycle=$cycle")
-      val frontierNext = WebPrep.frontierExtracted(extracted)
-        .select(col("url")).union(rollover).distinct()
-      frontierNext.write.mode(SaveMode.Overwrite).format(cfg.format)
-        .save(s"${frontierDir(cfg)}/cycle=$cycle")
-      // footer-only counts of what was just landed (no recompute)
-      val keptN = spark.read.format(cfg.format)
-        .load(s"${docsDir(cfg)}/cycle=$cycle").count()
-      val frontierOutN = spark.read.format(cfg.format)
-        .load(s"${frontierDir(cfg)}/cycle=$cycle").count()
+      val fetchedOut =
+        if (cfg.hashedUrlKeys) plan.select(expr("md5_long(url)").as("url_h"))
+        else plan
+      // frontier dedup: distinct on the url string, or the AtScale
+      // shape (group on the 8-byte hash, keep min url — identical
+      // output up to the documented collision odds)
+      val frontierNext =
+        if (cfg.hashedUrlKeys)
+          WebPrep.frontierExtracted(extracted)
+            .select(col("url")).union(rollover)
+            .groupBy(expr("md5_long(url)")).agg(min(col("url")).as("url"))
+            .select(col("url"))
+        else WebPrep.frontierExtracted(extracted)
+          .select(col("url")).union(rollover).distinct()
+      // the three landed writes overlap (see the pool note above)
+      awaitAll(Seq(
+        scala.concurrent.Future {
+          corpus.write.mode(SaveMode.Overwrite).format(cfg.format)
+            .save(s"${docsDir(cfg)}/cycle=$cycle")
+        },
+        scala.concurrent.Future {
+          fetchedOut.write.mode(SaveMode.Overwrite).format(cfg.format)
+            .save(s"${fetchedDir(cfg)}/cycle=$cycle")
+        },
+        scala.concurrent.Future {
+          frontierNext.write.mode(SaveMode.Overwrite).format(cfg.format)
+            .save(s"${frontierDir(cfg)}/cycle=$cycle")
+        }))
+      // footer-only counts of what was just landed (no recompute),
+      // overlapped for the same barrier reason
+      var keptN = 0L
+      var frontierOutN = 0L
+      awaitAll(Seq(
+        scala.concurrent.Future {
+          keptN = spark.read.format(cfg.format)
+            .load(s"${docsDir(cfg)}/cycle=$cycle").count()
+        },
+        scala.concurrent.Future {
+          frontierOutN = spark.read.format(cfg.format)
+            .load(s"${frontierDir(cfg)}/cycle=$cycle").count()
+        }))
       val status = if (toFetchN == 0) "exhausted" else "done"
       val wallMs = (System.nanoTime() - t0) / 1000000
       spark.createDataset(Seq(CycleMetric(cfg.runId, cycle, frontierIn,
@@ -249,5 +326,6 @@ object CrawlLoop {
       if (status == "exhausted") continue = false
       cycle += 1
     }
+    } finally pool.shutdown()
   }
 }

@@ -148,9 +148,16 @@ object WebPrep {
       graft.ops.RobotsTxt.compiledRules(txt, ua))
     val decide = udf((compiled: Seq[String], url: String) =>
       graft.ops.RobotsTxt.allowedCompiled(compiled, url))
-    val rules = broadcast(robotsTxt.select(
-      normHost(hostCol).as("graft_host"),
-      compile(col(robotsTxtCol)).as("graft_rules")))
+    // ONE row per normalized host before the broadcast: a robots frame
+    // carrying duplicate host rows (easy from a real fetch log) would
+    // otherwise duplicate every frontier URL of that host through the
+    // left join; max() is the deterministic pick and ignores nulls, so
+    // a (host, null) shadowed by a real fetch keeps the real one
+    val rules = broadcast(robotsTxt
+      .select(normHost(hostCol).as("graft_host"), col(robotsTxtCol))
+      .groupBy(col("graft_host"))
+      .agg(max(col(robotsTxtCol)).as("graft_txt"))
+      .select(col("graft_host"), compile(col("graft_txt")).as("graft_rules")))
     frontier.withColumn("graft_host", urlHost(urlCol))
       .join(rules, Seq("graft_host"), "left")
       .filter(col("graft_rules").isNull ||
@@ -286,6 +293,71 @@ object WebPrep {
       .filter(col("url").isNotNull)
       .groupBy(col("url")).agg(max(col("lastmod")).as("lastmod"))
 
+  /** ONE-level sitemapindex expansion: the `kind = "sitemap"` child
+    * references of `entries` ([[graft.sources.Sitemap.entries]] rows)
+    * are fetched through the caller's `fetch` seam (the same seam shape
+    * a real fetcher cluster plugs into [[CrawlLoop]]), parsed with the
+    * SAME spec-capped parser, and their rows unioned with the original
+    * page entries. Exactly one level per call — a nested index's
+    * children come back as fresh `kind = "sitemap"` rows for the NEXT
+    * cycle, because an expansion is a FETCH and fetches belong to
+    * cycles (the [[graft.sources.Sitemap]] scaladoc's contract). When
+    * `robotsTxt` is given, child-sitemap URLs are robots-gated BEFORE
+    * fetching like any frontier. A failed/oversized child contributes
+    * no rows and counts on `failedAcc`. Distributed shape: children are
+    * deduplicated narrow url rows; the fetch+parse runs map-only on the
+    * executors, memory bounded by the 50 MB spec cap.
+    */
+  def expandSitemapIndex(entries: DataFrame, fetch: String => Array[Byte],
+      robotsTxt: Option[DataFrame] = None, userAgent: String = "*",
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+    val children0 = entries.filter(col("kind") === "sitemap")
+      .select(col("loc").as("url"))
+      .filter(col("url").isNotNull).distinct()
+    val children = robotsTxt
+      .map(r => frontierGated(children0, r, userAgent)).getOrElse(children0)
+    val f = fetch
+    val childEntries = children.select(col("url")).as[String]
+      .mapPartitions(_.flatMap { loc =>
+        try {
+          val bytes = f(loc)
+          if (bytes == null) { failedAcc.foreach(_.add(1L)); Nil }
+          else {
+            val p = graft.sources.Sitemap.parse(bytes)
+            if (p.truncated) failedAcc.foreach(_.add(1L))
+            p.entries.map(e =>
+              (loc, "url", e.loc, e.lastmod, e.changefreq, e.priority)) ++
+              p.children.map(c => (loc, "sitemap", c, "", "", ""))
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            failedAcc.foreach(_.add(1L)); Nil
+        }
+      })
+      .toDF("sitemap", "kind", "loc", "lastmod", "changefreq", "priority")
+    entries.select("sitemap", "kind", "loc", "lastmod", "changefreq",
+        "priority")
+      // the expanded references are consumed; page rows + nested refs remain
+      .filter(col("kind") =!= "sitemap")
+      .unionByName(childEntries)
+  }
+
+  /** The composed index-aware seed feed the [[graft.sources.Sitemap]]
+    * scaladoc describes, as one operator: expand the index references
+    * one level ([[expandSitemapIndex]]), then canonicalize + dedup the
+    * page entries ([[frontierFromSitemaps]]). Output `(url, lastmod)`.
+    */
+  def frontierFromSitemapIndex(entries: DataFrame,
+      fetch: String => Array[Byte], robotsTxt: Option[DataFrame] = None,
+      userAgent: String = "*",
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame =
+    frontierFromSitemaps(
+      expandSitemapIndex(entries, fetch, robotsTxt, userAgent, failedAcc))
+
   /** RECRAWL candidates from sitemap freshness: pages already fetched
     * whose sitemap `lastmod` is newer than their last fetch — the
     * incremental-crawl complement of [[frontierNew]] (which finds the
@@ -382,9 +454,14 @@ object WebPrep {
     val delayOf = udf((txt: String) =>
       graft.ops.RobotsTxt.crawlDelay(txt, ua)
         .map(java.lang.Double.valueOf).orNull)
-    val delays = broadcast(robotsTxt.select(
-      normHost(hostCol).as("graft_host"),
-      delayOf(col(robotsTxtCol)).as("graft_robots_delay")))
+    // same one-row-per-host collapse as frontierGated (a duplicate host
+    // row must not duplicate the host's whole plan)
+    val delays = broadcast(robotsTxt
+      .select(normHost(hostCol).as("graft_host"), col(robotsTxtCol))
+      .groupBy(col("graft_host"))
+      .agg(max(col(robotsTxtCol)).as("graft_txt"))
+      .select(col("graft_host"),
+        delayOf(col("graft_txt")).as("graft_robots_delay")))
     val bounded = frontier
       .filter(col(urlCol).isNotNull)
       .withColumn("graft_host", urlHost(urlCol))

@@ -184,6 +184,33 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(metrics(cfg).count(m => m._1 == 1 && m._6 == "exhausted") == 0)
   }
 
+  test("hashedUrlKeys: the md5_long key layout crawls the identical corpus, frontier and metrics") {
+    val (web, seeds, robots) = siteFrames()
+    val a = freshCfg(cycles = 10)
+    val b = freshCfg(cycles = 10).copy(hashedUrlKeys = true)
+    CrawlLoop.run(spark, web, seeds, robots, a)
+    CrawlLoop.run(spark, web, seeds, robots, b)
+    // keep-set equality per cycle (the urlDedupAtScale pin, loop-level)
+    assert(docsByCycle(a) == docsByCycle(b))
+    assert(metrics(a).toSeq == metrics(b).toSeq)
+    // the hashed fetched log really is the 8-byte layout...
+    val log = spark.read.parquet(b.outDir + "/fetched")
+    assert(log.columns.toSet == Set("url_h", "cycle"), log.columns.toSeq)
+    assert(log.schema("url_h").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // ...and holds exactly md5_long of the string log's urls
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col, expr}
+    val fromString = spark.read.parquet(a.outDir + "/fetched")
+      .select(expr("md5_long(url)").as("h")).collect()
+      .map(_.getLong(0)).toSet
+    val hashed = log.select(col("url_h")).collect().map(_.getLong(0)).toSet
+    assert(hashed == fromString)
+    // resume works within the hashed layout too
+    CrawlLoop.run(spark, web, seeds, robots, b) // exhausted: no-op
+    assert(docsByCycle(b) == docsByCycle(a))
+  }
+
   test("a different run_id in an existing outDir is refused, not silently mixed") {
     val (web, seeds, robots) = siteFrames()
     val cfg = freshCfg(cycles = 1)

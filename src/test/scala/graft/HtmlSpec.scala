@@ -490,6 +490,79 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "text/html; charset=iso-8859-15")._1 == "€uro")
   }
 
+  test("binary-magic sniff: compressed/mislabeled payloads refuse to decode, never 1252 noise") {
+    import graft.html.HtmlCharset
+    val html = "<p>echter text</p>".getBytes("UTF-8")
+    // a gzip'd body whose transport header lies text/html: the old path
+    // decoded it as windows-1252 mojibake with no failure signal
+    val gz = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(html); g.close()
+      out.toByteArray
+    }
+    assert(HtmlCharset.decodeWithCharset(gz, "text/html; charset=utf-8")
+      == ((null, "binary")))
+    // other unmistakable containers refuse too
+    for (magic <- Seq("PKrest", "GIF89a...", "%PDF-1.7", "OggS..",
+        "RIFF....WEBP"))
+      assert(HtmlCharset.decodeWithCharset(
+        magic.getBytes("ISO-8859-1"), "text/html") == ((null, "binary")), magic)
+    assert(HtmlCharset.decodeWithCharset(
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte), "text/html")
+      == ((null, "binary")))
+    assert(HtmlCharset.decodeWithCharset(
+      "xxxxftypisom".getBytes("US-ASCII"), "text/html") == ((null, "binary")))
+    // near-misses stay text: a page STARTING with 'PK' but not the zip
+    // magic, or mentioning RIFF mid-text
+    assert(HtmlCharset.decodeWithCharset("PK ist ok".getBytes("UTF-8"),
+      "text/html")._1 == "PK ist ok")
+    assert(HtmlCharset.decodeWithCharset("<p>RIFF</p>".getBytes("UTF-8"),
+      "text/html")._1 == "<p>RIFF</p>")
+    // the byte-level extract path counts a refused decode on its seam
+    val sp = spark
+    sparkUsed = true
+    import sp.implicits._
+    val acc = sp.sparkContext.longAccumulator("binary_refused")
+    val df = sp.createDataset(Seq(
+      ("doc-bin", gz, "text/html"),
+      ("doc-ok", "<p>Inhalt gut hier.</p>".getBytes("UTF-8"), "text/html")))
+      .toDF("doc_id", "html_bytes", "content_type")
+    val out = graft.html.HtmlExtract.extractBytes(df, failedAcc = Some(acc))
+      .collect()
+    assert(out.map(_.doc_id).toSeq == Seq("doc-ok"))
+    assert(acc.value == 1L)
+  }
+
+  test("meta prescan: charset= inside an unrelated attribute VALUE no longer selects; comments skipped") {
+    import graft.html.HtmlCharset
+    val s = "früh 5 m² – ok"
+    // the ADVICE case: a description mentioning charset=euc-jp must NOT
+    // drive the decode (the real declaration follows)
+    val tricky = HtmlCharset.encodeW1252(
+      "<head><meta name=description content=\"wie man charset=euc-jp setzt\">" +
+      "<meta charset=windows-1252>" + s)
+    val decTricky = HtmlCharset.decodeWithCharset(tricky, null)
+    assert(decTricky._2 == "windows-1252" && decTricky._1.endsWith(s))
+    // no real declaration at all: the description mention alone selects
+    // nothing and the ladder falls through to the content sniff
+    val onlyMention = ("<head><meta name=description " +
+      "content=\"charset=euc-jp erklärt\"><body>" + s).getBytes("UTF-8")
+    assert(HtmlCharset.decodeWithCharset(onlyMention, null)._2 == "utf-8")
+    // a commented-out declaration is skipped (spec prescan behavior)
+    val commented = ("<head><!-- <meta charset=shift_jis> -->" +
+      "<meta charset=utf-8>" + s).getBytes("UTF-8")
+    assert(HtmlCharset.decodeWithCharset(commented, null)._2 == "utf-8")
+    // http-equiv only counts when it IS content-type
+    val wrongEquiv = ("<head><meta http-equiv=refresh " +
+      "content=\"0; url=x?charset=koi8-r\">" + s).getBytes("UTF-8")
+    assert(HtmlCharset.decodeWithCharset(wrongEquiv, null)._2 == "utf-8")
+    // single-quoted and unquoted attribute values both parse
+    val quoted = HtmlCharset.encodeW1252(
+      "<meta charset='windows-1252'>" + s)
+    assert(HtmlCharset.decodeWithCharset(quoted, null)._2 == "windows-1252")
+  }
+
   test("byte-level ingest: mixed-encoding corpus extracts identically to the string path") {
     val sp = spark
     sparkUsed = true

@@ -444,6 +444,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RobotsTxt.allowedCompiled(null, "https://ex.com/fish")) // no row: allowed
   }
 
+  test("robots.txt: percent-encoding equivalence (§2.2.2), %2F/%24/%2A stay encoded") {
+    import graft.ops.RobotsTxt
+    // encoded rule matches decoded fetch path and vice versa
+    val enc = "User-Agent: *\nDisallow: /foo%3Cbar\n"
+    assert(!RobotsTxt.allowed(enc, "b", "https://e.com/foo<bar"))
+    assert(!RobotsTxt.allowed(enc, "b", "https://e.com/foo%3Cbar"))
+    assert(!RobotsTxt.allowed(enc, "b", "https://e.com/foo%3cbar")) // hex case
+    val dec = "User-Agent: *\nDisallow: /foo<bar\n"
+    assert(!RobotsTxt.allowed(dec, "b", "https://e.com/foo%3Cbar"))
+    // %2F is NOT a path separator: an encoded-slash segment matches only
+    // its encoded spelling (google parser behavior)
+    val slash = "User-Agent: *\nDisallow: /a%2Fb\n"
+    assert(!RobotsTxt.allowed(slash, "b", "https://e.com/a%2Fb"))
+    assert(!RobotsTxt.allowed(slash, "b", "https://e.com/a%2fb")) // case-folds
+    assert(RobotsTxt.allowed(slash, "b", "https://e.com/a/b"))    // real slash differs
+    // %24 / %2A are literals, never anchor/wildcard: /x%24 must not
+    // end-anchor and /x%2A must not wildcard
+    val lit = "User-Agent: *\nDisallow: /x%24\nDisallow: /y%2Az\n"
+    assert(!RobotsTxt.allowed(lit, "b", "https://e.com/x%24suffix"))
+    assert(RobotsTxt.allowed(lit, "b", "https://e.com/x"))
+    assert(!RobotsTxt.allowed(lit, "b", "https://e.com/y%2Az"))
+    assert(RobotsTxt.allowed(lit, "b", "https://e.com/yQz"))
+    // bare '%' and '%25' converge on one spelling
+    val pct = "User-Agent: *\nDisallow: /100%25\n"
+    assert(!RobotsTxt.allowed(pct, "b", "https://e.com/100%"))
+    assert(!RobotsTxt.allowed(pct, "b", "https://e.com/100%25"))
+    // normalization does NOT double-decode: %2545 is '%45' (literal),
+    // never 'E'
+    val dd = "User-Agent: *\nDisallow: /p%2545\n"
+    assert(!RobotsTxt.allowed(dd, "b", "https://e.com/p%2545"))
+    assert(RobotsTxt.allowed(dd, "b", "https://e.com/pE"))
+    // longest-match precedence measured on the NORMALIZED pattern: the
+    // encoded allow (raw 12 octets, normalized 6) loses to a disallow of
+    // normalized length 7 — decoded-form specificity decides
+    val prec = "User-Agent: *\nAllow: /%61%62%63%64%65\nDisallow: /abcdef\n"
+    assert(!RobotsTxt.allowed(prec, "b", "https://e.com/abcdefgh"))
+    // compiled face carries pre-normalized patterns: same verdicts
+    val rules = RobotsTxt.compiledRules(enc, "b")
+    assert(!RobotsTxt.allowedCompiled(rules, "https://e.com/foo<bar"))
+    assert(!RobotsTxt.allowedCompiled(rules, "https://e.com/foo%3Cbar"))
+  }
+
   test("robots.txt: Crawl-delay is group-scoped, specific beats *, max-merge, bad values ignored") {
     import graft.ops.RobotsTxt
     val txt = "User-Agent: graftbot\nCrawl-Delay: 2.5\nDisallow: /x\n" +

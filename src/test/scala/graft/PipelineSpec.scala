@@ -396,6 +396,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .columns.toSeq == Seq("url", "first_seen_doc"))
   }
 
+  test("duplicate robots host rows collapse to one: no frontier duplication in gate or plan") {
+    val sp = spark
+    import sp.implicits._
+    val frontier = Seq(
+      ("https://dup.example/a", "d1"),
+      ("https://dup.example/b", "d1"),
+      ("https://dup.example/blocked/c", "d2"))
+      .toDF("url", "first_seen_doc")
+    // a real fetch log easily yields several rows per host — including a
+    // null capture shadowed by the real one; neither may duplicate URLs
+    val robots = Seq(
+      ("dup.example", null: String),
+      ("dup.example", "User-Agent: *\nDisallow: /blocked/\nCrawl-delay: 2\n"),
+      ("DUP.example:443", "User-Agent: *\nDisallow: /blocked/\nCrawl-delay: 2\n"))
+      .toDF("host", "robots_txt")
+    val gated = graft.pipeline.WebPrep.frontierGated(frontier, robots)
+      .collect().map(_.getString(0)).toSeq
+    // exactly one row per kept url (no join fan-out), the gate applied
+    assert(gated.sorted == Seq("https://dup.example/a", "https://dup.example/b"))
+    val plan = graft.pipeline.WebPrep.fetchSchedule(frontier, robots)
+      .collect()
+    assert(plan.length == 3) // one plan row per url, not 3x
+    assert(plan.map(_.getAs[Int]("fetch_seq")).sorted.toSeq == Seq(1, 2, 3))
+    assert(plan.forall(_.getAs[Double]("delay_s") == 2.0)) // real row wins over null
+  }
+
   test("frontierNew: frontier minus the fetched set (canonicalized anti-join)") {
     val sp = spark
     import sp.implicits._

@@ -158,9 +158,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan(graft.pipeline.WebPrep.frontierGated(frontier, robots))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // the only Exchange is the broadcast of the tiny rules table — the
-    // frontier side itself never repartitions
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    // the frontier side itself never repartitions: the only hash
+    // Exchange is the one-row-per-host collapse of the tiny RULES table
+    // (hosts ≪ URLs, pre-broadcast), keyed on the host — never the url
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9#, ]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toVector
+    assert(hashEx.length == 1 && hashEx.head.contains("graft_host"),
+      s"$hashEx\n$p")
+    assert(!hashEx.exists(_.contains("url")), hashEx)
   }
 
   test("fetchSchedule: delays broadcast; window shuffles carry only narrow frontier keys") {
@@ -176,12 +181,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     // exactly the two politeness windows' hash Exchanges (salted phase,
-    // host phase) — nothing else repartitions, and both partition on the
-    // derived host key, not the url
+    // host phase) plus the one-row-per-host collapse of the tiny DELAYS
+    // table (pre-broadcast) — nothing else repartitions, every key is
+    // the derived host, never the url
     val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9#, ]+)".r
       .findAllMatchIn(p).map(_.group(1)).toVector
-    assert(hashEx.length == 2, p)
+    assert(hashEx.length == 3, p)
     assert(hashEx.forall(_.contains("graft_host")), hashEx)
+    assert(!hashEx.exists(_.contains("url")), hashEx)
   }
 
   test("urlDedupAtScale: aggregation + join keyed on md5_long, not URL strings") {

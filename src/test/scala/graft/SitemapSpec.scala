@@ -198,4 +198,55 @@ class SitemapSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(0)).toSet
     assert(gated.size == 2 && !gated.exists(_.contains("/blocked/")))
   }
+
+  test("sitemapindex expansion: index -> child fetch -> urlset, one level per call, robots-gated") {
+    sparkUsed = true
+    val sp = spark
+    import sp.implicits._
+    // a filesystem-backed fetch seam: child URL -> fixture bytes
+    val dir = java.nio.file.Files.createTempDirectory("sitemapidx")
+    val childA =
+      """<urlset><url><loc>https://idx.example/a</loc><lastmod>2026-01-03</lastmod></url>
+        |<url><loc>https://idx.example/b</loc></url></urlset>""".stripMargin
+    val childNested = // a child that is ITSELF an index: stays unexpanded
+      "<sitemapindex><sitemap><loc>https://idx.example/deeper.xml</loc></sitemap></sitemapindex>"
+    java.nio.file.Files.write(dir.resolve("child-a.xml"), childA.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("child-n.xml"), childNested.getBytes("UTF-8"))
+    val index = "<sitemapindex>" +
+      "<sitemap><loc>https://idx.example/child-a.xml</loc></sitemap>" +
+      "<sitemap><loc>https://idx.example/child-n.xml</loc></sitemap>" +
+      "<sitemap><loc>https://idx.example/blocked/child-x.xml</loc></sitemap>" +
+      "<sitemap><loc>https://idx.example/fehlt.xml</loc></sitemap>" +
+      "</sitemapindex>"
+    java.nio.file.Files.write(dir.resolve("index.xml"), index.getBytes("UTF-8"))
+    val entries = graft.sources.Sitemap.entries(
+      sp, dir.toString + "/index.xml", minPartitions = 1)
+    val base = dir.toString
+    val fetch: String => Array[Byte] = { url =>
+      val name = url.substring(url.lastIndexOf('/') + 1)
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(base, name)) // missing file -> throws -> failedAcc
+    }
+    val robots = Seq(("idx.example", "User-Agent: *\nDisallow: /blocked/\n"))
+      .toDF("host", "robots_txt")
+    val acc = sp.sparkContext.longAccumulator("sitemap_fetch_failed")
+    val expanded = graft.pipeline.WebPrep.expandSitemapIndex(
+      entries, fetch, robotsTxt = Some(robots), failedAcc = Some(acc))
+    val rows = expanded.collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    // page entries from the fetched child; the nested index's children
+    // surface as kind=sitemap rows for the NEXT cycle (one level only);
+    // the blocked child was never fetched; the missing child counted
+    assert(rows == Set(
+      ("url", "https://idx.example/a"),
+      ("url", "https://idx.example/b"),
+      ("sitemap", "https://idx.example/deeper.xml")), rows)
+    assert(acc.value == 1L) // fehlt.xml
+    // the composed seed feed: (url, lastmod) ready for gate/diff
+    val seeds = graft.pipeline.WebPrep.frontierFromSitemapIndex(
+      entries, fetch, robotsTxt = Some(robots))
+    val got = seeds.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("https://idx.example/a" -> "2026-01-03",
+      "https://idx.example/b" -> ""), got)
+  }
 }
