@@ -248,9 +248,17 @@ object CrawlLoop {
         else WebPrep.frontierNew(gated, fetchedLog)
           .filter(col("url").isNotNull)
       ).persist()
-      val frontierIn = frontier.count()
-      val gatedN = gated.count()
-      val toFetchN = toFetch.count()
+      // the three lineage counts overlap (same barrier-trim as the
+      // writes): frontier.count is a footer read of the landed dir,
+      // gated/toFetch race to fill the shared gated cache — Spark's
+      // block-level cache locking makes that safe
+      var frontierIn = 0L
+      var gatedN = 0L
+      var toFetchN = 0L
+      awaitAll(Seq(
+        scala.concurrent.Future { frontierIn = frontier.count() },
+        scala.concurrent.Future { gatedN = gated.count() },
+        scala.concurrent.Future { toFetchN = toFetch.count() }))
       val plan = WebPrep.fetchSchedule(toFetch, robotsTxt, cfg.userAgent,
         cfg.defaultDelaySeconds, cfg.maxPerHost).select(col("url")).persist()
       // horizon rollover: URLs the per-host cap deferred re-enter the
