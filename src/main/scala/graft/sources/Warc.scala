@@ -123,9 +123,15 @@ object Warc {
     * CRLF, exactly `size` octets, CRLF, repeat; terminal 0-size chunk
     * then trailer lines until a blank. Bare-LF line endings tolerated
     * (real servers emit them). Malformed/truncated framing throws — the
-    * caller maps it onto the record's `payloadError` seam.
+    * caller maps it onto the record's `payloadError` seam, or keeps the
+    * de-framed prefix when the record is MARKED truncated
+    * (`tolerateTruncation`, see [[decodeHttpPayload]]).
     */
-  private[graft] def deChunk(b: Array[Byte]): Array[Byte] = {
+  private[graft] def deChunk(b: Array[Byte]): Array[Byte] =
+    deChunk(b, tolerateTruncation = false)
+
+  private def deChunk(b: Array[Byte], tolerateTruncation: Boolean)
+      : Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(b.length)
     var i = 0
     def line(): String = {
@@ -141,41 +147,53 @@ object Warc {
       s
     }
     var more = true
-    while (more) {
-      val sizeTok = line().takeWhile(c => c != ';' && !c.isWhitespace)
-      val size = java.lang.Long.parseLong(sizeTok, 16)
-      require(size >= 0 && size <= b.length - i,
-        s"chunk size $size exceeds remaining payload")
-      if (size == 0L) {
-        // trailer section: header lines until the blank terminator (a
-        // truncated trailer is tolerated — the data is already whole)
-        var t = if (i < b.length) line() else ""
-        while (t.nonEmpty && i < b.length) t = line()
-        more = false
-      } else {
-        out.write(b, i, size.toInt)
-        i += size.toInt
-        // the CRLF after the chunk data
-        if (i < b.length) line()
+    try {
+      while (more) {
+        val sizeTok = line().takeWhile(c => c != ';' && !c.isWhitespace)
+        val size = java.lang.Long.parseLong(sizeTok, 16)
+        require(size >= 0 && size <= b.length - i,
+          s"chunk size $size exceeds remaining payload")
+        if (size == 0L) {
+          // trailer section: header lines until the blank terminator (a
+          // truncated trailer is tolerated — the data is already whole)
+          var t = if (i < b.length) line() else ""
+          while (t.nonEmpty && i < b.length) t = line()
+          more = false
+        } else {
+          out.write(b, i, size.toInt)
+          i += size.toInt
+          // the CRLF after the chunk data
+          if (i < b.length) line()
+        }
       }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (!tolerateTruncation) throw e // else: keep the prefix
     }
     out.toByteArray
   }
 
   /** Fully inflate one gzip payload (multi-member tolerated), capped at
-    * [[MaxDecodedPayload]].
+    * [[MaxDecodedPayload]]. With `tolerateTruncation` a mid-stream EOF
+    * returns the inflated prefix instead of throwing.
     */
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+  private def gunzipAll(b: Array[Byte], tolerateTruncation: Boolean)
+      : Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(b), 1 << 16)
     try {
       val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
       val buf = new Array[Byte](1 << 16)
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        require(out.size() <= MaxDecodedPayload, "decoded payload exceeds cap")
-        n = in.read(buf)
+      try {
+        var n = in.read(buf)
+        while (n >= 0) {
+          out.write(buf, 0, n)
+          require(out.size() <= MaxDecodedPayload, "decoded payload exceeds cap")
+          n = in.read(buf)
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (!(tolerateTruncation && out.size() > 0)) throw e
       }
       out.toByteArray
     } finally in.close()
@@ -186,37 +204,56 @@ object Warc {
     * try zlib first, retry nowrap on a header error (the standard
     * browser fallback). Inflaters are `end()`ed deterministically.
     */
-  private def inflateAll(b: Array[Byte], nowrap: Boolean): Array[Byte] = {
+  private def inflateAll(b: Array[Byte], nowrap: Boolean,
+      tolerateTruncation: Boolean): Array[Byte] = {
     val inf = new java.util.zip.Inflater(nowrap)
     try {
       inf.setInput(b)
       val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
       val buf = new Array[Byte](1 << 16)
-      while (!inf.finished()) {
-        val n = inf.inflate(buf)
-        if (n == 0) {
-          require(!inf.needsInput() && !inf.needsDictionary(),
-            "deflate payload truncated")
-        } else {
-          out.write(buf, 0, n)
-          require(out.size() <= MaxDecodedPayload, "decoded payload exceeds cap")
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0) {
+            require(!inf.needsInput() && !inf.needsDictionary(),
+              "deflate payload truncated")
+          } else {
+            out.write(buf, 0, n)
+            require(out.size() <= MaxDecodedPayload, "decoded payload exceeds cap")
+          }
         }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (!(tolerateTruncation && out.size() > 0)) throw e
       }
       out.toByteArray
     } finally inf.end()
   }
 
-  private def deflateDecode(b: Array[Byte]): Array[Byte] =
-    try inflateAll(b, nowrap = false)
-    catch { case scala.util.control.NonFatal(_) => inflateAll(b, nowrap = true) }
+  private def deflateDecode(b: Array[Byte], tolerateTruncation: Boolean)
+      : Array[Byte] =
+    try inflateAll(b, nowrap = false, tolerateTruncation)
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        inflateAll(b, nowrap = true, tolerateTruncation)
+    }
 
   /** Decode one HTTP payload under its Transfer-Encoding and
     * Content-Encoding header values (either may be a comma-separated
     * coding list; "" = absent). Returns Right(decoded bytes) or
     * Left(the coding token that failed / was unknown).
+    *
+    * `tolerateTruncation` is set for records the crawler MARKED
+    * truncated (`WARC-Truncated`, ISO 28500 §5.13 — Common Crawl cuts
+    * payloads at ~1 MB and marks them): a mid-stream EOF in the
+    * chunked/gzip/deflate decode then yields the decoded PREFIX (what a
+    * browser would render) instead of a payload failure; genuinely
+    * corrupt data still fails because an UNmarked record gets no
+    * tolerance.
     */
   private[graft] def decodeHttpPayload(transferEncoding: String,
-      contentEncoding: String, body: Array[Byte])
+      contentEncoding: String, body: Array[Byte],
+      tolerateTruncation: Boolean = false)
       : Either[String, Array[Byte]] = {
     def codings(v: String): Seq[String] =
       if (v == null || v.isEmpty) Nil
@@ -228,9 +265,9 @@ object Warc {
       .foreach { c =>
         try {
           c match {
-            case "chunked" => cur = deChunk(cur)
-            case "gzip" | "x-gzip" => cur = gunzipAll(cur)
-            case "deflate" => cur = deflateDecode(cur)
+            case "chunked" => cur = deChunk(cur, tolerateTruncation)
+            case "gzip" | "x-gzip" => cur = gunzipAll(cur, tolerateTruncation)
+            case "deflate" => cur = deflateDecode(cur, tolerateTruncation)
             case "identity" | "none" => ()
             case other => return Left(other)
           }
@@ -286,9 +323,11 @@ object Warc {
           // de-frame chunked transfer + inflate gzip/deflate BEFORE the
           // payload ever meets the charset ladder; an unknown or broken
           // coding flags THIS record and empties its body (mojibake must
-          // never decode silently)
+          // never decode silently) — unless the crawler MARKED the
+          // record truncated, in which case the decoded prefix is kept
           decodeHttpPayload(header("transfer-encoding"),
-              header("content-encoding"), body) match {
+              header("content-encoding"), body,
+              tolerateTruncation = h.contains("warc-truncated")) match {
             case Right(decoded) => body = decoded
             case Left(coding) =>
               payloadError = coding; body = Array.emptyByteArray
@@ -481,23 +520,25 @@ object Warc {
     * and size executors accordingly; `maxFilesPerTrigger` bounds a
     * micro-batch.
     */
+  // the binaryFile source's FIXED schema, stated explicitly (a
+  // streaming source cannot infer one)
+  private def binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
   def responsesStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 8,
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     import spark.implicits._
     spark.readStream.format("binaryFile")
-      // the binaryFile source's FIXED schema, stated explicitly (a
-      // streaming source cannot infer one)
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("path",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("modificationTime",
-          org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("length",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("content",
-          org.apache.spark.sql.types.BinaryType))))
+      .schema(binaryFileSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(dir)
       .select(org.apache.spark.sql.functions.col("modificationTime"),
@@ -512,6 +553,41 @@ object Warc {
       .withColumn("event_time",
         org.apache.spark.sql.functions.coalesce(
           // try_: a malformed WARC-Date must fall back, not throw (ANSI)
+          org.apache.spark.sql.functions.expr("try_to_timestamp(fetch_ts)"),
+          org.apache.spark.sql.functions.col("landed_time")))
+      .drop("landed_time")
+  }
+
+  /** STREAMING twin of [[revisits]], shaped like [[responsesStream]]:
+    * as crawl shards land, each micro-batch surfaces the NEW files'
+    * revisit records as `(url, fetch_ts, refers_to, event_time)` rows —
+    * the continuously-updating refetch feed for a streaming fetch log
+    * (the batch union in the [[revisits]] scaladoc, on arrival). Same
+    * exactly-once/atomic-placement and event-clock contract as
+    * [[responsesStream]].
+    */
+  def revisitsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 8,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(org.apache.spark.sql.functions.col("modificationTime"),
+        org.apache.spark.sql.functions.col("content"))
+      .as[(java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (ts, bytes) =>
+        lazyRows(new java.io.ByteArrayInputStream(bytes), failedAcc, { r =>
+          if (r.warcType == "revisit")
+            Some((r.targetUri, r.warcDate, r.refersTo, ts))
+          else None
+        })
+      }
+      .toDF("url", "fetch_ts", "refers_to", "landed_time")
+      .withColumn("event_time",
+        org.apache.spark.sql.functions.coalesce(
           org.apache.spark.sql.functions.expr("try_to_timestamp(fetch_ts)"),
           org.apache.spark.sql.functions.col("landed_time")))
       .drop("landed_time")
@@ -665,7 +741,11 @@ object Warc {
       body: Array[Byte], status: Int = 200, location: String = "",
       transferEncoding: String = "", contentEncoding: String = "",
       warcType: String = "response", refersTo: String = "",
-      date: String = "2026-01-01T00:00:00Z")
+      date: String = "2026-01-01T00:00:00Z",
+      // cut the ENCODED body to this fraction and mark the record
+      // `WARC-Truncated: length` (the Common Crawl payload-cap shape);
+      // 1.0 = whole
+      truncateTo: Double = 1.0)
 
   /** Deterministic chunked framing for fixtures: fixed 7-octet chunks
     * (several per body, exercising multi-chunk reassembly), a chunk
@@ -744,6 +824,9 @@ object Warc {
             case _ => () // identity or unknown-token fixture: raw body
           }
           if (p.transferEncoding == "chunked") b = chunkEncode(b)
+          if (p.truncateTo < 1.0)
+            b = java.util.Arrays.copyOfRange(b, 0,
+              math.max(1, (b.length * p.truncateTo).toInt))
           b
         }
         val http = new java.io.ByteArrayOutputStream()
@@ -763,7 +846,9 @@ object Warc {
           "WARC-Record-ID" -> s"<urn:uuid:graft-rec-$i>",
           "WARC-Date" -> p.date,
           "WARC-Target-URI" -> p.url,
-          "Content-Type" -> "application/http; msgtype=response"),
+          "Content-Type" -> "application/http; msgtype=response") ++
+          (if (p.truncateTo < 1.0) Seq("WARC-Truncated" -> "length")
+          else Nil),
           http.toByteArray)
       }
     }

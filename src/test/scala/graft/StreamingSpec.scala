@@ -266,6 +266,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch == rows.map(t => (t._1, t._2)))
   }
 
+  test("revisitsStream: refetch events land incrementally, rows == the batch revisits reader") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-revstream")
+    val in = root.resolve("in"); val cp = root.resolve("cp")
+    val outDir = root.resolve("out")
+    java.nio.file.Files.createDirectories(in)
+    def shard(name: String, recs: Seq[graft.sources.Warc.HttpFixture]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        graft.sources.Warc.writeWarcRecords(recs, gzipPerRecord = true))
+    shard("w1.warc.gz", Seq(
+      graft.sources.Warc.HttpFixture("https://r.example/a", "text/html",
+        "<p>a</p>".getBytes("UTF-8"), date = "2026-01-01T00:00:00Z"),
+      graft.sources.Warc.HttpFixture("https://r.example/a", "text/html",
+        Array.emptyByteArray, warcType = "revisit",
+        refersTo = "https://r.example/a", date = "2026-02-01T00:00:00Z")))
+    def drain(): Unit = {
+      val q = graft.sources.Warc.revisitsStream(spark, in.toString)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", cp.toString)
+        .outputMode("append").trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    def landed() = spark.read.parquet(outDir.toString)
+    assert(landed().count() == 1) // the response row never appears here
+    shard("w2.warc.gz", Seq(
+      graft.sources.Warc.HttpFixture("https://r.example/a", "text/html",
+        Array.emptyByteArray, warcType = "revisit",
+        refersTo = "https://r.example/a", date = "2026-03-01T00:00:00Z")))
+    drain()
+    val rows = landed().collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[String]("fetch_ts"),
+        r.getAs[String]("refers_to"))).sortBy(_._2).toSeq
+    assert(rows == Seq(
+      ("https://r.example/a", "2026-02-01T00:00:00Z", "https://r.example/a"),
+      ("https://r.example/a", "2026-03-01T00:00:00Z", "https://r.example/a")),
+      rows)
+    // event_time = the WARC-Date capture clock (parses for these rows)
+    assert(landed().filter(
+      org.apache.spark.sql.functions.col("event_time").isNull).count() == 0)
+    // stream rows == batch reader on the same dir
+    val batch = graft.sources.Warc.revisits(spark, in.toString + "/*")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(batch == rows.map(t => (t._1, t._2)).sorted)
+  }
+
   test("prepareBytesStream: WARC shards -> streamed corpus (charset ladder, mirror suppressed, redirects out)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-bytestream")
