@@ -30,6 +30,23 @@ object RobotsTxt {
 
   final case class Rule(allow: Boolean, pattern: String)
 
+  /** RFC 9309 §2.4 parse cap: crawlers must parse at least 500 KiB and
+    * MAY ignore the rest — the scale guard that keeps a hostile
+    * multi-megabyte robots.txt from ballooning the per-host compile on
+    * the broadcast side. Applied at the CHARACTER level before line
+    * splitting (the partial last line is dropped so a rule is never
+    * half-read); content past the cap reads as absent, the same
+    * more-permissive direction the large crawlers take.
+    */
+  val MaxParseChars: Int = 500 * 1024
+
+  private def capped(content: String): String = {
+    if (content == null || content.length <= MaxParseChars) return content
+    val cut = content.substring(0, MaxParseChars)
+    val nl = cut.lastIndexOf('\n')
+    if (nl >= 0) cut.substring(0, nl) else cut
+  }
+
   /** `delay` carries the group's `Crawl-delay:` seconds when present —
     * an RFC 9309 §2.2.4 extension field honored by the large non-Google
     * crawlers (Bing/Yandex semantics: a group RULE line, like allow/
@@ -44,8 +61,9 @@ object RobotsTxt {
       delay: Option[Double] = None)
 
   /** Raw group structure (spec vectors + diagnostics). */
-  def parse(content: String): Vector[Group] = {
-    if (content == null) return Vector.empty
+  def parse(content0: String): Vector[Group] = {
+    if (content0 == null) return Vector.empty
+    val content = capped(content0)
     val groups = Vector.newBuilder[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]
@@ -101,8 +119,9 @@ object RobotsTxt {
     * case-insensitive like every robots field; relative values are
     * dropped (the spec requires absolute).
     */
-  def sitemaps(content: String): Vector[String] = {
-    if (content == null) return Vector.empty
+  def sitemaps(content0: String): Vector[String] = {
+    if (content0 == null) return Vector.empty
+    val content = capped(content0)
     val out = Vector.newBuilder[String]
     content.split("\r\n|\r|\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim

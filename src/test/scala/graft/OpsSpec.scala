@@ -486,6 +486,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!RobotsTxt.allowedCompiled(rules, "https://e.com/foo%3Cbar"))
   }
 
+  test("robots.txt: RFC 9309 2.4 parse cap — 500 KiB parsed, hostile tail ignored, no half-read rule") {
+    import graft.ops.RobotsTxt
+    // rules inside the cap bind; a disallow placed beyond 500 KiB does
+    // not (more-permissive direction, per the large crawlers)
+    val filler = ("# pad pad pad pad pad pad pad pad pad pad pad\n" * 12000)
+    val hostile = "User-Agent: *\nDisallow: /innen\n" + filler +
+      "Disallow: /aussen\nSitemap: https://e.com/late.xml\n"
+    assert(hostile.length > RobotsTxt.MaxParseChars)
+    assert(!RobotsTxt.allowed(hostile, "b", "https://e.com/innen"))
+    assert(RobotsTxt.allowed(hostile, "b", "https://e.com/aussen"))
+    assert(RobotsTxt.sitemaps(hostile).isEmpty)
+    // the cap cuts at a LINE boundary: a rule straddling the cap is
+    // dropped whole, never half-read into a shorter (wrong) pattern
+    val pad = "#" * (RobotsTxt.MaxParseChars - 30)
+    val straddle = "User-Agent: *\n" + pad + "\nDisallow: /lang/pfad/tief\n"
+    assert(RobotsTxt.allowed(straddle, "b", "https://e.com/lang/pfad/tief"))
+    assert(RobotsTxt.allowed(straddle, "b", "https://e.com/lang"))
+  }
+
   test("robots.txt: Crawl-delay is group-scoped, specific beats *, max-merge, bad values ignored") {
     import graft.ops.RobotsTxt
     val txt = "User-Agent: graftbot\nCrawl-Delay: 2.5\nDisallow: /x\n" +

@@ -191,6 +191,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!hashEx.exists(_.contains("url")), hashEx)
   }
 
+  test("expandSitemapIndex: child gate broadcast; only the tiny child-dedup and host-collapse shuffle") {
+    val sp = spark
+    import sp.implicits._
+    val entries = (1 to 50).map(i =>
+      ("idx", if (i % 5 == 0) "sitemap" else "url",
+        s"https://h$i.example/s$i.xml", "", "", ""))
+      .toDF("sitemap", "kind", "loc", "lastmod", "changefreq", "priority")
+    val robots = Seq(("h5.example", "User-Agent: *\nDisallow: /x\n"))
+      .toDF("host", "robots_txt")
+    val fetch: String => Array[Byte] = _ => "<urlset></urlset>".getBytes("UTF-8")
+    val p = plan(graft.pipeline.WebPrep.expandSitemapIndex(
+      entries, fetch, robotsTxt = Some(robots)))
+    // the robots gate on child urls joins by broadcast, never sort-merge
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // hash Exchanges: the child-url dedup (distinct on the SMALL
+    // sitemap-ref set) and the rules host collapse — the entries frame
+    // itself never repartitions, and nothing keys on the page-url side
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9#, ]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toVector
+    assert(hashEx.length == 2, s"$hashEx\n$p")
+    assert(hashEx.exists(_.contains("graft_host")), hashEx)
+  }
+
   test("urlDedupAtScale: aggregation + join keyed on md5_long, not URL strings") {
     val sp = spark
     import sp.implicits._
