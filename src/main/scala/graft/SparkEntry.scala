@@ -375,6 +375,26 @@ object SparkEntry {
       Corpus.removeBoilerplateLines(withBp, maxDocFreq = 50)
         .orderBy(col("doc_id"))
     }),
+    // CCNet-style global paragraph dedup, keep-first. Driver texts are
+    // single-line and unique, so the duplicated paragraphs are planted
+    // in-query: every doc gains one shared long paragraph (only the
+    // smallest doc_id keeps it), every 4th doc a second shared one, and
+    // a short "--" spacer UNDER minChars that must survive everywhere
+    // (short lines are not dedup material). The original line has
+    // corpus-wide multiplicity 1 and stays. The oracle re-derives the
+    // keeper with a window over the raw paragraph text.
+    "q39_paragraph_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.select(col("doc_id"),
+        concat(col("text"),
+          lit("\nGEMEINSAMER ABSATZ UEBER DIE MINDESTLAENGE HINAUS"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit("\nZWEITER GETEILTER ABSATZ JEDES VIERTEN DOKUMENTS"))
+            .otherwise(lit("")),
+          lit("\n--")).as("text"))
+      Corpus.dedupParagraphsGlobal(planted, minChars = 10)
+        .orderBy(col("doc_id"))
+    }),
     // the COMPOSED pipeline: quality gate -> exact dedup -> minhash
     // near-dedup -> decontamination -> stratified sample, end-to-end
     // against one DuckDB query that re-derives all five stages.
@@ -1362,6 +1382,34 @@ object SparkEntry {
     // the stripped table equals the original documents table
     "q28_boilerplate_strip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    // keep-first paragraph dedup re-derived with a window over the raw
+    // paragraph text: rank occurrences of each >=10-char line by
+    // (doc_id, position), keep rank 1; short lines keep unconditionally;
+    // docs reassemble in position order
+    "q39_paragraph_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'GEMEINSAMER ABSATZ UEBER DIE MINDESTLAENGE HINAUS'
+        |      || CASE WHEN doc_id % 4 = 0
+        |           THEN chr(10) || 'ZWEITER GETEILTER ABSATZ JEDES VIERTEN DOKUMENTS'
+        |           ELSE '' END
+        |      || chr(10) || '--' AS text
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM src
+        |), l AS (
+        |  SELECT doc_id, i AS pos, ls[i] AS line
+        |  FROM t, UNNEST(range(1, len(ls) + 1)) AS u(i)
+        |), k AS (
+        |  SELECT doc_id, pos, line FROM (
+        |    SELECT doc_id, pos, line,
+        |      CASE WHEN length(line) >= 10
+        |        THEN ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos)
+        |        ELSE 1 END AS rn
+        |    FROM l) WHERE rn = 1
+        |)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // exact integer sums + one final division — order-independent, so
     // Spark partial aggregation and DuckDB agree bit for bit
     "q29_corpus_summary" ->

@@ -362,6 +362,74 @@ object Corpus {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** CCNet-style GLOBAL paragraph dedup, keep-first (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data", 2020 — their dedup unit is the newline-separated
+    * paragraph): every paragraph of at least `minChars` characters
+    * keeps only its FIRST occurrence corpus-wide (first = smallest
+    * `(doc_id, position)`, the deterministic winner), later copies are
+    * removed from their documents; shorter paragraphs pass through
+    * unconditionally (headers like "Home" or empty spacer lines are
+    * not dedup material — removing every later empty line would mangle
+    * documents). Complementary to [[removeBoilerplateLines]]: that
+    * removes EVERY occurrence of a high-document-frequency line, this
+    * keeps exactly one occurrence of ANY duplicated paragraph.
+    *
+    * This exact form is the gate/oracle surface (DuckDB re-derives the
+    * keeper with a window over the raw paragraph text); the grouping
+    * shuffle carries the paragraph strings. Row-count preserving the
+    * same way as removeBoilerplateLines (a fully-deduplicated doc
+    * becomes an empty-text row, never vanishes).
+    */
+  def dedupParagraphsGlobal(docs: DataFrame, minChars: Int = 10)
+      : DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val candidates = lines.filter(length(col("line")) >= minChars)
+    val keepers = candidates.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keeper"))
+    val kept = candidates.join(keepers, Seq("line"))
+      .filter(struct(col("doc_id"), col("pos")) === col("keeper"))
+      .select(col("doc_id"), col("pos"), col("line"))
+      .unionByName(lines.filter(length(col("line")) < minChars))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("text"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
+  /** 100 TB face of [[dedupParagraphsGlobal]]: the keeper aggregation
+    * and join-back key `md5_long(line)` (8 bytes) instead of the
+    * paragraph string — the [[graft.ops.Web.urlDedupAtScale]]
+    * convention (mean web paragraph ~200+ bytes, so the wide shuffle
+    * shrinks ~25x; collision odds as documented there). CorpusSpec
+    * pins output equality against the exact operator.
+    */
+  def dedupParagraphsGlobalAtScale(docs: DataFrame, minChars: Int = 10)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val candidates = lines.filter(length(col("line")) >= minChars)
+      .withColumn("h", call_function("md5_long", col("line")))
+    val keepers = candidates.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keeper"))
+    val kept = candidates.join(keepers, Seq("h"))
+      .filter(struct(col("doc_id"), col("pos")) === col("keeper"))
+      .select(col("doc_id"), col("pos"), col("line"))
+      .unionByName(lines.filter(length(col("line")) < minChars))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("text"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** Corpus-level n-gram document frequency, top k. Counting is DF (one
     * count per doc per distinct gram), the quantity dedup/decontamination
     * reason about. Shape at scale: map-side dedup (array_distinct) ->

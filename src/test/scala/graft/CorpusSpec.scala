@@ -163,6 +163,52 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2(1L) == "x\nx\nx")
   }
 
+  test("dedupParagraphsGlobal: keep-first corpus-wide, short lines pass, AtScale identical") {
+    val df = docsDf(Seq(
+      (1L, "erster einzigartiger absatz\nGETEILTER LANGER ABSATZ\n--"),
+      (2L, "GETEILTER LANGER ABSATZ\nzweiter einzigartiger absatz\n--"),
+      (3L, "--\nGETEILTER LANGER ABSATZ\nGETEILTER LANGER ABSATZ"),
+      (4L, "GETEILTER LANGER ABSATZ"))) // all duplicate -> empty row
+    val out = Corpus.dedupParagraphsGlobal(df, minChars = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      // doc 1 is the (doc_id, pos)-smallest occurrence: keeps it
+      1L -> "erster einzigartiger absatz\nGETEILTER LANGER ABSATZ\n--",
+      // later copies removed; the short "--" spacer survives everywhere
+      2L -> "zweiter einzigartiger absatz\n--",
+      // within-doc repeat also collapses (it is a later occurrence)
+      3L -> "--",
+      // row-count preserving: fully-deduplicated doc -> empty row
+      4L -> ""), out)
+    // the md5_long-keyed AtScale face produces the identical corpus
+    val atScale = Corpus.dedupParagraphsGlobalAtScale(df, minChars = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(atScale == out)
+  }
+
+  test("dedupParagraphsGlobal == brute force keep-first on random multi-line corpora") {
+    (0L until 4L).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val paras = Vector("absatz eins lang genug", "absatz zwei lang genug",
+        "absatz drei lang genug", "kurz", "--", "absatz vier lang genug")
+      val rows = (1L to 12L).map { i =>
+        val n = 1 + rng.nextInt(4)
+        (i, Seq.fill(n)(paras(rng.nextInt(paras.size))).mkString("\n"))
+      }
+      val minChars = 10
+      // brute force: scan docs in (doc_id, pos) order, keep first
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = rows.map { case (id, text) =>
+        id -> text.split("\n", -1).filter { l =>
+          if (l.length < minChars) true else seen.add(l)
+        }.mkString("\n")
+      }.toMap
+      val got = Corpus.dedupParagraphsGlobal(docsDf(rows.toList), minChars)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   // ---------- randomized cross-checks vs brute-force Scala ----------
 
   private def gramsOf(text: String, n: Int): Set[String] = {
