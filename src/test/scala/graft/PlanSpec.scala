@@ -229,6 +229,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges.forall(_.startsWith("url_h")), s"$exchanges\n$p")
   }
 
+  test("dedupParagraphsGlobalAtScale: keeper shuffle keyed on the 8-byte hash, not paragraph strings") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"absatz nummer ${i % 7} lang genug\nzeile zwei von $i"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.Corpus.dedupParagraphsGlobalAtScale(docs))
+    // the keeper aggregation + join-back partition on h (md5_long);
+    // only the final per-doc reassembly keys on doc_id — no exchange
+    // ever partitions on the raw line
+    val exchanges = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)"
+      .r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(e => e.startsWith("h#") || e.startsWith("doc_id")),
+      s"$exchanges\n$p")
+    assert(!exchanges.exists(_.startsWith("line")), exchanges)
+  }
+
   test("packSequences: shard-partitioned window, no global sort") {
     assume(sfPresent)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
