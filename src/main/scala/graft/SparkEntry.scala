@@ -683,6 +683,7 @@ object SparkEntry {
         mk("gzip", "", "gzip"),
         mk("deflate", "", "deflate"),
         mk("chunked-gzip", "chunked", "gzip"),
+        mk("zstd", "", "zstd"), // RFC 8878, via Spark's own zstd-jni
         mk("brotli", "", "br")))
       val tmp = java.nio.file.Files.createTempDirectory("graft-x25")
       val p = tmp.resolve("enc.warc")

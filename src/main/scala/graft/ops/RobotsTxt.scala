@@ -244,18 +244,30 @@ object RobotsTxt {
     if (anchored && segs.length == 1) pos == path.length else true
   }
 
+  /** One rule pattern into compare form: an absolute-URL pattern
+    * (`Disallow: http://ex.com/x` — a common authoring mistake the
+    * reference parsers tolerate by extracting the path) reduces to its
+    * path+query, then percent-normalizes like the path side.
+    */
+  private def normPattern(pattern: String): String =
+    normPercent(
+      if (pattern != null &&
+          pattern.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*")) pathOf(pattern)
+      else pattern)
+
   /** §2.2.2 evaluation over a merged rule set. Pattern and path are
-    * percent-normalized ([[normPercent]]) before octet comparison;
-    * longest-match precedence is measured on the normalized pattern —
-    * consistently on both eval faces, and identically for the allow and
-    * disallow rule it arbitrates between.
+    * percent-normalized ([[normPercent]]) before octet comparison
+    * (absolute-URL patterns reduce to their path first); longest-match
+    * precedence is measured on the normalized pattern — consistently on
+    * both eval faces, and identically for the allow and disallow rule
+    * it arbitrates between.
     */
   def allowed(rules: Seq[Rule], path: String): Boolean = {
     val p = normPercent(path)
     var bestLen = -1
     var bestAllow = true
     rules.foreach { r =>
-      val pat = normPercent(r.pattern)
+      val pat = normPattern(r.pattern)
       if (patternMatches(pat, p)) {
         val len = pat.length
         if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
@@ -298,7 +310,7 @@ object RobotsTxt {
     */
   def compiledRules(content: String, userAgent: String): Array[String] =
     rulesFor(content, userAgent)
-      .map(r => (if (r.allow) "A" else "D") + normPercent(r.pattern)).toArray
+      .map(r => (if (r.allow) "A" else "D") + normPattern(r.pattern)).toArray
 
   /** Per-URL decision over the compiled form (frontier-side UDF). */
   def allowedCompiled(compiled: Seq[String], url: String): Boolean = {

@@ -116,8 +116,9 @@ object Warc {
   // BEFORE the charset ladder or the page text is silently mojibake.
   // Codings are applied by the sender in list order, so the receiver
   // decodes each list in REVERSE; Transfer-Encoding is undone before
-  // Content-Encoding. Unknown codings (br, zstd, ...) are a per-record
-  // payload failure, never a guess.
+  // Content-Encoding. Unknown codings (br, ...) are a per-record
+  // payload failure, never a guess; zstd decodes via the zstd-jni
+  // Spark already ships.
 
   /** RFC 9112 §7.1 chunked de-framing: hex size line (`;ext` tolerated),
     * CRLF, exactly `size` octets, CRLF, repeat; terminal 0-size chunk
@@ -238,6 +239,34 @@ object Warc {
         inflateAll(b, nowrap = true, tolerateTruncation)
     }
 
+  /** RFC 8878 zstd (nginx/Cloudflare emit `Content-Encoding: zstd`),
+    * via the zstd-jni Spark itself ships for shuffle compression —
+    * already on every executor classpath, no new dependency. Same cap
+    * and truncation-tolerance shape as gzip.
+    */
+  private def zstdDecode(b: Array[Byte], tolerateTruncation: Boolean)
+      : Array[Byte] = {
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      in.setContinuous(true) // frame-by-frame; EOF mid-frame throws below
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+      val buf = new Array[Byte](1 << 16)
+      try {
+        var n = in.read(buf)
+        while (n >= 0) {
+          out.write(buf, 0, n)
+          require(out.size() <= MaxDecodedPayload, "decoded payload exceeds cap")
+          n = in.read(buf)
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (!(tolerateTruncation && out.size() > 0)) throw e
+      }
+      out.toByteArray
+    } finally in.close()
+  }
+
   /** Decode one HTTP payload under its Transfer-Encoding and
     * Content-Encoding header values (either may be a comma-separated
     * coding list; "" = absent). Returns Right(decoded bytes) or
@@ -268,6 +297,7 @@ object Warc {
             case "chunked" => cur = deChunk(cur, tolerateTruncation)
             case "gzip" | "x-gzip" => cur = gunzipAll(cur, tolerateTruncation)
             case "deflate" => cur = deflateDecode(cur, tolerateTruncation)
+            case "zstd" => cur = zstdDecode(cur, tolerateTruncation)
             case "identity" | "none" => ()
             case other => return Left(other)
           }
@@ -821,6 +851,11 @@ object Warc {
           p.contentEncoding match {
             case "gzip" | "x-gzip" => b = gzipEncode(b)
             case "deflate" => b = deflateEncode(b)
+            case "zstd" =>
+              val o = new java.io.ByteArrayOutputStream()
+              val z = new com.github.luben.zstd.ZstdOutputStream(o)
+              z.write(b); z.close()
+              b = o.toByteArray
             case _ => () // identity or unknown-token fixture: raw body
           }
           if (p.transferEncoding == "chunked") b = chunkEncode(b)

@@ -484,6 +484,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rules = RobotsTxt.compiledRules(enc, "b")
     assert(!RobotsTxt.allowedCompiled(rules, "https://e.com/foo<bar"))
     assert(!RobotsTxt.allowedCompiled(rules, "https://e.com/foo%3Cbar"))
+    // absolute-URL patterns (a common authoring mistake) reduce to
+    // their path, like the reference parsers tolerate
+    val abs = "User-Agent: *\nDisallow: http://e.com/privat\nAllow: /\n"
+    assert(!RobotsTxt.allowed(abs, "b", "https://e.com/privat/x"))
+    assert(RobotsTxt.allowed(abs, "b", "https://e.com/offen"))
+    assert(!RobotsTxt.allowedCompiled(
+      RobotsTxt.compiledRules(abs, "b"), "https://e.com/privat/x"))
   }
 
   test("robots.txt: RFC 9309 2.4 parse cap — 500 KiB parsed, hostile tail ignored, no half-read rule") {
