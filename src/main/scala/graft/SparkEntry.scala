@@ -307,6 +307,29 @@ object SparkEntry {
     // fetch sequence window, the cap, and the not_before offset math;
     // the delay values re-derive as reviewed CASE literals (the parse
     // itself is pinned by OpsSpec vectors + the frozen x22)
+    // in-degree-prioritized politeness plan: a synthetic link-edge frame
+    // (every doc links to p(doc_id%37) and p(doc_id%11) on one host, so
+    // the %11 targets are ~4x more referenced) -> frontierRanked ->
+    // fetchSchedule with priorityCol, horizon-capped at 30 of 37 targets
+    // — the cap must keep the TOP-in-degree URLs and sequence them
+    // first. The oracle re-derives in-degree, the priority window and
+    // the offset math analytically
+    "q40_fetch_priority" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      def edge(m: Int) = d.select(col("doc_id"),
+        concat(lit("https://rank.example/p"),
+          pmod(col("doc_id"), lit(m)).cast("string")).as("url"))
+      val frontier = graft.pipeline.WebPrep
+        .frontierRanked(edge(37).unionByName(edge(11)))
+      val sp2 = s
+      import sp2.implicits._
+      val robots = Seq(("rank.example", "User-Agent: *\nCrawl-delay: 2.5\n"))
+        .toDF("host", "robots_txt")
+      graft.pipeline.WebPrep.fetchSchedule(frontier, robots,
+          defaultDelaySeconds = 1.0, maxPerHost = 30,
+          priorityCol = Some("in_degree"))
+        .orderBy(col("host"), col("fetch_seq"))
+    }),
     "q38_fetch_schedule" -> ((s, dir) => {
       val d = table(s, dir, "documents").select(col("doc_id"))
       val frontier = d.select(concat(lit("https://h"),
@@ -1229,6 +1252,25 @@ object SparkEntry {
     // md5_number_upper == graft md5_long (same first-8-bytes-LE value), so
     // the sampling decision is recomputed exactly: mask to 60 bits, mod
     // 10000, compare to the per-stratum integer threshold.
+    "q40_fetch_priority" ->
+      """WITH e AS (
+        |  SELECT doc_id, 'https://rank.example/p' || CAST(doc_id % 37 AS VARCHAR) AS url FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'https://rank.example/p' || CAST(doc_id % 11 AS VARCHAR) AS url FROM documents
+        |), f AS (
+        |  SELECT url, CAST(count(*) AS BIGINT) AS in_degree,
+        |    min(doc_id) AS first_seen_doc
+        |  FROM e GROUP BY url
+        |), r AS (
+        |  SELECT url, in_degree, first_seen_doc,
+        |    'rank.example' AS host, CAST(2.5 AS DOUBLE) AS delay_s,
+        |    CAST(row_number() OVER (ORDER BY in_degree DESC, url) AS INTEGER) AS fetch_seq
+        |  FROM f
+        |)
+        |SELECT url, in_degree, first_seen_doc, host, delay_s, fetch_seq,
+        |  CAST(fetch_seq - 1 AS DOUBLE) * delay_s AS not_before_s
+        |FROM r WHERE fetch_seq <= 30
+        |ORDER BY host, fetch_seq""".stripMargin,
     "q38_fetch_schedule" ->
       """WITH f AS (
         |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR) AS url

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.html.HtmlExtract
 import graft.ops.Web
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The web-ingest counterpart of [[CorpusPrep]]: raw fetched pages
@@ -126,6 +126,27 @@ object WebPrep {
       .select(col("doc_id"), explode(col("links")).as("l"))
       .select(col("doc_id"), Web.canonicalUrl(col("l.resolved")).as("url"))
       .groupBy(col("url")).agg(min(col("doc_id")).as("first_seen_doc"))
+
+  /** PRIORITIZED frontier from a link-edge frame `(doc_id, url)`: one
+    * row per canonical target URL with its link in-degree — the classic
+    * crawl-ordering signal (OPIC/in-degree scheduling: fetch
+    * highly-referenced pages first; Abiteboul et al. 2003, and what the
+    * large crawlers approximate). `in_degree` counts edge ROWS (a page
+    * linking twice counts twice — the OPIC cash convention);
+    * `first_seen_doc` keeps the [[frontier]] dedup witness. Feed
+    * `fetchSchedule(..., priorityCol = Some("in_degree"))` so the
+    * per-host horizon cap keeps the TOP-in-degree URLs instead of the
+    * lexicographically-first. Map-side-combinable count+min agg on the
+    * url key — the same scale shape as [[frontier]].
+    */
+  def frontierRanked(edges: DataFrame, idCol: String = "doc_id",
+      urlCol: String = "url"): DataFrame =
+    edges.select(col(idCol).as("doc_id"),
+        Web.canonicalUrl(col(urlCol)).as("url"))
+      .filter(col("url").isNotNull)
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("in_degree"),
+        min(col("doc_id")).as("first_seen_doc"))
 
   /** RFC 9309 robots.txt gate for the frontier — the FETCH-side twin of
     * the meta-robots gate above (meta robots can only judge what was
@@ -448,9 +469,19 @@ object WebPrep {
       userAgent: String = "*", defaultDelaySeconds: Double = 1.0,
       maxPerHost: Int = 86400, saltParts: Int = 32,
       urlCol: String = "url", hostCol: String = "host",
-      robotsTxtCol: String = "robots_txt"): DataFrame = {
+      robotsTxtCol: String = "robots_txt",
+      priorityCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ua = userAgent
+    // fetch order within a host: by `priorityCol` DESC when given (e.g.
+    // frontierRanked's in_degree — the horizon cap then keeps the
+    // TOP-priority URLs), url as the deterministic tie-break; plain url
+    // order otherwise. The SAME total order drives both window phases,
+    // so the salted-phase per-bucket top-k stays a superset of the
+    // global per-host top-k for any priority.
+    val ordering: Seq[Column] =
+      priorityCol.map(c => Seq(col(c).desc, col(urlCol).asc))
+        .getOrElse(Seq(col(urlCol).asc))
     val delayOf = udf((txt: String) =>
       graft.ops.RobotsTxt.crawlDelay(txt, ua)
         .map(java.lang.Double.valueOf).orNull)
@@ -469,7 +500,7 @@ object WebPrep {
         pmod(xxhash64(col(urlCol)), lit(saltParts.toLong)))
       .withColumn("graft_r1", row_number().over(
         Window.partitionBy(col("graft_host"), col("graft_salt"))
-          .orderBy(col(urlCol))))
+          .orderBy(ordering: _*)))
       .filter(col("graft_r1") <= maxPerHost)
       .drop("graft_salt", "graft_r1")
     bounded
@@ -478,7 +509,7 @@ object WebPrep {
         coalesce(col("graft_robots_delay"), lit(defaultDelaySeconds)))
       .drop("graft_robots_delay")
       .withColumn("fetch_seq", row_number().over(
-        Window.partitionBy(col("graft_host")).orderBy(col(urlCol))))
+        Window.partitionBy(col("graft_host")).orderBy(ordering: _*)))
       .filter(col("fetch_seq") <= maxPerHost)
       .withColumn("not_before_s",
         (col("fetch_seq") - lit(1)).cast("double") * col("delay_s"))

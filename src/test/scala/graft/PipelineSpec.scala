@@ -480,6 +480,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         "delay_s", "fetch_seq", "not_before_s"))
   }
 
+  test("frontierRanked + priority schedule: in-degree ordering, horizon cap keeps the top") {
+    val sp = spark
+    import sp.implicits._
+    // edges: /hot referenced by 3 docs (one twice: OPIC counts edges),
+    // /warm by 2, /cold by 1; a scheme/case variant must merge
+    val edges = Seq(
+      (1L, "https://r.example/hot"), (1L, "https://r.example/hot"),
+      (2L, "HTTP://R.Example/hot"), (3L, "https://r.example/hot"),
+      (1L, "https://r.example/warm"), (2L, "https://r.example/warm"),
+      (3L, "https://r.example/cold"))
+      .toDF("doc_id", "url")
+    val f = graft.pipeline.WebPrep.frontierRanked(edges)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(f == Set(
+      ("https://r.example/hot", 4L, 1L),
+      ("https://r.example/warm", 2L, 1L),
+      ("https://r.example/cold", 1L, 3L)), f)
+    // priority scheduling: hot first, cap=2 drops the LOWEST in-degree
+    val robots = Seq(("r.example", "User-Agent: *\nCrawl-delay: 3\n"))
+      .toDF("host", "robots_txt")
+    val plan = graft.pipeline.WebPrep.fetchSchedule(
+        graft.pipeline.WebPrep.frontierRanked(edges), robots,
+        maxPerHost = 2, priorityCol = Some("in_degree"))
+      .orderBy(org.apache.spark.sql.functions.col("fetch_seq")).collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Int]("fetch_seq"),
+        r.getAs[Double]("not_before_s"))).toSeq
+    assert(plan == Seq(
+      ("https://r.example/hot", 1, 0.0),
+      ("https://r.example/warm", 2, 3.0)), plan)
+  }
+
   test("frontierStale: sitemap lastmod newer than the last fetch marks recrawl candidates") {
     val sp = spark
     import sp.implicits._
