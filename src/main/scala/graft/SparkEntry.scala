@@ -307,6 +307,27 @@ object SparkEntry {
     // fetch sequence window, the cap, and the not_before offset math;
     // the delay values re-derive as reviewed CASE literals (the parse
     // itself is pinned by OpsSpec vectors + the frozen x22)
+    // crawl-trap URL detection over a synthetic frontier with planted
+    // trap families (depth > 20, looping path segments, > 2048 chars)
+    // plus two interplay cases: repeat('/ok',20) passes the depth rule
+    // at exactly 20 but traps via REPETITION (20 identical segments IS
+    // a loop signature), and /x/y/x/y sits one repeat short. The oracle
+    // re-derives the whole predicate — path extract, segment split,
+    // distinct-count loop measure — in DuckDB
+    "q41_url_traps" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val m = pmod(col("doc_id"), lit(11))
+      val u = concat(lit("https://t.example"),
+        when(m === 0, concat(lit(""), expr("repeat('/tief', 25)")))
+          .when(m === 1, concat(lit("/a/b"), expr("repeat('/kreis', 4)")))
+          .when(m === 2, concat(lit("/seite?q="), expr("repeat('x', 2100)")))
+          .when(m === 3, expr("repeat('/ok', 20)"))
+          .when(m === 4, lit("/x/y/x/y"))
+          .otherwise(concat(lit("/pfad/"), col("doc_id").cast("string"))))
+      d.select(col("doc_id"), u.as("url"))
+        .withColumn("is_trap", graft.ops.Web.isUrlTrap(col("url")))
+        .orderBy(col("doc_id"))
+    }),
     // in-degree-prioritized politeness plan: a synthetic link-edge frame
     // (every doc links to p(doc_id%37) and p(doc_id%11) on one host, so
     // the %11 targets are ~4x more referenced) -> frontierRanked ->
@@ -1252,6 +1273,28 @@ object SparkEntry {
     // md5_number_upper == graft md5_long (same first-8-bytes-LE value), so
     // the sampling decision is recomputed exactly: mask to 60 bits, mod
     // 10000, compare to the per-stratum integer threshold.
+    "q41_url_traps" ->
+      """WITH u AS (
+        |  SELECT doc_id, 'https://t.example' ||
+        |    CASE CAST(doc_id % 11 AS INTEGER)
+        |      WHEN 0 THEN repeat('/tief', 25)
+        |      WHEN 1 THEN '/a/b' || repeat('/kreis', 4)
+        |      WHEN 2 THEN '/seite?q=' || repeat('x', 2100)
+        |      WHEN 3 THEN repeat('/ok', 20)
+        |      WHEN 4 THEN '/x/y/x/y'
+        |      ELSE '/pfad/' || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, url,
+        |    list_filter(string_split(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1), '/'),
+        |      x -> x <> '') AS segs
+        |  FROM u
+        |)
+        |SELECT doc_id, url,
+        |  (length(url) > 2048 OR len(segs) > 20
+        |    OR len(segs) - len(list_distinct(segs)) >= 3) AS is_trap
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q40_fetch_priority" ->
       """WITH e AS (
         |  SELECT doc_id, 'https://rank.example/p' || CAST(doc_id % 37 AS VARCHAR) AS url FROM documents

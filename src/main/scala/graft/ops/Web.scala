@@ -61,6 +61,35 @@ object Web {
     regexp_replace(u6, "/$", "")
   }
 
+  /** Crawl-trap URL heuristic — the frontier filter every production
+    * crawler runs (Heritrix's TooManyPathSegments / path-repetition
+    * rules are the public reference): calendar pages, session-id loops
+    * and mis-resolved relative links generate unbounded URL families
+    * that would eat a crawl's politeness budget. A URL is a trap when
+    * ANY of:
+    *  - total length > `maxLength` (2048 — the de-facto interop bound);
+    *  - path depth > `maxPathDepth` (20, the Heritrix default);
+    *  - some path segment repeats ≥ `maxSegmentRepeats` extra times
+    *    (count-based, not adjacency: `/a/b/a/b/a/b` has 6 segments but
+    *    2 distinct — the loop signature — measured as
+    *    `segments - distinct segments >= maxSegmentRepeats`, which RE2
+    *    and DuckDB can both express, unlike a backreference regex).
+    * Pure codegen'd Column (split/array_distinct/length — no UDF), so
+    * it runs inside the frontier's narrow projections for free:
+    * {{{ frontier.filter(!Web.isUrlTrap(col("url"))) }}}
+    * Null url yields null (filter semantics drop it — callers that must
+    * keep null rows coalesce explicitly, the canonicalUrl convention).
+    */
+  def isUrlTrap(url: Column, maxLength: Int = 2048, maxPathDepth: Int = 20,
+      maxSegmentRepeats: Int = 3): Column = {
+    val path = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1)
+    val segs = filter(split(path, "/"), s => s =!= "")
+    (length(url) > maxLength) ||
+      (size(segs) > maxPathDepth) ||
+      (size(segs) - size(array_distinct(segs)) >= maxSegmentRepeats)
+  }
+
   /** Streaming face of urlDedup for crawl ingest: keep the FIRST arrival
     * per canonical URL inside the watermark horizon (state holds the
     * canonical string, never the page). Same split as the content-dedup

@@ -493,6 +493,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       RobotsTxt.compiledRules(abs, "b"), "https://e.com/privat/x"))
   }
 
+  test("isUrlTrap: depth/loop/length thresholds exact, borderline non-traps kept, null propagates") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      "https://e.com" + "/tief" * 21,            // depth 21 > 20: trap
+      "https://e.com" + (1 to 20).map(i => s"/s$i").mkString,  // depth exactly 20, distinct: kept
+      "https://e.com/a/b" + "/kreis" * 4,        // 4x kreis: 6-3 >= 3: trap
+      "https://e.com/x/y/x/y",                   // 4-2 = 2 < 3: kept
+      "https://e.com/seite?q=" + "x" * 2100,     // > 2048 chars: trap
+      "https://e.com/pfad/normal",               // plain: kept
+      "https://e.com")                           // no path at all: kept
+    val got = urls.toDF("url")
+      .select(col("url"), graft.ops.Web.isUrlTrap(col("url")).as("t"))
+      .collect().map(r => r.getString(0).take(30) -> r.getBoolean(1)).toMap
+    val want = urls.map(_.take(30)).zip(
+      Seq(true, false, true, false, true, false, false)).toMap
+    // NOTE: 20 IDENTICAL segments would trap via the repetition rule
+    // even at legal depth — that interplay is pinned by gate q41
+    assert(got == want, got)
+    // null url -> null verdict (filter drops it, like canonicalUrl)
+    val n = Seq((1, null: String)).toDF("i", "url")
+      .select(graft.ops.Web.isUrlTrap(col("url"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("robots.txt: RFC 9309 2.4 parse cap — 500 KiB parsed, hostile tail ignored, no half-read rule") {
     import graft.ops.RobotsTxt
     // rules inside the cap bind; a disallow placed beyond 500 KiB does
