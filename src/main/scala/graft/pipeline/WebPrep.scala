@@ -419,6 +419,37 @@ object WebPrep {
       .filter(col("lastmod") > col("fetched_ts"))
   }
 
+  /** Conditional-refetch validators onto a fetch plan: left-join the
+    * plan's urls with the LATEST capture's HTTP validators from a
+    * responses/landing frame ([[graft.sources.Warc.responses]] rows —
+    * `etag` / `last_modified`, "" when the server sent none), so the
+    * fetch seam can issue `If-None-Match` / `If-Modified-Since`
+    * requests and a 304 costs headers, not a page. Latest capture =
+    * max fetch_ts (W3C strings in one UTC form order chronologically;
+    * the [[frontierStale]] caveat applies); never-fetched urls keep
+    * null validators (an unconditional first fetch). Scale shape: the
+    * validator side reduces to one NARROW row per canonical url
+    * (map-side-combinable max) before the AQE broadcast-or-SMJ join on
+    * the uniform url key.
+    */
+  def planWithValidators(plan: DataFrame, fetched: DataFrame,
+      urlCol: String = "url", fetchedUrlCol: String = "url",
+      fetchedTsCol: String = "fetch_ts", etagCol: String = "etag",
+      lastModifiedCol: String = "last_modified"): DataFrame = {
+    val latest = fetched
+      .select(Web.canonicalUrl(col(fetchedUrlCol)).as(urlCol),
+        col(fetchedTsCol).cast("string").as("graft_ts"),
+        col(etagCol).cast("string").as("graft_etag"),
+        col(lastModifiedCol).cast("string").as("graft_lm"))
+      .filter(col(urlCol).isNotNull)
+      .groupBy(col(urlCol))
+      .agg(max(struct(col("graft_ts"), col("graft_etag"), col("graft_lm")))
+        .as("graft_m"))
+      .select(col(urlCol), col("graft_m.graft_etag").as("etag"),
+        col("graft_m.graft_lm").as("last_modified"))
+    plan.join(latest, Seq(urlCol), "left")
+  }
+
   /** The frontier diff the scaladoc of [[frontier]] promises: frontier
     * minus the already-fetched set, as an operator. `fetched` URLs are
     * canonicalized with the SAME chain the frontier keys on (the chain

@@ -50,7 +50,8 @@ object Warc {
       recordId: String, warcType: String, targetUri: String,
       warcDate: String, httpStatus: Int, httpContentType: String,
       body: Array[Byte], httpLocation: String = "",
-      refersTo: String = "", payloadError: String = "")
+      refersTo: String = "", payloadError: String = "",
+      httpEtag: String = "", httpLastModified: String = "")
 
   private val CRLF = "\r\n"
 
@@ -332,6 +333,8 @@ object Warc {
         var status = 0
         var httpCt = ""
         var location = ""
+        var etag = ""
+        var lastModified = ""
         var body = block
         var payloadError = ""
         if (typ == "response" && block.length >= 5 &&
@@ -348,6 +351,8 @@ object Warc {
             .map(l => l.substring(l.indexOf(':') + 1).trim).getOrElse("")
           httpCt = header("content-type")
           location = header("location")
+          etag = header("etag")
+          lastModified = header("last-modified")
           body = if (sep < 0) Array.emptyByteArray
           else java.util.Arrays.copyOfRange(block, sep + 4, block.length)
           // de-frame chunked transfer + inflate gzip/deflate BEFORE the
@@ -376,7 +381,7 @@ object Warc {
           // Common Crawl wraps the URI in <...> in some generators
           h.getOrElse("warc-target-uri", "").stripPrefix("<").stripSuffix(">"),
           h.getOrElse("warc-date", ""), status, httpCt, body, location,
-          refersTo, payloadError)
+          refersTo, payloadError, etag, lastModified)
       }
 
       private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
@@ -480,7 +485,8 @@ object Warc {
     */
   private def parseResponses(in0: java.io.InputStream,
       failedAcc: Option[org.apache.spark.util.LongAccumulator])
-      : Iterator[(String, String, String, Int, String, Array[Byte], String)] =
+      : Iterator[(String, String, String, Int, String, Array[Byte],
+        String, String, String)] =
     lazyRows(in0, failedAcc, { r =>
       val isRedirect = r.httpStatus >= 300 && r.httpStatus < 400 &&
         r.httpLocation.nonEmpty
@@ -493,7 +499,11 @@ object Warc {
           r.httpStatus, r.warcDate,
           // a redirect's body is an error page, not content
           if (isRedirect) Array.emptyByteArray else r.body,
-          r.httpLocation))
+          r.httpLocation,
+          // the HTTP validators a conditional refetch needs
+          // (If-None-Match / If-Modified-Since — see
+          // WebPrep.planWithValidators)
+          r.httpEtag, r.httpLastModified))
     })
 
   /** The crawl-ingest operator: every HTTP-200 `response` record of
@@ -505,8 +515,10 @@ object Warc {
     *
     *   (doc_id = WARC-Record-ID, url = WARC-Target-URI,
     *    content_type = HTTP Content-Type, http_status, fetch_ts =
-    *    WARC-Date, html_bytes = HTTP payload, redirect = raw Location
-    *    header or "")
+    *    WARC-Date, html_bytes = HTTP payload (transfer/content codings
+    *    decoded), redirect = raw Location header or "", etag /
+    *    last_modified = the HTTP validators, "" when absent — the
+    *    conditional-refetch feed of [[graft.pipeline.WebPrep.planWithValidators]])
     *
     * One streaming task per file (binaryFiles); `minPartitions` spreads
     * small file counts across the cluster. The default (0 = auto) is 6x
@@ -525,7 +537,7 @@ object Warc {
     spark.sparkContext.binaryFiles(path, autoParts(spark, minPartitions))
       .flatMap { case (_, pds) => parseResponses(pds.open(), failedAcc) }
       .toDF("doc_id", "url", "content_type", "http_status", "fetch_ts",
-        "html_bytes", "redirect")
+        "html_bytes", "redirect", "etag", "last_modified")
   }
 
   /** STREAMING WARC ingest for a continuously-landing crawl: as shards
@@ -576,10 +588,10 @@ object Warc {
       .as[(java.sql.Timestamp, Array[Byte])]
       .flatMap { case (ts, bytes) =>
         parseResponses(new java.io.ByteArrayInputStream(bytes), failedAcc)
-          .map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7, ts))
+          .map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9, ts))
       }
       .toDF("doc_id", "url", "content_type", "http_status", "fetch_ts",
-        "html_bytes", "redirect", "landed_time")
+        "html_bytes", "redirect", "etag", "last_modified", "landed_time")
       .withColumn("event_time",
         org.apache.spark.sql.functions.coalesce(
           // try_: a malformed WARC-Date must fall back, not throw (ANSI)
@@ -772,6 +784,7 @@ object Warc {
       transferEncoding: String = "", contentEncoding: String = "",
       warcType: String = "response", refersTo: String = "",
       date: String = "2026-01-01T00:00:00Z",
+      etag: String = "", lastModified: String = "",
       // cut the ENCODED body to this fraction and mark the record
       // `WARC-Truncated: length` (the Common Crawl payload-cap shape);
       // 1.0 = whole
@@ -869,6 +882,9 @@ object Warc {
           "Content-Type: " + p.contentType + CRLF +
           (if (p.location != null && p.location.nonEmpty)
             "Location: " + p.location + CRLF else "") +
+          (if (p.etag.nonEmpty) "ETag: " + p.etag + CRLF else "") +
+          (if (p.lastModified.nonEmpty)
+            "Last-Modified: " + p.lastModified + CRLF else "") +
           (if (p.transferEncoding.nonEmpty)
             "Transfer-Encoding: " + p.transferEncoding + CRLF
           else "Content-Length: " + encoded.length + CRLF) +
