@@ -68,7 +68,14 @@ object CrawlLoop {
       defaultDelaySeconds: Double = 1.0,
       maxPerHost: Int = 86400,
       format: String = "parquet",
-      hashedUrlKeys: Boolean = false)
+      hashedUrlKeys: Boolean = false,
+      // drop crawl-trap URLs (Web.isUrlTrap: length/depth/loop
+      // signature) from every cycle's frontier BEFORE the robots gate —
+      // on by default because an unfiltered trap family (calendar
+      // pages, session-id loops) otherwise eats the politeness budget
+      // of its host forever; trap rows never enter the fetched log, so
+      // flipping the flag later reconsiders them
+      trapFilter: Boolean = true)
 
   /** Per-cycle lineage metrics (one row per completed cycle). */
   final case class CycleMetric(run_id: String, cycle: Int,
@@ -219,7 +226,12 @@ object CrawlLoop {
       // runs once (the count and the anti-join lineage share it).
       // frontier.count() on the landed dir is a footer-level read (empty
       // projection), not a data pass
-      val gated = WebPrep.frontierGated(frontier, robotsTxt, cfg.userAgent)
+      val trapFree =
+        if (cfg.trapFilter)
+          frontier.filter(!coalesce(
+            graft.ops.Web.isUrlTrap(col("url")), lit(true)))
+        else frontier
+      val gated = WebPrep.frontierGated(trapFree, robotsTxt, cfg.userAgent)
         .persist()
       // the fetched-set key: raw url strings, or the 8-byte md5_long
       // layout under cfg.hashedUrlKeys (both sides of the diff are

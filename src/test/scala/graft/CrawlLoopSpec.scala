@@ -184,6 +184,41 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(metrics(cfg).count(m => m._1 == 1 && m._6 == "exhausted") == 0)
   }
 
+  test("trapFilter: looping trap links never enter the plan or the fetched log; flag off crawls them") {
+    val sp = spark
+    import sp.implicits._
+    val trap = "https://crawl.example/a/b" + "/loop" * 4
+    val web = Seq(
+      ("https://crawl.example/start",
+        "<html><body><article><p>Startseite mit Inhalt hier.</p>" +
+          "<a href=\"/echt\">echt</a><a href=\"" + trap + "\">falle</a>" +
+          "</article></body></html>"),
+      ("https://crawl.example/echt",
+        "<html><body><article><p>Echte Seite mit Inhalt.</p></article></body></html>"),
+      (trap,
+        "<html><body><article><p>Fallenseite Inhalt.</p></article></body></html>"))
+      .toDF("url", "html")
+    val seeds = Seq("https://crawl.example/start").toDF("url")
+    val robots = Seq(("crawl.example", "User-Agent: *\nDisallow:\n"))
+      .toDF("host", "robots_txt")
+    val cfg = freshCfg(cycles = 10)
+    CrawlLoop.run(spark, web, seeds, robots, cfg)
+    val urls = CrawlLoop.readDocs(spark, cfg)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urls == Set("https://crawl.example/start",
+      "https://crawl.example/echt"), urls)
+    // the trap never even entered the fetch log (flipping the flag
+    // later may reconsider it)
+    val fetched = spark.read.parquet(cfg.outDir + "/fetched")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(!fetched.contains(trap), fetched)
+    // flag off: the trap IS crawled (the filter is policy, not a bug)
+    val cfg2 = freshCfg(cycles = 10).copy(trapFilter = false)
+    CrawlLoop.run(spark, web, seeds, robots, cfg2)
+    assert(CrawlLoop.readDocs(spark, cfg2)
+      .select("url").collect().map(_.getString(0)).toSet.contains(trap))
+  }
+
   test("hashedUrlKeys: the md5_long key layout crawls the identical corpus, frontier and metrics") {
     val (web, seeds, robots) = siteFrames()
     val a = freshCfg(cycles = 10)
