@@ -247,10 +247,12 @@ object Warc {
     */
   private def zstdDecode(b: Array[Byte], tolerateTruncation: Boolean)
       : Array[Byte] = {
+    // default (non-continuous) mode measured: concatenated frames all
+    // decode AND a mid-frame EOF throws — exactly the gzip contract;
+    // continuous mode would swallow truncation silently (probed)
     val in = new com.github.luben.zstd.ZstdInputStream(
       new java.io.ByteArrayInputStream(b))
     try {
-      in.setContinuous(true) // frame-by-frame; EOF mid-frame throws below
       val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
       val buf = new Array[Byte](1 << 16)
       try {
