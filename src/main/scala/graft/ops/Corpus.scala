@@ -382,24 +382,8 @@ object Corpus {
     * becomes an empty-text row, never vanishes).
     */
   def dedupParagraphsGlobal(docs: DataFrame, minChars: Int = 10)
-      : DataFrame = {
-    val lines = docs.select(col("doc_id"),
-      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-    val candidates = lines.filter(length(col("line")) >= minChars)
-    val keepers = candidates.groupBy(col("line"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("keeper"))
-    val kept = candidates.join(keepers, Seq("line"))
-      .filter(struct(col("doc_id"), col("pos")) === col("keeper"))
-      .select(col("doc_id"), col("pos"), col("line"))
-      .unionByName(lines.filter(length(col("line")) < minChars))
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-          x => x.getField("line")), "\n").as("text"))
-    docs.select(col("doc_id"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
-  }
+      : DataFrame =
+    dedupParagraphsKeyed(docs, minChars, identity)
 
   /** 100 TB face of [[dedupParagraphsGlobal]]: the keeper aggregation
     * and join-back key `md5_long(line)` (8 bytes) instead of the
@@ -411,13 +395,24 @@ object Corpus {
   def dedupParagraphsGlobalAtScale(docs: DataFrame, minChars: Int = 10)
       : DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    dedupParagraphsKeyed(docs, minChars,
+      line => call_function("md5_long", line))
+  }
+
+  /** The one shared keep-first implementation; the two public faces
+    * differ ONLY in the keeper key (`keyOf`: the paragraph itself, or
+    * its 8-byte hash) so the keeper/rebuild semantics cannot diverge.
+    */
+  private def dedupParagraphsKeyed(docs: DataFrame, minChars: Int,
+      keyOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     val lines = docs.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
     val candidates = lines.filter(length(col("line")) >= minChars)
-      .withColumn("h", call_function("md5_long", col("line")))
-    val keepers = candidates.groupBy(col("h"))
+      .withColumn("graft_k", keyOf(col("line")))
+    val keepers = candidates.groupBy(col("graft_k"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("keeper"))
-    val kept = candidates.join(keepers, Seq("h"))
+    val kept = candidates.join(keepers, Seq("graft_k"))
       .filter(struct(col("doc_id"), col("pos")) === col("keeper"))
       .select(col("doc_id"), col("pos"), col("line"))
       .unionByName(lines.filter(length(col("line")) < minChars))

@@ -175,31 +175,50 @@ object Warc {
     out.toByteArray
   }
 
-  /** Fully inflate one gzip payload (multi-member tolerated), capped at
-    * [[MaxDecodedPayload]]. With `tolerateTruncation` a mid-stream EOF
-    * returns the inflated prefix instead of throwing.
+  /** A [[MaxDecodedPayload]] violation — distinct from a truncation so
+    * the tolerance catch can NEVER swallow it: a marked-truncated record
+    * carrying a decompression bomb must still fail the record.
     */
-  private def gunzipAll(b: Array[Byte], tolerateTruncation: Boolean)
-      : Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b), 1 << 16)
+  private final class PayloadCapExceeded
+    extends RuntimeException("decoded payload exceeds cap")
+
+  /** THE shared drain for every content-coding decoder: read `in`
+    * fully under the cap. Cap violations always throw
+    * ([[PayloadCapExceeded]]); any other mid-stream decode error under
+    * `tolerateTruncation` returns the prefix read so far (possibly
+    * empty — a record cut inside the coding header still lands, as an
+    * empty body, per the marked-truncation contract).
+    */
+  private def drainCapped(in: java.io.InputStream, sizeHint: Int,
+      tolerateTruncation: Boolean): Array[Byte] =
     try {
-      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(sizeHint, 64), 1 << 20))
       val buf = new Array[Byte](1 << 16)
       try {
         var n = in.read(buf)
         while (n >= 0) {
           out.write(buf, 0, n)
-          require(out.size() <= MaxDecodedPayload, "decoded payload exceeds cap")
+          if (out.size() > MaxDecodedPayload) throw new PayloadCapExceeded
           n = in.read(buf)
         }
       } catch {
+        case e: PayloadCapExceeded => throw e
         case scala.util.control.NonFatal(e) =>
-          if (!(tolerateTruncation && out.size() > 0)) throw e
+          if (!tolerateTruncation) throw e
       }
       out.toByteArray
     } finally in.close()
-  }
+
+  /** Fully inflate one gzip payload (multi-member tolerated), capped at
+    * [[MaxDecodedPayload]]. With `tolerateTruncation` a mid-stream EOF
+    * returns the inflated prefix instead of throwing.
+    */
+  private def gunzipAll(b: Array[Byte], tolerateTruncation: Boolean)
+      : Array[Byte] =
+    drainCapped(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b), 1 << 16),
+      b.length * 4, tolerateTruncation)
 
   /** Inflate one `deflate` payload. The web's deflate mess: RFC 9110
     * says zlib-wrapped, but a long tail of servers send RAW deflate —
@@ -209,66 +228,37 @@ object Warc {
   private def inflateAll(b: Array[Byte], nowrap: Boolean,
       tolerateTruncation: Boolean): Array[Byte] = {
     val inf = new java.util.zip.Inflater(nowrap)
-    try {
-      inf.setInput(b)
-      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
-      val buf = new Array[Byte](1 << 16)
-      try {
-        while (!inf.finished()) {
-          val n = inf.inflate(buf)
-          if (n == 0) {
-            require(!inf.needsInput() && !inf.needsDictionary(),
-              "deflate payload truncated")
-          } else {
-            out.write(buf, 0, n)
-            require(out.size() <= MaxDecodedPayload, "decoded payload exceeds cap")
-          }
-        }
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          if (!(tolerateTruncation && out.size() > 0)) throw e
-      }
-      out.toByteArray
-    } finally inf.end()
+    try
+      drainCapped(new java.util.zip.InflaterInputStream(
+        new java.io.ByteArrayInputStream(b), inf, 1 << 16),
+        b.length * 4, tolerateTruncation)
+    finally inf.end()
   }
 
   private def deflateDecode(b: Array[Byte], tolerateTruncation: Boolean)
-      : Array[Byte] =
-    try inflateAll(b, nowrap = false, tolerateTruncation)
-    catch {
-      case scala.util.control.NonFatal(_) =>
-        inflateAll(b, nowrap = true, tolerateTruncation)
-    }
+      : Array[Byte] = {
+    // a raw-deflate body fails the zlib header check with NO output; a
+    // zlib body under tolerance never reaches here with a wrong wrap
+    val zlib =
+      try Some(inflateAll(b, nowrap = false, tolerateTruncation))
+      catch { case scala.util.control.NonFatal(_) => None }
+    zlib.filter(_.nonEmpty)
+      .getOrElse(inflateAll(b, nowrap = true, tolerateTruncation))
+  }
 
   /** RFC 8878 zstd (nginx/Cloudflare emit `Content-Encoding: zstd`),
     * via the zstd-jni Spark itself ships for shuffle compression —
     * already on every executor classpath, no new dependency. Same cap
-    * and truncation-tolerance shape as gzip.
+    * and truncation-tolerance shape as gzip. Default (non-continuous)
+    * mode measured: concatenated frames all decode AND a mid-frame EOF
+    * throws — exactly the gzip contract; continuous mode would swallow
+    * truncation silently (probed and rejected).
     */
   private def zstdDecode(b: Array[Byte], tolerateTruncation: Boolean)
-      : Array[Byte] = {
-    // default (non-continuous) mode measured: concatenated frames all
-    // decode AND a mid-frame EOF throws — exactly the gzip contract;
-    // continuous mode would swallow truncation silently (probed)
-    val in = new com.github.luben.zstd.ZstdInputStream(
-      new java.io.ByteArrayInputStream(b))
-    try {
-      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
-      val buf = new Array[Byte](1 << 16)
-      try {
-        var n = in.read(buf)
-        while (n >= 0) {
-          out.write(buf, 0, n)
-          require(out.size() <= MaxDecodedPayload, "decoded payload exceeds cap")
-          n = in.read(buf)
-        }
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          if (!(tolerateTruncation && out.size() > 0)) throw e
-      }
-      out.toByteArray
-    } finally in.close()
-  }
+      : Array[Byte] =
+    drainCapped(new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(b)),
+      b.length * 4, tolerateTruncation)
 
   /** Decode one HTTP payload under its Transfer-Encoding and
     * Content-Encoding header values (either may be a comma-separated
@@ -313,8 +303,16 @@ object Warc {
 
   /** Streaming record iterator over a raw (already-decompressed if
     * needed) WARC stream. Lazy: one record in memory at a time.
+    * `decodePayloads = false` skips the HTTP transfer/content-coding
+    * decode entirely — for consumers that never read response BODIES
+    * (revisits, WET conversion rows), so a shard is not pointlessly
+    * de-gzipped record by record. The envelope split (status, headers,
+    * Location, validators) always runs; only 200-status response
+    * payloads are ever decoded (other statuses' bodies are discarded by
+    * every consumer).
     */
-  def records(in0: java.io.InputStream): Iterator[WarcRecord] =
+  def records(in0: java.io.InputStream,
+      decodePayloads: Boolean = true): Iterator[WarcRecord] =
     new Iterator[WarcRecord] {
       private val in = new java.io.BufferedInputStream(in0, 1 << 16)
       private var nextRec: WarcRecord = null
@@ -361,14 +359,18 @@ object Warc {
           // payload ever meets the charset ladder; an unknown or broken
           // coding flags THIS record and empties its body (mojibake must
           // never decode silently) — unless the crawler MARKED the
-          // record truncated, in which case the decoded prefix is kept
-          decodeHttpPayload(header("transfer-encoding"),
-              header("content-encoding"), body,
-              tolerateTruncation = h.contains("warc-truncated")) match {
-            case Right(decoded) => body = decoded
-            case Left(coding) =>
-              payloadError = coding; body = Array.emptyByteArray
-          }
+          // record truncated, in which case the decoded prefix is kept.
+          // Only 200-status payloads: every consumer discards the other
+          // bodies (redirects are edges, errors are dropped), so their
+          // decode would be pure waste
+          if (decodePayloads && status == 200)
+            decodeHttpPayload(header("transfer-encoding"),
+                header("content-encoding"), body,
+                tolerateTruncation = h.contains("warc-truncated")) match {
+              case Right(decoded) => body = decoded
+              case Left(coding) =>
+                payloadError = coding; body = Array.emptyByteArray
+            }
         }
         // a revisit record's identity: the refetched URI (or the record
         // id of the capture it deduplicates to, when the URI is absent)
@@ -443,10 +445,11 @@ object Warc {
     */
   private def lazyRows[T >: Null <: AnyRef](in0: java.io.InputStream,
       failedAcc: Option[org.apache.spark.util.LongAccumulator],
-      f: WarcRecord => Option[T]): Iterator[T] =
+      f: WarcRecord => Option[T],
+      decodePayloads: Boolean = true): Iterator[T] =
     new Iterator[T] {
       private val in = isGzip(in0)
-      private val it = records(in)
+      private val it = records(in, decodePayloads)
       private var nextRow: T = null
       private var done = false
       private var closed = false
@@ -627,7 +630,7 @@ object Warc {
           if (r.warcType == "revisit")
             Some((r.targetUri, r.warcDate, r.refersTo, ts))
           else None
-        })
+        }, decodePayloads = false)
       }
       .toDF("url", "fetch_ts", "refers_to", "landed_time")
       .withColumn("event_time",
@@ -692,7 +695,7 @@ object Warc {
           if (r.warcType == "revisit")
             Some((r.targetUri, r.warcDate, r.refersTo))
           else None
-        })
+        }, decodePayloads = false) // bodies never read: skip the decode
       }
       .toDF("url", "fetch_ts", "refers_to")
   }
@@ -1019,7 +1022,7 @@ object Warc {
           if (r.warcType == "conversion")
             Some((r.targetUri, r.warcDate, new String(r.body, "UTF-8")))
           else None
-        })
+        }, decodePayloads = false) // conversion blocks carry no HTTP envelope
       }
       .toDF("url", "fetch_ts", "text")
   }

@@ -236,13 +236,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       (i, s"absatz nummer ${i % 7} lang genug\nzeile zwei von $i"))
       .toDF("doc_id", "text")
     val p = plan(graft.ops.Corpus.dedupParagraphsGlobalAtScale(docs))
-    // the keeper aggregation + join-back partition on h (md5_long);
-    // only the final per-doc reassembly keys on doc_id — no exchange
-    // ever partitions on the raw line
+    // the keeper aggregation + join-back partition on graft_k (the
+    // md5_long key); only the final per-doc reassembly keys on doc_id —
+    // no exchange ever partitions on the raw line
     val exchanges = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)"
       .r.findAllMatchIn(p).map(_.group(1)).toSeq
     assert(exchanges.nonEmpty, p)
-    assert(exchanges.forall(e => e.startsWith("h#") || e.startsWith("doc_id")),
+    assert(exchanges.forall(e =>
+      e.startsWith("graft_k") || e.startsWith("doc_id")),
       s"$exchanges\n$p")
     assert(!exchanges.exists(_.startsWith("line")), exchanges)
   }
