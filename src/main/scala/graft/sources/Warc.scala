@@ -237,12 +237,14 @@ object Warc {
 
   private def deflateDecode(b: Array[Byte], tolerateTruncation: Boolean)
       : Array[Byte] = {
-    // a raw-deflate body fails the zlib header check with NO output; a
-    // zlib body under tolerance never reaches here with a wrong wrap
     val zlib =
       try Some(inflateAll(b, nowrap = false, tolerateTruncation))
       catch { case scala.util.control.NonFatal(_) => None }
-    zlib.filter(_.nonEmpty)
+    // under TOLERANCE an empty zlib result is ambiguous — the tolerant
+    // pass may have swallowed a raw-deflate wrap error with no output —
+    // so retry raw; without tolerance an empty zlib result is a genuine
+    // empty body (the wrap error would have thrown) and stands
+    zlib.filter(r => r.nonEmpty || !tolerateTruncation)
       .getOrElse(inflateAll(b, nowrap = true, tolerateTruncation))
   }
 
