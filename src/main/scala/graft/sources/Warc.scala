@@ -182,24 +182,29 @@ object Warc {
   private final class PayloadCapExceeded
     extends RuntimeException("decoded payload exceeds cap")
 
-  /** THE shared drain for every content-coding decoder: read `in`
+  /** THE shared drain for every content-coding decoder: construct the
+    * decoding stream (`mkIn`, BY NAME — some decoders read their header
+    * in the constructor, e.g. GZIPInputStream, and a header cut must
+    * fall under the same tolerance as a mid-stream cut) and read it
     * fully under the cap. Cap violations always throw
-    * ([[PayloadCapExceeded]]); any other mid-stream decode error under
+    * ([[PayloadCapExceeded]]); any other decode error under
     * `tolerateTruncation` returns the prefix read so far (possibly
     * empty — a record cut inside the coding header still lands, as an
     * empty body, per the marked-truncation contract).
     */
-  private def drainCapped(in: java.io.InputStream, sizeHint: Int,
-      tolerateTruncation: Boolean): Array[Byte] =
+  private def drainCapped(mkIn: => java.io.InputStream, sizeHint: Int,
+      tolerateTruncation: Boolean, maxDecoded: Long): Array[Byte] = {
+    var in: java.io.InputStream = null
     try {
       val out = new java.io.ByteArrayOutputStream(
         math.min(math.max(sizeHint, 64), 1 << 20))
       val buf = new Array[Byte](1 << 16)
       try {
+        in = mkIn
         var n = in.read(buf)
         while (n >= 0) {
           out.write(buf, 0, n)
-          if (out.size() > MaxDecodedPayload) throw new PayloadCapExceeded
+          if (out.size() > maxDecoded) throw new PayloadCapExceeded
           n = in.read(buf)
         }
       } catch {
@@ -208,17 +213,18 @@ object Warc {
           if (!tolerateTruncation) throw e
       }
       out.toByteArray
-    } finally in.close()
+    } finally if (in != null) in.close()
+  }
 
-  /** Fully inflate one gzip payload (multi-member tolerated), capped at
-    * [[MaxDecodedPayload]]. With `tolerateTruncation` a mid-stream EOF
-    * returns the inflated prefix instead of throwing.
+  /** Fully inflate one gzip payload (multi-member tolerated), capped.
+    * With `tolerateTruncation` a mid-stream (or in-header) EOF returns
+    * the inflated prefix instead of throwing.
     */
-  private def gunzipAll(b: Array[Byte], tolerateTruncation: Boolean)
-      : Array[Byte] =
+  private def gunzipAll(b: Array[Byte], tolerateTruncation: Boolean,
+      maxDecoded: Long): Array[Byte] =
     drainCapped(new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(b), 1 << 16),
-      b.length * 4, tolerateTruncation)
+      b.length * 4, tolerateTruncation, maxDecoded)
 
   /** Inflate one `deflate` payload. The web's deflate mess: RFC 9110
     * says zlib-wrapped, but a long tail of servers send RAW deflate —
@@ -226,26 +232,37 @@ object Warc {
     * browser fallback). Inflaters are `end()`ed deterministically.
     */
   private def inflateAll(b: Array[Byte], nowrap: Boolean,
-      tolerateTruncation: Boolean): Array[Byte] = {
+      tolerateTruncation: Boolean, maxDecoded: Long): Array[Byte] = {
     val inf = new java.util.zip.Inflater(nowrap)
-    try
-      drainCapped(new java.util.zip.InflaterInputStream(
+    try {
+      val out = drainCapped(new java.util.zip.InflaterInputStream(
         new java.io.ByteArrayInputStream(b), inf, 1 << 16),
-        b.length * 4, tolerateTruncation)
-    finally inf.end()
+        b.length * 4, tolerateTruncation, maxDecoded)
+      // InflaterInputStream reads EOF when the inflater wants a preset
+      // dictionary (zlib FDICT) — that is UNDECODABLE, not truncated,
+      // and must fail even under tolerance (the pre-refactor guard)
+      if (inf.needsDictionary)
+        throw new java.util.zip.ZipException("deflate needs preset dictionary")
+      out
+    } finally inf.end()
   }
 
-  private def deflateDecode(b: Array[Byte], tolerateTruncation: Boolean)
-      : Array[Byte] = {
+  private def deflateDecode(b: Array[Byte], tolerateTruncation: Boolean,
+      maxDecoded: Long): Array[Byte] = {
     val zlib =
-      try Some(inflateAll(b, nowrap = false, tolerateTruncation))
-      catch { case scala.util.control.NonFatal(_) => None }
+      try Some(inflateAll(b, nowrap = false, tolerateTruncation, maxDecoded))
+      catch {
+        // a cap violation is final — the raw retry of a BOMB must not
+        // downgrade it to a tolerated empty prefix
+        case e: PayloadCapExceeded => throw e
+        case scala.util.control.NonFatal(_) => None
+      }
     // under TOLERANCE an empty zlib result is ambiguous — the tolerant
     // pass may have swallowed a raw-deflate wrap error with no output —
     // so retry raw; without tolerance an empty zlib result is a genuine
     // empty body (the wrap error would have thrown) and stands
     zlib.filter(r => r.nonEmpty || !tolerateTruncation)
-      .getOrElse(inflateAll(b, nowrap = true, tolerateTruncation))
+      .getOrElse(inflateAll(b, nowrap = true, tolerateTruncation, maxDecoded))
   }
 
   /** RFC 8878 zstd (nginx/Cloudflare emit `Content-Encoding: zstd`),
@@ -256,11 +273,11 @@ object Warc {
     * throws — exactly the gzip contract; continuous mode would swallow
     * truncation silently (probed and rejected).
     */
-  private def zstdDecode(b: Array[Byte], tolerateTruncation: Boolean)
-      : Array[Byte] =
+  private def zstdDecode(b: Array[Byte], tolerateTruncation: Boolean,
+      maxDecoded: Long): Array[Byte] =
     drainCapped(new com.github.luben.zstd.ZstdInputStream(
       new java.io.ByteArrayInputStream(b)),
-      b.length * 4, tolerateTruncation)
+      b.length * 4, tolerateTruncation, maxDecoded)
 
   /** Decode one HTTP payload under its Transfer-Encoding and
     * Content-Encoding header values (either may be a comma-separated
@@ -277,7 +294,8 @@ object Warc {
     */
   private[graft] def decodeHttpPayload(transferEncoding: String,
       contentEncoding: String, body: Array[Byte],
-      tolerateTruncation: Boolean = false)
+      tolerateTruncation: Boolean = false,
+      maxDecoded: Long = MaxDecodedPayload)
       : Either[String, Array[Byte]] = {
     def codings(v: String): Seq[String] =
       if (v == null || v.isEmpty) Nil
@@ -290,9 +308,11 @@ object Warc {
         try {
           c match {
             case "chunked" => cur = deChunk(cur, tolerateTruncation)
-            case "gzip" | "x-gzip" => cur = gunzipAll(cur, tolerateTruncation)
-            case "deflate" => cur = deflateDecode(cur, tolerateTruncation)
-            case "zstd" => cur = zstdDecode(cur, tolerateTruncation)
+            case "gzip" | "x-gzip" =>
+              cur = gunzipAll(cur, tolerateTruncation, maxDecoded)
+            case "deflate" =>
+              cur = deflateDecode(cur, tolerateTruncation, maxDecoded)
+            case "zstd" => cur = zstdDecode(cur, tolerateTruncation, maxDecoded)
             case "identity" | "none" => ()
             case other => return Left(other)
           }
@@ -484,7 +504,8 @@ object Warc {
     }
 
   /** The shared LAZY parse of [[responses]] / [[responsesStream]]:
-    * HTTP-200 pages + 3xx-with-Location edges as 7-tuples over
+    * HTTP-200 pages + 3xx-with-Location edges as 9-tuples (incl.
+    * the etag / last_modified validators) over
     * [[lazyRows]]. A record whose HTTP payload failed to decode
     * (unknown/broken transfer or content coding) is skipped and counted
     * on `failedAcc` — per RECORD, because the WARC framing around it is
