@@ -816,6 +816,38 @@ object SparkEntry {
         .select(col("kind"), col("loc"), col("lastmod"))
         .orderBy(col("kind"), col("loc"))
     }),
+    // conditional-refetch validators end to end: a WARC with two
+    // captures of one url (etag v1 then v2 — the NEWER must win), one
+    // validator-less page, one 301 (never a validator row), joined onto
+    // a plan holding a never-fetched url (null validators = the
+    // unconditional first fetch). Pins the HTTP-envelope validator
+    // extraction, the latest-capture max, and the left-join shape
+    "x28_conditional_fetch" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val body = "<p>inhalt</p>".getBytes("UTF-8")
+      val warc = graft.sources.Warc.writeWarcRecords(Seq(
+        graft.sources.Warc.HttpFixture("https://v.example/seite",
+          "text/html", body, date = "2026-01-01T00:00:00Z",
+          etag = "\"v1\"", lastModified = "Mon, 05 Jan 2026 00:00:00 GMT"),
+        graft.sources.Warc.HttpFixture("https://v.example/seite",
+          "text/html", body, date = "2026-02-01T00:00:00Z",
+          etag = "\"v2\"", lastModified = "Thu, 29 Jan 2026 00:00:00 GMT"),
+        graft.sources.Warc.HttpFixture("https://v.example/ohne",
+          "text/html", body, date = "2026-01-01T00:00:00Z"),
+        graft.sources.Warc.HttpFixture("https://v.example/weg",
+          "text/html", Array.emptyByteArray, status = 301,
+          location = "/neu")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x28")
+      val p = tmp.resolve("valid.warc")
+      java.nio.file.Files.write(p, warc)
+      val fetched = graft.sources.Warc.responses(s, p.toString,
+        minPartitions = 2)
+      val plan = Seq("https://v.example/seite", "https://v.example/ohne",
+        "https://v.example/neu").toDF("url")
+      graft.pipeline.WebPrep.planWithValidators(plan, fetched)
+        .orderBy(col("url"))
+    }),
     // sitemap frontier seeding: robots.txt Sitemap advertisements name
     // the fixture files (urlset XML with entity-escaped locs + lastmod
     // variants, a text sitemap, a sitemapindex whose child refs must
