@@ -307,6 +307,17 @@ object SparkEntry {
     // fetch sequence window, the cap, and the not_before offset math;
     // the delay values re-derive as reviewed CASE literals (the parse
     // itself is pinned by OpsSpec vectors + the frozen x22)
+    // per-host corpus summary (the domain-curation stage): synthetic
+    // urls spread over 7 hosts with mixed case + an explicit :443 that
+    // hostOf must normalize away; counts and the q29 token convention
+    // re-derived per host in DuckDB with the identical regex chain
+    "q42_host_summary" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val withUrl = d.withColumn("url",
+        concat(lit("https://H"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".Example:443/pfad/"), col("doc_id").cast("string")))
+      Corpus.hostSummary(withUrl).orderBy(col("host"))
+    }),
     // crawl-trap URL detection over a synthetic frontier with planted
     // trap families (depth > 20, looping path segments, > 2048 chars)
     // plus two interplay cases: repeat('/ok',20) passes the depth rule
@@ -1305,6 +1316,22 @@ object SparkEntry {
     // md5_number_upper == graft md5_long (same first-8-bytes-LE value), so
     // the sampling decision is recomputed exactly: mask to 60 bits, mod
     // 10000, compare to the per-stratum integer threshold.
+    "q42_host_summary" ->
+      """WITH u AS (
+        |  SELECT doc_id, text,
+        |    'https://H' || CAST(doc_id % 7 AS VARCHAR) || '.Example:443/pfad/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents
+        |), h AS (
+        |  SELECT regexp_replace(lower(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1)),
+        |      ':[0-9]+$', '') AS host,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM u
+        |)
+        |SELECT host, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS avg_doc_tokens
+        |FROM h GROUP BY host ORDER BY host""".stripMargin,
     "q41_url_traps" ->
       """WITH u AS (
         |  SELECT doc_id, 'https://t.example' ||

@@ -425,6 +425,27 @@ object Corpus {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** Per-HOST corpus summary — the domain-curation stage of a web
+    * pipeline (RefinedWeb-style: host-level counts and token mass drive
+    * manual blocklists, domain caps, and per-site quality review): one
+    * row per politeness host ([[graft.ops.Web.hostOf]], the same
+    * definition the robots gate and scheduler key on) with document
+    * count, total whitespace tokens (the q29 convention) and mean
+    * tokens per doc. Deliberately NO global-share column — that would
+    * need a single-partition window; the output is one narrow row per
+    * host, so callers derive shares driver-side. Map-side-combinable
+    * count+sum on the host key; urls that don't parse group under "".
+    */
+  def hostSummary(docs: DataFrame, urlCol: String = "url",
+      textCol: String = "text"): DataFrame =
+    docs.select(graft.ops.Web.hostOf(col(urlCol)).as("host"),
+        size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("n_tok"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 6)
+          .as("avg_doc_tokens"))
+
   /** Corpus-level n-gram document frequency, top k. Counting is DF (one
     * count per doc per distinct gram), the quantity dedup/decontamination
     * reason about. Shape at scale: map-side dedup (array_distinct) ->

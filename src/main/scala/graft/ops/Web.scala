@@ -61,6 +61,19 @@ object Web {
     regexp_replace(u6, "/$", "")
   }
 
+  /** The politeness/robots/curation domain of a URL: lowercased host,
+    * userinfo and port stripped — THE one definition shared by the
+    * robots gate, the politeness scheduler (via WebPrep) and
+    * [[graft.ops.Corpus.hostSummary]], so no two operators can disagree
+    * on a host. RE2-compatible (oracle-re-derivable, like
+    * [[canonicalUrl]]); null/relative urls yield "" (regexp_extract's
+    * no-match value), which groups separately rather than vanishing.
+    */
+  def hostOf(url: Column): Column =
+    coalesce(regexp_replace(lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1)),
+      ":\\d+$", ""), lit(""))
+
   /** Crawl-trap URL heuristic — the frontier filter every production
     * crawler runs (Heritrix's TooManyPathSegments / path-repetition
     * rules are the public reference): calendar pages, session-id loops

@@ -47,16 +47,13 @@ import org.apache.spark.sql.functions._
   */
 object WebPrep {
 
-  /** The politeness/robots domain of a URL: lowercased host, userinfo
-    * and port stripped — THE one definition shared by the gate and the
-    * scheduler so they can never disagree on a host. (Known
-    * simplifications, shared by both: per-port robots differences and
-    * IPv6 literals are below this resolution.)
+  /** The politeness/robots domain of a URL — delegates to the ONE
+    * shared definition ([[graft.ops.Web.hostOf]]) so the gate, the
+    * scheduler and the host-summary curation op can never disagree on
+    * a host. (Known simplifications, shared by all: per-port robots
+    * differences and IPv6 literals are below this resolution.)
     */
-  private def urlHost(urlCol: String) =
-    regexp_replace(lower(regexp_extract(col(urlCol),
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1)),
-      ":\\d+$", "")
+  private def urlHost(urlCol: String) = Web.hostOf(col(urlCol))
 
   /** The same normalization for a robots-table host cell. */
   private def normHost(hostCol: String) =

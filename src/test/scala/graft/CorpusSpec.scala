@@ -209,6 +209,23 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hostSummary: one row per normalized host; unparseable urls group under empty host") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      ("https://A.Example:443/x", "ein zwei drei"),
+      ("https://a.example/y", "vier fünf"),
+      ("https://b.example/z", "sechs"),
+      ("kein-url", "sieben acht"),
+      (null: String, "neun")).toDF("url", "text")
+    val got = Corpus.hostSummary(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("a.example", 2L, 5L),  // case + :443 normalized into one host
+      ("b.example", 1L, 1L),
+      ("", 2L, 3L)), got)     // unparseable + null urls: visible, not lost
+  }
+
   // ---------- randomized cross-checks vs brute-force Scala ----------
 
   private def gramsOf(text: String, n: Int): Set[String] = {
