@@ -248,6 +248,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!exchanges.exists(_.startsWith("line")), exchanges)
   }
 
+  test("hostSummary: partial aggregation before ONE host-key exchange, text never shuffles") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1 to 50).map(i =>
+      (s"https://h${i % 5}.example/p$i", s"wort eins zwei $i"))
+      .toDF("url", "text")
+    val p = plan(graft.ops.Corpus.hostSummary(docs))
+    // map-side combine (partial HashAggregate) then a single exchange
+    // keyed on the derived host; the text column is projected to a
+    // token COUNT before the shuffle — wide strings never move
+    assert(p.contains("HashAggregate"), p)
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9#, ]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toVector
+    assert(hashEx.length == 1 && hashEx.head.startsWith("host"), s"$hashEx\n$p")
+    assert(!p.contains("Exchange hashpartitioning(text"), p)
+  }
+
   test("packSequences: shard-partitioned window, no global sort") {
     assume(sfPresent)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
