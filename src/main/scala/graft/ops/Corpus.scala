@@ -383,7 +383,7 @@ object Corpus {
     */
   def dedupParagraphsGlobal(docs: DataFrame, minChars: Int = 10)
       : DataFrame =
-    dedupParagraphsKeyed(docs, minChars, identity)
+    dedupParagraphsKeyed(docs, minChars, hashKey = false)
 
   /** 100 TB face of [[dedupParagraphsGlobal]]: the keeper aggregation
     * and join-back key `md5_long(line)` (8 bytes) instead of the
@@ -395,24 +395,28 @@ object Corpus {
   def dedupParagraphsGlobalAtScale(docs: DataFrame, minChars: Int = 10)
       : DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    dedupParagraphsKeyed(docs, minChars,
-      line => call_function("md5_long", line))
+    dedupParagraphsKeyed(docs, minChars, hashKey = true)
   }
 
   /** The one shared keep-first implementation; the two public faces
-    * differ ONLY in the keeper key (`keyOf`: the paragraph itself, or
-    * its 8-byte hash) so the keeper/rebuild semantics cannot diverge.
+    * differ ONLY in the keeper join key (the paragraph itself, or its
+    * 8-byte md5_long) so the keeper/rebuild semantics cannot diverge.
+    * The exact face joins on `line` DIRECTLY — no aliased copy, so the
+    * paragraph bytes cross the shuffle once, not twice.
     */
   private def dedupParagraphsKeyed(docs: DataFrame, minChars: Int,
-      keyOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
-      : DataFrame = {
+      hashKey: Boolean): DataFrame = {
     val lines = docs.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-    val candidates = lines.filter(length(col("line")) >= minChars)
-      .withColumn("graft_k", keyOf(col("line")))
-    val keepers = candidates.groupBy(col("graft_k"))
+    val candidates0 = lines.filter(length(col("line")) >= minChars)
+    val (candidates, joinKey) =
+      if (hashKey)
+        (candidates0.withColumn("graft_k",
+          call_function("md5_long", col("line"))), "graft_k")
+      else (candidates0, "line")
+    val keepers = candidates.groupBy(col(joinKey))
       .agg(min(struct(col("doc_id"), col("pos"))).as("keeper"))
-    val kept = candidates.join(keepers, Seq("graft_k"))
+    val kept = candidates.join(keepers, Seq(joinKey))
       .filter(struct(col("doc_id"), col("pos")) === col("keeper"))
       .select(col("doc_id"), col("pos"), col("line"))
       .unionByName(lines.filter(length(col("line")) < minChars))
@@ -434,11 +438,14 @@ object Corpus {
     * tokens per doc. Deliberately NO global-share column — that would
     * need a single-partition window; the output is one narrow row per
     * host, so callers derive shares driver-side. Map-side-combinable
-    * count+sum on the host key; urls that don't parse group under "".
+    * count+sum on the host key; null/unparseable urls group under ""
+    * (coalesced HERE — [[graft.ops.Web.hostOf]] itself null-propagates
+    * for the gate path's null-survival convention).
     */
   def hostSummary(docs: DataFrame, urlCol: String = "url",
       textCol: String = "text"): DataFrame =
-    docs.select(graft.ops.Web.hostOf(col(urlCol)).as("host"),
+    docs.select(
+        coalesce(graft.ops.Web.hostOf(col(urlCol)), lit("")).as("host"),
         size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("n_tok"))
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_docs"),

@@ -66,13 +66,16 @@ object Web {
     * robots gate, the politeness scheduler (via WebPrep) and
     * [[graft.ops.Corpus.hostSummary]], so no two operators can disagree
     * on a host. RE2-compatible (oracle-re-derivable, like
-    * [[canonicalUrl]]); null/relative urls yield "" (regexp_extract's
-    * no-match value), which groups separately rather than vanishing.
+    * [[canonicalUrl]]); null-PROPAGATING like every Column op here (a
+    * null url yields a null host, so the robots gate's left join keeps
+    * its null-url-rows-survive convention); a non-null unparseable url
+    * yields "" (regexp_extract's no-match value). Consumers that need
+    * nulls grouped coalesce explicitly (hostSummary does).
     */
   def hostOf(url: Column): Column =
-    coalesce(regexp_replace(lower(regexp_extract(url,
+    regexp_replace(lower(regexp_extract(url,
       "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1)),
-      ":\\d+$", ""), lit(""))
+      ":\\d+$", "")
 
   /** Crawl-trap URL heuristic — the frontier filter every production
     * crawler runs (Heritrix's TooManyPathSegments / path-repetition

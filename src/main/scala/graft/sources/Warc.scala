@@ -329,9 +329,7 @@ object Warc {
     * decode entirely — for consumers that never read response BODIES
     * (revisits, WET conversion rows), so a shard is not pointlessly
     * de-gzipped record by record. The envelope split (status, headers,
-    * Location, validators) always runs; only 200-status response
-    * payloads are ever decoded (other statuses' bodies are discarded by
-    * every consumer).
+    * Location, validators) always runs.
     */
   def records(in0: java.io.InputStream,
       decodePayloads: Boolean = true): Iterator[WarcRecord] =
@@ -382,10 +380,11 @@ object Warc {
           // coding flags THIS record and empties its body (mojibake must
           // never decode silently) — unless the crawler MARKED the
           // record truncated, in which case the decoded prefix is kept.
-          // Only 200-status payloads: every consumer discards the other
-          // bodies (redirects are edges, errors are dropped), so their
-          // decode would be pure waste
-          if (decodePayloads && status == 200)
+          // ALL response statuses decode under decodePayloads=true (the
+          // public records() contract: body is never wire-encoded bytes
+          // posing as text); consumers that read no bodies at all pass
+          // decodePayloads=false instead
+          if (decodePayloads)
             decodeHttpPayload(header("transfer-encoding"),
                 header("content-encoding"), body,
                 tolerateTruncation = h.contains("warc-truncated")) match {
@@ -520,7 +519,9 @@ object Warc {
         r.httpLocation.nonEmpty
       if (r.warcType != "response" ||
           !(r.httpStatus == 200 || isRedirect)) None
-      else if (r.payloadError.nonEmpty) {
+      // a payload failure only matters when the body is the CONTENT: a
+      // redirect's (discarded) error-page body must not cost the edge
+      else if (r.httpStatus == 200 && r.payloadError.nonEmpty) {
         failedAcc.foreach(_.add(1L)); None
       } else
         Some((r.recordId, r.targetUri, r.httpContentType,
