@@ -150,11 +150,16 @@ object HtmlCharset {
   // old regex, which matched `charset=` anywhere within 512 chars of
   // `<meta` — including inside an unrelated attribute VALUE like
   // <meta name=description content="...charset=euc-jp...">). Comments
-  // are skipped like the spec's prescan. Remaining bounded-accept
-  // deviations: tags other than <meta> are skipped to their first '>'
-  // (a quoted '>' inside another tag's attribute ends that skip early),
-  // and <script>/<style> bodies are not special-cased.
-  private def metaCharsetScan(p: String): Option[String] = {
+  // are skipped like the spec's prescan. Returns the first RESOLVABLE
+  // declaration: like the spec's prescan (which loops when "get an
+  // encoding" fails), an unresolvable label — e.g. unquoted
+  // `<meta charset=utf-8/>` capturing 'utf-8/', or a bogus declaration
+  // preceding a valid one — does NOT end the scan; later <meta> tags
+  // are still considered. Remaining bounded-accept deviations: tags
+  // other than <meta> are skipped to their first '>' (a quoted '>'
+  // inside another tag's attribute ends that skip early), and
+  // <script>/<style> bodies are not special-cased.
+  private def metaCharsetScan(p: String): Option[Enc] = {
     val lower = p.toLowerCase(java.util.Locale.ROOT)
     var i = 0
     while (i < p.length) {
@@ -208,12 +213,19 @@ object HtmlCharset {
             }
           }
         }
-        if (charsetAttr != null && charsetAttr.nonEmpty)
-          return Some(charsetAttr)
+        // resolve HERE and keep scanning on failure (the spec's
+        // continue-on-failed-get-an-encoding behavior)
+        if (charsetAttr != null && charsetAttr.nonEmpty) {
+          val enc = resolveLabel(charsetAttr, inMeta = true)
+          if (enc.isDefined) return enc
+        }
         if (httpEquiv != null && content != null &&
             httpEquiv.equalsIgnoreCase("content-type")) {
           val m = CtCharset.matcher(content)
-          if (m.find()) return Some(m.group(1))
+          if (m.find()) {
+            val enc = resolveLabel(m.group(1), inMeta = true)
+            if (enc.isDefined) return enc
+          }
         }
         i = if (j > lt) j else lt + 5
       } else i = lt + 1
@@ -275,11 +287,12 @@ object HtmlCharset {
       }
     }
     // 3. bounded meta prescan over an ASCII-superset view of the prefix
+    // (the scan resolves labels itself, continuing past unresolvable
+    // declarations — the WHATWG prescan loop)
     val prefix = decodeW1252(bytes, 0, math.min(1024, bytes.length))
-    metaCharsetScan(prefix)
-      .flatMap(resolveLabel(_, inMeta = true)).foreach { enc =>
-        return (decodeWith(enc, bytes, 0), enc.label)
-      }
+    metaCharsetScan(prefix).foreach { enc =>
+      return (decodeWith(enc, bytes, 0), enc.label)
+    }
     // 4. content sniff: valid UTF-8 or the 1252 fallback
     if (strictUtf8Valid(bytes, 0)) (decodeWith(Utf8, bytes, 0), "utf-8")
     else (decodeWith(W1252, bytes, 0), "windows-1252")

@@ -446,7 +446,12 @@ object Corpus {
       textCol: String = "text"): DataFrame =
     docs.select(
         coalesce(graft.ops.Web.hostOf(col(urlCol)), lit("")).as("host"),
-        size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("n_tok"))
+        // a null text cell counts 0 tokens, matching the host side's
+        // null handling — size() on a null array is -1 under legacy
+        // sizeOfNull (null under ANSI), either of which would silently
+        // skew total_tokens/avg_doc_tokens for hosts with null rows
+        size(TextAnalysis.wsTokens(coalesce(col(textCol), lit(""))))
+          .cast("long").as("n_tok"))
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("total_tokens"),

@@ -43,7 +43,10 @@ object RobotsTxt {
   private def capped(content: String): String = {
     if (content == null || content.length <= MaxParseChars) return content
     val cut = content.substring(0, MaxParseChars)
-    val nl = cut.lastIndexOf('\n')
+    // parse()/sitemaps() split on \r\n|\r|\n — the cut must respect the
+    // SAME line alphabet, or a CR-only (old-Mac) file over the cap is
+    // severed mid-line and a rule half-reads as a shorter wrong pattern
+    val nl = math.max(cut.lastIndexOf('\n'), cut.lastIndexOf('\r'))
     if (nl >= 0) cut.substring(0, nl) else cut
   }
 

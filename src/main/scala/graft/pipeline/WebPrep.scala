@@ -325,6 +325,17 @@ object WebPrep {
     * no rows and counts on `failedAcc`. Distributed shape: children are
     * deduplicated narrow url rows; the fetch+parse runs map-only on the
     * executors, memory bounded by the 50 MB spec cap.
+    *
+    * The fetched child rows are `persist()`ed before the union: the
+    * fetch runs inside a transformation, so WITHOUT the cache every
+    * action over the returned frame would re-fetch every child sitemap
+    * (duplicate traffic against hosts the politeness machinery
+    * elsewhere rations) and re-increment `failedAcc`. The caller owns
+    * the cache's lifecycle (land or `unpersist()` when done). Residual
+    * caveat, as for any side-effecting task: a task RETRY or
+    * speculative twin during the first materialization can still fetch
+    * a child twice — exactly-once belongs to a landed table, not a
+    * cache.
     */
   def expandSitemapIndex(entries: DataFrame, fetch: String => Array[Byte],
       robotsTxt: Option[DataFrame] = None, userAgent: String = "*",
@@ -356,6 +367,8 @@ object WebPrep {
         }
       })
       .toDF("sitemap", "kind", "loc", "lastmod", "changefreq", "priority")
+      // one fetch per child per call, not per downstream action
+      .persist()
     entries.select("sitemap", "kind", "loc", "lastmod", "changefreq",
         "priority")
       // the expanded references are consumed; page rows + nested refs remain

@@ -121,13 +121,27 @@ object Warc {
   // payload failure, never a guess; zstd decodes via the zstd-jni
   // Spark already ships.
 
+  /** A chunked framing that ran off the END of the available bytes —
+    * the mid-stream-cut shape (size line cut, chunk data shorter than
+    * its declared size, trailer cut). DISTINCT from malformed framing
+    * (non-hex size line, negative size) so `tolerateTruncation` can
+    * never excuse actual framing damage: a marked-truncated record is a
+    * record whose TAIL is missing, not one whose framing is garbage.
+    */
+  private final class ChunkTruncated(msg: String)
+    extends RuntimeException(msg)
+
   /** RFC 9112 §7.1 chunked de-framing: hex size line (`;ext` tolerated),
     * CRLF, exactly `size` octets, CRLF, repeat; terminal 0-size chunk
     * then trailer lines until a blank. Bare-LF line endings tolerated
     * (real servers emit them). Malformed/truncated framing throws — the
-    * caller maps it onto the record's `payloadError` seam, or keeps the
-    * de-framed prefix when the record is MARKED truncated
-    * (`tolerateTruncation`, see [[decodeHttpPayload]]).
+    * caller maps it onto the record's `payloadError` seam, or, when the
+    * record is MARKED truncated (`tolerateTruncation`, see
+    * [[decodeHttpPayload]]), keeps the de-framed prefix for a framing
+    * that merely ran off the end (including a partial final chunk's
+    * available bytes — a browser renders them). Genuinely malformed
+    * framing (non-hex size line) throws EVEN under tolerance: a cut
+    * removes the tail, it cannot corrupt the bytes before it.
     */
   private[graft] def deChunk(b: Array[Byte]): Array[Byte] =
     deChunk(b, tolerateTruncation = false)
@@ -140,7 +154,8 @@ object Warc {
       val nl = {
         var j = i
         while (j < b.length && b(j) != '\n') j += 1
-        require(j < b.length, "chunked payload truncated in a size line")
+        if (j >= b.length)
+          throw new ChunkTruncated("chunked payload cut inside a line")
         j
       }
       val end = if (nl > i && b(nl - 1) == '\r') nl - 1 else nl
@@ -152,12 +167,23 @@ object Warc {
     try {
       while (more) {
         val sizeTok = line().takeWhile(c => c != ';' && !c.isWhitespace)
+        // a non-hex size line is DAMAGE, not truncation (NumberFormat
+        // propagates); parseLong(_, 16) can't return a negative for any
+        // input it accepts, so no sign guard is needed
         val size = java.lang.Long.parseLong(sizeTok, 16)
-        require(size >= 0 && size <= b.length - i,
-          s"chunk size $size exceeds remaining payload")
+        if (size > b.length - i) {
+          // the declared chunk extends past the cut: keep the partial
+          // final chunk's available bytes, then report truncation
+          val avail = b.length - i
+          out.write(b, i, avail)
+          i = b.length
+          throw new ChunkTruncated(
+            s"chunk of $size octets cut after $avail available")
+        }
         if (size == 0L) {
           // trailer section: header lines until the blank terminator (a
-          // truncated trailer is tolerated — the data is already whole)
+          // cut inside the trailer is a truncation — the data itself is
+          // already whole)
           var t = if (i < b.length) line() else ""
           while (t.nonEmpty && i < b.length) t = line()
           more = false
@@ -169,7 +195,9 @@ object Warc {
         }
       }
     } catch {
-      case scala.util.control.NonFatal(e) =>
+      // ONLY a ran-off-the-end cut is tolerable; malformed framing
+      // (NumberFormatException and anything else) always propagates
+      case e: ChunkTruncated =>
         if (!tolerateTruncation) throw e // else: keep the prefix
     }
     out.toByteArray

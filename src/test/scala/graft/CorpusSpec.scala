@@ -216,13 +216,16 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("https://A.Example:443/x", "ein zwei drei"),
       ("https://a.example/y", "vier fünf"),
       ("https://b.example/z", "sechs"),
+      // a null text cell counts 0 tokens (size() on a null array is -1
+      // under legacy sizeOfNull — that must never skew the host's sums)
+      ("https://b.example/leer", null: String),
       ("kein-url", "sieben acht"),
       (null: String, "neun")).toDF("url", "text")
     val got = Corpus.hostSummary(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set(
       ("a.example", 2L, 5L),  // case + :443 normalized into one host
-      ("b.example", 1L, 1L),
+      ("b.example", 2L, 1L),  // the null-text row: counted, 0 tokens
       ("", 2L, 3L)), got)     // unparseable + null urls: visible, not lost
   }
 

@@ -563,6 +563,32 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(HtmlCharset.decodeWithCharset(quoted, null)._2 == "windows-1252")
   }
 
+  test("meta prescan: an unresolvable declaration does not end the scan (continue-on-failed-get-an-encoding)") {
+    import graft.html.HtmlCharset
+    // unquoted self-closing `<meta charset=utf-8/>` captures 'utf-8/'
+    // (unresolvable); the spec's prescan CONTINUES to the next <meta> —
+    // pre-fix the scan gave up and fell to the content sniff. The body
+    // bytes are crafted UTF-8-valid so the sniff would pick utf-8: only
+    // the continued scan reaches the real windows-1252 declaration.
+    val eAcute = Array[Byte](0xC3.toByte, 0xA9.toByte) // UTF-8 'é'
+    val head = ("<head><meta charset=utf-8/>" +
+      "<meta charset=windows-1252><body>").getBytes("US-ASCII")
+    val page = head ++ eAcute
+    val (text, label) = HtmlCharset.decodeWithCharset(page, null)
+    assert(label == "windows-1252", label)
+    assert(text.endsWith("Ã©"), text) // 1252 view of C3 A9
+    // same continuation past a bogus http-equiv content charset
+    val bogusFirst = ("<head><meta http-equiv=content-type " +
+      "content=\"text/html; charset=no-such-enc\">" +
+      "<meta charset=windows-1252><body>").getBytes("US-ASCII") ++ eAcute
+    assert(HtmlCharset.decodeWithCharset(bogusFirst, null)._2 ==
+      "windows-1252")
+    // and with NO later declaration the ladder still falls through
+    val onlyBroken = ("<head><meta charset=utf-8/><body>")
+      .getBytes("US-ASCII") ++ eAcute
+    assert(HtmlCharset.decodeWithCharset(onlyBroken, null)._2 == "utf-8")
+  }
+
   test("byte-level ingest: mixed-encoding corpus extracts identically to the string path") {
     val sp = spark
     sparkUsed = true

@@ -536,6 +536,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val straddle = "User-Agent: *\n" + pad + "\nDisallow: /lang/pfad/tief\n"
     assert(RobotsTxt.allowed(straddle, "b", "https://e.com/lang/pfad/tief"))
     assert(RobotsTxt.allowed(straddle, "b", "https://e.com/lang"))
+    // a CR-only (old-Mac) file over the cap: the parser splits on
+    // \r\n|\r|\n, so the cap must cut at the last CR too — pre-fix the
+    // straddling rule half-read as the shorter WRONG pattern '/lang'
+    val crOnly = "User-Agent: *\r" + pad + "\rDisallow: /lang/pfad/tief\r"
+    assert(RobotsTxt.allowed(crOnly, "b", "https://e.com/lang/pfad/tief"))
+    assert(RobotsTxt.allowed(crOnly, "b", "https://e.com/lang"))
   }
 
   test("robots.txt: Crawl-delay is group-scoped, specific beats *, max-merge, bad values ignored") {
