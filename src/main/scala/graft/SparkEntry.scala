@@ -859,6 +859,63 @@ object SparkEntry {
       graft.pipeline.WebPrep.planWithValidators(plan, fetched)
         .orderBy(col("url"))
     }),
+    // 304 revalidation END TO END (the response half of the
+    // conditional-refetch story x28's request half started, RFC 9110
+    // §15.4.5): /seite is captured 200@Jan (etag v1) then 304@Mar
+    // (etag v2 — a 304 may refresh validators); the seed lastmod (Feb)
+    // sits BETWEEN them, so /seite is stale only if the 304 is
+    // invisible to the staleness clock. /anders has one 200@Jan and
+    // the same Feb lastmod -> genuinely stale. Facets pin the three
+    // contract points: 'attempt' = every capture lands in the fetch
+    // log (the 304 with its own ts), 'stale' = frontierStale keeps
+    // ONLY /anders, 'doc' = extraction yields the two 200 pages and
+    // never a third row from the 304, 'plan' = planWithValidators
+    // hands the NEWER capture's validators (v2) to the next fetch
+    "x29_revalidation" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      def page(t: String) =
+        (s"<html><head><title>$t</title></head><body><article>" +
+          s"<p>inhalt von $t</p></article></body></html>").getBytes("UTF-8")
+      val warc = graft.sources.Warc.writeWarcRecords(Seq(
+        graft.sources.Warc.HttpFixture("https://reval.example/seite",
+          "text/html; charset=utf-8", page("seite"),
+          date = "2026-01-01T00:00:00Z", etag = "\"v1\"",
+          lastModified = "Mon, 05 Jan 2026 00:00:00 GMT"),
+        graft.sources.Warc.HttpFixture("https://reval.example/seite",
+          "text/html", Array.emptyByteArray, status = 304,
+          date = "2026-03-01T00:00:00Z", etag = "\"v2\"",
+          lastModified = "Sun, 01 Mar 2026 00:00:00 GMT"),
+        graft.sources.Warc.HttpFixture("https://reval.example/anders",
+          "text/html; charset=utf-8", page("anders"),
+          date = "2026-01-01T00:00:00Z")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x29")
+      val p = tmp.resolve("reval.warc")
+      java.nio.file.Files.write(p, warc)
+      val responses = graft.sources.Warc.responses(s, p.toString,
+        minPartitions = 2)
+      val fetched = responses.select(col("url"), col("fetch_ts"))
+      val seeds = Seq(
+        ("https://reval.example/seite", "2026-02-01T00:00:00Z"),
+        ("https://reval.example/anders", "2026-02-01T00:00:00Z"))
+        .toDF("url", "lastmod")
+      val attempts = responses.select(lit("attempt").as("facet"),
+        col("url"), concat(col("http_status").cast("string"),
+          lit(" @ "), col("fetch_ts")).as("info"))
+      val stale = graft.pipeline.WebPrep.frontierStale(seeds, fetched)
+        .select(lit("stale").as("facet"), col("url"),
+          col("fetched_ts").as("info"))
+      val docs = graft.sources.Warc.extractAll(s, p.toString,
+          minPartitions = 2)
+        .select(lit("doc").as("facet"), col("url"), col("title").as("info"))
+      val plan = graft.pipeline.WebPrep.planWithValidators(
+          Seq("https://reval.example/seite", "https://reval.example/anders")
+            .toDF("url"), responses)
+        .select(lit("plan").as("facet"), col("url"),
+          concat_ws("|", col("etag"), col("last_modified")).as("info"))
+      attempts.union(stale).union(docs).union(plan)
+        .orderBy(col("facet"), col("url"), col("info"))
+    }),
     // sitemap frontier seeding: robots.txt Sitemap advertisements name
     // the fixture files (urlset XML with entity-escaped locs + lastmod
     // variants, a text sitemap, a sitemapindex whose child refs must

@@ -531,12 +531,28 @@ object Warc {
     }
 
   /** The shared LAZY parse of [[responses]] / [[responsesStream]]:
-    * HTTP-200 pages + 3xx-with-Location edges as 9-tuples (incl.
-    * the etag / last_modified validators) over
-    * [[lazyRows]]. A record whose HTTP payload failed to decode
-    * (unknown/broken transfer or content coding) is skipped and counted
-    * on `failedAcc` — per RECORD, because the WARC framing around it is
-    * intact and the rest of the file must still land.
+    * HTTP-200 pages + 3xx-with-Location edges + 304-not-modified
+    * revalidations as 9-tuples (incl. the etag / last_modified
+    * validators) over [[lazyRows]]. A record whose HTTP payload failed
+    * to decode (unknown/broken transfer or content coding) is skipped
+    * and counted on `failedAcc` — per RECORD, because the WARC framing
+    * around it is intact and the rest of the file must still land.
+    *
+    * 304 rows are the RESPONSE half of the conditional-refetch story
+    * ([[graft.pipeline.WebPrep.planWithValidators]] is the request
+    * half, RFC 9110 §15.4.5): a crawler that revalidated a page gets a
+    * body-less 304, and that capture must (a) refresh the url's
+    * staleness clock — it lands here with its WARC-Date, so a
+    * responses∪revisits fetch log feeds
+    * [[graft.pipeline.WebPrep.frontierStale]] the revalidation time —
+    * (b) count as a fetch attempt, and (c) NEVER become a document:
+    * its body row is always empty and every document path
+    * ([[extractAll]], [[graft.pipeline.CrawlLoop.webFromBytes]],
+    * [[graft.pipeline.WebPrep.prepareBytesStream]],
+    * [[graft.job.ExtractJob]]'s html_bytes kind) filters to
+    * `http_status = 200`. Its etag/last_modified rows also carry any
+    * REFRESHED validators the server sent with the 304 (RFC 9110
+    * §15.4.5 allows updating them).
     */
   private def parseResponses(in0: java.io.InputStream,
       failedAcc: Option[org.apache.spark.util.LongAccumulator])
@@ -545,17 +561,20 @@ object Warc {
     lazyRows(in0, failedAcc, { r =>
       val isRedirect = r.httpStatus >= 300 && r.httpStatus < 400 &&
         r.httpLocation.nonEmpty
+      val isRevalidation = r.httpStatus == 304
       if (r.warcType != "response" ||
-          !(r.httpStatus == 200 || isRedirect)) None
+          !(r.httpStatus == 200 || isRedirect || isRevalidation)) None
       // a payload failure only matters when the body is the CONTENT: a
-      // redirect's (discarded) error-page body must not cost the edge
+      // redirect's (discarded) error-page body must not cost the edge,
+      // and a 304 has no body by definition
       else if (r.httpStatus == 200 && r.payloadError.nonEmpty) {
         failedAcc.foreach(_.add(1L)); None
       } else
         Some((r.recordId, r.targetUri, r.httpContentType,
           r.httpStatus, r.warcDate,
-          // a redirect's body is an error page, not content
-          if (isRedirect) Array.emptyByteArray else r.body,
+          // only a 200's body is content; a redirect's is an error
+          // page and a 304's is empty by spec
+          if (r.httpStatus == 200) r.body else Array.emptyByteArray,
           r.httpLocation,
           // the HTTP validators a conditional refetch needs
           // (If-None-Match / If-Modified-Since — see
@@ -566,8 +585,11 @@ object Warc {
   /** The crawl-ingest operator: every HTTP-200 `response` record of
     * every WARC file under `path` (glob ok; `.warc` and `.warc.gz`
     * both), PLUS every 3xx redirect response carrying a Location (their
-    * targets are crawl edges — see [[redirectEdges]]), as rows ready
-    * for [[graft.html.HtmlExtract.extractAllBytes]] /
+    * targets are crawl edges — see [[redirectEdges]]), PLUS every
+    * 304-not-modified revalidation (body-less freshness events — see
+    * [[parseResponses]]; document consumers filter `http_status = 200`
+    * as ever), as rows ready for
+    * [[graft.html.HtmlExtract.extractAllBytes]] /
     * [[graft.pipeline.WebPrep]]:
     *
     *   (doc_id = WARC-Record-ID, url = WARC-Target-URI,

@@ -164,6 +164,52 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Seq(("https://a.example/p", "<p>echt</p>")), kept)
   }
 
+  test("304 revalidation: refreshes the staleness clock and the fetch log, never becomes a document") {
+    val sp = spark
+    import sp.implicits._
+    // a WARC landing with a 200@Jan (etag v1), its 304 revalidation
+    // @Mar (etag v2), and an un-revalidated second page
+    val warc = graft.sources.Warc.writeWarcRecords(Seq(
+      graft.sources.Warc.HttpFixture("https://r.example/seite",
+        "text/html", "<p>seite</p>".getBytes("UTF-8"),
+        date = "2026-01-01T00:00:00Z", etag = "\"v1\""),
+      graft.sources.Warc.HttpFixture("https://r.example/seite",
+        "text/html", Array.emptyByteArray, status = 304,
+        date = "2026-03-01T00:00:00Z", etag = "\"v2\""),
+      graft.sources.Warc.HttpFixture("https://r.example/anders",
+        "text/html", "<p>anders</p>".getBytes("UTF-8"),
+        date = "2026-01-01T00:00:00Z")))
+    val dir = java.nio.file.Files.createTempDirectory("crawl-304")
+    java.nio.file.Files.write(dir.resolve("reval.warc"), warc)
+    val responses = graft.sources.Warc.responses(sp, dir.toString + "/*",
+      minPartitions = 1)
+    // (a) the 304 lands as a fetch attempt, body-less, validators kept
+    val reval = responses.filter($"http_status" === 304).collect()
+    assert(reval.length == 1)
+    assert(reval(0).getAs[Array[Byte]]("html_bytes").isEmpty)
+    assert(reval(0).getAs[String]("etag") == "\"v2\"")
+    // (b) freshness: a lastmod BETWEEN the 200 and the 304 marks the
+    // page stale only if the 304 is invisible — it must not be
+    val seeds = Seq(
+      ("https://r.example/seite", "2026-02-01T00:00:00Z"),
+      ("https://r.example/anders", "2026-02-01T00:00:00Z"))
+      .toDF("url", "lastmod")
+    val stale = graft.pipeline.WebPrep
+      .frontierStale(seeds, responses.select("url", "fetch_ts"))
+      .collect().map(_.getString(0)).toSeq
+    assert(stale == Seq("https://r.example/anders"), stale)
+    // (c) never a document: webFromBytes under latest-fetch-wins must
+    // keep the OLDER 200 page, not erase it with the newer body-less 304
+    val pages = CrawlLoop.webFromBytes(responses).collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(pages == Seq(
+      ("https://r.example/anders", "<p>anders</p>"),
+      ("https://r.example/seite", "<p>seite</p>")), pages)
+    // and the extraction composition skips it the same way
+    assert(graft.sources.Warc.extractAll(sp, dir.toString + "/*",
+      minPartitions = 1).count() == 2)
+  }
+
   test("crash-retry: a dangling fetched log from a crashed cycle cannot fake exhaustion") {
     val (web, seeds, robots) = siteFrames()
     val cfg = freshCfg(cycles = 1)
