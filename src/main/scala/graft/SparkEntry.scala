@@ -916,6 +916,45 @@ object SparkEntry {
       attempts.union(stale).union(docs).union(plan)
         .orderBy(col("facet"), col("url"), col("info"))
     }),
+    // the brotli PERMANENT CONTRACT (decodeHttpPayload's scaladoc): a
+    // `Content-Encoding: br` record fails COUNTED — record-level, the
+    // payloadError seam names the coding and empties the body;
+    // frame-level, the responses reader skips the row and increments
+    // failedAcc — and the records AROUND it land untouched. Never
+    // silent mojibake, never a dropped file. (The H.26x-precedent
+    // contract: a bare JVM has no RFC 7932 static dictionary.)
+    "x30_brotli_contract" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val body = "<p>echter inhalt</p>".getBytes("UTF-8")
+      val warc = graft.sources.Warc.writeWarcRecords(Seq(
+        graft.sources.Warc.HttpFixture("https://br.example/vorher",
+          "text/html", body),
+        graft.sources.Warc.HttpFixture("https://br.example/brotli",
+          "text/html", body, contentEncoding = "br"),
+        graft.sources.Warc.HttpFixture("https://br.example/nachher",
+          "text/html", body)))
+      // record level: the payloadError seam, one row per response record
+      val recordRows = graft.sources.Warc
+        .records(new java.io.ByteArrayInputStream(warc))
+        .filter(_.warcType == "response")
+        .map(r => ("record", r.targetUri,
+          s"error=${r.payloadError} body_bytes=${r.body.length}"))
+        .toSeq
+      // frame level: responses skips the br row and counts it once
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x30")
+      val p = tmp.resolve("br.warc")
+      java.nio.file.Files.write(p, warc)
+      val acc = s.sparkContext.longAccumulator("x30-payload-failed")
+      val survivors = graft.sources.Warc.responses(s, p.toString,
+          minPartitions = 1, failedAcc = Some(acc))
+        .select(col("url")).collect().map(_.getString(0)).sorted
+        .map(u => ("frame", u, "landed")).toSeq
+      val counted = Seq(("count", "failed_records", acc.value.toString))
+      (recordRows ++ survivors ++ counted)
+        .toDF("facet", "url", "info")
+        .orderBy(col("facet"), col("url"), col("info"))
+    }),
     // sitemap frontier seeding: robots.txt Sitemap advertisements name
     // the fixture files (urlset XML with entity-escaped locs + lastmod
     // variants, a text sitemap, a sitemapindex whose child refs must

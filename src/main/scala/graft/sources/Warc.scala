@@ -312,6 +312,21 @@ object Warc {
     * coding list; "" = absent). Returns Right(decoded bytes) or
     * Left(the coding token that failed / was unknown).
     *
+    * PERMANENT CONTRACT — brotli (`Content-Encoding: br`, RFC 7932):
+    * NOT decoded, by design, the same class of contract as the H.26x
+    * video stub (graft.ops.Multimodal). A correct brotli decoder
+    * requires the spec's static dictionary — ~120 KB of opaque binary
+    * data (RFC 7932 appendix A) that neither the JVM nor Spark ships,
+    * and this build has no external dependencies to pull it from; a
+    * dictionary-LESS decoder would mis-decode nearly every real-world
+    * br stream (servers emit dictionary back-references on typical
+    * HTML), which is strictly worse than failing loudly. So `br` (and
+    * any other unknown token) takes the counted per-record failure
+    * seam: `Left("br")` -> the record's `payloadError` / the reader's
+    * `failedAcc` — never silent mojibake, never a dropped file. The
+    * x30 gate freezes this contract; a deployment that needs brotli
+    * plugs a decoder into exactly the `case` below.
+    *
     * `tolerateTruncation` is set for records the crawler MARKED
     * truncated (`WARC-Truncated`, ISO 28500 §5.13 — Common Crawl cuts
     * payloads at ~1 MB and marks them): a mid-stream EOF in the
@@ -342,6 +357,8 @@ object Warc {
               cur = deflateDecode(cur, tolerateTruncation, maxDecoded)
             case "zstd" => cur = zstdDecode(cur, tolerateTruncation, maxDecoded)
             case "identity" | "none" => ()
+            // brotli ("br") lands here BY PERMANENT CONTRACT (see the
+            // scaladoc): a counted failure, never a guess
             case other => return Left(other)
           }
         } catch {
