@@ -318,6 +318,25 @@ object SparkEntry {
           lit(".Example:443/pfad/"), col("doc_id").cast("string")))
       Corpus.hostSummary(withUrl).orderBy(col("host"))
     }),
+    // per-host domain CAP (the curation stage q42's summary feeds):
+    // 5 synthetic hosts x ~100 docs each, capped at 28 docs AND 1500
+    // cumulative tokens per host — both caps bind (token mass varies by
+    // host: two hosts cut on rank 28, three on tokens). The oracle
+    // re-derives host extraction, the rank window,
+    // and the cumulative-token prefix cut analytically; the salted
+    // two-phase implementation must reproduce the single-window answer
+    // bit for bit (the superset/prefix argument on capPerHost)
+    "q43_host_cap" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val withUrl = d.withColumn("url",
+        concat(lit("https://H"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".Example:443/pfad/"), col("doc_id").cast("string")))
+      Corpus.capPerHost(withUrl, maxDocs = Some(28L),
+          maxTokens = Some(1500L))
+        .select(col("doc_id"), col("host"), col("n_tok"),
+          col("host_rank"), col("host_cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     // crawl-trap URL detection over a synthetic frontier with planted
     // trap families (depth > 20, looping path segments, > 2048 chars)
     // plus two interplay cases: repeat('/ok',20) passes the depth rule
@@ -448,6 +467,24 @@ object SparkEntry {
             .otherwise(lit("")),
           lit("\n--")).as("text"))
       Corpus.dedupParagraphsGlobal(planted, minChars = 10)
+        .orderBy(col("doc_id"))
+    }),
+    // the 100 TB face of q39 under its OWN analytic oracle (not just
+    // the CorpusSpec equality pin): the AtScale twin keys the keeper
+    // aggregation on md5_long(line), and DuckDB's md5_number_upper
+    // recomputes the identical 8-byte value — so the oracle re-derives
+    // the keeper window PARTITIONED BY THE HASH, proving the hashed
+    // path itself, end to end, on the same planted corpus as q39
+    "q44_paragraph_dedup_hashed" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.select(col("doc_id"),
+        concat(col("text"),
+          lit("\nGEMEINSAMER ABSATZ UEBER DIE MINDESTLAENGE HINAUS"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit("\nZWEITER GETEILTER ABSATZ JEDES VIERTEN DOKUMENTS"))
+            .otherwise(lit("")),
+          lit("\n--")).as("text"))
+      Corpus.dedupParagraphsGlobalAtScale(planted, minChars = 10)
         .orderBy(col("doc_id"))
     }),
     // the COMPOSED pipeline: quality gate -> exact dedup -> minhash
@@ -1428,6 +1465,30 @@ object SparkEntry {
         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
         |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS avg_doc_tokens
         |FROM h GROUP BY host ORDER BY host""".stripMargin,
+    // both caps as window prefix cuts over the smallest-doc_id-first
+    // order — exactly capPerHost's contract; the salted two-phase
+    // implementation must land on this single-window answer
+    "q43_host_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id, text,
+        |    'https://H' || CAST(doc_id % 5 AS VARCHAR) || '.Example:443/pfad/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1)),
+        |      ':[0-9]+$', '') AS host,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM u
+        |), r AS (
+        |  SELECT doc_id, host, n_tok,
+        |    CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) AS BIGINT) AS host_rank,
+        |    CAST(sum(n_tok) OVER (PARTITION BY host ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS host_cum_tokens
+        |  FROM h
+        |)
+        |SELECT doc_id, host, n_tok, host_rank, host_cum_tokens
+        |FROM r WHERE host_rank <= 28 AND host_cum_tokens <= 1500
+        |ORDER BY doc_id""".stripMargin,
     "q41_url_traps" ->
       """WITH u AS (
         |  SELECT doc_id, 'https://t.example' ||
@@ -1646,6 +1707,38 @@ object SparkEntry {
         |    SELECT doc_id, pos, line,
         |      CASE WHEN length(line) >= 10
         |        THEN ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos)
+        |        ELSE 1 END AS rn
+        |    FROM l) WHERE rn = 1
+        |)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q39's keeper window PARTITIONED BY THE 8-BYTE HASH the AtScale
+    // path actually shuffles on: md5_number_upper == graft md5_long
+    // (first 8 md5 bytes, little-endian, signed), so the hashed keeper
+    // decision is recomputed exactly — not approximated via the string
+    "q44_paragraph_dedup_hashed" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'GEMEINSAMER ABSATZ UEBER DIE MINDESTLAENGE HINAUS'
+        |      || CASE WHEN doc_id % 4 = 0
+        |           THEN chr(10) || 'ZWEITER GETEILTER ABSATZ JEDES VIERTEN DOKUMENTS'
+        |           ELSE '' END
+        |      || chr(10) || '--' AS text
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM src
+        |), l AS (
+        |  SELECT doc_id, i AS pos, ls[i] AS line
+        |  FROM t, UNNEST(range(1, len(ls) + 1)) AS u(i)
+        |), k AS (
+        |  SELECT doc_id, pos, line FROM (
+        |    SELECT doc_id, pos, line,
+        |      CASE WHEN length(line) >= 10
+        |        THEN ROW_NUMBER() OVER (PARTITION BY
+        |          CAST(CASE WHEN md5_number_upper(line) >= 9223372036854775808
+        |            THEN CAST(md5_number_upper(line) AS HUGEINT) - 18446744073709551616
+        |            ELSE CAST(md5_number_upper(line) AS HUGEINT) END AS BIGINT)
+        |          ORDER BY doc_id, pos)
         |        ELSE 1 END AS rn
         |    FROM l) WHERE rn = 1
         |)

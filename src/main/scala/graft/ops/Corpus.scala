@@ -458,6 +458,98 @@ object Corpus {
         round(sum(col("n_tok")).cast("double") / count(lit(1)), 6)
           .as("avg_doc_tokens"))
 
+  /** Per-host domain CAP — the curation stage [[hostSummary]] exists to
+    * feed (RefinedWeb-style host budgets: no single domain may dominate
+    * the corpus): keep at most `maxDocs` documents and at most
+    * `maxTokens` whitespace tokens per politeness host
+    * ([[graft.ops.Web.hostOf]], the shared definition), dropping the
+    * rest. The keeper order is smallest `doc_id` first (the urlDedup
+    * convention — deterministic for unique ids), and BOTH caps are
+    * prefix cuts over that order: a document is kept iff its host rank
+    * `<= maxDocs` AND the host's cumulative token count THROUGH it
+    * `<= maxTokens` — cumulative over ALL prior docs of the host, so
+    * the kept set is a clean prefix (an analytic window re-derives it
+    * exactly; no greedy knapsack nondeterminism). Null/unparseable
+    * urls group under host "" and are capped like any host; null text
+    * counts 0 tokens (the [[hostSummary]] conventions).
+    *
+    * Output: the input columns plus `host`, `n_tok`, `host_rank`,
+    * `host_cum_tokens` (the audit columns curation reviews want).
+    *
+    * Scale shape — the reason this is not one naive window: a window
+    * partitioned on host alone puts one viral host's every document in
+    * ONE task. Instead the [[graft.pipeline.WebPrep.fetchSchedule]]
+    * two-phase top-k: phase 1 ranks within (host, hash-salt of
+    * `saltParts` buckets) under the SAME doc_id order and applies both
+    * caps per bucket — a bucket's rank/cumsum never exceeds the
+    * host-global one (bucket rows are a subset, tokens are
+    * non-negative), so every globally-kept row survives phase 1, and
+    * because the global kept set is a PREFIX of the host's doc_id
+    * order, phase 2's exact window over the survivors sees every row
+    * below any global keeper and reproduces the global rank/cumsum
+    * bit-for-bit. Phase 2's per-host partition is bounded by
+    * `saltParts * maxDocs` rows when `maxDocs` is set (and by the
+    * token budget when only `maxTokens` is — zero-token docs are the
+    * one unbounded case, and they cost the budget nothing by
+    * definition; set `maxDocs` too when capping hostile hosts).
+    */
+  def capPerHost(docs: DataFrame, maxDocs: Option[Long] = None,
+      maxTokens: Option[Long] = None, urlCol: String = "url",
+      textCol: String = "text", saltParts: Int = 32): DataFrame = {
+    require(maxDocs.nonEmpty || maxTokens.nonEmpty,
+      "capPerHost needs maxDocs and/or maxTokens")
+    require(maxDocs.forall(_ >= 0) && maxTokens.forall(_ >= 0),
+      "caps must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .withColumn("host",
+        coalesce(graft.ops.Web.hostOf(col(urlCol)), lit("")))
+      .withColumn("n_tok",
+        size(TextAnalysis.wsTokens(coalesce(col(textCol), lit(""))))
+          .cast("long"))
+    def cut(rank: Column, cum: Column): Column =
+      maxDocs.map(m => rank <= m).getOrElse(lit(true)) &&
+        maxTokens.map(m => cum <= m).getOrElse(lit(true))
+    val w1 = Window
+      .partitionBy(col("host"), col("graft_salt")).orderBy(col("doc_id"))
+    val phase1 = base
+      .withColumn("graft_salt",
+        pmod(xxhash64(col("doc_id")), lit(saltParts.toLong)))
+      .withColumn("graft_r1", row_number().over(w1).cast("long"))
+      .withColumn("graft_c1", sum(col("n_tok")).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(cut(col("graft_r1"), col("graft_c1")))
+      .drop("graft_salt", "graft_r1", "graft_c1")
+    val w2 = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+    phase1
+      .withColumn("host_rank", row_number().over(w2).cast("long"))
+      .withColumn("host_cum_tokens", sum(col("n_tok")).over(
+        w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(cut(col("host_rank"), col("host_cum_tokens")))
+  }
+
+  /** [[capPerHost]] with the budget given as a SHARE of the corpus
+    * token mass (the RefinedWeb phrasing: "no host may exceed x% of
+    * tokens"): one scalar aggregation derives the total, the per-host
+    * budget is `floor(share * total)`, and the cap itself is
+    * [[capPerHost]]'s deterministic prefix cut. The total is computed
+    * over the INPUT corpus (pre-cap — the reproducible definition: a
+    * post-cap total would make the budget a fixpoint problem).
+    */
+  def capPerHostByTokenShare(docs: DataFrame, maxTokenShare: Double,
+      maxDocs: Option[Long] = None, urlCol: String = "url",
+      textCol: String = "text", saltParts: Int = 32): DataFrame = {
+    require(maxTokenShare > 0.0 && maxTokenShare <= 1.0,
+      s"share $maxTokenShare out of (0,1]")
+    val total = docs.select(
+      sum(size(TextAnalysis.wsTokens(coalesce(col(textCol), lit(""))))
+        .cast("long")).as("t"))
+      .collect()(0).getLong(0)
+    capPerHost(docs, maxDocs,
+      Some(math.floor(maxTokenShare * total).toLong),
+      urlCol, textCol, saltParts)
+  }
+
   /** Corpus-level n-gram document frequency, top k. Counting is DF (one
     * count per doc per distinct gram), the quantity dedup/decontamination
     * reason about. Shape at scale: map-side dedup (array_distinct) ->

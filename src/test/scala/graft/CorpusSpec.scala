@@ -229,6 +229,74 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("", 2L, 3L)), got)     // unparseable + null urls: visible, not lost
   }
 
+  test("capPerHost: both caps are prefix cuts; salted two-phase equals the single-window answer") {
+    val sp = spark
+    import sp.implicits._
+    // 3 hosts x 20 docs, token masses 1..5 cycling — both caps bind
+    // (rank cap at 10 docs, token cap at 25 cumulative tokens, whichever
+    // bites first per host)
+    val docs = (0L until 60L).map { i =>
+      (i, s"https://H${i % 3}.Example:443/p$i", // case+port: hostOf normalizes
+        Seq.fill((1 + (i % 5)).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "url", "text")
+    def run(saltParts: Int) =
+      Corpus.capPerHost(docs, maxDocs = Some(10L), maxTokens = Some(25L),
+          saltParts = saltParts)
+        .select("doc_id", "host", "n_tok", "host_rank", "host_cum_tokens")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val got = run(8)
+    // brute-force single-window reference
+    val ref = (0L until 60L).map(i => (i, s"h${i % 3}.example",
+        (1 + (i % 5)).toLong))
+      .groupBy(_._2).iterator.flatMap { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).zipWithIndex.flatMap { case ((id, h, tok), idx) =>
+          cum += tok
+          if (idx + 1 <= 10 && cum <= 25) Some((id, h, tok,
+            (idx + 1).toLong, cum)) else None
+        }
+      }.toSet
+    assert(got == ref, got.toSeq.sortBy(_._1).mkString("\n"))
+    // the salt is invisible in the answer (the superset/prefix argument)
+    assert(run(1) == got && run(32) == got)
+    // single-cap modes
+    assert(Corpus.capPerHost(docs, maxDocs = Some(10L)).count() == 30)
+    val tokenOnlyRef = (0L until 60L).map(i => (i, i % 3,
+        (1 + (i % 5)).toLong))
+      .groupBy(_._2).iterator.map { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).count { case (_, _, tok) =>
+          cum += tok; cum <= 25 }
+      }.sum
+    assert(Corpus.capPerHost(docs, maxTokens = Some(25L)).count() ==
+      tokenOnlyRef.toLong)
+    // null url (host "") and null text (0 tokens) rows are capped, not lost
+    val edge = Seq((1L, null: String, null: String),
+      (2L, "kein-url", "ein zwei")).toDF("doc_id", "url", "text")
+    val e = Corpus.capPerHost(edge, maxDocs = Some(5L), maxTokens = Some(5L))
+      .select("doc_id", "host", "n_tok", "host_cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(e == Set((1L, "", 0L, 0L), (2L, "", 2L, 2L)), e)
+  }
+
+  test("capPerHostByTokenShare: the share budget is floor(share * corpus tokens) fed to capPerHost") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 60L).map { i =>
+      (i, s"https://h${i % 3}.example/p$i",
+        Seq.fill((1 + (i % 5)).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "url", "text")
+    // corpus total = 60 + 120 = 180 tokens; share 0.1 -> 18 per host
+    val byShare = Corpus.capPerHostByTokenShare(docs, 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byBudget = Corpus.capPerHost(docs, maxTokens = Some(18L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byShare == byBudget && byShare.nonEmpty)
+  }
+
   // ---------- randomized cross-checks vs brute-force Scala ----------
 
   private def gramsOf(text: String, n: Int): Set[String] = {
