@@ -992,6 +992,46 @@ object SparkEntry {
         .toDF("facet", "url", "info")
         .orderBy(col("facet"), col("url"), col("info"))
     }),
+    // in-degree priority ACROSS the crawl-cycle boundary (q40 proves it
+    // inside one fetchSchedule call; this pins the loop wiring): two
+    // seeds both link /zz, so under priorityByInDegree with
+    // maxPerHost=2 cycle 1 must fetch {zz, aa} (top in-degree, url
+    // tie-break) and defer /ab to cycle 2 — the unranked loop would
+    // take the lexicographic {aa, ab}. The landed frontier's
+    // accumulated in_degree is frozen too (zz=2 from two edge rows)
+    "x31_crawl_priority" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val web = Seq(
+        ("https://pri.example/s0",
+          "<html><body><p>start null</p><a href=\"/zz\">z</a>" +
+            "<a href=\"/aa\">a</a><a href=\"/ab\">b</a></body></html>"),
+        ("https://pri.example/s1",
+          "<html><body><p>start eins</p><a href=\"/zz\">z</a></body></html>"),
+        ("https://pri.example/zz",
+          "<html><body><p>zet inhalt</p></body></html>"),
+        ("https://pri.example/aa",
+          "<html><body><p>a inhalt</p></body></html>"),
+        ("https://pri.example/ab",
+          "<html><body><p>b inhalt</p></body></html>"))
+        .toDF("url", "html")
+      val seeds = Seq("https://pri.example/s0", "https://pri.example/s1")
+        .toDF("url")
+      val robots = Seq(("pri.example", "User-Agent: *\n"))
+        .toDF("host", "robots_txt")
+      val cfg = graft.pipeline.CrawlLoop.CrawlConfig(
+        outDir = java.nio.file.Files.createTempDirectory("graft-x31")
+          .toString,
+        cycles = 6, maxPerHost = 2, priorityByInDegree = true)
+      graft.pipeline.CrawlLoop.run(s, web, seeds, robots, cfg)
+      val docs = graft.pipeline.CrawlLoop.readDocs(s, cfg)
+        .select(concat(lit("doc cycle="), col("cycle").cast("string"))
+          .as("facet"), col("url"))
+      val frontier = s.read.parquet(cfg.outDir + "/frontier/cycle=0")
+        .select(concat(lit("frontier0 deg="),
+          col("in_degree").cast("string")).as("facet"), col("url"))
+      docs.union(frontier).orderBy(col("facet"), col("url"))
+    }),
     // sitemap frontier seeding: robots.txt Sitemap advertisements name
     // the fixture files (urlset XML with entity-escaped locs + lastmod
     // variants, a text sitemap, a sitemapindex whose child refs must

@@ -75,7 +75,17 @@ object CrawlLoop {
       // pages, session-id loops) otherwise eats the politeness budget
       // of its host forever; trap rows never enter the fetched log, so
       // flipping the flag later reconsiders them
-      trapFilter: Boolean = true)
+      trapFilter: Boolean = true,
+      // rank the frontier by link in-degree (WebPrep.frontierRanked's
+      // OPIC-style signal): the landed frontier carries an `in_degree`
+      // column (edge-row count, accumulated across cycles — a deferred
+      // url KEEPS its count and new links add to it), and the
+      // politeness plan passes priorityCol so the per-host horizon cap
+      // keeps the most-referenced URLs instead of the
+      // lexicographically-first. Off = the plain url-ordered frontier.
+      // Like hashedUrlKeys this changes the landed frontier schema —
+      // flip it only on a FRESH outDir
+      priorityByInDegree: Boolean = false)
 
   /** Per-cycle lineage metrics (one row per completed cycle). */
   final case class CycleMetric(run_id: String, cycle: Int,
@@ -186,10 +196,28 @@ object CrawlLoop {
     * `(url, html)` — a landed WARC table via [[graft.sources.Warc]], or
     * a synthetic site in tests; `seeds` carries a `url` column;
     * `robotsTxt` is the per-host `(host, robots_txt)` frame both gates
-    * and the politeness planner read.
+    * and the politeness planner read, held STATIC for every cycle —
+    * for a multi-day crawl whose robots files may change mid-run, use
+    * the `robotsOf` overload below instead.
     */
   def run(spark: SparkSession, web: DataFrame, seeds: DataFrame,
-      robotsTxt: DataFrame, cfg: CrawlConfig): Unit = {
+      robotsTxt: DataFrame, cfg: CrawlConfig): Unit =
+    run(spark, web, seeds, cfg, robotsOf = _ => robotsTxt)
+
+  /** [[run]] with a PER-CYCLE robots seam: `robotsOf(cycle)` supplies
+    * the `(host, robots_txt)` frame each cycle reads — the same seam
+    * shape as the fetch side (`web` is the fetch seam), so a long
+    * crawl can refresh rules between cycles (RFC 9309 tells crawlers
+    * to re-fetch robots.txt at least daily; a 10^12-URL crawl spans
+    * many of those). Resume composes naturally: a resumed run calls
+    * `robotsOf` only for the cycles it actually executes, and a rule
+    * that flipped between runs simply gates the remaining cycles — the
+    * landed cycles are history. The gate is evaluated per cycle, so a
+    * url deferred by the horizon re-tests against the CURRENT rules
+    * when its cycle comes.
+    */
+  def run(spark: SparkSession, web: DataFrame, seeds: DataFrame,
+      cfg: CrawlConfig, robotsOf: Int => DataFrame): Unit = {
     import spark.implicits._
     require(cfg.cycles > 0, "cycles must be positive")
     if (cfg.hashedUrlKeys) graft.functions.GraftFunctions.register(spark)
@@ -216,12 +244,22 @@ object CrawlLoop {
     try {
     while (cycle < cfg.cycles && continue) {
       val t0 = System.nanoTime()
-      val frontier =
+      // the per-cycle rules (the static-overload caller sees one frame
+      // every cycle; a refresh seam sees its cycle's)
+      val robotsTxt = robotsOf(cycle)
+      val frontier0 =
         if (cycle == 0)
           seeds.select(graft.ops.Web.canonicalUrl(col("url")).as("url"))
             .filter(col("url").isNotNull).distinct()
         else spark.read.format(cfg.format)
           .load(s"${frontierDir(cfg)}/cycle=${cycle - 1}")
+      // under priority ranking every frontier frame carries in_degree;
+      // seeds start at 0 (nothing links them yet — they are fetched
+      // unconditionally anyway, the cap orders only what competes)
+      val frontier =
+        if (cfg.priorityByInDegree && !frontier0.columns.contains("in_degree"))
+          frontier0.withColumn("in_degree", lit(0L))
+        else frontier0
       // narrow url-only frames; gated caches so the robots-gate UDF pass
       // runs once (the count and the anti-join lineage share it).
       // frontier.count() on the landed dir is a footer-level read (empty
@@ -271,11 +309,20 @@ object CrawlLoop {
         scala.concurrent.Future { frontierIn = frontier.count() },
         scala.concurrent.Future { gatedN = gated.count() },
         scala.concurrent.Future { toFetchN = toFetch.count() }))
+      // under priority ranking the horizon cap keeps the TOP-in-degree
+      // urls of each host (fetchSchedule's priorityCol contract; the
+      // salted two-phase superset argument holds for any priority)
       val plan = WebPrep.fetchSchedule(toFetch, robotsTxt, cfg.userAgent,
-        cfg.defaultDelaySeconds, cfg.maxPerHost).select(col("url")).persist()
+        cfg.defaultDelaySeconds, cfg.maxPerHost,
+        priorityCol = if (cfg.priorityByInDegree) Some("in_degree")
+          else None).select(col("url")).persist()
       // horizon rollover: URLs the per-host cap deferred re-enter the
-      // next cycle's frontier instead of silently vanishing
-      val rollover = toFetch.select(col("url"))
+      // next cycle's frontier instead of silently vanishing — under
+      // priority ranking they KEEP their in-degree (new links to them
+      // add to it at the frontier merge below)
+      val rollover = toFetch.select(
+          (col("url") +: (if (cfg.priorityByInDegree)
+            Seq(col("in_degree")) else Nil)): _*)
         .join(plan, Seq("url"), "left_anti")
       // a web table may carry several rows per url (WARC relandings
       // refetch pages); collapse AFTER the plan join so the dedup
@@ -299,9 +346,22 @@ object CrawlLoop {
         else plan
       // frontier dedup: distinct on the url string, or the AtScale
       // shape (group on the 8-byte hash, keep min url — identical
-      // output up to the documented collision odds)
+      // output up to the documented collision odds). Under priority
+      // ranking the merge SUMS in-degree: a rolled-over url keeps its
+      // accumulated count and this cycle's fresh links add to it
       val frontierNext =
-        if (cfg.hashedUrlKeys)
+        if (cfg.priorityByInDegree) {
+          val fresh = WebPrep.frontierRankedExtracted(extracted)
+            .select(col("url"), col("in_degree"))
+            .unionByName(rollover)
+          if (cfg.hashedUrlKeys)
+            fresh.groupBy(expr("md5_long(url)"))
+              .agg(min(col("url")).as("url"),
+                sum(col("in_degree")).as("in_degree"))
+              .select(col("url"), col("in_degree"))
+          else fresh.groupBy(col("url"))
+            .agg(sum(col("in_degree")).as("in_degree"))
+        } else if (cfg.hashedUrlKeys)
           WebPrep.frontierExtracted(extracted)
             .select(col("url")).union(rollover)
             .groupBy(expr("md5_long(url)")).agg(min(col("url")).as("url"))

@@ -145,6 +145,17 @@ object WebPrep {
       .agg(count(lit(1)).as("in_degree"),
         min(col("doc_id")).as("first_seen_doc"))
 
+  /** [[frontierRanked]] over an already-extracted `extractAll` output —
+    * the RANKED twin of [[frontierExtracted]], same nofollow gate and
+    * link explosion, plus the edge-row in-degree count. This is what
+    * [[CrawlLoop]] lands per cycle under `priorityByInDegree`, so the
+    * politeness horizon keeps the most-referenced URLs first.
+    */
+  def frontierRankedExtracted(docs: DataFrame): DataFrame =
+    frontierRanked(docs.filter(!robotsForbids("nofollow"))
+      .select(col("doc_id"), explode(col("links")).as("l"))
+      .select(col("doc_id"), col("l.resolved").as("url")))
+
   /** RFC 9309 robots.txt gate for the frontier — the FETCH-side twin of
     * the meta-robots gate above (meta robots can only judge what was
     * already fetched; robots.txt must gate BEFORE fetch). `robotsTxt`

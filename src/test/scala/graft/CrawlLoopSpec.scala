@@ -210,6 +210,88 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
       minPartitions = 1).count() == 2)
   }
 
+  test("robotsOf seam: a rule flipping between cycles gates from its cycle on, resume intact") {
+    val sp = spark
+    import sp.implicits._
+    val web = Seq(
+      ("https://rs.example/start",
+        "<html><body><p>s</p><a href=\"/a\">a</a> <a href=\"/b\">b</a></body></html>"),
+      ("https://rs.example/a",
+        "<html><body><p>A-inhalt</p></body></html>"),
+      ("https://rs.example/b",
+        "<html><body><p>B-inhalt</p><a href=\"/a\">a</a></body></html>"))
+      .toDF("url", "html")
+    val seeds = Seq("https://rs.example/start").toDF("url")
+    // cycle 0 allows everything; from cycle 1 on /a is disallowed — a
+    // STATIC frame would have fetched /a in cycle 1
+    def robotsOf(c: Int) =
+      Seq(("rs.example",
+        if (c >= 1) "User-Agent: *\nDisallow: /a\n" else "User-Agent: *\n"))
+        .toDF("host", "robots_txt")
+    val cfg = freshCfg(cycles = 6)
+    CrawlLoop.run(spark, web, seeds, cfg, robotsOf _)
+    val byCycle = docsByCycle(cfg)
+    assert(byCycle(0) == Set("https://rs.example/start"))
+    assert(byCycle(1) == Set("https://rs.example/b"), byCycle)
+    // /a never fetched: the cycle-1 rules gated it, and /b's re-link in
+    // cycle 2 re-tests against cycle-2 rules (still disallowed)
+    assert(!byCycle.values.flatten.exists(_.endsWith("/a")))
+    val ms = metrics(cfg)
+    assert(ms.last._6 == "exhausted")
+    // resume: a re-run (even with rules flipped back open) is a no-op —
+    // the exhausted marker wins and landed cycles are never re-gated
+    CrawlLoop.run(spark, web, seeds, cfg.copy(cycles = 8),
+      (_: Int) => Seq(("rs.example", "User-Agent: *\n"))
+        .toDF("host", "robots_txt"))
+    assert(docsByCycle(cfg) == byCycle)
+    assert(metrics(cfg).length == ms.length)
+  }
+
+  test("priorityByInDegree: the horizon cap keeps top-in-degree urls across the cycle boundary") {
+    val sp = spark
+    import sp.implicits._
+    // two seeds both link /zz (in-degree 2); /aa and /ab get one link
+    // each — with maxPerHost=2 the ranked plan fetches {zz, aa} in
+    // cycle 1 and defers /ab; the UNRANKED plan would take {aa, ab}
+    val web = Seq(
+      ("https://pr.example/s0",
+        "<html><body><p>s0</p><a href=\"/zz\">z</a><a href=\"/aa\">a</a>" +
+          "<a href=\"/ab\">b</a></body></html>"),
+      ("https://pr.example/s1",
+        "<html><body><p>s1</p><a href=\"/zz\">z</a></body></html>"),
+      ("https://pr.example/zz", "<html><body><p>Z</p></body></html>"),
+      ("https://pr.example/aa", "<html><body><p>A</p></body></html>"),
+      ("https://pr.example/ab", "<html><body><p>B</p></body></html>"))
+      .toDF("url", "html")
+    val seeds = Seq("https://pr.example/s0", "https://pr.example/s1")
+      .toDF("url")
+    val robots = Seq(("pr.example", "User-Agent: *\n"))
+      .toDF("host", "robots_txt")
+    def crawl(ranked: Boolean, hashed: Boolean) = {
+      val cfg = freshCfg(cycles = 6).copy(maxPerHost = 2,
+        priorityByInDegree = ranked, hashedUrlKeys = hashed)
+      CrawlLoop.run(spark, web, seeds, robots, cfg)
+      (docsByCycle(cfg), cfg)
+    }
+    val (ranked, rankedCfg) = crawl(ranked = true, hashed = false)
+    assert(ranked(1) == Set("https://pr.example/zz",
+      "https://pr.example/aa"), ranked)
+    assert(ranked(2) == Set("https://pr.example/ab"), ranked)
+    // the landed frontier carries the accumulated in-degree
+    val deg = spark.read.parquet(rankedCfg.outDir + "/frontier/cycle=0")
+      .collect().map(r => (r.getAs[String]("url"), r.getAs[Long]("in_degree")))
+      .toMap
+    assert(deg("https://pr.example/zz") == 2L &&
+      deg("https://pr.example/aa") == 1L, deg)
+    // unranked baseline takes the lexicographic pair — the differential
+    val (plain, _) = crawl(ranked = false, hashed = false)
+    assert(plain(1) == Set("https://pr.example/aa",
+      "https://pr.example/ab"), plain)
+    // hashedUrlKeys composes: identical corpus and layering
+    val (hashed, _) = crawl(ranked = true, hashed = true)
+    assert(hashed == ranked, hashed)
+  }
+
   test("crash-retry: a dangling fetched log from a crashed cycle cannot fake exhaustion") {
     val (web, seeds, robots) = siteFrames()
     val cfg = freshCfg(cycles = 1)
