@@ -408,7 +408,11 @@ object Bench {
       spark.read.parquet(tmp).selectExpr("count(distinct s)", "sum(id)").collect()
     }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // contract-quadratic queries LAST + a GC settle per wall — the
+    // committed per-query numbers must not need quiet-window re-measure
+    // folklore (see BenchSurface)
+    BenchSurface.ordered.foreach { case (name, fn) =>
+      BenchSurface.settle()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch {

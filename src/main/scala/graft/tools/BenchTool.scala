@@ -502,7 +502,9 @@ object BenchTool {
       spark.read.parquet(tmp).selectExpr("count(distinct s)", "sum(id)").collect()
     }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // same self-honest discipline as graft.Bench: heavy-last + settle
+    graft.BenchSurface.ordered.foreach { case (name, fn) =>
+      graft.BenchSurface.settle()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch {
