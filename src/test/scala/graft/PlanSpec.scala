@@ -191,6 +191,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!hashEx.exists(_.contains("url")), hashEx)
   }
 
+  test("capPerHost: exactly the two window Exchanges (salted phase, host phase), keyed on host, never the text") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1 to 100)
+      .map(i => (i.toLong, s"https://h${i % 7}.example/p$i", s"wort $i"))
+      .toDF("doc_id", "url", "text")
+    val p = plan(graft.ops.Corpus.capPerHost(docs,
+      maxDocs = Some(5L), maxTokens = Some(50L)))
+    // the two-phase top-k shape: phase 1 partitions on (host, salt),
+    // phase 2 on host alone — nothing else repartitions, and neither
+    // shuffle keys on the text column (the rows it carries are narrow
+    // by projection, the keys must be the derived host)
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9#, ]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toVector
+    assert(hashEx.length == 2, p)
+    assert(hashEx.forall(_.contains("host")), hashEx)
+    assert(hashEx.count(_.contains("graft_salt")) == 1, hashEx)
+    assert(!hashEx.exists(_.contains("text")), hashEx)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("expandSitemapIndex: child gate broadcast; only the tiny child-dedup and host-collapse shuffle") {
     val sp = spark
     import sp.implicits._
