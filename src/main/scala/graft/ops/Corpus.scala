@@ -474,7 +474,10 @@ object Corpus {
     * counts 0 tokens (the [[hostSummary]] conventions).
     *
     * Output: the input columns plus `host`, `n_tok`, `host_rank`,
-    * `host_cum_tokens` (the audit columns curation reviews want).
+    * `host_cum_tokens` (the audit columns curation reviews want) —
+    * pre-existing columns of those names are OVERWRITTEN (the
+    * [[stratifiedSample]] convention); rename upstream if the input
+    * uses them.
     *
     * Scale shape — the reason this is not one naive window: a window
     * partitioned on host alone puts one viral host's every document in
