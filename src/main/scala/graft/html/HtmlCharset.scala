@@ -214,12 +214,15 @@ object HtmlCharset {
           }
         }
         // resolve HERE and keep scanning on failure (the spec's
-        // continue-on-failed-get-an-encoding behavior)
-        if (charsetAttr != null && charsetAttr.nonEmpty) {
+        // continue-on-failed-get-an-encoding behavior). A charset
+        // ATTRIBUTE — even an unresolvable or empty one — claims the
+        // whole tag: the spec's prescan never falls through to the
+        // same tag's http-equiv/content declaration, it abandons the
+        // tag and continues to the NEXT one
+        if (charsetAttr != null) {
           val enc = resolveLabel(charsetAttr, inMeta = true)
           if (enc.isDefined) return enc
-        }
-        if (httpEquiv != null && content != null &&
+        } else if (httpEquiv != null && content != null &&
             httpEquiv.equalsIgnoreCase("content-type")) {
           val m = CtCharset.matcher(content)
           if (m.find()) {

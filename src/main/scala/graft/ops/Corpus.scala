@@ -481,20 +481,35 @@ object Corpus {
     *
     * Scale shape — the reason this is not one naive window: a window
     * partitioned on host alone puts one viral host's every document in
-    * ONE task. Instead the [[graft.pipeline.WebPrep.fetchSchedule]]
-    * two-phase top-k: phase 1 ranks within (host, hash-salt of
-    * `saltParts` buckets) under the SAME doc_id order and applies both
-    * caps per bucket — a bucket's rank/cumsum never exceeds the
-    * host-global one (bucket rows are a subset, tokens are
-    * non-negative), so every globally-kept row survives phase 1, and
-    * because the global kept set is a PREFIX of the host's doc_id
-    * order, phase 2's exact window over the survivors sees every row
-    * below any global keeper and reproduces the global rank/cumsum
-    * bit-for-bit. Phase 2's per-host partition is bounded by
-    * `saltParts * maxDocs` rows when `maxDocs` is set (and by the
-    * token budget when only `maxTokens` is — zero-token docs are the
-    * one unbounded case, and they cost the budget nothing by
-    * definition; set `maxDocs` too when capping hostile hosts).
+    * ONE task. Instead a salted two-phase cut with a DROP-POINT fence:
+    * phase 1 ranks within (host, hash-salt of `saltParts` buckets)
+    * under the SAME doc_id order and applies both caps per bucket,
+    * passing each bucket's FIRST dropped row through as a zero-weight
+    * MARKER (drops form a bucket suffix, so lag() finds the
+    * transition in the same window pass). Phase 2's exact window over
+    * the survivors then additionally cuts every row at or beyond the
+    * host's smallest marker — the first drop point — computed as a
+    * whole-partition min over the same host partitioning (no extra
+    * exchange, no second evaluation of phase 1, ≤ `saltParts` marker
+    * rows per host). Soundness: (a) a phase-1-dropped
+    * row d exceeded a cap within its bucket, and bucket rank/cumsum
+    * never exceeds the host-global one (bucket rows are a subset,
+    * tokens non-negative), so d is globally cut — and the global kept
+    * set is a PREFIX of doc_id order, so EVERY row after d is globally
+    * cut too: the fence drops only rows the single-window answer
+    * drops; (b) every row before the fence survived phase 1, so phase
+    * 2's rank/cumsum are computed over ALL rows below the fence —
+    * exact — and rows at/after the fence are gone regardless of their
+    * (otherwise underestimated) phase-2 cumsum. Without the fence a
+    * salt bucket could swallow a mid-host row's token mass and let a
+    * later small row sneak under the budget — the classic partial-
+    * prefix-sum trap. CorpusSpec cross-checks randomized corpora
+    * against a brute-force single-window reference across salt counts.
+    * Phase 2's per-host partition is bounded by `saltParts * maxDocs`
+    * rows when `maxDocs` is set (and by the token budget when only
+    * `maxTokens` is — zero-token docs are the one unbounded case, and
+    * they cost the budget nothing by definition; set `maxDocs` too
+    * when capping hostile hosts).
     */
   def capPerHost(docs: DataFrame, maxDocs: Option[Long] = None,
       maxTokens: Option[Long] = None, urlCol: String = "url",
@@ -515,20 +530,41 @@ object Corpus {
         maxTokens.map(m => cum <= m).getOrElse(lit(true))
     val w1 = Window
       .partitionBy(col("host"), col("graft_salt")).orderBy(col("doc_id"))
-    val phase1 = base
+    // phase 1 in ONE window pass: keep-decision per bucket, plus a
+    // MARKER on each bucket's first dropped row (drops form a bucket
+    // SUFFIX — rank and cumsum are monotone — so the first drop is the
+    // keep->drop transition lag() sees). The markers carry the fence
+    // downstream without a second evaluation of this subtree.
+    val marked = base
       .withColumn("graft_salt",
         pmod(xxhash64(col("doc_id")), lit(saltParts.toLong)))
       .withColumn("graft_r1", row_number().over(w1).cast("long"))
       .withColumn("graft_c1", sum(col("n_tok")).over(
         w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(cut(col("graft_r1"), col("graft_c1")))
-      .drop("graft_salt", "graft_r1", "graft_c1")
+      .withColumn("graft_keep1", cut(col("graft_r1"), col("graft_c1")))
+      .withColumn("graft_marker", !col("graft_keep1") &&
+        coalesce(lag(col("graft_keep1"), 1).over(w1), lit(true)))
+      .filter(col("graft_keep1") || col("graft_marker"))
+      .drop("graft_salt", "graft_r1", "graft_c1", "graft_keep1")
+    // phase 2: the fence = the host's smallest marker doc_id (a
+    // whole-partition min over the SAME host partitioning — no extra
+    // exchange); rank/cumsum count only real rows (markers add 0), so
+    // below the fence they equal the single-window values exactly
     val w2 = Window.partitionBy(col("host")).orderBy(col("doc_id"))
-    phase1
-      .withColumn("host_rank", row_number().over(w2).cast("long"))
-      .withColumn("host_cum_tokens", sum(col("n_tok")).over(
-        w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(cut(col("host_rank"), col("host_cum_tokens")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wHost = Window.partitionBy(col("host"))
+    marked
+      .withColumn("graft_fence",
+        min(when(col("graft_marker"), col("doc_id"))).over(wHost))
+      .withColumn("host_rank",
+        sum(when(col("graft_marker"), lit(0L)).otherwise(lit(1L))).over(w2))
+      .withColumn("host_cum_tokens",
+        sum(when(col("graft_marker"), lit(0L)).otherwise(col("n_tok")))
+          .over(w2))
+      .filter(!col("graft_marker") &&
+        (col("graft_fence").isNull || col("doc_id") < col("graft_fence")) &&
+        cut(col("host_rank"), col("host_cum_tokens")))
+      .drop("graft_marker", "graft_fence")
   }
 
   /** [[capPerHost]] with the budget given as a SHARE of the corpus
@@ -544,9 +580,11 @@ object Corpus {
       textCol: String = "text", saltParts: Int = 32): DataFrame = {
     require(maxTokenShare > 0.0 && maxTokenShare <= 1.0,
       s"share $maxTokenShare out of (0,1]")
+    // coalesce: sum() over zero rows is SQL NULL — an empty (or
+    // fully-pre-filtered) corpus must yield an empty result, not an NPE
     val total = docs.select(
-      sum(size(TextAnalysis.wsTokens(coalesce(col(textCol), lit(""))))
-        .cast("long")).as("t"))
+      coalesce(sum(size(TextAnalysis.wsTokens(coalesce(col(textCol),
+        lit("")))).cast("long")), lit(0L)).as("t"))
       .collect()(0).getLong(0)
     capPerHost(docs, maxDocs,
       Some(math.floor(maxTokenShare * total).toLong),

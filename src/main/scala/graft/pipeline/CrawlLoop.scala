@@ -212,9 +212,13 @@ object CrawlLoop {
     * many of those). Resume composes naturally: a resumed run calls
     * `robotsOf` only for the cycles it actually executes, and a rule
     * that flipped between runs simply gates the remaining cycles — the
-    * landed cycles are history. The gate is evaluated per cycle, so a
-    * url deferred by the horizon re-tests against the CURRENT rules
-    * when its cycle comes.
+    * landed cycles are history. The gate is evaluated per cycle, and
+    * BOTH deferral classes re-test against the current rules when
+    * their cycle comes: horizon-deferred urls roll over through the
+    * plan diff, and robots-BLOCKED urls roll over un-fetched (see the
+    * `blocked` note in the loop) — so a temporarily-disallowed path
+    * is fetched once a later cycle's rules reopen it, instead of
+    * being silently evicted.
     */
   def run(spark: SparkSession, web: DataFrame, seeds: DataFrame,
       cfg: CrawlConfig, robotsOf: Int => DataFrame): Unit = {
@@ -320,10 +324,22 @@ object CrawlLoop {
       // next cycle's frontier instead of silently vanishing — under
       // priority ranking they KEEP their in-degree (new links to them
       // add to it at the frontier merge below)
-      val rollover = toFetch.select(
-          (col("url") +: (if (cfg.priorityByInDegree)
-            Seq(col("in_degree")) else Nil)): _*)
+      val keepCols = col("url") +: (if (cfg.priorityByInDegree)
+        Seq(col("in_degree")) else Nil)
+      val horizonRollover = toFetch.select(keepCols: _*)
         .join(plan, Seq("url"), "left_anti")
+      // robots-BLOCKED urls roll over too, un-fetched: under the
+      // per-cycle robotsOf seam a rule may reopen later, and the
+      // re-test must run against THAT cycle's rules — evicting gated
+      // rows would make the refresh seam vacuous for exactly the urls
+      // it exists to reconsider. A permanently-blocked set circulates
+      // as narrow url rows only; it never enters to_fetch, the plan,
+      // or the fetched log, and a crawl still exhausts on to_fetch=0
+      // (the blocked residue stays visible in the final frontier dir)
+      val blocked = trapFree.select(keepCols: _*)
+        .filter(col("url").isNotNull)
+        .join(gated.select(col("url")), Seq("url"), "left_anti")
+      val rollover = horizonRollover.unionByName(blocked)
       // a web table may carry several rows per url (WARC relandings
       // refetch pages); collapse AFTER the plan join so the dedup
       // shuffle moves only this cycle's bounded fetch set, with a

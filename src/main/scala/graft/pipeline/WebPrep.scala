@@ -337,16 +337,16 @@ object WebPrep {
     * deduplicated narrow url rows; the fetch+parse runs map-only on the
     * executors, memory bounded by the 50 MB spec cap.
     *
-    * The fetched child rows are `persist()`ed before the union: the
-    * fetch runs inside a transformation, so WITHOUT the cache every
-    * action over the returned frame would re-fetch every child sitemap
-    * (duplicate traffic against hosts the politeness machinery
-    * elsewhere rations) and re-increment `failedAcc`. The caller owns
-    * the cache's lifecycle (land or `unpersist()` when done). Residual
-    * caveat, as for any side-effecting task: a task RETRY or
-    * speculative twin during the first materialization can still fetch
-    * a child twice — exactly-once belongs to a landed table, not a
-    * cache.
+    * The RETURNED frame is `persist()`ed: the fetch runs inside a
+    * transformation, so WITHOUT the cache every action over the result
+    * would re-fetch every child sitemap (duplicate traffic against
+    * hosts the politeness machinery elsewhere rations) and
+    * re-increment `failedAcc`. The caller owns the cache's lifecycle —
+    * call `unpersist()` on the returned frame (it is the cached one)
+    * or land it. Residual caveat, as for any side-effecting task: a
+    * task RETRY or speculative twin during the first materialization
+    * can still fetch a child twice — exactly-once belongs to a landed
+    * table, not a cache.
     */
   def expandSitemapIndex(entries: DataFrame, fetch: String => Array[Byte],
       robotsTxt: Option[DataFrame] = None, userAgent: String = "*",
@@ -378,13 +378,16 @@ object WebPrep {
         }
       })
       .toDF("sitemap", "kind", "loc", "lastmod", "changefreq", "priority")
-      // one fetch per child per call, not per downstream action
-      .persist()
     entries.select("sitemap", "kind", "loc", "lastmod", "changefreq",
         "priority")
       // the expanded references are consumed; page rows + nested refs remain
       .filter(col("kind") =!= "sitemap")
       .unionByName(childEntries)
+      // one fetch per child per call, not per downstream action — the
+      // cache sits on the RETURNED frame so the caller's unpersist()
+      // actually releases it (a persist on the internal child frame
+      // would be unreachable from outside and leak per call)
+      .persist()
   }
 
   /** The composed index-aware seed feed the [[graft.sources.Sitemap]]
@@ -441,34 +444,64 @@ object WebPrep {
   }
 
   /** Conditional-refetch validators onto a fetch plan: left-join the
-    * plan's urls with the LATEST capture's HTTP validators from a
+    * plan's urls with the stored HTTP validators from a
     * responses/landing frame ([[graft.sources.Warc.responses]] rows —
     * `etag` / `last_modified`, "" when the server sent none), so the
     * fetch seam can issue `If-None-Match` / `If-Modified-Since`
-    * requests and a 304 costs headers, not a page. Latest capture =
-    * max fetch_ts (W3C strings in one UTC form order chronologically;
-    * the [[frontierStale]] caveat applies); never-fetched urls keep
+    * requests and a 304 costs headers, not a page.
+    *
+    * "Stored" follows the HTTP caching model, which matters now that
+    * [[graft.sources.Warc.responses]] surfaces 304 captures: the
+    * latest FULL capture (status != 304) replaces the stored
+    * validators wholesale (RFC 9111 storage replacement — max
+    * fetch_ts; W3C strings in one UTC form order chronologically, the
+    * [[frontierStale]] caveat applies), and a NEWER 304 then updates
+    * ONLY the fields it actually resent (RFC 9110 §15.4.5) — a bare
+    * 304 must never wipe the stored ETag/Last-Modified, or every
+    * subsequent fetch silently degrades to unconditional, the exact
+    * cost this operator exists to avoid. Frames without a `statusCol`
+    * column (plain fetch logs) treat every row as a full capture —
+    * the original latest-capture behavior. Never-fetched urls keep
     * null validators (an unconditional first fetch). Scale shape: the
     * validator side reduces to one NARROW row per canonical url
-    * (map-side-combinable max) before the AQE broadcast-or-SMJ join on
-    * the uniform url key.
+    * (map-side-combinable max aggregates) before the AQE
+    * broadcast-or-SMJ join on the uniform url key.
     */
   def planWithValidators(plan: DataFrame, fetched: DataFrame,
       urlCol: String = "url", fetchedUrlCol: String = "url",
       fetchedTsCol: String = "fetch_ts", etagCol: String = "etag",
-      lastModifiedCol: String = "last_modified"): DataFrame = {
-    val latest = fetched
+      lastModifiedCol: String = "last_modified",
+      statusCol: String = "http_status"): DataFrame = {
+    val hasStatus = statusCol != null && fetched.columns.contains(statusCol)
+    val rows = fetched
       .select(Web.canonicalUrl(col(fetchedUrlCol)).as(urlCol),
         col(fetchedTsCol).cast("string").as("graft_ts"),
         col(etagCol).cast("string").as("graft_etag"),
-        col(lastModifiedCol).cast("string").as("graft_lm"))
+        col(lastModifiedCol).cast("string").as("graft_lm"),
+        (if (hasStatus) col(statusCol) === 304 else lit(false))
+          .as("graft_reval"))
       .filter(col(urlCol).isNotNull)
-      .groupBy(col(urlCol))
-      .agg(max(struct(col("graft_ts"), col("graft_etag"), col("graft_lm")))
-        .as("graft_m"))
-      .select(col(urlCol), col("graft_m.graft_etag").as("etag"),
-        col("graft_m.graft_lm").as("last_modified"))
-    plan.join(latest, Seq(urlCol), "left")
+    val latest = rows.groupBy(col(urlCol)).agg(
+      max(when(!col("graft_reval"),
+        struct(col("graft_ts"), col("graft_etag"), col("graft_lm"))))
+        .as("graft_full"),
+      max(when(col("graft_reval") && col("graft_etag") =!= "",
+        struct(col("graft_ts"), col("graft_etag")))).as("graft_e304"),
+      max(when(col("graft_reval") && col("graft_lm") =!= "",
+        struct(col("graft_ts"), col("graft_lm")))).as("graft_l304"))
+    def merged(reval: Column, revalTs: Column, revalV: Column,
+        fullV: Column): Column =
+      when(reval.isNotNull &&
+        (col("graft_full").isNull || revalTs > col("graft_full.graft_ts")),
+        revalV).otherwise(fullV)
+    plan.join(latest.select(col(urlCol),
+        merged(col("graft_e304"), col("graft_e304.graft_ts"),
+          col("graft_e304.graft_etag"), col("graft_full.graft_etag"))
+          .as("etag"),
+        merged(col("graft_l304"), col("graft_l304.graft_ts"),
+          col("graft_l304.graft_lm"), col("graft_full.graft_lm"))
+          .as("last_modified")),
+      Seq(urlCol), "left")
   }
 
   /** The frontier diff the scaladoc of [[frontier]] promises: frontier

@@ -168,9 +168,13 @@ object Warc {
       while (more) {
         val sizeTok = line().takeWhile(c => c != ';' && !c.isWhitespace)
         // a non-hex size line is DAMAGE, not truncation (NumberFormat
-        // propagates); parseLong(_, 16) can't return a negative for any
-        // input it accepts, so no sign guard is needed
+        // propagates). parseLong accepts a leading '-' sign, which RFC
+        // 9112 chunk-size grammar does not — reject it EXPLICITLY
+        // (malformed, never tolerated) rather than relying on the
+        // downstream array-bounds check to happen to throw
         val size = java.lang.Long.parseLong(sizeTok, 16)
+        if (size < 0)
+          throw new NumberFormatException(s"negative chunk size '$sizeTok'")
         if (size > b.length - i) {
           // the declared chunk extends past the cut: keep the partial
           // final chunk's available bytes, then report truncation

@@ -282,6 +282,68 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e == Set((1L, "", 0L, 0L), (2L, "", 2L, 2L)), e)
   }
 
+  test("capPerHost drop-point fence: a salt bucket swallowing a mid-host row's tokens cannot sneak a later row under the budget") {
+    val sp = spark
+    import sp.implicits._
+    // construct the adversarial shape deliberately: ids a < b < c with
+    // salt(a) == salt(b) != salt(c) (salt = pmod(xxhash64(id), 4)),
+    // tokens 6, 10, 4, cap 15. Single-window truth: cum 6, 16, 20 ->
+    // keep only a. An unfenced two-phase would drop b in its bucket
+    // (cum 16 > 15) and then see c's cumsum as 6 + 4 = 10 <= 15 —
+    // wrongly keeping c with a wrong audit value.
+    val salts = (0L until 200L).toDF("doc_id")
+      .select(col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(4L)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = (0L until 200L).toSeq
+    val triple = (for {
+      a <- ids; b <- ids if b > a && salts(b) == salts(a)
+      c <- ids if c > b && salts(c) != salts(a)
+    } yield (a, b, c)).head
+    val (a, b, c) = triple
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (a, "https://fence.example/x", words(6)),
+      (b, "https://fence.example/y", words(10)),
+      (c, "https://fence.example/z", words(4)))
+      .toDF("doc_id", "url", "text")
+    val kept = Corpus.capPerHost(docs, maxTokens = Some(15L), saltParts = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(a), s"triple=$triple kept=$kept")
+  }
+
+  test("capPerHost randomized: salted two-phase == brute-force single window, zeros and all salt counts") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(20260818L)
+    val toks = (0L until 300L).map(i => i -> rng.nextInt(51)).toMap
+    val docs = (0L until 300L).map { i =>
+      (i, s"https://h${i % 5}.example/p$i",
+        Seq.fill(toks(i))("w").mkString(" "))
+    }.toDF("doc_id", "url", "text")
+    // both caps are prefix cuts: rank and cumsum are monotone, so
+    // keep-iff-both-hold IS the single-window answer
+    def ref(maxDocs: Option[Long], maxTokens: Option[Long]) =
+      (0L until 300L).map(i => (i, i % 5, toks(i).toLong))
+        .groupBy(_._2).iterator.flatMap { case (_, rows) =>
+          var cum = 0L
+          rows.sortBy(_._1).zipWithIndex.flatMap { case ((id, _, t), idx) =>
+            cum += t
+            if (maxDocs.forall(idx + 1 <= _) && maxTokens.forall(cum <= _))
+              Some(id)
+            else None
+          }
+        }.toSet
+    for ((md, mt) <- Seq((Some(8L), Some(120L)), (None, Some(120L)),
+        (Some(8L), None)); parts <- Seq(1, 4, 32)) {
+      val got = Corpus.capPerHost(docs, md, mt, saltParts = parts)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == ref(md, mt), s"md=$md mt=$mt parts=$parts " +
+        s"extra=${(got -- ref(md, mt)).toSeq.sorted.take(5)} " +
+        s"missing=${(ref(md, mt) -- got).toSeq.sorted.take(5)}")
+    }
+  }
+
   test("capPerHostByTokenShare: the share budget is floor(share * corpus tokens) fed to capPerHost") {
     val sp = spark
     import sp.implicits._
@@ -295,6 +357,11 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byBudget = Corpus.capPerHost(docs, maxTokens = Some(18L))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(byShare == byBudget && byShare.nonEmpty)
+    // an empty corpus is a benign empty result, not an NPE from the
+    // null SQL sum
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "url", "text")
+    assert(Corpus.capPerHostByTokenShare(empty, 0.5).count() == 0)
   }
 
   // ---------- randomized cross-checks vs brute-force Scala ----------

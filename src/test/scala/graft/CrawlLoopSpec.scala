@@ -245,6 +245,19 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
         .toDF("host", "robots_txt"))
     assert(docsByCycle(cfg) == byCycle)
     assert(metrics(cfg).length == ms.length)
+    // a TEMPORARY block: /a disallowed ONLY in cycle 1, reopened from
+    // cycle 2 — the blocked url must roll over un-fetched and pass the
+    // reopened gate when its cycle comes (eviction would make the
+    // per-cycle seam vacuous for exactly these urls)
+    def tempBlock(c: Int) =
+      Seq(("rs.example",
+        if (c == 1) "User-Agent: *\nDisallow: /a\n" else "User-Agent: *\n"))
+        .toDF("host", "robots_txt")
+    val cfg2 = freshCfg(cycles = 6)
+    CrawlLoop.run(spark, web, seeds, cfg2, tempBlock _)
+    val byCycle2 = docsByCycle(cfg2)
+    assert(byCycle2(1) == Set("https://rs.example/b"), byCycle2)
+    assert(byCycle2(2) == Set("https://rs.example/a"), byCycle2)
   }
 
   test("priorityByInDegree: the horizon cap keeps top-in-degree urls across the cycle boundary") {
@@ -290,6 +303,49 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
     // hashedUrlKeys composes: identical corpus and layering
     val (hashed, _) = crawl(ranked = true, hashed = true)
     assert(hashed == ranked, hashed)
+  }
+
+  test("planWithValidators: a bare 304 refreshes nothing it did not resend; a full capture replaces wholesale") {
+    val sp = spark
+    import sp.implicits._
+    val fetched = Seq(
+      // 200 with both validators, then a NEWER bare 304 (the common
+      // real-server shape) — the stored validators must survive
+      ("https://v.example/bare", "2026-01-01T00:00:00Z", "\"v1\"",
+        "Mon, 05 Jan 2026 00:00:00 GMT", 200),
+      ("https://v.example/bare", "2026-03-01T00:00:00Z", "", "", 304),
+      // 200 then a newer 304 that RESENT only an etag: etag updates,
+      // last_modified keeps the stored value
+      ("https://v.example/etag", "2026-01-01T00:00:00Z", "\"e1\"",
+        "Mon, 05 Jan 2026 00:00:00 GMT", 200),
+      ("https://v.example/etag", "2026-03-01T00:00:00Z", "\"e2\"", "", 304),
+      // two FULL captures: the newer replaces wholesale, even where it
+      // sent no validator (RFC 9111 storage replacement)
+      ("https://v.example/repl", "2026-01-01T00:00:00Z", "\"r1\"",
+        "Mon, 05 Jan 2026 00:00:00 GMT", 200),
+      ("https://v.example/repl", "2026-02-01T00:00:00Z", "\"r2\"", "", 200),
+      // 304-only url (truncated log): its resent values are all we have
+      ("https://v.example/only304", "2026-03-01T00:00:00Z", "\"o1\"", "", 304))
+      .toDF("url", "fetch_ts", "etag", "last_modified", "http_status")
+    val plan = Seq("https://v.example/bare", "https://v.example/etag",
+      "https://v.example/repl", "https://v.example/only304",
+      "https://v.example/neu").toDF("url")
+    val got = graft.pipeline.WebPrep.planWithValidators(plan, fetched)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[String]("etag"), r.getAs[String]("last_modified"))).toMap
+    assert(got("https://v.example/bare") ==
+      ("\"v1\"", "Mon, 05 Jan 2026 00:00:00 GMT"), got)
+    assert(got("https://v.example/etag") ==
+      ("\"e2\"", "Mon, 05 Jan 2026 00:00:00 GMT"), got)
+    assert(got("https://v.example/repl") == ("\"r2\"", ""), got)
+    assert(got("https://v.example/only304") == ("\"o1\"", null), got)
+    assert(got("https://v.example/neu") == (null, null), got)
+    // a status-less frame (plain fetch log) keeps the original
+    // latest-capture-wholesale behavior
+    val plain = fetched.drop("http_status")
+    val got2 = graft.pipeline.WebPrep.planWithValidators(plan, plain)
+      .collect().map(r => r.getString(0) -> r.getAs[String]("etag")).toMap
+    assert(got2("https://v.example/bare") == "", got2) // newest row wins
   }
 
   test("crash-retry: a dangling fetched log from a crashed cycle cannot fake exhaustion") {

@@ -587,6 +587,21 @@ class HtmlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val onlyBroken = ("<head><meta charset=utf-8/><body>")
       .getBytes("US-ASCII") ++ eAcute
     assert(HtmlCharset.decodeWithCharset(onlyBroken, null)._2 == "utf-8")
+    // a charset ATTRIBUTE claims the whole tag (spec prescan): an
+    // unresolvable one must NOT fall through to the SAME tag's
+    // http-equiv/content declaration — the scan abandons the tag
+    val sameTag = ("<head><meta charset=bogus-enc " +
+      "http-equiv=content-type " +
+      "content=\"text/html; charset=windows-1252\"><body>")
+      .getBytes("US-ASCII") ++ eAcute
+    assert(HtmlCharset.decodeWithCharset(sameTag, null)._2 == "utf-8")
+    // ...while the same pragma on the NEXT tag is still honored
+    val nextTag = ("<head><meta charset=bogus-enc>" +
+      "<meta http-equiv=content-type " +
+      "content=\"text/html; charset=windows-1252\"><body>")
+      .getBytes("US-ASCII") ++ eAcute
+    assert(HtmlCharset.decodeWithCharset(nextTag, null)._2 ==
+      "windows-1252")
   }
 
   test("byte-level ingest: mixed-encoding corpus extracts identically to the string path") {

@@ -200,7 +200,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan(graft.ops.Corpus.capPerHost(docs,
       maxDocs = Some(5L), maxTokens = Some(50L)))
     // the two-phase top-k shape: phase 1 partitions on (host, salt),
-    // phase 2 on host alone — nothing else repartitions, and neither
+    // phase 2 on host alone — nothing else repartitions (the
+    // drop-point fence rides the SAME host partition as zero-weight
+    // marker rows, no join, no second phase-1 subtree), and neither
     // shuffle keys on the text column (the rows it carries are narrow
     // by projection, the keys must be the derived host)
     val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9#, ]+)".r
@@ -209,7 +211,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashEx.forall(_.contains("host")), hashEx)
     assert(hashEx.count(_.contains("graft_salt")) == 1, hashEx)
     assert(!hashEx.exists(_.contains("text")), hashEx)
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
   test("expandSitemapIndex: child gate broadcast; only the tiny child-dedup and host-collapse shuffle") {
