@@ -5,7 +5,7 @@ import graft.fixtures.Fixtures
 import graft.model._
 import graft.ops.{Corpus, Dedup, Multimodal, Pii, SemDedup, Similarity, SubstringDedup, TextAnalysis, Web}
 import graft.reflow.ExtractConfig
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -486,6 +486,93 @@ object SparkEntry {
           lit("\n--")).as("text"))
       Corpus.dedupParagraphsGlobalAtScale(planted, minChars = 10)
         .orderBy(col("doc_id"))
+    }),
+    // multi-hop redirect resolution by pointer doubling, maxHops=4 so
+    // the cap BITES: 50 chain families n0->n1->...->n7 (terminal), so
+    // sources n0/n1/n2 sit 7/6/5 hops out (unresolved), n3 exactly 4
+    // (resolved at the cap), n4..n6 inside it; every 5th family plants
+    // an n8<->n9 two-cycle, the next a n8 self-loop (both unresolved,
+    // no cycle detection needed — a cycle never reaches a terminal);
+    // conflicting (n0->n5 vs n0->n1) and exact-duplicate edges exercise
+    // the min(dst) functionalization. The oracle re-derives the walk
+    // with a RECURSIVE CTE capped at the same hop budget
+    "q45_redirect_chains" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val g = floor(col("doc_id") / 10).cast("long").cast("string")
+      val i = pmod(col("doc_id"), lit(10))
+      val g5 = pmod(floor(col("doc_id") / 10).cast("long"), lit(5))
+      def node(n: Column) =
+        concat(lit("https://r.example/g"), g, lit("/n"), n.cast("string"))
+      val src = when(i <= 6, node(i))
+        .when(i === 7 && (g5 === 0 || g5 === 1), node(lit(8)))
+        .when(i === 7, node(lit(0)))
+        .when(i === 8 && g5 === 0, node(lit(9)))
+        .when(i === 8, node(lit(3)))
+        .otherwise(node(lit(0)))
+      val dst = when(i <= 6, node(i + 1))
+        .when(i === 7 && g5 === 0, node(lit(9)))
+        .when(i === 7 && g5 === 1, node(lit(8)))
+        .when(i === 7, node(lit(5)))
+        .when(i === 8 && g5 === 0, node(lit(8)))
+        .when(i === 8, node(lit(4)))
+        .otherwise(node(lit(1)))
+      graft.ops.LinkGraph.resolveRedirectChains(
+          d.select(src.as("url"), dst.as("redirect_url")), maxHops = 4)
+        .orderBy(col("url"))
+    }),
+    // per-target anchor-text aggregation: 7 targets fetched under two
+    // URL spellings (HTTP://...Example:80 vs canonical https) that must
+    // merge, anchors from a 4-way class split incl. a NULL class (counts
+    // as ""); the oracle re-derives the per-(url,anchor) counts, the
+    // roll-up and the (count desc, anchor asc) top pick with a window
+    "q46_anchor_agg" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val t = pmod(col("doc_id"), lit(7)).cast("string")
+      val target = when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("HTTP://Anchor.Example:80/p"), t))
+        .otherwise(concat(lit("https://anchor.example/p"), t))
+      val m5 = pmod(col("doc_id"), lit(5))
+      val anchor = when(m5 < 2, lit("click here"))
+        .when(m5 === 2, lit("mehr lesen"))
+        .when(m5 === 3, lit(null).cast("string"))
+        .otherwise(concat(lit("Seite "), t))
+      graft.ops.LinkGraph.anchorTextAgg(
+          d.select(target.as("url"), anchor.as("anchor")))
+        .orderBy(col("url"))
+    }),
+    // 3-iteration PageRank over a 16-node graph (p0..p12 -> p0..p4 ->
+    // q0..q2) whose q-sinks are DANGLING — the mass-redistribution term
+    // is differential, not decorative; duplicate edges (every doc_id
+    // maps onto one of 80 distinct edges) exercise the edge dedup. The
+    // oracle unrolls the identical recurrence three times in SQL; both
+    // sides round to 6dp (double sums agree far below that)
+    "q47_pagerank" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      def p(m: Int) = concat(lit("https://pr.example/p"),
+        pmod(col("doc_id"), lit(m)).cast("string"))
+      def qn(m: Int) = concat(lit("https://pr.example/q"),
+        pmod(col("doc_id"), lit(m)).cast("string"))
+      val e1 = d.select(p(13).as("url"), p(5).as("dst_url"))
+      val e2 = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(p(5).as("url"), qn(3).as("dst_url"))
+      graft.ops.LinkGraph.pageRank(e1.unionByName(e2), iterations = 3)
+        .select(col("url"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("url"))
+    }),
+    // Bloom-prefiltered frontier diff: 500 frontier urls vs a fetch log
+    // of the %3!=0 share under a variant spelling the canonical chain
+    // must collapse; fpp=0.05 so false positives actually route rows
+    // through the settle join — the result must still be EXACTLY the
+    // unseen set, which the oracle states directly
+    "q48_frontier_bloom" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val frontier = d.select(concat(lit("https://b.example/p"),
+        col("doc_id").cast("string")).as("url"))
+      val fetched = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(concat(lit("HTTP://B.Example:80/p"),
+          col("doc_id").cast("string"), lit("?utm_source=x")).as("url"))
+      graft.pipeline.WebPrep.frontierNewBloom(frontier, fetched, fpp = 0.05)
+        .orderBy(col("url"))
     }),
     // the COMPOSED pipeline: quality gate -> exact dedup -> minhash
     // near-dedup -> decontamination -> stratified sample, end-to-end
@@ -1784,6 +1871,137 @@ object SparkEntry {
         |)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the doubling walk re-derived as a RECURSIVE CTE capped at the
+    // same hop budget: per source, the row at max(hops) is where the
+    // walk stands after <=4 hops — resolved iff that node has no
+    // outgoing edge in the functionalized (min-dst) map. Cycles and
+    // self-loops simply never leave the map, so they fall out
+    // unresolved on both sides without any cycle bookkeeping
+    "q45_redirect_chains" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT CAST(doc_id % 10 AS BIGINT) AS i,
+        |    CAST(doc_id // 10 AS VARCHAR) AS g,
+        |    CAST((doc_id // 10) % 5 AS BIGINT) AS g5
+        |  FROM documents
+        |), raw AS (
+        |  SELECT
+        |    'https://r.example/g' || g || '/n' ||
+        |      CASE WHEN i <= 6 THEN CAST(i AS VARCHAR)
+        |           WHEN i = 7 AND g5 IN (0, 1) THEN '8'
+        |           WHEN i = 7 THEN '0'
+        |           WHEN i = 8 AND g5 = 0 THEN '9'
+        |           WHEN i = 8 THEN '3'
+        |           ELSE '0' END AS src,
+        |    'https://r.example/g' || g || '/n' ||
+        |      CASE WHEN i <= 6 THEN CAST(i + 1 AS VARCHAR)
+        |           WHEN i = 7 AND g5 = 0 THEN '9'
+        |           WHEN i = 7 AND g5 = 1 THEN '8'
+        |           WHEN i = 7 THEN '5'
+        |           WHEN i = 8 AND g5 = 0 THEN '8'
+        |           WHEN i = 8 THEN '4'
+        |           ELSE '1' END AS dst
+        |  FROM base
+        |), fm AS (SELECT src AS u, min(dst) AS v FROM raw GROUP BY 1
+        |), walk AS (
+        |  SELECT u AS start, v AS cur, CAST(1 AS BIGINT) AS hops FROM fm
+        |  UNION ALL
+        |  SELECT w.start, f.v, w.hops + 1 FROM walk w
+        |  JOIN fm f ON w.cur = f.u WHERE w.hops < 4
+        |), lst AS (
+        |  SELECT start, arg_max(cur, hops) AS cur, max(hops) AS hops
+        |  FROM walk GROUP BY 1
+        |)
+        |SELECT l.start AS url,
+        |  CASE WHEN t.u IS NULL THEN l.cur END AS final_url,
+        |  CASE WHEN t.u IS NULL THEN l.hops END AS hops,
+        |  (t.u IS NULL) AS resolved
+        |FROM lst l LEFT JOIN fm t ON l.cur = t.u
+        |ORDER BY url""".stripMargin,
+    // per-(url,anchor) counts, per-url roll-up, top pick by
+    // (count desc, anchor asc) as a window — the canonical target form
+    // is stated directly (both planted spellings collapse to it; the
+    // canonical chain itself is q36's gate)
+    "q46_anchor_agg" ->
+      """WITH e AS (
+        |  SELECT 'https://anchor.example/p' || CAST(doc_id % 7 AS VARCHAR) AS url,
+        |    CASE WHEN doc_id % 5 < 2 THEN 'click here'
+        |         WHEN doc_id % 5 = 2 THEN 'mehr lesen'
+        |         WHEN doc_id % 5 = 3 THEN ''
+        |         ELSE 'Seite ' || CAST(doc_id % 7 AS VARCHAR) END AS anchor
+        |  FROM documents
+        |), pa AS (
+        |  SELECT url, anchor, count(*) AS cnt FROM e GROUP BY 1, 2
+        |), r AS (
+        |  SELECT url, anchor, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY url ORDER BY cnt DESC, anchor ASC) AS rn,
+        |    SUM(cnt) OVER (PARTITION BY url) AS inl,
+        |    COUNT(*) OVER (PARTITION BY url) AS da
+        |  FROM pa
+        |)
+        |SELECT url, CAST(inl AS BIGINT) AS in_links,
+        |  CAST(da AS BIGINT) AS distinct_anchors,
+        |  anchor AS top_anchor, CAST(cnt AS BIGINT) AS top_anchor_count
+        |FROM r WHERE rn = 1 ORDER BY url""".stripMargin,
+    // the PageRank recurrence unrolled three times: contributions per
+    // edge from the previous ranks over outdegree, dangling mass as a
+    // scalar CTE cross-joined back, teleport + damping exactly as the
+    // operator computes them; 6dp rounding on both sides (double-sum
+    // order differences sit ~1e-15, ten orders below the round)
+    "q47_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT 'https://pr.example/p' || CAST(doc_id % 13 AS VARCHAR) AS src,
+        |    'https://pr.example/p' || CAST(doc_id % 5 AS VARCHAR) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://pr.example/p' || CAST(doc_id % 5 AS VARCHAR),
+        |    'https://pr.example/q' || CAST(doc_id % 3 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), e AS (SELECT DISTINCT src, dst FROM e0
+        |), nodes AS (SELECT src AS u FROM e UNION SELECT dst FROM e
+        |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+        |), od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1
+        |), r0 AS (SELECT u, 1.0 / nn.n AS pr FROM nodes, nn
+        |), c1 AS (
+        |  SELECT e.dst AS u, sum(r.pr / od.deg) AS m FROM e
+        |  JOIN r0 r ON e.src = r.u JOIN od ON e.src = od.src GROUP BY 1
+        |), d1 AS (
+        |  SELECT coalesce(sum(r.pr), 0) AS dm FROM r0 r
+        |  LEFT JOIN od ON r.u = od.src WHERE od.src IS NULL
+        |), r1 AS (
+        |  SELECT nodes.u, (1.0 - 0.85) / nn.n +
+        |    0.85 * (coalesce(c1.m, 0) + d1.dm / nn.n) AS pr
+        |  FROM nodes CROSS JOIN nn CROSS JOIN d1
+        |  LEFT JOIN c1 ON nodes.u = c1.u
+        |), c2 AS (
+        |  SELECT e.dst AS u, sum(r.pr / od.deg) AS m FROM e
+        |  JOIN r1 r ON e.src = r.u JOIN od ON e.src = od.src GROUP BY 1
+        |), d2 AS (
+        |  SELECT coalesce(sum(r.pr), 0) AS dm FROM r1 r
+        |  LEFT JOIN od ON r.u = od.src WHERE od.src IS NULL
+        |), r2 AS (
+        |  SELECT nodes.u, (1.0 - 0.85) / nn.n +
+        |    0.85 * (coalesce(c2.m, 0) + d2.dm / nn.n) AS pr
+        |  FROM nodes CROSS JOIN nn CROSS JOIN d2
+        |  LEFT JOIN c2 ON nodes.u = c2.u
+        |), c3 AS (
+        |  SELECT e.dst AS u, sum(r.pr / od.deg) AS m FROM e
+        |  JOIN r2 r ON e.src = r.u JOIN od ON e.src = od.src GROUP BY 1
+        |), d3 AS (
+        |  SELECT coalesce(sum(r.pr), 0) AS dm FROM r2 r
+        |  LEFT JOIN od ON r.u = od.src WHERE od.src IS NULL
+        |), r3 AS (
+        |  SELECT nodes.u, (1.0 - 0.85) / nn.n +
+        |    0.85 * (coalesce(c3.m, 0) + d3.dm / nn.n) AS pr
+        |  FROM nodes CROSS JOIN nn CROSS JOIN d3
+        |  LEFT JOIN c3 ON nodes.u = c3.u
+        |)
+        |SELECT u AS url, round(pr, 6) AS rank FROM r3 ORDER BY url""".stripMargin,
+    // the Bloom prefilter must not change the answer: the unseen set is
+    // exactly the %3==0 share (the fetched variants canonicalize onto
+    // the frontier spelling), stated directly
+    "q48_frontier_bloom" ->
+      """SELECT 'https://b.example/p' || CAST(doc_id AS VARCHAR) AS url
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY url""".stripMargin,
     // exact integer sums + one final division — order-independent, so
     // Spark partial aggregation and DuckDB agree bit for bit
     "q29_corpus_summary" ->

@@ -519,6 +519,49 @@ object WebPrep {
       fetched.select(Web.canonicalUrl(col(fetchedUrlCol)).as(urlCol)),
       Seq(urlCol), "left_anti")
 
+  /** EXACT-result Bloom-prefiltered face of [[frontierNew]]: a Bloom
+    * filter built over the canonical fetched set splits the frontier
+    * BEFORE the anti-join shuffle — bloom-NEGATIVE rows are definitely
+    * unseen (a Bloom filter has no false negatives) and bypass the join
+    * entirely; only bloom-positive rows (true hits + the fpp share of
+    * false positives) pay the exact anti-join that settles them. The
+    * union is therefore EQUAL to [[frontierNew]] for every fpp — the
+    * filter moves cost, never answers (PipelineSpec pins the equality on
+    * a randomized frontier).
+    *
+    * When it wins: a discovery-heavy cycle (most frontier URLs are new —
+    * the steady state of an expanding crawl) sends only the revisit tail
+    * through the shuffle; at 1% fpp the anti-join sees ~hits + 1% of the
+    * rest instead of the whole frontier. Regime bound, stated honestly:
+    * the driver-merged filter costs ~1.2 bytes/key at 1% fpp, so it
+    * broadcasts comfortably to ~10^9 fetched URLs (~1.2 GB); the
+    * 10^12-URL layout stays [[graft.pipeline.CrawlLoop]]'s `hashedUrlKeys`
+    * anti-join, where 8-byte keys make the shuffle itself cheap. The two
+    * are complementary, not competing.
+    *
+    * `expectedItems` sizes the filter; 0 (default) spends one count()
+    * action on the fetched side first. Null-url frontier rows survive
+    * on the definitely-new side (the probe maps null to not-seen), the
+    * same outcome [[frontierNew]]'s anti-join gives them — null equals
+    * nothing there.
+    */
+  def frontierNewBloom(frontier: DataFrame, fetched: DataFrame,
+      urlCol: String = "url", fetchedUrlCol: String = "url",
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val fetchedCanon = fetched
+      .select(Web.canonicalUrl(col(fetchedUrlCol)).as(urlCol))
+      .filter(col(urlCol).isNotNull)
+    val n = if (expectedItems > 0L) expectedItems
+      else math.max(1L, fetchedCanon.count())
+    val bf = fetchedCanon.stat.bloomFilter(urlCol, n, fpp)
+    val bfBc = frontier.sparkSession.sparkContext.broadcast(bf)
+    val maybeSeen = udf((u: String) => u != null && bfBc.value.mightContain(u))
+    val definitelyNew = frontier.filter(!maybeSeen(col(urlCol)))
+    val toSettle = frontier.filter(maybeSeen(col(urlCol)))
+      .join(fetchedCanon, Seq(urlCol), "left_anti")
+    definitelyNew.unionByName(toSettle)
+  }
+
   /** Politeness schedule for a fetch cycle: per-host fetch sequencing
     * under each host's `Crawl-delay` (RFC 9309 extension field honored
     * Bing/Yandex-style by [[graft.ops.RobotsTxt.crawlDelay]]; hosts

@@ -1,0 +1,187 @@
+package graft
+
+import graft.ops.LinkGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Link-graph operators: hand-walked redirect chains (cap, cycles,
+  * functionalization), anchor aggregation tie-breaks, PageRank against an
+  * in-test reference implementation, and the Bloom prefilter's exactness
+  * pin against the plain anti-join.
+  */
+class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-linkgraphspec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.collection.immutable.Seq
+
+  private def edgesDf(rows: Seq[(String, String)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("url", "redirect_url")
+  }
+
+  private def chains(rows: Seq[(String, String)], maxHops: Int)
+      : Map[String, (Option[String], Option[Long], Boolean)] =
+    LinkGraph.resolveRedirectChains(edgesDf(rows), maxHops).collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(3))).toMap
+
+  // ---------- resolveRedirectChains ----------
+
+  test("redirect chains: linear chain resolves every source to the terminal") {
+    val out = chains(Seq(("a", "b"), ("b", "c"), ("c", "d")), maxHops = 16)
+    assert(out === Map(
+      "a" -> (Some("d"), Some(3L), true),
+      "b" -> (Some("d"), Some(2L), true),
+      "c" -> (Some("d"), Some(1L), true)))
+  }
+
+  test("redirect chains: maxHops caps — chain end just past the budget is unresolved") {
+    // a is 4 hops from the terminal e; with maxHops=3 only b/c/d resolve
+    val out = chains(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")),
+      maxHops = 3)
+    assert(out("a") === ((None, None, false)))
+    assert(out("b") === ((Some("e"), Some(3L), true)))
+    assert(out("d") === ((Some("e"), Some(1L), true)))
+  }
+
+  test("redirect chains: chain length exactly maxHops resolves (non-power-of-two cap)") {
+    val out = chains(Seq(("a", "b"), ("b", "c"), ("c", "d")), maxHops = 3)
+    assert(out("a") === ((Some("d"), Some(3L), true)))
+  }
+
+  test("redirect chains: cycles and self-loops are unresolved, feeders into a cycle too") {
+    val out = chains(Seq(("x", "y"), ("y", "x"), ("s", "s"), ("in", "x"),
+      ("ok", "t")), maxHops = 16)
+    assert(out("x") === ((None, None, false)))
+    assert(out("y") === ((None, None, false)))
+    assert(out("s") === ((None, None, false)))
+    assert(out("in") === ((None, None, false)))
+    assert(out("ok") === ((Some("t"), Some(1L), true)))
+  }
+
+  test("redirect chains: conflicting captures functionalize to min(dst); duplicates collapse") {
+    val out = chains(Seq(("a", "z"), ("a", "b"), ("a", "b"), ("b", "c")),
+      maxHops = 4)
+    assert(out("a") === ((Some("c"), Some(2L), true)))
+  }
+
+  test("redirect chains: maxHops=1 resolves only direct-to-terminal hops") {
+    val out = chains(Seq(("a", "b"), ("b", "c")), maxHops = 1)
+    assert(out("a") === ((None, None, false)))
+    assert(out("b") === ((Some("c"), Some(1L), true)))
+  }
+
+  // ---------- anchorTextAgg ----------
+
+  test("anchorTextAgg: counts, canonical target merge, null anchors as empty string") {
+    val sp = spark
+    import sp.implicits._
+    val edges = Seq(
+      ("HTTP://T.Example:80/p", "hier"),
+      ("https://t.example/p", "hier"),
+      ("https://t.example/p", null),
+      ("https://t.example/p", "dort"),
+      ("https://other.example/x", "solo")).toDF("url", "anchor")
+    val out = LinkGraph.anchorTextAgg(edges).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    assert(out("https://t.example/p") === ((4L, 3L, "hier", 2L)))
+    assert(out("https://other.example/x") === ((1L, 1L, "solo", 1L)))
+  }
+
+  test("anchorTextAgg: top-anchor tie breaks on the smaller string") {
+    val sp = spark
+    import sp.implicits._
+    val edges = Seq(
+      ("https://t.example/p", "zeta"), ("https://t.example/p", "zeta"),
+      ("https://t.example/p", "alpha"), ("https://t.example/p", "alpha"))
+      .toDF("url", "anchor")
+    val row = LinkGraph.anchorTextAgg(edges).collect().head
+    assert(row.getString(3) === "alpha")
+    assert(row.getLong(4) === 2L)
+  }
+
+  // ---------- pageRank ----------
+
+  /** Reference implementation of the documented recurrence, driver-side. */
+  private def refPageRank(edges: Set[(String, String)], iters: Int,
+      d: Double): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.sorted
+    val n = nodes.size.toDouble
+    val out = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(out.contains).map(pr).sum
+      val contrib = edges.toSeq.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => pr(s) / out(s) }.sum }
+      pr = nodes.map(u =>
+        u -> ((1 - d) / n + d * (contrib.getOrElse(u, 0.0) + dm / n))).toMap
+    }
+    pr
+  }
+
+  test("pageRank: matches the reference recurrence on a graph with dangling nodes") {
+    val sp = spark
+    import sp.implicits._
+    val edgeSet = Set(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("c", "sink"), ("lone", "sink"))
+    // duplicate edges in the frame must not change the result
+    val frame = (edgeSet.toSeq ++ Seq(("a", "b"), ("c", "sink")))
+      .toDF("url", "dst_url")
+    val got = LinkGraph.pageRank(frame, iterations = 4).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(edgeSet, iters = 4, d = 0.85)
+    assert(got.keySet === want.keySet)
+    for ((u, w) <- want)
+      assert(math.abs(got(u) - w) < 1e-12, s"node $u: got ${got(u)}, want $w")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: a hub-endorsed page outranks an equally-in-degreed orphan-endorsed page") {
+    val sp = spark
+    import sp.implicits._
+    // hub h is pointed at by many; h -> star. orphan o -> other. star and
+    // other both have in-degree 1, but star's single vote comes from a
+    // well-ranked hub.
+    val edges = Seq(("f1", "h"), ("f2", "h"), ("f3", "h"), ("h", "star"),
+      ("o", "other")).toDF("url", "dst_url")
+    val got = LinkGraph.pageRank(edges, iterations = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("star") > got("other"))
+  }
+
+  // ---------- frontierNewBloom ----------
+
+  test("frontierNewBloom: equals frontierNew for any fpp, nulls included") {
+    val sp = spark
+    import sp.implicits._
+    val frontier = ((0 until 400).map(i => s"https://bl.example/p$i") ++
+      Seq(null, null)).toDF("url")
+    val fetched = (0 until 400).filter(_ % 3 != 0)
+      .map(i => s"HTTP://BL.Example:80/p$i?utm_source=t").toDF("url")
+    for (fpp <- Seq(0.5, 0.01)) {
+      val exact = graft.pipeline.WebPrep.frontierNew(frontier, fetched)
+        .collect().map(r => Option(r.getString(0))).sortBy(_.getOrElse(""))
+      val bloom = graft.pipeline.WebPrep
+        .frontierNewBloom(frontier, fetched, fpp = fpp)
+        .collect().map(r => Option(r.getString(0))).sortBy(_.getOrElse(""))
+      assert(bloom === exact, s"fpp=$fpp")
+    }
+  }
+}

@@ -401,4 +401,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // partial aggregation runs before the single hash exchange
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("anchorTextAgg: two hash aggregations with map-side combine, no window, no join") {
+    val sp = spark
+    import sp.implicits._
+    val edges = (1 to 60).map(i =>
+      (s"https://a.example/p${i % 6}", s"anker ${i % 4}"))
+      .toDF("url", "anchor")
+    val p = plan(graft.ops.LinkGraph.anchorTextAgg(edges))
+    // per-(url,anchor) counts combine map-side, the roll-up rides a
+    // second aggregate — the top pick is min(struct), never a Window
+    // (a per-url window would re-sort every group at 100 TB)
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9#, ]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toVector
+    assert(hashEx.length == 2, s"$hashEx\n$p")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+    assert(!"Join".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("frontierNewBloom: exactly one join — bloom-negative rows bypass the shuffle") {
+    val sp = spark
+    import sp.implicits._
+    val frontier = (1 to 80).map(i => s"https://bl.example/p$i").toDF("url")
+    val fetched = (1 to 40).map(i => s"https://bl.example/p$i").toDF("url")
+    val p = plan(graft.pipeline.WebPrep.frontierNewBloom(frontier, fetched))
+    // the definitely-new branch is a pure filter; only the settle branch
+    // carries the anti-join
+    assert("Join".r.findAllIn(p).length >= 1, p)
+    assert("LeftAnti".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Union"), p)
+  }
 }
