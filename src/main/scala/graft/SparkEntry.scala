@@ -574,6 +574,34 @@ object SparkEntry {
       graft.pipeline.WebPrep.frontierNewBloom(frontier, fetched, fpp = 0.05)
         .orderBy(col("url"))
     }),
+    // adaptive recrawl scheduling (Cho & Garcia-Molina): 125 urls x 4
+    // captures (odd captures under a variant spelling the canonical
+    // chain must merge), per-url cadence 3600+(u%7)*600 s, four change
+    // classes — every-interval (clamps to minInterval for the fastest
+    // cadences, floors mid-range for the slowest), one-change,
+    // never-changed (slow lane), single-capture (no evidence). The
+    // oracle re-derives the lag window, the smoothed Poisson estimator
+    // and both clamps in DuckDB
+    "q49_recrawl_schedule" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val u = floor(col("doc_id") / 4).cast("long")
+      val i = pmod(col("doc_id"), lit(4))
+      val c = pmod(u, lit(4))
+      val url = when(i === 1 || i === 3,
+          concat(lit("HTTP://Re.Example:80/u"), u.cast("string")))
+        .otherwise(concat(lit("https://re.example/u"), u.cast("string")))
+      val ts = lit(1760000000L) + i.cast("long") *
+        (lit(3600L) + pmod(u, lit(7)) * lit(600L))
+      val digest = when(c === 0, concat(lit("d"), col("doc_id").cast("string")))
+        .when(c === 1, lit("same"))
+        .when(c === 2, when(i < 2, lit("a")).otherwise(lit("b")))
+        .otherwise(lit("solo"))
+      val log = d.filter(!(c === 3 && i > 0))
+        .select(url.as("url"), ts.as("fetch_ts"), digest.as("digest"))
+      graft.pipeline.WebPrep.recrawlSchedule(log,
+          minIntervalS = 3600L, maxIntervalS = 30L * 86400L)
+        .orderBy(col("url"))
+    }),
     // the COMPOSED pipeline: quality gate -> exact dedup -> minhash
     // near-dedup -> decontamination -> stratified sample, end-to-end
     // against one DuckDB query that re-derives all five stages.
@@ -2002,6 +2030,57 @@ object SparkEntry {
     "q48_frontier_bloom" ->
       """SELECT 'https://b.example/p' || CAST(doc_id AS VARCHAR) AS url
         |FROM documents WHERE doc_id % 3 = 0 ORDER BY url""".stripMargin,
+    // the lag window, the smoothed Poisson estimator and both clamps,
+    // term for term: lambda = -ln((n-X+0.5)/(n+0.5)) * n / int_sum,
+    // interval = clamp(floor(1/lambda)) with the never-changed /
+    // single-capture slow lane and the zero-span fast lane ahead of it
+    "q49_recrawl_schedule" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id // 4 AS BIGINT) AS u,
+        |    CAST(doc_id % 4 AS BIGINT) AS i,
+        |    CAST((doc_id // 4) % 4 AS BIGINT) AS c
+        |  FROM documents
+        |), lg AS (
+        |  SELECT 'https://re.example/u' || CAST(u AS VARCHAR) AS url,
+        |    1760000000 + i * (3600 + (u % 7) * 600) AS ts,
+        |    CASE WHEN c = 0 THEN 'd' || CAST(doc_id AS VARCHAR)
+        |         WHEN c = 1 THEN 'same'
+        |         WHEN c = 2 THEN (CASE WHEN i < 2 THEN 'a' ELSE 'b' END)
+        |         ELSE 'solo' END AS digest
+        |  FROM base WHERE NOT (c = 3 AND i > 0)
+        |), lagged AS (
+        |  SELECT url, ts, digest,
+        |    lag(ts) OVER (PARTITION BY url ORDER BY ts) AS prev_ts,
+        |    lag(digest) OVER (PARTITION BY url ORDER BY ts) AS prev_digest
+        |  FROM lg
+        |), agg AS (
+        |  SELECT url, count(*) AS n_captures,
+        |    max(ts) AS last_ts,
+        |    CAST(sum(CASE WHEN prev_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+        |    CAST(sum(CASE WHEN prev_ts IS NOT NULL
+        |      AND digest IS DISTINCT FROM prev_digest THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+        |    CAST(sum(CASE WHEN prev_ts IS NOT NULL THEN ts - prev_ts END) AS BIGINT) AS int_sum
+        |  FROM lagged GROUP BY url
+        |), est AS (
+        |  SELECT url, n_captures, n_changes, n_int, int_sum, last_ts,
+        |    -ln((n_int - n_changes + 0.5) / (n_int + 0.5))
+        |      * CAST(n_int AS DOUBLE) / CAST(int_sum AS DOUBLE) AS lambda
+        |  FROM agg
+        |)
+        |SELECT url, n_captures, n_changes,
+        |  CASE WHEN n_int = 0 OR int_sum = 0 THEN NULL
+        |       WHEN n_changes = 0 THEN 0.0
+        |       ELSE round(lambda * 86400.0, 6) END AS change_rate_per_day,
+        |  CASE WHEN n_int = 0 OR n_changes = 0 THEN 2592000
+        |       WHEN int_sum = 0 THEN 3600
+        |       ELSE greatest(3600, least(2592000,
+        |         CAST(floor(1.0 / lambda) AS BIGINT))) END AS next_interval_s,
+        |  last_ts + (CASE WHEN n_int = 0 OR n_changes = 0 THEN 2592000
+        |       WHEN int_sum = 0 THEN 3600
+        |       ELSE greatest(3600, least(2592000,
+        |         CAST(floor(1.0 / lambda) AS BIGINT))) END) AS next_fetch_epoch
+        |FROM est ORDER BY url""".stripMargin,
     // exact integer sums + one final division — order-independent, so
     // Spark partial aggregation and DuckDB agree bit for bit
     "q29_corpus_summary" ->

@@ -643,4 +643,102 @@ object WebPrep {
         (col("fetch_seq") - lit(1)).cast("double") * col("delay_s"))
       .withColumnRenamed("graft_host", "host")
   }
+
+  /** Adaptive recrawl scheduling from the fetch log itself — the
+    * freshness-budget allocator of an incremental crawl: pages that
+    * CHANGE often earn short revisit intervals, static pages fall to the
+    * slow lane, so the same fetch budget buys more corpus freshness.
+    * The estimator is Cho & Garcia-Molina's smoothed Poisson
+    * change-rate estimator (ACM TOIT 3(3) 2003, "Estimating frequency
+    * of change" — the public reference for crawl scheduling): over a
+    * url's consecutive capture pairs,
+    *
+    *   λ̂ = -ln((n - X + 0.5) / (n + 0.5)) / Ī
+    *
+    * with `n` = observed intervals, `X` = intervals whose content
+    * digest CHANGED, `Ī` = mean interval seconds; the +0.5 smoothing
+    * keeps the log finite when every interval changed. The schedule is
+    * then `1/λ̂` clamped into [`minIntervalS`, `maxIntervalS`].
+    *
+    * Input: a fetch log carrying `urlCol` (canonicalized here with the
+    * [[graft.ops.Web.canonicalUrl]] chain, so capture series merge
+    * across spellings), `tsCol` (TimestampType, W3C `...T...Z` strings,
+    * or already-epoch numerics — the [[frontierStale]] dtype-dispatch
+    * convention; the string form parses its `Z`/offset properly via the
+    * `X` pattern, so the session timezone cannot shift it), and
+    * `digestCol` — any content fingerprint (md5_long of the extracted
+    * text is the natural feed). Null digests compare null-safely (two
+    * nulls = unchanged, null↔value = changed).
+    *
+    * Output, one row per canonical url:
+    *   - `n_captures`, `n_changes` — series length and changed intervals;
+    *   - `change_rate_per_day` — round(λ̂·86400, 6); 0.0 for a
+    *     never-changed series, null when no interval exists (single
+    *     capture) or the series is degenerate (all captures share one
+    *     timestamp);
+    *   - `next_interval_s` — clamp(floor(1/λ̂)): `maxIntervalS` for
+    *     never-changed/single-capture urls, `minIntervalS` for the
+    *     degenerate zero-span series;
+    *   - `next_fetch_epoch` — last capture epoch + the interval (exact
+    *     long arithmetic).
+    *
+    * Scale shape: one window over the url key (a url's capture count is
+    * bounded by revisit frequency — a daily fetch for a year is 365
+    * rows, so per-url skew is structurally bounded), then one
+    * map-side-combinable aggregation on the same key. The q49 oracle
+    * re-derives the lag window, the estimator and both clamps in DuckDB.
+    */
+  def recrawlSchedule(fetchLog: DataFrame, minIntervalS: Long = 3600L,
+      maxIntervalS: Long = 30L * 86400L, urlCol: String = "url",
+      tsCol: String = "fetch_ts", digestCol: String = "digest")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minIntervalS >= 1 && maxIntervalS >= minIntervalS,
+      s"need 1 <= minIntervalS <= maxIntervalS, got $minIntervalS, $maxIntervalS")
+    val epochTs = fetchLog.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_timestamp(col(tsCol))
+      case org.apache.spark.sql.types.StringType =>
+        unix_timestamp(to_timestamp(col(tsCol), "yyyy-MM-dd'T'HH:mm:ssX"))
+      case _ => col(tsCol).cast("long")
+    }
+    val w = Window.partitionBy(col("graft_url")).orderBy(col("graft_ts"))
+    val lagged = fetchLog
+      .select(Web.canonicalUrl(col(urlCol)).as("graft_url"),
+        epochTs.as("graft_ts"), col(digestCol).as("graft_digest"))
+      .filter(col("graft_url").isNotNull && col("graft_ts").isNotNull)
+      .withColumn("graft_prev_ts", lag(col("graft_ts"), 1).over(w))
+      .withColumn("graft_prev_digest", lag(col("graft_digest"), 1).over(w))
+    val agg = lagged.groupBy(col("graft_url")).agg(
+      count(lit(1)).as("n_captures"),
+      max(col("graft_ts")).as("graft_last_ts"),
+      sum(when(col("graft_prev_ts").isNotNull, 1L).otherwise(0L))
+        .as("graft_n_int"),
+      sum(when(col("graft_prev_ts").isNotNull &&
+        !(col("graft_digest") <=> col("graft_prev_digest")), 1L)
+        .otherwise(0L)).as("n_changes"),
+      sum(when(col("graft_prev_ts").isNotNull,
+        col("graft_ts") - col("graft_prev_ts"))).as("graft_int_sum"))
+    // λ̂ in 1/seconds; the CASE ladder is mirrored term for term by the
+    // q49 oracle (same ln, same smoothing, same clamps), so keep the
+    // branches in this exact order
+    val lambda = -log((col("graft_n_int") - col("n_changes") + lit(0.5)) /
+      (col("graft_n_int") + lit(0.5))) *
+      col("graft_n_int").cast("double") / col("graft_int_sum").cast("double")
+    val interval =
+      when(col("graft_n_int") === 0 || col("n_changes") === 0,
+        lit(maxIntervalS))
+      .when(col("graft_int_sum") === 0, lit(minIntervalS))
+      .otherwise(greatest(lit(minIntervalS), least(lit(maxIntervalS),
+        floor(lit(1.0) / lambda))))
+    val rate =
+      when(col("graft_n_int") === 0 || col("graft_int_sum") === 0,
+        lit(null).cast("double"))
+      .when(col("n_changes") === 0, lit(0.0))
+      .otherwise(round(lambda * lit(86400.0), 6))
+    agg.select(col("graft_url").as(urlCol), col("n_captures"),
+      col("n_changes"), rate.as("change_rate_per_day"),
+      interval.as("next_interval_s"),
+      (col("graft_last_ts") + interval).as("next_fetch_epoch"))
+  }
 }

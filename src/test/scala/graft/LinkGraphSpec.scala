@@ -166,6 +166,65 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("star") > got("other"))
   }
 
+  // ---------- compositions ----------
+
+  test("pageRank feeds fetchSchedule(priorityCol): the horizon cap keeps the top-ranked urls") {
+    val sp = spark
+    import sp.implicits._
+    // h is hub-endorsed (3 in-links), t2 orphan-endorsed, t3 unlinked-to
+    // beyond one vote; all on ONE host so the cap must choose by rank
+    val edges = Seq(
+      ("https://s.example/f1", "https://s.example/h"),
+      ("https://s.example/f2", "https://s.example/h"),
+      ("https://s.example/f3", "https://s.example/h"),
+      ("https://s.example/h", "https://s.example/t2"),
+      ("https://s.example/o", "https://s.example/t3"))
+      .toDF("url", "dst_url")
+    val ranks = LinkGraph.pageRank(edges, iterations = 3)
+    val frontier = Seq("https://s.example/h", "https://s.example/t2",
+      "https://s.example/t3").toDF("url")
+      .join(ranks, Seq("url"), "left")
+    val robots = Seq(("s.example", "")).toDF("host", "robots_txt")
+    val plan = graft.pipeline.WebPrep.fetchSchedule(frontier, robots,
+        maxPerHost = 2, priorityCol = Some("rank"))
+      .collect().map(r => r.getAs[String]("url") ->
+        r.getAs[Int]("fetch_seq")).toMap
+    // the hub h and the hub-endorsed t2 hold the 2-url horizon (after 3
+    // power steps the hub's mass has flowed INTO t2, so t2 sequences
+    // first — rank moves through the graph, which is the point);
+    // t3's single orphan vote falls off the horizon
+    assert(plan.keySet === Set("https://s.example/h",
+      "https://s.example/t2"))
+    assert(plan("https://s.example/t2") == 1)
+  }
+
+  test("redirect chains feed document identity: dedup on the chain END collapses hop-variant fetches") {
+    val sp = spark
+    import sp.implicits._
+    // the same article fetched via two redirect entry points and once
+    // directly; identity = the chain end (falling back to the fetch url
+    // when no redirect row exists)
+    val edges = Seq(
+      ("https://id.example/old", "https://id.example/mid"),
+      ("https://id.example/mid", "https://id.example/final"))
+      .toDF("url", "redirect_url")
+    val chains = LinkGraph.resolveRedirectChains(edges, maxHops = 8)
+    val docs = Seq(
+      (1L, "https://id.example/old"),
+      (2L, "https://id.example/mid"),
+      (3L, "https://id.example/final"),
+      (4L, "https://id.example/other")).toDF("doc_id", "url")
+    val identity = docs.join(
+        chains.filter(col("resolved"))
+          .select(col("url"), col("final_url")), Seq("url"), "left")
+      .select(col("doc_id"),
+        coalesce(col("final_url"), col("url")).as("url"))
+    val keep = graft.ops.Web.urlDedup(identity).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // docs 1/2/3 share the identity https://id.example/final -> doc 1 keeps
+    assert(keep === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
   // ---------- frontierNewBloom ----------
 
   test("frontierNewBloom: equals frontierNew for any fpp, nulls included") {

@@ -555,4 +555,94 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       CorpusPrep.PrepConfig(sampleDefaultRate = 1.0)).map(_._1)
     assert(names == Seq("input", "quality", "exact_dedup", "near_dedup"))
   }
+
+  // ---------- recrawlSchedule ----------
+
+  private def recrawlRow(rows: Seq[(String, Long, String)], minI: Long = 100L,
+      maxI: Long = 100000L) = {
+    val sp = spark
+    import sp.implicits._
+    graft.pipeline.WebPrep
+      .recrawlSchedule(rows.toDF("url", "fetch_ts", "digest"),
+        minIntervalS = minI, maxIntervalS = maxI)
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("recrawlSchedule: estimator matches the hand-computed Cho-GM value, clamps both ways") {
+    // 3 intervals of 1000 s, every one changed: lambda = ln(7)/1000,
+    // 1/lambda ~ 513.9 -> floor 513, inside [100, 100000]
+    val everyChange = (0 to 3).map(i =>
+      ("https://cg.example/a", 1000L * i, s"d$i"))
+    // same cadence, one change: lambda = ln(3.5/2.5)/1000 -> 1/lambda ~ 2972
+    val oneChange = (0 to 3).map(i =>
+      ("https://cg.example/b", 1000L * i, if (i < 2) "x" else "y"))
+    val out = recrawlRow(everyChange ++ oneChange)
+    val a = out("https://cg.example/a")
+    assert(a.getAs[Long]("n_captures") == 4L &&
+      a.getAs[Long]("n_changes") == 3L)
+    assert(a.getAs[Long]("next_interval_s") ==
+      math.floor(1.0 / (math.log(7.0) / 1000.0)).toLong) // 513
+    assert(a.getAs[Long]("next_fetch_epoch") == 3000L + 513L)
+    assert(math.abs(a.getAs[Double]("change_rate_per_day") -
+      BigDecimal(math.log(7.0) / 1000.0 * 86400.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    val b = out("https://cg.example/b")
+    assert(b.getAs[Long]("n_changes") == 1L)
+    assert(b.getAs[Long]("next_interval_s") ==
+      math.floor(1000.0 / math.log(3.5 / 2.5)).toLong) // 2972
+    // min clamp: same change pattern, 10 s cadence -> 1/lambda ~ 5.1 -> 100
+    val fast = (0 to 3).map(i => ("https://cg.example/f", 10L * i, s"d$i"))
+    assert(recrawlRow(fast)("https://cg.example/f")
+      .getAs[Long]("next_interval_s") == 100L)
+  }
+
+  test("recrawlSchedule: slow lanes — never-changed and single-capture urls park at maxInterval") {
+    val rows = (0 to 3).map(i => ("https://cg.example/static", 1000L * i, "same")) ++
+      Seq(("https://cg.example/solo", 5000L, "one"))
+    val out = recrawlRow(rows)
+    val s = out("https://cg.example/static")
+    assert(s.getAs[Double]("change_rate_per_day") == 0.0)
+    assert(s.getAs[Long]("next_interval_s") == 100000L)
+    val solo = out("https://cg.example/solo")
+    assert(solo.isNullAt(solo.fieldIndex("change_rate_per_day")))
+    assert(solo.getAs[Long]("next_interval_s") == 100000L)
+    assert(solo.getAs[Long]("next_fetch_epoch") == 105000L)
+  }
+
+  test("recrawlSchedule: capture series merge across url spellings; null digests compare null-safely") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("https://cg.example/m", 0L, "x"),
+      ("HTTP://CG.Example:80/m?utm_source=t", 1000L, "x"), // variant, unchanged
+      ("https://cg.example/m", 2000L, null),               // value -> null: change
+      ("https://cg.example/m", 3000L, null))               // null -> null: unchanged
+      .toDF("url", "fetch_ts", "digest")
+    val out = graft.pipeline.WebPrep
+      .recrawlSchedule(rows, minIntervalS = 100L, maxIntervalS = 100000L)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_captures") == 4L)
+    assert(out.head.getAs[Long]("n_changes") == 1L)
+  }
+
+  test("recrawlSchedule: W3C string timestamps parse offset-correctly regardless of session timezone") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("https://cg.example/t", "2026-01-01T00:00:00Z", "a"),
+      ("https://cg.example/t", "2026-01-01T01:00:00Z", "b"))
+      .toDF("url", "fetch_ts", "digest")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val r = graft.pipeline.WebPrep
+        .recrawlSchedule(rows, minIntervalS = 100L, maxIntervalS = 100000L)
+        .collect().head
+      // 2026-01-01T01:00:00Z = 1767229200; interval 3600 s, one change:
+      // lambda = ln(3)/3600 -> floor(1/lambda) = 3276
+      assert(r.getAs[Long]("next_fetch_epoch") ==
+        1767229200L + math.floor(3600.0 / math.log(3.0)).toLong)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
