@@ -491,11 +491,14 @@ object SparkEntry {
     // the cap BITES: 50 chain families n0->n1->...->n7 (terminal), so
     // sources n0/n1/n2 sit 7/6/5 hops out (unresolved), n3 exactly 4
     // (resolved at the cap), n4..n6 inside it; every 5th family plants
-    // an n8<->n9 two-cycle, the next a n8 self-loop (both unresolved,
-    // no cycle detection needed — a cycle never reaches a terminal);
+    // an n8<->n9 two-cycle (unresolved — a cycle never reaches a
+    // terminal, no cycle detection needed), the next a n8 self-loop
+    // (DROPS from the output: a canonical self-edge means the source
+    // already IS its chain end — the operator's documented treatment);
     // conflicting (n0->n5 vs n0->n1) and exact-duplicate edges exercise
     // the min(dst) functionalization. The oracle re-derives the walk
-    // with a RECURSIVE CTE capped at the same hop budget
+    // with a RECURSIVE CTE capped at the same hop budget, self-edges
+    // filtered the same way (fixture urls are already canonical)
     "q45_redirect_chains" -> ((s, dir) => {
       val d = table(s, dir, "documents").select(col("doc_id"))
       val g = floor(col("doc_id") / 10).cast("long").cast("string")
@@ -1929,7 +1932,8 @@ object SparkEntry {
         |           WHEN i = 8 THEN '4'
         |           ELSE '1' END AS dst
         |  FROM base
-        |), fm AS (SELECT src AS u, min(dst) AS v FROM raw GROUP BY 1
+        |), fm AS (SELECT src AS u, min(dst) AS v FROM raw
+        |          WHERE src <> dst GROUP BY 1
         |), walk AS (
         |  SELECT u AS start, v AS cur, CAST(1 AS BIGINT) AS hops FROM fm
         |  UNION ALL
@@ -2051,8 +2055,8 @@ object SparkEntry {
         |  FROM base WHERE NOT (c = 3 AND i > 0)
         |), lagged AS (
         |  SELECT url, ts, digest,
-        |    lag(ts) OVER (PARTITION BY url ORDER BY ts) AS prev_ts,
-        |    lag(digest) OVER (PARTITION BY url ORDER BY ts) AS prev_digest
+        |    lag(ts) OVER (PARTITION BY url ORDER BY ts, digest) AS prev_ts,
+        |    lag(digest) OVER (PARTITION BY url ORDER BY ts, digest) AS prev_digest
         |  FROM lg
         |), agg AS (
         |  SELECT url, count(*) AS n_captures,

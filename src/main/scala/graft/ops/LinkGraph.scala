@@ -33,7 +33,21 @@ object LinkGraph {
     * document identity keys on the CHAIN END.
     *
     * Semantics (both sides of the q45 oracle re-derive exactly this):
-    *  - the edge set is first FUNCTIONALIZED: one outgoing edge per
+    *  - both endpoints are CANONICALIZED first ([[Web.canonicalUrl]]) —
+    *    [[graft.sources.Warc.redirectEdges]] emits a raw source with a
+    *    canonical target, and without folding the source too, a
+    *    multi-hop chain would not link up (the walk from `http://a/`
+    *    would stop at `https://b` because only `http://b/` is a source
+    *    key) and would falsely report an intermediate node as final;
+    *  - edges whose endpoints CANONICALIZE TO THE SAME URL drop, and a
+    *    source left with no other edge drops out of the output: the
+    *    everyday `http→https` / tracking-param upgrade redirect lands
+    *    exactly here, and identity-wise such a source already IS its
+    *    chain end — consumers take `coalesce(final_url, url)`, which
+    *    gives the right answer for dropped sources for free (a genuine
+    *    exact self-redirect loop is folded into the same treatment:
+    *    the url is its own terminal);
+    *  - the edge set is then FUNCTIONALIZED: one outgoing edge per
     *    source, `min(dst)` as the deterministic pick (conflicting
     *    captures of the same URL happen in any long crawl);
     *  - a source RESOLVES when following the map reaches a node with no
@@ -65,9 +79,12 @@ object LinkGraph {
       srcCol: String = "url", dstCol: String = "redirect_url"): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val fm = edges
-      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
-      .groupBy(col(srcCol).as("u"))
-      .agg(min(col(dstCol)).as("v"))
+      .select(Web.canonicalUrl(col(srcCol)).as("graft_s"),
+        Web.canonicalUrl(col(dstCol)).as("graft_d"))
+      .filter(col("graft_s").isNotNull && col("graft_d").isNotNull &&
+        col("graft_s") =!= col("graft_d"))
+      .groupBy(col("graft_s").as("u"))
+      .agg(min(col("graft_d")).as("v"))
     // done = v has no outgoing edge (terminal). Left join against the
     // distinct source keys; marker column null ⇔ terminal.
     val srcKeys = fm.select(col("u").as("graft_k"), lit(1).as("graft_m"))
@@ -193,20 +210,24 @@ object LinkGraph {
       .select(col("graft_src").as("graft_od_src"), col("graft_outdeg"))
     val nFrame = broadcast(nodes.agg(
       count(lit(1)).cast("double").as("graft_n")))
+    // the dangling-node SET is static for the whole run (it depends only
+    // on the checkpointed edge set) — precompute it once instead of
+    // re-deriving it per iteration through a full ranks⋈outdeg left join
+    val dangling = nodes
+      .join(outdeg, col("url") === col("graft_od_src"), "left_anti")
+      .localCheckpoint()
     var ranks = nodes.crossJoin(nFrame)
       .select(col("url"), (lit(1.0) / col("graft_n")).as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val withDeg = ranks.join(outdeg,
-        col("url") === col("graft_od_src"), "left")
-      val contribs = withDeg
-        .filter(col("graft_outdeg").isNotNull)
+      val contribs = ranks
+        .join(outdeg, col("url") === col("graft_od_src"))
         .join(e, col("url") === col("graft_src"))
         .groupBy(col("graft_dst"))
         .agg(sum(col("rank") / col("graft_outdeg")).as("graft_contrib"))
-      val danglingMass = broadcast(withDeg
-        .agg(coalesce(sum(when(col("graft_outdeg").isNull, col("rank"))),
-          lit(0.0)).as("graft_dm")))
+      val danglingMass = broadcast(ranks
+        .join(dangling, Seq("url"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("graft_dm")))
       ranks = nodes
         .join(contribs, nodes("url") === col("graft_dst"), "left")
         .crossJoin(danglingMass)

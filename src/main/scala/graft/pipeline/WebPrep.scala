@@ -548,9 +548,17 @@ object WebPrep {
   def frontierNewBloom(frontier: DataFrame, fetched: DataFrame,
       urlCol: String = "url", fetchedUrlCol: String = "url",
       expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    // localCheckpoint: the canonical chain (~9 regex passes over every
+    // fetched row) would otherwise run THREE times — the sizing count,
+    // the bloom build, and the settle join's build side. `frontier` is
+    // still referenced by both union branches (probe + settle) — cache
+    // it caller-side when it is itself expensive to produce. The bloom
+    // broadcast is reclaimed by Spark's ContextCleaner once the returned
+    // plan is dropped (no explicit destroy: the result is lazy).
     val fetchedCanon = fetched
       .select(Web.canonicalUrl(col(fetchedUrlCol)).as(urlCol))
       .filter(col(urlCol).isNotNull)
+      .localCheckpoint()
     val n = if (expectedItems > 0L) expectedItems
       else math.max(1L, fetchedCanon.count())
     val bf = fetchedCanon.stat.bloomFilter(urlCol, n, fpp)
@@ -695,14 +703,23 @@ object WebPrep {
     import org.apache.spark.sql.expressions.Window
     require(minIntervalS >= 1 && maxIntervalS >= minIntervalS,
       s"need 1 <= minIntervalS <= maxIntervalS, got $minIntervalS, $maxIntervalS")
+    // string form: try_to_timestamp (the Warc event_time convention) —
+    // the universal ISO-8601 parser takes fractional seconds and both
+    // offset spellings (Z / +01:00), which a fixed ssX pattern would
+    // null out; rows whose timestamp still fails to parse drop from the
+    // series (a malformed capture clock cannot order a series)
     val epochTs = fetchLog.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.TimestampType =>
         unix_timestamp(col(tsCol))
       case org.apache.spark.sql.types.StringType =>
-        unix_timestamp(to_timestamp(col(tsCol), "yyyy-MM-dd'T'HH:mm:ssX"))
+        unix_timestamp(try_to_timestamp(col(tsCol)))
       case _ => col(tsCol).cast("long")
     }
-    val w = Window.partitionBy(col("graft_url")).orderBy(col("graft_ts"))
+    // digest as the secondary sort key: equal-timestamp captures of one
+    // canonical url (two spellings fetched in the same second) must lag
+    // in a DETERMINISTIC order or n_changes flips run to run
+    val w = Window.partitionBy(col("graft_url"))
+      .orderBy(col("graft_ts"), col("graft_digest"))
     val lagged = fetchLog
       .select(Web.canonicalUrl(col(urlCol)).as("graft_url"),
         epochTs.as("graft_ts"), col(digestCol).as("graft_digest"))

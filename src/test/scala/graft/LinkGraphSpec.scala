@@ -65,14 +65,32 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("a") === ((Some("d"), Some(3L), true)))
   }
 
-  test("redirect chains: cycles and self-loops are unresolved, feeders into a cycle too") {
+  test("redirect chains: cycles are unresolved (feeders too); canonical self-edges drop as already-terminal") {
     val out = chains(Seq(("x", "y"), ("y", "x"), ("s", "s"), ("in", "x"),
       ("ok", "t")), maxHops = 16)
     assert(out("x") === ((None, None, false)))
     assert(out("y") === ((None, None, false)))
-    assert(out("s") === ((None, None, false)))
+    assert(!out.contains("s")) // self-edge: the source IS its chain end
     assert(out("in") === ((None, None, false)))
     assert(out("ok") === ((Some("t"), Some(1L), true)))
+  }
+
+  test("redirect chains: raw sources canonicalize so hops link up (the redirectEdges feed shape)") {
+    // redirectEdges emits raw src + canonical dst: without folding the
+    // source too, the walk from the first hop would stop at https://b
+    // (only http://b/ would be a source key) and falsely resolve there
+    val out = chains(Seq(
+      ("http://a.example/", "https://a2.example"),
+      ("http://a2.example/", "https://a3.example")), maxHops = 8)
+    assert(out("https://a.example") ===
+      ((Some("https://a3.example"), Some(2L), true)))
+    assert(out("https://a2.example") ===
+      ((Some("https://a3.example"), Some(1L), true)))
+    // the everyday http->https upgrade redirect folds to a self-edge
+    // and drops: consumers' coalesce(final_url, url) is already right
+    val up = chains(Seq(("http://up.example/p", "https://up.example/p")),
+      maxHops = 8)
+    assert(up.isEmpty)
   }
 
   test("redirect chains: conflicting captures functionalize to min(dst); duplicates collapse") {
@@ -223,6 +241,23 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     // docs 1/2/3 share the identity https://id.example/final -> doc 1 keeps
     assert(keep === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
+  test("recrawlSchedule parses fractional-second and colon-offset W3C stamps (WARC-Date forms)") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("https://w3c.example/f", "2026-01-01T00:00:00.500Z", "a"),
+      ("https://w3c.example/f", "2026-01-01T02:00:00+01:00", "b"))
+      .toDF("url", "fetch_ts", "digest")
+    val r = graft.pipeline.WebPrep
+      .recrawlSchedule(rows, minIntervalS = 100L, maxIntervalS = 100000L)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_captures") == 2L) // neither stamp dropped
+    // +01:00 resolves to 01:00:00Z -> last epoch 1767229200
+    assert(r.head.getAs[Long]("next_fetch_epoch") ==
+      1767229200L + math.floor(3600.0 / math.log(3.0)).toLong)
   }
 
   // ---------- frontierNewBloom ----------
