@@ -577,6 +577,58 @@ object SparkEntry {
       graft.pipeline.WebPrep.frontierNewBloom(frontier, fetched, fpp = 0.05)
         .orderBy(col("url"))
     }),
+    // page edges folded to the host tier: 7 src hosts (half spelled
+    // with case + an explicit :443 that hostOf must normalize) x 3 dst
+    // hosts, same-host edges (doc_id%7 == doc_id%3) must drop, an
+    // unparseable src (hostOf -> '') must drop; the oracle re-derives
+    // the host chain with the identical regex and the same filters
+    "q50_host_graph" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val src = when(pmod(col("doc_id"), lit(11)) === 0, lit("kein url"))
+        .when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("HTTPS://H"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".Example:443/p"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("https://h"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example/p"), col("doc_id").cast("string")))
+      val dst = concat(lit("https://h"),
+        pmod(col("doc_id"), lit(3)).cast("string"),
+        lit(".example/q"), col("doc_id").cast("string"))
+      graft.ops.LinkGraph.hostGraph(d.select(src.as("url"),
+          dst.as("dst_url")))
+        .orderBy(col("src_host"), col("dst_host"))
+    }),
+    // mirror-host detection from duplicate pairs: 5 'ma' hosts x 4 'mb'
+    // hosts connected by ~4-8 cross-host dup pairs each (i%7<3 thins
+    // the grid so minShared=6 is DIFFERENTIAL — some host pairs pass,
+    // some cut), pair orientation alternates so the least/greatest
+    // normalization must pool both directions, and planted same-host
+    // pairs must be excluded; the oracle re-derives the joins, the
+    // normalization, the count and the threshold
+    "q51_mirror_hosts" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val docs = d.select(col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") < 250,
+            concat(lit("ma"), pmod(col("doc_id"), lit(5)).cast("string")))
+          .otherwise(concat(lit("mb"),
+            pmod(col("doc_id") - 250, lit(4)).cast("string"))),
+          lit(".example/p"), col("doc_id").cast("string")).as("url"))
+      val base = d.filter(col("doc_id") < 250 &&
+        pmod(col("doc_id"), lit(7)) < 3)
+      val pairs = base.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id").as("doc_id_a"),
+            (col("doc_id") + 250).as("doc_id_b"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select((col("doc_id") + 250).as("doc_id_a"),
+            col("doc_id").as("doc_id_b")))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(50)) === 0 &&
+            col("doc_id") < 245)
+          .select(col("doc_id").as("doc_id_a"),
+            (col("doc_id") + 5).as("doc_id_b")))
+      graft.ops.LinkGraph.mirrorHosts(docs, pairs, minShared = 6L)
+        .orderBy(col("host_a"), col("host_b"))
+    }),
     // adaptive recrawl scheduling (Cho & Garcia-Molina): 125 urls x 4
     // captures (odd captures under a variant spelling the canonical
     // chain must merge), per-url cadence 3600+(u%7)*600 s, four change
@@ -2034,6 +2086,60 @@ object SparkEntry {
     "q48_frontier_bloom" ->
       """SELECT 'https://b.example/p' || CAST(doc_id AS VARCHAR) AS url
         |FROM documents WHERE doc_id % 3 = 0 ORDER BY url""".stripMargin,
+    // the host chain (q42's regex, verbatim) over both endpoints, then
+    // the same '' / same-host filters and the distinct
+    "q50_host_graph" ->
+      """WITH e AS (
+        |  SELECT
+        |    CASE WHEN doc_id % 11 = 0 THEN 'kein url'
+        |         WHEN doc_id % 2 = 0 THEN 'HTTPS://H' || CAST(doc_id % 7 AS VARCHAR)
+        |           || '.Example:443/p' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+        |           || '.example/p' || CAST(doc_id AS VARCHAR) END AS src,
+        |    'https://h' || CAST(doc_id % 3 AS VARCHAR)
+        |      || '.example/q' || CAST(doc_id AS VARCHAR) AS dst
+        |  FROM documents
+        |), h AS (
+        |  SELECT regexp_replace(lower(regexp_extract(src,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1)),
+        |      ':[0-9]+$', '') AS src_host,
+        |    regexp_replace(lower(regexp_extract(dst,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1)),
+        |      ':[0-9]+$', '') AS dst_host
+        |  FROM e
+        |)
+        |SELECT DISTINCT src_host, dst_host FROM h
+        |WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+        |ORDER BY src_host, dst_host""".stripMargin,
+    // the id->host joins, the least/greatest pair normalization, the
+    // cross-host filter, the count and the threshold
+    "q51_mirror_hosts" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 250 THEN 'ma' || CAST(doc_id % 5 AS VARCHAR)
+        |         ELSE 'mb' || CAST((doc_id - 250) % 4 AS VARCHAR) END
+        |      || '.example' AS host
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id FROM documents WHERE doc_id < 250 AND doc_id % 7 < 3
+        |), pairs AS (
+        |  SELECT doc_id AS a, doc_id + 250 AS b FROM base WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 250 AS a, doc_id AS b FROM base WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id AS a, doc_id + 5 AS b FROM documents
+        |  WHERE doc_id % 50 = 0 AND doc_id < 245
+        |), j AS (
+        |  SELECT least(da.host, db.host) AS host_a,
+        |    greatest(da.host, db.host) AS host_b
+        |  FROM pairs
+        |  JOIN docs da ON pairs.a = da.doc_id
+        |  JOIN docs db ON pairs.b = db.doc_id
+        |  WHERE da.host <> db.host
+        |)
+        |SELECT host_a, host_b, CAST(count(*) AS BIGINT) AS shared_docs
+        |FROM j GROUP BY 1, 2 HAVING count(*) >= 6
+        |ORDER BY host_a, host_b""".stripMargin,
     // the lag window, the smoothed Poisson estimator and both clamps,
     // term for term: lambda = -ln((n-X+0.5)/(n+0.5)) * n / int_sum,
     // interval = clamp(floor(1/lambda)) with the never-changed /

@@ -154,6 +154,69 @@ object LinkGraph {
         (-col("graft_top.graft_neg")).as("top_anchor_count"))
   }
 
+  /** The link graph folded to the HOST (politeness-domain) tier: every
+    * page-level edge projected through [[Web.hostOf]] — the ONE host
+    * definition the robots gate, the scheduler and the corpus summaries
+    * share — same-host edges dropped (intra-site navigation is not an
+    * endorsement), distinct host pairs out. This is the graph domain-
+    * level curation actually ranks: RefinedWeb-style host budgets and
+    * crawl-frontier host priorities operate per domain, and the host
+    * graph is orders of magnitude smaller than the page graph (CC-scale:
+    * ~10^8 hosts vs ~10^12 pages), so
+    * {{{ pageRank(hostGraph(edges), srcCol = "src_host", dstCol = "dst_host") }}}
+    * is cheap even where page-level PageRank is a budget decision.
+    * Output: (`src_host`, `dst_host`), distinct. One aggregation-free
+    * projection + one distinct shuffle on the (short) host-pair key.
+    * Unparseable URLs yield hostOf's "" and drop with the null filter.
+    */
+  def hostGraph(edges: DataFrame, srcCol: String = "url",
+      dstCol: String = "dst_url"): DataFrame =
+    edges
+      .select(Web.hostOf(col(srcCol)).as("src_host"),
+        Web.hostOf(col(dstCol)).as("dst_host"))
+      .filter(col("src_host").isNotNull && col("dst_host").isNotNull &&
+        col("src_host") =!= "" && col("dst_host") =!= "" &&
+        col("src_host") =!= col("dst_host"))
+      .distinct()
+
+  /** Mirror-host candidates from content-duplicate pairs — the
+    * curation stage that turns pair-level dedup output into SITE-level
+    * knowledge: two hosts sharing many duplicate documents are mirrors
+    * (or scraping each other), and corpus policy usually keeps ONE of
+    * them rather than re-litigating every page pair. `pairs` is any
+    * (idACol, idBCol) duplicate-pair frame (minhash q11, cosine q15,
+    * n-gram q19, winnow q30 — all emit pairs); `docs` maps doc ids to
+    * urls. Cross-host pairs only (same-host duplicates are the intra-
+    * site dedup problem, not mirroring); the host pair is ORDER-
+    * NORMALIZED (least/greatest) so (a,b) and (b,a) evidence pools; kept
+    * when at least `minShared` duplicate pairs connect the two hosts.
+    *
+    * Output: (`host_a`, `host_b`, `shared_docs`) with host_a < host_b.
+    * Plan: two narrow id-keyed joins (pairs are ids only; urls project
+    * to hosts before the join), one map-side-combinable count on the
+    * host-pair key. Feeding the kept pairs into
+    * [[Dedup.duplicateClusters]] (they are edges) yields mirror GROUPS
+    * when a site has more than one mirror.
+    */
+  def mirrorHosts(docs: DataFrame, pairs: DataFrame, minShared: Long = 3L,
+      urlCol: String = "url", idACol: String = "doc_id_a",
+      idBCol: String = "doc_id_b"): DataFrame = {
+    val hosts = docs
+      .select(col("doc_id"), Web.hostOf(col(urlCol)).as("graft_host"))
+      .filter(col("graft_host").isNotNull && col("graft_host") =!= "")
+    val ha = hosts.select(col("doc_id").as(idACol),
+      col("graft_host").as("graft_host_a"))
+    val hb = hosts.select(col("doc_id").as(idBCol),
+      col("graft_host").as("graft_host_b"))
+    pairs.join(ha, Seq(idACol)).join(hb, Seq(idBCol))
+      .filter(col("graft_host_a") =!= col("graft_host_b"))
+      .select(least(col("graft_host_a"), col("graft_host_b")).as("host_a"),
+        greatest(col("graft_host_a"), col("graft_host_b")).as("host_b"))
+      .groupBy(col("host_a"), col("host_b"))
+      .agg(count(lit(1)).as("shared_docs"))
+      .filter(col("shared_docs") >= minShared)
+  }
+
   /** Bounded-iteration PageRank over a link-edge frame (`srcCol`,
     * `dstCol`), the fetch-priority signal one step richer than raw
     * in-degree: rank flows THROUGH the graph, so a page linked by one

@@ -33,9 +33,18 @@ import org.apache.spark.sql.functions._
   * The loop covers link discovery; the sibling frontier feeds compose
   * at the seeds seam of a later run (or a custom cycle): redirect
   * targets via [[graft.sources.Warc.redirectEdges]] over the landed
-  * responses, sitemap seeds via [[WebPrep.frontierFromSitemaps]], and
-  * freshness recrawl via [[WebPrep.frontierStale]] over this loop's own
-  * `fetched/` log — all keyed on the same canonical url.
+  * responses (fold multi-hop chains to their ends with
+  * [[graft.ops.LinkGraph.resolveRedirectChains]] first), sitemap seeds
+  * via [[WebPrep.frontierFromSitemaps]], freshness recrawl via
+  * [[WebPrep.frontierStale]] or the change-rate-adaptive
+  * [[WebPrep.recrawlSchedule]] over this loop's own `fetched/` log —
+  * all keyed on the same canonical url. For custom cycles in the
+  * ≤~10^9-fetched-URL regime, [[WebPrep.frontierNewBloom]] is the
+  * exact-result bloom-prefiltered face of the fetched-set diff (this
+  * loop's built-in diff stays the plain anti-join: `hashedUrlKeys`
+  * owns the 10^12 tier); a richer priority than in-degree comes from
+  * [[graft.ops.LinkGraph.pageRank]] over the accumulated link output,
+  * joined onto the frontier as `priorityCol`.
   *
   * Scale shape per cycle: frontier frames are NARROW (url-only) through
   * every shuffle; the wide fetched rows join the plan on the url key

@@ -184,6 +184,62 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("star") > got("other"))
   }
 
+  // ---------- hostGraph / mirrorHosts ----------
+
+  test("hostGraph: normalizes spellings, drops same-host and unparseable edges, distinct pairs") {
+    val sp = spark
+    import sp.implicits._
+    val edges = Seq(
+      ("HTTPS://A.Example:443/p1", "https://b.example/x"),
+      ("https://a.example/p2", "https://b.example/y"), // same host pair
+      ("https://a.example/p3", "https://a.example/p4"), // intra-site
+      ("kein url", "https://b.example/z"),
+      ("https://c.example/p", "https://a.example/p"))
+      .toDF("url", "dst_url")
+    val out = LinkGraph.hostGraph(edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("a.example", "b.example"),
+      ("c.example", "a.example")))
+  }
+
+  test("hostGraph feeds pageRank at the domain tier") {
+    val sp = spark
+    import sp.implicits._
+    val edges = Seq(
+      ("https://f1.example/a", "https://hub.example/x"),
+      ("https://f2.example/b", "https://hub.example/y"),
+      ("https://hub.example/z", "https://t.example/c"))
+      .toDF("url", "dst_url")
+    val ranks = LinkGraph.pageRank(LinkGraph.hostGraph(edges),
+        iterations = 2, srcCol = "src_host", dstCol = "dst_host")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks.keySet === Set("f1.example", "f2.example",
+      "hub.example", "t.example"))
+    assert(ranks("hub.example") > ranks("f1.example"))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+  }
+
+  test("mirrorHosts: pools both pair orientations, excludes same-host pairs, threshold binds") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "https://ma.example/1"), (2L, "https://ma.example/2"),
+      (3L, "https://ma.example/3"), (4L, "https://ma.example/4"),
+      (11L, "https://mb.example/1"), (12L, "https://mb.example/2"),
+      (13L, "https://mb.example/3"), (14L, "https://mb.example/4"),
+      (21L, "https://mc.example/1")).toDF("doc_id", "url")
+    val pairs = Seq(
+      (1L, 11L), (12L, 2L), (3L, 13L), // both orientations pool -> 3 + 1
+      (14L, 4L),
+      (1L, 21L),                        // ma-mc: only 1, cut by minShared
+      (1L, 2L))                         // same host: excluded
+      .toDF("doc_id_a", "doc_id_b")
+    val out = LinkGraph.mirrorHosts(docs, pairs, minShared = 4L).collect()
+    assert(out.length == 1)
+    assert((out.head.getString(0), out.head.getString(1),
+      out.head.getLong(2)) === (("ma.example", "mb.example", 4L)))
+  }
+
   // ---------- compositions ----------
 
   test("pageRank feeds fetchSchedule(priorityCol): the horizon cap keeps the top-ranked urls") {
