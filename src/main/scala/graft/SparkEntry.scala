@@ -617,17 +617,46 @@ object SparkEntry {
       val base = d.filter(col("doc_id") < 250 &&
         pmod(col("doc_id"), lit(7)) < 3)
       val pairs = base.filter(pmod(col("doc_id"), lit(2)) === 0)
-          .select(col("doc_id").as("doc_id_a"),
-            (col("doc_id") + 250).as("doc_id_b"))
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 250).as("doc_b"))
         .unionByName(base.filter(pmod(col("doc_id"), lit(2)) === 1)
-          .select((col("doc_id") + 250).as("doc_id_a"),
-            col("doc_id").as("doc_id_b")))
+          .select((col("doc_id") + 250).as("doc_a"),
+            col("doc_id").as("doc_b")))
         .unionByName(d.filter(pmod(col("doc_id"), lit(50)) === 0 &&
             col("doc_id") < 245)
-          .select(col("doc_id").as("doc_id_a"),
-            (col("doc_id") + 5).as("doc_id_b")))
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 5).as("doc_b")))
       graft.ops.LinkGraph.mirrorHosts(docs, pairs, minShared = 6L)
         .orderBy(col("host_a"), col("host_b"))
+    }),
+    // the composed mirror-GROUP story the mirrorHosts scaladoc promises:
+    // the q51 kept pairs are edges, duplicateClusters over STRING host
+    // ids labels each host with the lexicographically smallest host of
+    // its mirror component; the oracle walks the same edges with a
+    // recursive CTE (min-label fixpoint = connected components)
+    "q52_mirror_groups" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val docs = d.select(col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") < 250,
+            concat(lit("ma"), pmod(col("doc_id"), lit(5)).cast("string")))
+          .otherwise(concat(lit("mb"),
+            pmod(col("doc_id") - 250, lit(4)).cast("string"))),
+          lit(".example/p"), col("doc_id").cast("string")).as("url"))
+      val base = d.filter(col("doc_id") < 250 &&
+        pmod(col("doc_id"), lit(7)) < 3)
+      val pairs = base.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 250).as("doc_b"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select((col("doc_id") + 250).as("doc_a"),
+            col("doc_id").as("doc_b")))
+      val mirrors = graft.ops.LinkGraph.mirrorHosts(docs, pairs,
+        minShared = 6L)
+      Dedup.duplicateClusters(mirrors, idACol = "host_a",
+          idBCol = "host_b")
+        .select(col("doc_id").as("host"), col("cluster").as("mirror_group"))
+        .orderBy(col("host"))
     }),
     // adaptive recrawl scheduling (Cho & Garcia-Molina): 125 urls x 4
     // captures (odd captures under a variant spelling the canonical
@@ -2140,6 +2169,41 @@ object SparkEntry {
         |SELECT host_a, host_b, CAST(count(*) AS BIGINT) AS shared_docs
         |FROM j GROUP BY 1, 2 HAVING count(*) >= 6
         |ORDER BY host_a, host_b""".stripMargin,
+    // the composed mirror-group walk: the q51 joins/threshold re-derived
+    // (minus the same-host branch), then connected components as a
+    // recursive min-label fixpoint over the kept host pairs
+    "q52_mirror_groups" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 250 THEN 'ma' || CAST(doc_id % 5 AS VARCHAR)
+        |         ELSE 'mb' || CAST((doc_id - 250) % 4 AS VARCHAR) END
+        |      || '.example' AS host
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id FROM documents WHERE doc_id < 250 AND doc_id % 7 < 3
+        |), pairs AS (
+        |  SELECT doc_id AS a, doc_id + 250 AS b FROM base WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 250 AS a, doc_id AS b FROM base WHERE doc_id % 2 = 1
+        |), j AS (
+        |  SELECT least(da.host, db.host) AS host_a,
+        |    greatest(da.host, db.host) AS host_b
+        |  FROM pairs
+        |  JOIN docs da ON pairs.a = da.doc_id
+        |  JOIN docs db ON pairs.b = db.doc_id
+        |  WHERE da.host <> db.host
+        |), kept AS (
+        |  SELECT host_a, host_b FROM j GROUP BY 1, 2 HAVING count(*) >= 6
+        |), edges AS (
+        |  SELECT host_a AS src, host_b AS dst FROM kept
+        |  UNION SELECT host_b, host_a FROM kept
+        |), walk(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.id
+        |)
+        |SELECT id AS host, min(lbl) AS mirror_group FROM walk
+        |GROUP BY id ORDER BY host""".stripMargin,
     // the lag window, the smoothed Poisson estimator and both clamps,
     // term for term: lambda = -ln((n-X+0.5)/(n+0.5)) * n / int_sum,
     // interval = clamp(floor(1/lambda)) with the never-changed /

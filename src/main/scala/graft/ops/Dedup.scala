@@ -260,19 +260,34 @@ object Dedup {
     * of returning wrong labels. Returns (doc_id, cluster) where cluster =
     * smallest doc_id in the component — the canonical keeper.
     *
+    * `idACol`/`idBCol` default to the (`doc_a`, `doc_b`) convention every
+    * pair operator in this file emits; any two-column edge frame works.
+    * NUMERIC id columns are compared as longs (smallest doc_id wins, the
+    * q20-pinned contract); non-numeric ids (e.g. [[LinkGraph.mirrorHosts]]
+    * `host_a`/`host_b` strings) are compared as strings — SQL string `min`
+    * and Scala `String` ordering agree (both lexicographic by UTF-16 code
+    * unit), so the driver and distributed paths pick the same keeper.
+    *
     * Scale shape: each round is two joins + one aggregate on the (small)
     * pair set, not the corpus; persist-per-round cuts the lineage so the
     * plan never grows.
     */
   def duplicateClusters(pairs: DataFrame, maxRounds: Int = 64,
-      driverUnionFindMax: Long = 1000000L): DataFrame = {
+      driverUnionFindMax: Long = 1000000L,
+      idACol: String = "doc_a", idBCol: String = "doc_b"): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    val numericIds =
+      pairs.schema(idACol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+      pairs.schema(idBCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val (aCol, bCol) =
+      if (numericIds) (col(idACol).cast("long"), col(idBCol).cast("long"))
+      else (col(idACol).cast("string"), col(idBCol).cast("string"))
     // undirected edge list, both directions
-    val edges = pairs.select(col("doc_a").cast("long").as("src"),
-        col("doc_b").cast("long").as("dst"))
-      .union(pairs.select(col("doc_b").cast("long").as("src"),
-        col("doc_a").cast("long").as("dst")))
+    val edges = pairs.select(aCol.as("src"), bCol.as("dst"))
+      .union(pairs.select(bCol.as("src"), aCol.as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Hybrid: the pair set is tiny relative to the corpus for any sane
@@ -284,27 +299,13 @@ object Dedup {
     // for genuinely huge duplicate graphs (boilerplate-heavy corpora).
     val edgeCount = edges.count()
     if (edgeCount <= driverUnionFindMax) {
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x0: Long): Long = {
-        var x = x0
-        while (parent.getOrElse(x, x) != x) {
-          val p = parent(x)
-          parent(x) = parent.getOrElse(p, p) // path halving
-          x = parent(x)
-        }
-        x
-      }
-      edges.as[(Long, Long)].collect().foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { // min root wins -> cluster = smallest doc_id
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
-          parent.getOrElseUpdate(math.min(ra, rb), math.min(ra, rb))
-        }
-      }
-      val out = parent.keys.map(id => (id, find(id))).toSeq.sorted
+      val out =
+        if (numericIds)
+          spark.createDataset(unionFind(edges.as[(Long, Long)].collect()))
+        else
+          spark.createDataset(unionFind(edges.as[(String, String)].collect()))
       edges.unpersist()
-      return spark.createDataset(out).toDF("doc_id", "cluster")
-        .orderBy(col("doc_id"))
+      return out.toDF("doc_id", "cluster").orderBy(col("doc_id"))
     }
     // localCheckpoint (not persist): the pointer-jumping round references
     // `labels` three times, so without a REAL lineage cut the logical plan
@@ -340,6 +341,34 @@ object Dedup {
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("cluster"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Driver-side union-find with path halving over a collected edge list —
+    * the small-graph fast path of [[duplicateClusters]]. Generic in the id
+    * type so numeric and string ids share one implementation; returns
+    * (id, root) sorted by id, root = the Ordering-smallest member.
+    */
+  private def unionFind[T](edges: Array[(T, T)])(
+      implicit ord: Ordering[T]): Seq[(T, T)] = {
+    val parent = scala.collection.mutable.HashMap.empty[T, T]
+    def find(x0: T): T = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min root wins -> cluster = smallest id
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        val m = ord.min(ra, rb)
+        parent.getOrElseUpdate(m, m)
+      }
+    }
+    parent.keys.map(id => (id, find(id))).toSeq.sorted
   }
 
   // ---------- winnowing-fingerprint overlap (partial containment) ----------

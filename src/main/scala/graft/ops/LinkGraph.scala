@@ -184,26 +184,35 @@ object LinkGraph {
     * knowledge: two hosts sharing many duplicate documents are mirrors
     * (or scraping each other), and corpus policy usually keeps ONE of
     * them rather than re-litigating every page pair. `pairs` is any
-    * (idACol, idBCol) duplicate-pair frame (minhash q11, cosine q15,
-    * n-gram q19, winnow q30 — all emit pairs); `docs` maps doc ids to
-    * urls. Cross-host pairs only (same-host duplicates are the intra-
-    * site dedup problem, not mirroring); the host pair is ORDER-
-    * NORMALIZED (least/greatest) so (a,b) and (b,a) evidence pools; kept
-    * when at least `minShared` duplicate pairs connect the two hosts.
+    * (idACol, idBCol) duplicate-pair frame; the defaults (`doc_a`,
+    * `doc_b`) match what every pair operator emits (minhash q11, cosine
+    * q15, n-gram q19, winnow q30), so the plain
+    * {{{ mirrorHosts(docs, minhashDupPairs(docs)) }}} composition runs
+    * as-is; `docs` maps doc ids to urls. Cross-host pairs only
+    * (same-host duplicates are the intra-site dedup problem, not
+    * mirroring); the host pair is ORDER-NORMALIZED (least/greatest) so
+    * (a,b) and (b,a) evidence pools; kept when at least `minShared`
+    * duplicate pairs connect the two hosts.
     *
     * Output: (`host_a`, `host_b`, `shared_docs`) with host_a < host_b.
     * Plan: two narrow id-keyed joins (pairs are ids only; urls project
-    * to hosts before the join), one map-side-combinable count on the
-    * host-pair key. Feeding the kept pairs into
-    * [[Dedup.duplicateClusters]] (they are edges) yields mirror GROUPS
-    * when a site has more than one mirror.
+    * to hosts before the join, and the projection is localCheckpointed
+    * once so the corpus-sized docs scan + hostOf regex chain pay once,
+    * not once per join side), one map-side-combinable count on the
+    * host-pair key. The kept pairs are edges: mirror GROUPS (a site with
+    * more than one mirror) come from
+    * {{{ Dedup.duplicateClusters(mirrorHosts(docs, pairs),
+    *       idACol = "host_a", idBCol = "host_b") }}}
+    * — string ids cluster by lexicographic min (q52 pins the composed
+    * result).
     */
   def mirrorHosts(docs: DataFrame, pairs: DataFrame, minShared: Long = 3L,
-      urlCol: String = "url", idACol: String = "doc_id_a",
-      idBCol: String = "doc_id_b"): DataFrame = {
+      urlCol: String = "url", idACol: String = "doc_a",
+      idBCol: String = "doc_b"): DataFrame = {
     val hosts = docs
       .select(col("doc_id"), Web.hostOf(col(urlCol)).as("graft_host"))
       .filter(col("graft_host").isNotNull && col("graft_host") =!= "")
+      .localCheckpoint()
     val ha = hosts.select(col("doc_id").as(idACol),
       col("graft_host").as("graft_host_a"))
     val hb = hosts.select(col("doc_id").as(idBCol),

@@ -233,11 +233,38 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       (14L, 4L),
       (1L, 21L),                        // ma-mc: only 1, cut by minShared
       (1L, 2L))                         // same host: excluded
-      .toDF("doc_id_a", "doc_id_b")
+      .toDF("doc_a", "doc_b") // the default pair-operator column names
     val out = LinkGraph.mirrorHosts(docs, pairs, minShared = 4L).collect()
     assert(out.length == 1)
     assert((out.head.getString(0), out.head.getString(1),
       out.head.getLong(2)) === (("ma.example", "mb.example", 4L)))
+  }
+
+  test("mirrorHosts pairs feed duplicateClusters: mirror groups by string min-label") {
+    val sp = spark
+    import sp.implicits._
+    // two mirror components: {m1,m2,m3} chained via shared dups (m1-m2
+    // and m2-m3 pass minShared, m1-m3 never directly paired) and {n1,n2}
+    val docs = (
+      (1 to 3).map(i => (10L + i, s"https://m1.example/$i")) ++
+      (1 to 3).map(i => (20L + i, s"https://m2.example/$i")) ++
+      (1 to 3).map(i => (30L + i, s"https://m3.example/$i")) ++
+      (1 to 3).map(i => (40L + i, s"https://n1.example/$i")) ++
+      (1 to 3).map(i => (50L + i, s"https://n2.example/$i"))
+    ).toDF("doc_id", "url")
+    val pairs = (
+      (1 to 3).map(i => (10L + i, 20L + i)) ++ // m1-m2 x3
+      (1 to 3).map(i => (20L + i, 30L + i)) ++ // m2-m3 x3
+      (1 to 3).map(i => (40L + i, 50L + i))    // n1-n2 x3
+    ).toDF("doc_a", "doc_b")
+    val mirrors = LinkGraph.mirrorHosts(docs, pairs, minShared = 3L)
+    val groups = graft.ops.Dedup.duplicateClusters(mirrors,
+        idACol = "host_a", idBCol = "host_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(groups == Map(
+      "m1.example" -> "m1.example", "m2.example" -> "m1.example",
+      "m3.example" -> "m1.example",
+      "n1.example" -> "n1.example", "n2.example" -> "n1.example"))
   }
 
   // ---------- compositions ----------

@@ -96,6 +96,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("duplicateClusters: string ids (mirror hosts) on both paths") {
+    val sp = spark
+    import sp.implicits._
+    // host-tier edges as mirrorHosts emits them: string ids, custom
+    // column names; chain a-b-c (multi-round) + isolated pair y-x, and
+    // "10." < "9." lexicographically — the keeper must be the STRING
+    // min, not a numeric accident
+    val pairs = Seq(("b.example", "a.example"), ("b.example", "c.example"),
+      ("y.example", "x.example"), ("9.example", "10.example"))
+      .toDF("host_a", "host_b")
+    val want = Map("a.example" -> "a.example", "b.example" -> "a.example",
+      "c.example" -> "a.example", "x.example" -> "x.example",
+      "y.example" -> "x.example", "9.example" -> "10.example",
+      "10.example" -> "10.example")
+    Seq(1000000L, 0L).foreach { uf =>
+      val got = Dedup.duplicateClusters(pairs, driverUnionFindMax = uf,
+          idACol = "host_a", idBCol = "host_b")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == want, s"driverUnionFindMax=$uf")
+    }
+  }
+
   test("duplicateClusters: 64-node chain converges (pointer jumping)") {
     val sp = spark
     import sp.implicits._
