@@ -228,6 +228,17 @@ object SparkEntry {
         keyCol = col("doc_id"), salt = "graft-sample-v1")
         .select(col("doc_id"), col("stratum"), col("sample_key"))
         .orderBy(col("doc_id"))),
+    // upsampling face of the mixing config: en gets 2.25 epochs (2
+    // always + 1 more under the .25 fractional threshold), de exactly 1
+    // (integer rate -> no fractional copies), everything else the 0.4
+    // downsample; a fresh salt so the draw is independent of q23's
+    "q53_replicated_sample" -> ((s, dir) =>
+      Corpus.replicatedSample(table(s, dir, "documents"), col("lang"),
+        rates = Map("en" -> 2.25, "de" -> 1.0), defaultRate = 0.4,
+        keyCol = col("doc_id"), salt = "graft-epoch-v1")
+        .select(col("doc_id"), col("stratum"), col("sample_key"),
+          col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
     "q24_quality_filter" -> ((s, dir) =>
       Corpus.gopherQualityFilter(table(s, dir, "documents"))
         .orderBy(col("doc_id"))),
@@ -1915,6 +1926,32 @@ object SparkEntry {
         |SELECT doc_id, stratum, sample_key FROM sk
         |WHERE sample_key < CASE stratum WHEN 'en' THEN 5000 WHEN 'de' THEN 3000 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,
+    // the replication rule re-derived: same md5 sample key under the
+    // epoch salt, whole-part repeats by stratum, one extra copy under
+    // the fractional threshold, epochs unrolled with range()
+    "q53_replicated_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || 'graft-epoch-v1') >= 9223372036854775808
+        |      THEN CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || 'graft-epoch-v1') AS HUGEINT) - 18446744073709551616
+        |      ELSE CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || 'graft-epoch-v1') AS HUGEINT) END AS BIGINT) AS h
+        |  FROM documents
+        |), sk AS (
+        |  SELECT doc_id, lang AS stratum,
+        |    (h & 1152921504606846975) % 10000 AS sample_key
+        |  FROM k
+        |), r AS (
+        |  SELECT doc_id, stratum, sample_key,
+        |    CASE stratum WHEN 'en' THEN 2 WHEN 'de' THEN 1 ELSE 0 END
+        |    + CASE WHEN sample_key <
+        |        CASE stratum WHEN 'en' THEN 2500 WHEN 'de' THEN 0 ELSE 4000 END
+        |      THEN 1 ELSE 0 END AS repeats
+        |  FROM sk
+        |)
+        |SELECT doc_id, stratum, sample_key,
+        |  CAST(unnest(range(repeats)) AS BIGINT) AS epoch
+        |FROM r WHERE repeats > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
     // exact re-derivation of every Gopher rule input (token counts from
     // raw text, dup ratios from lowercased tokens, the all-language stop
     // list) — identical double arithmetic, so the booleans must agree.

@@ -111,6 +111,104 @@ object Corpus {
       .filter(col("sample_key") < keepBelow)
   }
 
+  /** Stratified sampling where rates may EXCEED 1: a document is kept
+    * `floor(rate)` times always, plus one more copy iff its sample key
+    * falls under the fractional remainder — the deterministic-hash
+    * version of "epochs per dataset" that multilingual mixes use to
+    * UPSAMPLE low-resource strata (mC4 / Xue et al. 2021 sample
+    * languages at p^alpha, which implies rates > 1 for the smallest
+    * ones; Llama-style mixes publish per-source epoch counts the same
+    * way). Each copy carries a 0-based `epoch` column so downstream
+    * shuffling/packing can salt on (keyCol, epoch) and the copies do
+    * not co-locate. For rate <= 1 the kept set is IDENTICAL to
+    * [[stratifiedSample]] at the same (keyCol, salt) — the two
+    * operators compose into one mixing config. Rates above
+    * `MaxReplication` fail loudly (a fat-fingered rate of 1000 would
+    * silently explode the corpus).
+    *
+    * Scale shape: pure map-side — a codegen'd hash, a literal
+    * when-chain, one explode; zero shuffle, and the output is a
+    * deterministic function of (keyCol, salt) like every sampler here.
+    * Output carries helper columns `stratum`, `sample_key`, `epoch`
+    * (pre-existing columns of those names are overwritten).
+    */
+  def replicatedSample(df: DataFrame, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      keyCol: Column, salt: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    def check(r: Double): Double = {
+      require(r >= 0.0 && r <= MaxReplication,
+        s"rate $r out of [0, $MaxReplication]")
+      r
+    }
+    def whole(r: Double): Long = math.floor(check(r)).toLong
+    def fracThresh(r: Double): Long =
+      math.round((check(r) - math.floor(r)) * SampleBuckets)
+    val base = rates.foldLeft(lit(whole(defaultRate))) {
+      case (acc, (s, r)) => when(stratum === s, lit(whole(r))).otherwise(acc)
+    }
+    val extraBelow = rates.foldLeft(lit(fracThresh(defaultRate))) {
+      case (acc, (s, r)) =>
+        when(stratum === s, lit(fracThresh(r))).otherwise(acc)
+    }
+    df.withColumn("stratum", stratum)
+      .withColumn("sample_key", sampleKey(keyCol, salt))
+      .withColumn("graft_repeats",
+        base + when(col("sample_key") < extraBelow, lit(1L)).otherwise(lit(0L)))
+      .filter(col("graft_repeats") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("graft_repeats") - 1)))
+      .drop("graft_repeats")
+  }
+
+  /** Upper bound on a replicatedSample rate — beyond ~a few epochs
+    * upsampling is known to hurt (quality degrades well before 100
+    * repeats), so a rate this large is a config bug, not a mix.
+    */
+  val MaxReplication = 100.0
+
+  /** Temperature-flattened sampling rates (the mC4 / multilingual-T5
+    * mixing rule, Xue et al. 2021 §3.1): sample stratum s with mixture
+    * probability q_s ∝ p_s^alpha, where p_s is the stratum's natural
+    * share of `massByStratum` (token or doc counts). alpha < 1 flattens
+    * the head and boosts the tail; alpha = 1 is the natural mix. The
+    * mixture is realized as per-stratum rates ∝ q_s / p_s = p_s^(alpha-1):
+    *  - with `targetMass` set, rate_s = targetMass * q_s / mass_s capped
+    *    at `maxRate` (the realized mix then deviates from q wherever the
+    *    cap binds — the standard budgeted compromise);
+    *  - without, rates are normalized so the LARGEST is exactly
+    *    `maxRate`: maxRate = 1 (default) gives the largest feasible
+    *    downsample-only mix (the rarest stratum is kept whole, alpha < 1);
+    *    maxRate > 1 allows that many epochs of the rarest stratum and
+    *    feeds [[replicatedSample]].
+    * Deterministic driver-side arithmetic over the tiny per-stratum
+    * summary (pair with corpusSummary, like [[rebalanceRates]]); strata
+    * with zero mass get rate 0 — sampling cannot create data.
+    */
+  def temperatureRates(massByStratum: Map[String, Long], alpha: Double,
+      targetMass: Option[Long] = None,
+      maxRate: Double = 1.0): Map[String, Double] = {
+    require(alpha > 0.0, s"alpha $alpha must be > 0")
+    require(maxRate > 0.0 && maxRate <= MaxReplication,
+      s"maxRate $maxRate out of (0, $MaxReplication]")
+    require(massByStratum.values.forall(_ >= 0L), "negative stratum mass")
+    val active = massByStratum.filter(_._2 > 0L)
+    if (active.isEmpty) return massByStratum.keys.map(_ -> 0.0).toMap
+    val wSum = active.values.map(m => math.pow(m.toDouble, alpha)).sum
+    // q_s / mass_s, the per-row keep propensity (un-normalized rate)
+    val propensity = active.map { case (s, m) =>
+      s -> math.pow(m.toDouble, alpha) / wSum / m.toDouble
+    }
+    val c = targetMass match {
+      case Some(t) =>
+        require(t > 0L, s"targetMass $t must be > 0"); t.toDouble
+      case None => maxRate / propensity.values.max
+    }
+    massByStratum.keys.map { s =>
+      s -> propensity.get(s).fold(0.0)(p => math.min(maxRate, c * p))
+    }.toMap
+  }
+
   /** Gopher-style quality-rule thresholds (Rae et al. 2021 table A1 uses
     * 50..100k words, mean word length 3..10, plus symbol/stopword rules;
     * the repetition bounds here play the role of its dup-line/dup-ngram

@@ -93,6 +93,78 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a != c)
   }
 
+  test("replicatedSample: epochs by whole part + fractional hash draw; rate<=1 equals stratifiedSample") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1L to 3000L).map(i =>
+      (i, Seq("en", "de", "fr")(((i % 3).toInt)))).toDF("doc_id", "lang")
+    def run() = Corpus.replicatedSample(df, col("lang"),
+      rates = Map("en" -> 2.25, "de" -> 1.0), defaultRate = 0.4,
+      keyCol = col("doc_id"), salt = "e1")
+    val out = run().cache()
+    // determinism
+    assert(out.select("doc_id", "epoch").collect().toSet ==
+      run().select("doc_id", "epoch").collect().toSet)
+    // de (rate exactly 1): every doc exactly once, epoch 0
+    val de = out.filter(col("stratum") === "de")
+    assert(de.count() == 1000 && de.agg(max("epoch")).head.getLong(0) == 0L)
+    // en (rate 2.25): every en doc at least twice, ~25% three times,
+    // epochs contiguous from 0
+    val en = out.filter(col("stratum") === "en")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("epoch").as("mx"))
+    assert(en.count() == 1000)
+    assert(en.filter(col("n") < 2 || col("n") > 3).count() == 0)
+    assert(en.filter(col("mx") =!= col("n") - 1).count() == 0)
+    val thrice = en.filter(col("n") === 3).count().toDouble / 1000
+    assert(math.abs(thrice - 0.25) < 0.06, s"en 3-epoch share $thrice")
+    // fr (default 0.4 < 1): the kept set is EXACTLY stratifiedSample's
+    val frGot = out.filter(col("stratum") === "fr")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val frWant = Corpus.stratifiedSample(df.filter(col("lang") === "fr"),
+        col("lang"), Map.empty, 0.4, col("doc_id"), "e1")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(frGot == frWant)
+    out.unpersist()
+    // a fat-fingered rate fails loudly
+    intercept[IllegalArgumentException] {
+      Corpus.replicatedSample(df, col("lang"), Map("en" -> 1000.0), 1.0,
+        col("doc_id"), "e1")
+    }
+  }
+
+  test("temperatureRates: alpha flattens toward the tail; budget and cap semantics") {
+    // natural masses 90/9/1 (x1000 tokens)
+    val mass = Map("en" -> 90000L, "de" -> 9000L, "rm" -> 1000L)
+    // alpha = 1: natural mix -> every rate equal (and max-normalized to 1)
+    val nat = Corpus.temperatureRates(mass, alpha = 1.0)
+    assert(nat.values.forall(r => math.abs(r - 1.0) < 1e-12))
+    // alpha = 0.5: rarest stratum binds at rate 1, head downsampled by
+    // sqrt(mass ratio): rate_en = sqrt(1000/90000) = 1/sqrt(90)
+    val t = Corpus.temperatureRates(mass, alpha = 0.5)
+    assert(math.abs(t("rm") - 1.0) < 1e-12)
+    assert(math.abs(t("en") - 1.0 / math.sqrt(90.0)) < 1e-12)
+    assert(math.abs(t("de") - 1.0 / math.sqrt(9.0)) < 1e-12)
+    // realized masses then follow q_s = sqrt(m_s)/sum(sqrt): shares of
+    // (300, 94.87, 31.62) -> the tail share rises from 1% to ~7.4%
+    val kept = mass.map { case (s, m) => s -> m * t(s) }
+    val tailShare = kept("rm") / kept.values.sum
+    assert(tailShare > 0.07 && tailShare < 0.08, s"tail share $tailShare")
+    // maxRate > 1: the rarest stratum gets epochs, ratios preserved
+    val up = Corpus.temperatureRates(mass, alpha = 0.5, maxRate = 3.0)
+    assert(math.abs(up("rm") - 3.0) < 1e-12)
+    assert(math.abs(up("en") - 3.0 / math.sqrt(90.0)) < 1e-12)
+    // targetMass: rates scale to the budget, capped at maxRate
+    val b = Corpus.temperatureRates(mass, alpha = 0.5,
+      targetMass = Some(10000L), maxRate = 1.0)
+    val realized = mass.map { case (s, m) => m * b(s) }.sum
+    assert(b.values.forall(_ <= 1.0))
+    assert(realized <= 10000L * 1.05) // cap can only push DOWN from target
+    // zero-mass stratum -> rate 0; all-zero -> all 0
+    val z = Corpus.temperatureRates(mass + ("xx" -> 0L), alpha = 0.5)
+    assert(z("xx") == 0.0)
+    assert(Corpus.temperatureRates(Map("a" -> 0L), 0.5).values.forall(_ == 0.0))
+  }
+
   test("sampleKey matches Hashing.md5Long recomputation") {
     val sp = spark
     import sp.implicits._
