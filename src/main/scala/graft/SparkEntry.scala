@@ -306,6 +306,29 @@ object SparkEntry {
     "q35_pack_sequences" -> ((s, dir) =>
       Corpus.packSequences(table(s, dir, "documents"), seqLen = 512,
         nShards = 4).orderBy(col("doc_id"))),
+    // document-boundary packing: seqLen 64 sits INSIDE the corpus's
+    // 10..99 ws-token range, so both faces of the rule fire — oversize
+    // docs (> 64 tokens) isolate in their own bins, the rest pack
+    // next-fit; the oracle replays the one-pass state machine with a
+    // per-shard recursive CTE
+    "q55_pack_boundary" -> ((s, dir) =>
+      Corpus.packDocsNextFit(table(s, dir, "documents"), seqLen = 64,
+        nShards = 4).orderBy(col("doc_id"))),
+    // incremental snapshot delta: old = documents minus the 13-multiples
+    // (those become `added`), new = documents minus the 11-multiples
+    // (`removed`) with the 7-multiples' text edited (`changed`);
+    // includeUnchanged so all four statuses pin
+    "q54_corpus_delta" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val oldSnap = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val newSnap = d.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      Corpus.corpusDelta(oldSnap, newSnap, keyCol = "doc_id",
+        includeUnchanged = true).orderBy(col("doc_id"))
+    }),
     // URL canonicalization + dedup: six URL variants per page group
     // (tracking params / :443 / fragment / case+trailing-slash must
     // collapse; a real query param must NOT; a userinfo URL must strip
@@ -1911,6 +1934,78 @@ object SparkEntry {
         |  (cum + n_tokens - 1) // 512 AS last_seq,
         |  cum % 512 AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // the next-fit state machine replayed sequentially: same hash order
+    // as q35, then a per-shard recursive CTE carries (open bin, fill,
+    // slot) from row rn to rn+1 — the open-bin state a row leaves behind
+    // is (bin+1, 0, 0) after an oversize row and (bin, fill_after,
+    // pos+1) otherwise, inlined below as the repeated CASE WHEN
+    // r.oversize expressions
+    "q55_pack_boundary" ->
+      """WITH RECURSIVE k AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || 'pack-v1') >= 9223372036854775808
+        |      THEN CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || 'pack-v1') AS HUGEINT) - 18446744073709551616
+        |      ELSE CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || 'pack-v1') AS HUGEINT) END AS BIGINT)
+        |      & 1152921504606846975 AS pkey,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), t AS (
+        |  SELECT doc_id, pkey % 4 AS shard, n_tokens,
+        |    row_number() OVER (PARTITION BY pkey % 4 ORDER BY pkey, doc_id) AS rn
+        |  FROM k WHERE n_tokens > 0
+        |), r AS (
+        |  SELECT doc_id, shard, rn, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin,
+        |    CAST(0 AS INTEGER) AS pos,
+        |    n_tokens > 64 AS oversize,
+        |    CAST(CASE WHEN n_tokens > 64 THEN 0 ELSE n_tokens END AS BIGINT) AS fill_after
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.shard, t.rn, t.n_tokens,
+        |    CAST(CASE
+        |      WHEN t.n_tokens > 64 THEN
+        |        (CASE WHEN r.oversize THEN r.bin + 1 ELSE r.bin END)
+        |        + (CASE WHEN (CASE WHEN r.oversize THEN 0 ELSE r.fill_after END) > 0 THEN 1 ELSE 0 END)
+        |      WHEN (CASE WHEN r.oversize THEN 0 ELSE r.fill_after END) + t.n_tokens > 64 THEN
+        |        (CASE WHEN r.oversize THEN r.bin + 1 ELSE r.bin END) + 1
+        |      ELSE (CASE WHEN r.oversize THEN r.bin + 1 ELSE r.bin END)
+        |    END AS BIGINT) AS bin,
+        |    CAST(CASE
+        |      WHEN t.n_tokens > 64 OR (CASE WHEN r.oversize THEN 0 ELSE r.fill_after END) + t.n_tokens > 64 THEN 0
+        |      ELSE (CASE WHEN r.oversize THEN 0 ELSE r.pos + 1 END)
+        |    END AS INTEGER) AS pos,
+        |    t.n_tokens > 64 AS oversize,
+        |    CAST(CASE
+        |      WHEN t.n_tokens > 64 THEN 0
+        |      WHEN (CASE WHEN r.oversize THEN 0 ELSE r.fill_after END) + t.n_tokens > 64 THEN t.n_tokens
+        |      ELSE (CASE WHEN r.oversize THEN 0 ELSE r.fill_after END) + t.n_tokens
+        |    END AS BIGINT) AS fill_after
+        |  FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1
+        |)
+        |SELECT doc_id, shard, n_tokens, bin, pos, oversize
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // snapshot delta re-derived with DuckDB's own md5 + a full outer
+    // join; min(digest) per key mirrors the smallest-wins keeper, IS NOT
+    // DISTINCT FROM mirrors the null-safe <=> compare
+    "q54_corpus_delta" ->
+      """WITH o0 AS (
+        |  SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 13 <> 0
+        |), n0 AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS d
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |), o AS (
+        |  SELECT doc_id, min(d) AS old_digest FROM o0 WHERE doc_id IS NOT NULL GROUP BY 1
+        |), n AS (
+        |  SELECT doc_id, min(d) AS new_digest FROM n0 WHERE doc_id IS NOT NULL GROUP BY 1
+        |)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN old_digest IS NOT DISTINCT FROM new_digest THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_digest, new_digest
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q23_stratified_sample" ->
       """WITH k AS (
         |  SELECT doc_id, lang,

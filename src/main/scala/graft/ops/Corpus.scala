@@ -373,6 +373,149 @@ object Corpus {
         (col("cum") % seqLen).as("seq_offset"))
   }
 
+  /** Document-boundary sequence packing (next-fit): lay each shard's
+    * documents out in the SAME deterministic hash order as
+    * [[packSequences]], but close a bin whenever the next document would
+    * not fit — no document ever spans two training sequences. This is
+    * the packing discipline for runs that must avoid cross-document
+    * attention contamination (Ding et al. 2024, "Fewer Truncations
+    * Improve Language Modeling", arXiv:2404.10830, motivates
+    * boundary-respecting packing; next-fit is its deterministic
+    * ONE-PASS member — best-fit packs tighter but needs a mutable bin
+    * index per shard, next-fit needs three registers). A document longer
+    * than `seqLen` cannot fit any bin: it is emitted ALONE in its own
+    * bin with `oversize = true` (the loader truncates or chunks it —
+    * silently dropping it would bias the corpus against long documents).
+    * Emits one row per non-empty document:
+    *   (doc_id, shard, n_tokens, bin, pos, oversize)
+    * where `bin` is shard-local, dense from 0 in layout order, and
+    * `pos` is the document's 0-based slot inside its bin.
+    *
+    * Scale shape: ONE exchange (hash repartition on shard) + a
+    * partition-local sort, then a STREAMING per-shard pass in
+    * mapPartitions — next-fit state is three registers (open bin, fill,
+    * slot), so memory is O(1) per task no matter how many documents a
+    * shard holds, and only the 24-byte (doc_id, pkey, n_tokens)
+    * projection ever shuffles — the text stays columnar in the scan.
+    * All rows of a shard hash to one partition; the pass resets its
+    * registers on every shard boundary, so multiple shards per
+    * partition are fine (pick nShards >= cluster cores to keep every
+    * core busy). The layout is a pure function of (salt, nShards,
+    * seqLen) — bit-identical on any cluster size or re-run, like every
+    * sampler here. Rows with a null doc_id are dropped (a packing index
+    * is meaningless without an id to load by).
+    */
+  def packDocsNextFit(docs: DataFrame, seqLen: Int, nShards: Int = 64,
+      salt: String = "pack-v1",
+      tokenizer: Column => Column = t => size(TextAnalysis.wsTokens(t)))
+      : DataFrame = {
+    require(seqLen > 0, s"seqLen $seqLen")
+    require(nShards > 0, s"nShards $nShards")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val key = call_function("md5_long",
+      concat(col("doc_id").cast("string"), lit(salt))).bitwiseAND(lit(Mask60))
+    val sorted = docs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), key.as("pkey"),
+        tokenizer(col("text")).cast("long").as("n_tokens"))
+      .withColumn("shard", col("pkey") % nShards)
+      .filter(col("n_tokens") > 0)
+      // fixed positional layout for the row pass below:
+      // 0 doc_id, 1 pkey, 2 n_tokens, 3 shard
+      .select(col("doc_id"), col("pkey"), col("n_tokens"), col("shard"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pkey"), col("doc_id"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      sorted.schema.fields(0), // doc_id, whatever type the caller keys by
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("oversize",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val cap = seqLen.toLong
+    sorted.mapPartitions { it =>
+      // next-fit registers, reset on every shard boundary
+      var curShard = Long.MinValue
+      var bin = 0L // bin currently open for filling
+      var fill = 0L // tokens already in the open bin
+      var slot = 0 // documents already in the open bin
+      it.map { r =>
+        val shard = r.getLong(3)
+        val n = r.getLong(2)
+        if (shard != curShard) {
+          curShard = shard; bin = 0L; fill = 0L; slot = 0
+        }
+        val row: org.apache.spark.sql.Row =
+          if (n > cap) {
+            // cannot fit any bin: close the open one, sit alone
+            if (fill > 0L) bin += 1L
+            val out = org.apache.spark.sql.Row(
+              r.get(0), shard, n, bin, 0, true)
+            bin += 1L; fill = 0L; slot = 0
+            out
+          } else {
+            if (fill + n > cap) { bin += 1L; fill = 0L; slot = 0 }
+            val out = org.apache.spark.sql.Row(
+              r.get(0), shard, n, bin, slot, false)
+            fill += n; slot += 1
+            out
+          }
+        row
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Snapshot delta between two corpus builds (the incremental-crawl
+    * consumption stage): classify every key as `added` (in the new
+    * snapshot only), `removed` (old only), `changed` (both, digest
+    * differs) or `unchanged` (both, digest equal — excluded unless
+    * `includeUnchanged`, since at corpus scale the unchanged mass is
+    * ~everything and the delta's whole point is to be small). Downstream
+    * re-extraction / re-dedup then runs on `added ∪ changed` instead of
+    * the full corpus — the batch analogue of what frontierStale does for
+    * fetch planning. Emits (keyCol, status, old_digest, new_digest).
+    *
+    * A snapshot may hold several rows per key (re-captures): each side
+    * is first reduced to one row per key with the MINIMUM digest as the
+    * representative — deterministic and order-independent (the smallest-
+    * wins keeper convention used across the dedup operators). Rows whose
+    * key is null are dropped (an equality join cannot track them); rows
+    * whose digest is null (null text) stay, compare null-safely, and two
+    * all-null sides read `unchanged`.
+    *
+    * Scale shape: each side collapses map-side (partial min-aggregate)
+    * to one ~50-byte (key, digest) row per key before its single
+    * exchange — the text never shuffles because the digest is computed
+    * in the scan projection — then one key-keyed full outer join (AQE
+    * picks SMJ; both sides are narrow). Nothing here is quadratic and
+    * nothing collects.
+    */
+  def corpusDelta(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String = "url", digest: Column = md5(col("text")),
+      includeUnchanged: Boolean = false): DataFrame = {
+    def side(df: DataFrame, as: String): DataFrame = df
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(digest).as(as))
+    val o = side(oldSnap, "old_digest").withColumnRenamed(keyCol, "graft_ok")
+    val n = side(newSnap, "new_digest").withColumnRenamed(keyCol, "graft_nk")
+    val joined = o.join(n, col("graft_ok") === col("graft_nk"), "full_outer")
+      .select(
+        coalesce(col("graft_ok"), col("graft_nk")).as(keyCol),
+        when(col("graft_ok").isNull, lit("added"))
+          .when(col("graft_nk").isNull, lit("removed"))
+          .when(col("old_digest") <=> col("new_digest"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_digest"), col("new_digest"))
+    if (includeUnchanged) joined
+    else joined.filter(col("status") =!= "unchanged")
+  }
+
   /** CCNet-style language-model quality scoring: per-document score from
     * the embedded deterministic char-n-gram LM (the same model the
     * extraction kernel's dehyphenation uses), via the codegen'd

@@ -165,6 +165,82 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Corpus.temperatureRates(Map("a" -> 0L), 0.5).values.forall(_ == 0.0))
   }
 
+  test("packDocsNextFit: matches a sequential next-fit replay; boundary invariants hold") {
+    val sp = spark
+    import sp.implicits._
+    // token counts 1..9 words via repeat; ids chosen so hash order is
+    // arbitrary; include an oversize doc (12 > seqLen 8) per shard odds
+    val rows = (1L to 200L).map(i => (i, ("w " * (1 + (i % 12)).toInt).trim))
+    val df = rows.toDF("doc_id", "text")
+    val seqLen = 8
+    val out = Corpus.packDocsNextFit(df, seqLen = seqLen, nShards = 3,
+      salt = "nf1").cache()
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getInt(4), r.getBoolean(5))).toSet
+    // driver-side replay of the exact rule over the same hash order
+    val want = rows
+      .map { case (id, text) =>
+        val pkey = Hashing.md5Long(id.toString + "nf1") & 0x0FFFFFFFFFFFFFFFL
+        (id, pkey, text.split("\\s+").count(_.nonEmpty).toLong, pkey % 3)
+      }
+      .groupBy(_._4).toSeq.flatMap { case (shard, docs) =>
+        var bin = 0L; var fill = 0L; var slot = 0
+        docs.sortBy(d => (d._2, d._1)).map { case (id, _, n, _) =>
+          if (n > seqLen) {
+            if (fill > 0) bin += 1
+            val r = (id, shard, n, bin, 0, true)
+            bin += 1; fill = 0; slot = 0; r
+          } else {
+            if (fill + n > seqLen) { bin += 1; fill = 0; slot = 0 }
+            val r = (id, shard, n, bin, slot, false)
+            fill += n; slot += 1; r
+          }
+        }
+      }.toSet
+    assert(got == want)
+    // invariants: every doc exactly once; non-oversize bins fit seqLen;
+    // oversize docs sit alone; bins dense from 0; pos contiguous
+    assert(out.count() == 200)
+    val byBin = out.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("toks"), count(lit(1)).as("n"),
+        max(col("oversize").cast("int")).as("ov"),
+        min("pos").as("p0"), max("pos").as("p1"))
+    assert(byBin.filter(col("ov") === 0 && col("toks") > seqLen).count() == 0)
+    assert(byBin.filter(col("ov") === 1 && col("n") =!= 1).count() == 0)
+    assert(byBin.filter(col("p0") =!= 0 || col("p1") =!= col("n") - 1)
+      .count() == 0)
+    val dense = out.groupBy("shard").agg(max("bin").as("mx"),
+      countDistinct("bin").as("nb"))
+    assert(dense.filter(col("nb") =!= col("mx") + 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("corpusDelta: four statuses, smallest-digest keeper, null-safe compare") {
+    val sp = spark
+    import sp.implicits._
+    val oldSnap = Seq(
+      ("a", "same"), ("b", "one"), ("c", "gone"),
+      ("d", "dup2"), ("d", "dup1"), // keeper = min digest of the two
+      ("e", null), (null, "droppedKey")
+    ).toDF("url", "text")
+    val newSnap = Seq(
+      ("a", "same"), ("b", "two"), ("f", "fresh"),
+      ("d", "dup1"), ("d", "dup2"),
+      ("e", null), (null, "droppedKey")
+    ).toDF("url", "text")
+    val full = Corpus.corpusDelta(oldSnap, newSnap,
+      includeUnchanged = true)
+    val st = full.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(st == Map("a" -> "unchanged", "b" -> "changed", "c" -> "removed",
+      "d" -> "unchanged", "e" -> "unchanged", "f" -> "added"))
+    // default excludes unchanged — the delta is small by construction
+    val slim = Corpus.corpusDelta(oldSnap, newSnap)
+    assert(slim.collect().map(_.getString(0)).toSet == Set("b", "c", "f"))
+    // digests carried: added has null old side, removed null new side
+    val row = full.filter(col("url") === "f").collect()(0)
+    assert(row.isNullAt(2) && !row.isNullAt(3))
+  }
+
   test("sampleKey matches Hashing.md5Long recomputation") {
     val sp = spark
     import sp.implicits._

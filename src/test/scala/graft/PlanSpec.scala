@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -299,6 +300,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(shard"), p)
     assert(!p.contains("rangepartitioning"), p)
     assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("packDocsNextFit: one shard exchange, local sort only, text never shuffles") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Corpus.packDocsNextFit(docs, seqLen = 64, nShards = 8))
+    // the single repartition(shard) is the only exchange; the per-shard
+    // sort is partition-LOCAL (no rangepartitioning = no global sort),
+    // and only the 24-byte projection crosses it — text is pruned at the
+    // scan, so the wide column never shuffles
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("rangepartitioning") && !p.contains("SinglePartition"), p)
+    val shuffleLine = p.linesIterator.find(_.contains("Exchange")).get
+    assert(!shuffleLine.contains("text"), p)
+  }
+
+  test("corpusDelta: both sides collapse map-side before one exchange each, then a key join") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("string").as("url"), col("text"))
+    val p = plan(graft.ops.Corpus.corpusDelta(docs, docs))
+    // partial min-aggregate runs before each side's exchange (the text
+    // reduces to a 32-char digest map-side); the join keys on the url,
+    // never a single partition
+    assert("partial_min".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.linesIterator.filter(_.contains("Exchange"))
+      .exists(_.contains("text")), p)
   }
 
   test("winnowOverlapPairsAtScale: hot-fingerprint cut is a broadcast anti-join") {
