@@ -153,8 +153,14 @@ object Corpus {
     }
     df.withColumn("stratum", stratum)
       .withColumn("sample_key", sampleKey(keyCol, salt))
+      // null keyCol -> null sample_key: drop the row entirely, matching
+      // stratifiedSample's `sample_key < thresh` filter (null -> false) —
+      // otherwise a null-id row would survive its floor(rate) base copies
+      // and the "identical kept set at rate <= 1" contract would break
       .withColumn("graft_repeats",
-        base + when(col("sample_key") < extraBelow, lit(1L)).otherwise(lit(0L)))
+        when(col("sample_key").isNull, lit(0L)).otherwise(
+          base +
+            when(col("sample_key") < extraBelow, lit(1L)).otherwise(lit(0L))))
       .filter(col("graft_repeats") > 0)
       .withColumn("epoch",
         explode(sequence(lit(0L), col("graft_repeats") - 1)))
@@ -195,6 +201,12 @@ object Corpus {
     val active = massByStratum.filter(_._2 > 0L)
     if (active.isEmpty) return massByStratum.keys.map(_ -> 0.0).toMap
     val wSum = active.values.map(m => math.pow(m.toDouble, alpha)).sum
+    // pow overflow (huge mass x large alpha) would turn Inf/Inf into NaN
+    // rates that only surface as a confusing require() failure far
+    // downstream — fail loudly at the bad input instead
+    require(java.lang.Double.isFinite(wSum),
+      s"p^alpha overflow: sum of mass^$alpha is not finite " +
+        s"(largest mass ${active.values.max}); lower alpha or rescale mass")
     // q_s / mass_s, the per-row keep propensity (un-normalized rate)
     val propensity = active.map { case (s, m) =>
       s -> math.pow(m.toDouble, alpha) / wSum / m.toDouble
@@ -335,6 +347,8 @@ object Corpus {
     * where sequence ids are shard-local and seq_offset is the document's
     * start position inside first_seq — exactly the index a sequence
     * loader needs to materialize any sequence by slicing its documents.
+    * Rows with a null doc_id are dropped (shared [[packingLayout]]
+    * contract with [[packDocsNextFit]]).
     *
     * Scale shape: packing runs per SHARD (shard = hash(doc_id, salt) mod
     * nShards), so the cumulative-sum window is `partitionBy(shard)` —
@@ -348,23 +362,39 @@ object Corpus {
     * `ws_tokens` definition); swap `tokenizer` for a BPE-count column to
     * pack by real tokenizer length.
     */
+  /** Shared deterministic layout prelude of [[packSequences]] and
+    * [[packDocsNextFit]] — the SINGLE definition of the packing hash
+    * order both operators promise to agree on: 60-bit masked
+    * md5_long(doc_id, salt) as `pkey`, `shard` = pkey mod nShards,
+    * tokenized `n_tokens`, empty docs and null doc_ids dropped (a
+    * packing index is meaningless without an id to load by, and a null
+    * id would hash to a null shard). Keeping this in one place means an
+    * edit to the key, mask, or null handling cannot desynchronize the
+    * two packings' "same hash order" guarantee.
+    */
+  private def packingLayout(docs: DataFrame, nShards: Int, salt: String,
+      tokenizer: Column => Column): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val key = call_function("md5_long",
+      concat(col("doc_id").cast("string"), lit(salt))).bitwiseAND(lit(Mask60))
+    docs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), key.as("pkey"),
+        tokenizer(col("text")).cast("long").as("n_tokens"))
+      .withColumn("shard", col("pkey") % nShards)
+      .filter(col("n_tokens") > 0)
+  }
+
   def packSequences(docs: DataFrame, seqLen: Int, nShards: Int = 64,
       salt: String = "pack-v1",
       tokenizer: Column => Column = t => size(TextAnalysis.wsTokens(t)))
       : DataFrame = {
     require(seqLen > 0, s"seqLen $seqLen")
     require(nShards > 0, s"nShards $nShards")
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val key = call_function("md5_long",
-      concat(col("doc_id").cast("string"), lit(salt))).bitwiseAND(lit(Mask60))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("pkey"), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs
-      .select(col("doc_id"), key.as("pkey"),
-        tokenizer(col("text")).cast("long").as("n_tokens"))
-      .withColumn("shard", col("pkey") % nShards)
-      .filter(col("n_tokens") > 0)
+    packingLayout(docs, nShards, salt, tokenizer)
       .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         floor(col("cum") / seqLen).cast("long").as("first_seq"),
@@ -411,15 +441,7 @@ object Corpus {
       : DataFrame = {
     require(seqLen > 0, s"seqLen $seqLen")
     require(nShards > 0, s"nShards $nShards")
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val key = call_function("md5_long",
-      concat(col("doc_id").cast("string"), lit(salt))).bitwiseAND(lit(Mask60))
-    val sorted = docs
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), key.as("pkey"),
-        tokenizer(col("text")).cast("long").as("n_tokens"))
-      .withColumn("shard", col("pkey") % nShards)
-      .filter(col("n_tokens") > 0)
+    val sorted = packingLayout(docs, nShards, salt, tokenizer)
       // fixed positional layout for the row pass below:
       // 0 doc_id, 1 pkey, 2 n_tokens, 3 shard
       .select(col("doc_id"), col("pkey"), col("n_tokens"), col("shard"))

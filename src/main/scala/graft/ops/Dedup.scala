@@ -264,9 +264,12 @@ object Dedup {
     * pair operator in this file emits; any two-column edge frame works.
     * NUMERIC id columns are compared as longs (smallest doc_id wins, the
     * q20-pinned contract); non-numeric ids (e.g. [[LinkGraph.mirrorHosts]]
-    * `host_a`/`host_b` strings) are compared as strings — SQL string `min`
-    * and Scala `String` ordering agree (both lexicographic by UTF-16 code
-    * unit), so the driver and distributed paths pick the same keeper.
+    * `host_a`/`host_b` strings) are compared as strings in Spark's order —
+    * `min`/`least` over strings compares UTF8String BYTES, which differs
+    * from Scala's UTF-16 code-unit `String` ordering for supplementary
+    * characters (U+10000+ sort below U+E000..U+FFFF in UTF-16 but above
+    * them in UTF-8), so the driver fast path uses an explicit UTF-8 byte
+    * ordering to pick the SAME keeper as the distributed path.
     *
     * Scale shape: each round is two joins + one aggregate on the (small)
     * pair set, not the corpus; persist-per-round cuts the lineage so the
@@ -303,7 +306,8 @@ object Dedup {
         if (numericIds)
           spark.createDataset(unionFind(edges.as[(Long, Long)].collect()))
         else
-          spark.createDataset(unionFind(edges.as[(String, String)].collect()))
+          spark.createDataset(unionFind(
+            edges.as[(String, String)].collect())(utf8ByteOrdering))
       edges.unpersist()
       return out.toDF("doc_id", "cluster").orderBy(col("doc_id"))
     }
@@ -348,6 +352,27 @@ object Dedup {
     * type so numeric and string ids share one implementation; returns
     * (id, root) sorted by id, root = the Ordering-smallest member.
     */
+  /** Spark's string `min`/`least` order: unsigned lexicographic over the
+    * UTF-8 encoding (UTF8String.compareTo). Scala's default String ordering
+    * (UTF-16 code units) disagrees on supplementary-plane characters, so
+    * the string-id driver fast path must use THIS ordering to match the
+    * distributed pointer-jumping path's keeper.
+    */
+  private val utf8ByteOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val ba = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(ba.length, bb.length)
+      var i = 0
+      while (i < n) {
+        val c = (ba(i) & 0xff) - (bb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      ba.length - bb.length
+    }
+  }
+
   private def unionFind[T](edges: Array[(T, T)])(
       implicit ord: Ordering[T]): Seq[(T, T)] = {
     val parent = scala.collection.mutable.HashMap.empty[T, T]

@@ -130,6 +130,15 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       Corpus.replicatedSample(df, col("lang"), Map("en" -> 1000.0), 1.0,
         col("doc_id"), "e1")
     }
+    // null keyCol: dropped like stratifiedSample (a null sample_key must
+    // not survive via the unconditional floor(rate) base copies)
+    val withNull = df.select(
+      when(col("doc_id") === 1L, lit(null)).otherwise(col("doc_id"))
+        .cast("long").as("doc_id"), col("lang"))
+    val nullKept = Corpus.replicatedSample(withNull, col("lang"),
+        Map("en" -> 2.25, "de" -> 1.0), 0.4, col("doc_id"), "e1")
+      .filter(col("doc_id").isNull).count()
+    assert(nullKept == 0L)
   }
 
   test("temperatureRates: alpha flattens toward the tail; budget and cap semantics") {
@@ -163,6 +172,13 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val z = Corpus.temperatureRates(mass + ("xx" -> 0L), alpha = 0.5)
     assert(z("xx") == 0.0)
     assert(Corpus.temperatureRates(Map("a" -> 0L), 0.5).values.forall(_ == 0.0))
+    // pow overflow (huge mass x large alpha) fails loudly at the input,
+    // not as NaN rates poisoning a downstream require
+    val boom = intercept[IllegalArgumentException] {
+      Corpus.temperatureRates(Map("big" -> 1000000000000L, "sm" -> 1L),
+        alpha = 30.0)
+    }
+    assert(boom.getMessage.contains("overflow"))
   }
 
   test("packDocsNextFit: matches a sequential next-fit replay; boundary invariants hold") {

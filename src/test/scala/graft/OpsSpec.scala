@@ -118,6 +118,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("duplicateClusters: supplementary-plane string ids — both paths pick the UTF-8-byte min keeper") {
+    val sp = spark
+    import sp.implicits._
+    // U+10000 (UTF-8 F0 90 80 80) vs U+FFFD (UTF-8 EF BF BD): Scala's
+    // UTF-16 code-unit String ordering says the surrogate pair (D800)
+    // sorts FIRST, but Spark's min/least compares UTF8String bytes and
+    // says U+FFFD sorts first — the driver fast path must match Spark
+    val hi = "𐀀.example" // U+10000
+    val lo = "�.example"       // U+FFFD
+    assert(Ordering.String.lt(hi, lo)) // the trap the fix guards against
+    val pairs = Seq((hi, lo)).toDF("host_a", "host_b")
+    Seq(1000000L, 0L).foreach { uf =>
+      val got = Dedup.duplicateClusters(pairs, driverUnionFindMax = uf,
+          idACol = "host_a", idBCol = "host_b")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map(hi -> lo, lo -> lo), s"driverUnionFindMax=$uf")
+    }
+  }
+
   test("duplicateClusters: 64-node chain converges (pointer jumping)") {
     val sp = spark
     import sp.implicits._
