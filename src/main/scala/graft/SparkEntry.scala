@@ -329,6 +329,39 @@ object SparkEntry {
       Corpus.corpusDelta(oldSnap, newSnap, keyCol = "doc_id",
         includeUnchanged = true).orderBy(col("doc_id"))
     }),
+    // NFC + control-strip normalization: driver texts are ASCII, so a
+    // decomposed/singleton/control tail is planted in-query — the
+    // combining acute must compose (cafe+U+0301 -> café), ANGSTROM SIGN
+    // must fold to Å, o+U+0308 -> ö, BEL must strip, tab must survive;
+    // the oracle recomputes with DuckDB's identical nfc_normalize
+    "q56_normalize_text" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" cafe\u0301 \u212Bngstro\u0308m \u0007bell\ttab")).as("text"))
+      TextAnalysis.normalizeText(d)
+        .select(col("doc_id"), col("text_norm"),
+          length(col("text_norm")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    // deterministic 80/10/10 train/val/test carve over the doc-id hash;
+    // the oracle re-derives the bucket intervals from md5_number_upper
+    "q57_split_assign" -> ((s, dir) =>
+      Corpus.splitAssign(table(s, dir, "documents"),
+        Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1),
+        keyCol = col("doc_id"), salt = "graft-split-v1")
+        .select(col("doc_id"), col("sample_key"), col("split"))
+        .orderBy(col("doc_id"))),
+    // incremental near-dup: the standing corpus is the doc_id%10<8 slice,
+    // the "new snapshot batch" the %10>=8 slice; band keys are a pure
+    // per-doc function, so the cross-side candidates equal q11's — the
+    // exact-jaccard oracle re-derives the cross pairs directly
+    "q58_incremental_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.minHashIncrementalPairs(
+        d.filter(pmod(col("doc_id"), lit(10)) < 8),
+        d.filter(pmod(col("doc_id"), lit(10)) >= 8),
+        Dedup.MinHashParams(bands = 32, jaccardThreshold = 0.5))
+    }),
     // URL canonicalization + dedup: six URL variants per page group
     // (tracking params / :443 / fragment / case+trailing-slash must
     // collapse; a real query param must NOT; a userinfo URL must strip
@@ -2047,6 +2080,64 @@ object SparkEntry {
         |  CAST(unnest(range(repeats)) AS BIGINT) AS epoch
         |FROM r WHERE repeats > 0
         |ORDER BY doc_id, epoch""".stripMargin,
+    // NFC via DuckDB's identical built-in, control strip via the same
+    // RE2 class; the planted tail is the decomposed/singleton vectors
+    // (chr(769)=U+0301 combining acute, chr(8491)=U+212B ANGSTROM SIGN,
+    // chr(776)=U+0308 combining diaeresis, chr(7)=BEL, chr(9)=tab)
+    "q56_normalize_text" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(8491)
+        |        || 'ngstro' || chr(776) || 'm ' || chr(7) || 'bell'
+        |        || chr(9) || 'tab'),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS text_norm
+        |  FROM documents
+        |)
+        |SELECT doc_id, text_norm, length(text_norm) AS n_chars
+        |FROM n ORDER BY doc_id""".stripMargin,
+    // 80/10/10 carve: same md5_number_upper sample key as q23/q53,
+    // interval bounds 8000/9000/10000 in declaration order
+    "q57_split_assign" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || 'graft-split-v1') >= 9223372036854775808
+        |      THEN CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || 'graft-split-v1') AS HUGEINT) - 18446744073709551616
+        |      ELSE CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || 'graft-split-v1') AS HUGEINT) END AS BIGINT) AS h
+        |  FROM documents
+        |), sk AS (
+        |  SELECT doc_id, (h & 1152921504606846975) % 10000 AS sample_key
+        |  FROM k
+        |)
+        |SELECT doc_id, sample_key,
+        |  CASE WHEN sample_key < 8000 THEN 'train'
+        |       WHEN sample_key < 9000 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM sk ORDER BY doc_id""".stripMargin,
+    // exact cross-side jaccard pairs (old = %10<8, new = %10>=8) — the
+    // incremental face must find exactly the full run's cross subset
+    "q58_incremental_dedup" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM t
+        |), e AS (SELECT id, unnest(sh) AS g FROM s),
+        |sz AS (SELECT id, len(sh) AS n FROM s),
+        |p AS (
+        |  SELECT a.id AS doc_old, b.id AS doc_new, CAST(count(*) AS DOUBLE) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.id % 10 < 8 AND b.id % 10 >= 8
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_old, doc_new,
+        |  round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM p JOIN sz sa ON sa.id = doc_old JOIN sz sb ON sb.id = doc_new
+        |WHERE inter / (sa.n + sb.n - inter) >= 0.5
+        |ORDER BY doc_old, doc_new""".stripMargin,
     // exact re-derivation of every Gopher rule input (token counts from
     // raw text, dup ratios from lowercased tokens, the all-language stop
     // list) — identical double arithmetic, so the booleans must agree.

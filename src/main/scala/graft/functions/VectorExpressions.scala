@@ -170,6 +170,49 @@ object HashOps {
   def md5Long(s: UTF8String): Long = graft.ops.Hashing.md5Long(s.toString)
 }
 
+/** Static unicode-normalization kernel for generated code. */
+object TextNormOps {
+  /** Unicode NFC (UAX #15 canonical composition) — the same function
+    * DuckDB exposes as `nfc_normalize`, so hash-gate oracles can
+    * recompute it. Already-normalized strings (the overwhelming case on
+    * real text) return the INPUT UTF8String — isNormalized is a cheap
+    * quick-check scan and avoids the String round-trip entirely.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** `nfc_normalize(string) -> string`: Unicode NFC as a codegen'd
+  * expression (named after DuckDB's identical built-in). Normalization
+  * belongs BEFORE any hash-keyed operator — the same visible text in
+  * composed vs decomposed form otherwise hashes to different dedup keys,
+  * sample draws and shingles. A Scala UDF here would deserialize every
+  * row; the expression calls the static kernel on UTF8String directly and
+  * returns the input buffer untouched for already-NFC text.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextNormOps.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextNormOps.nfc($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** `md5_long(string) -> bigint`: first 8 bytes of md5, little-endian,
   * signed — the exact value DuckDB's `md5_number_upper` returns (as
   * UBIGINT), see graft.ops.Hashing.md5Long. Codegen'd, so hash-keyed
@@ -257,6 +300,9 @@ object GraftFunctions {
       "vec_norm", expecting("vec_norm", 1)(e => VecNorm(e.head)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_long", expecting("md5_long", 1)(e => Md5Long(e.head)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      expecting("nfc_normalize", 1)(e => NfcNormalize(e.head)), "built-in")
   }
 }
 
@@ -285,5 +331,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Long].getName, null, "md5_long",
         "_FUNC_(s) - first 8 md5 bytes, little-endian, as signed bigint", ""),
       GraftFunctions.expecting("md5_long", 1)(e => Md5Long(e.head))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, null, "nfc_normalize",
+        "_FUNC_(s) - Unicode NFC canonical composition", ""),
+      GraftFunctions.expecting("nfc_normalize", 1)(e => NfcNormalize(e.head))))
   }
 }

@@ -173,6 +173,47 @@ object Corpus {
     */
   val MaxReplication = 100.0
 
+  /** Deterministic train/validation/test split assignment: each row gets
+    * the split whose cumulative weight interval its hash bucket falls in.
+    * `splits` is ordered (name, weight) with weights summing to 1 — the
+    * ORDER defines the bucket intervals, so the same config always carves
+    * the same intervals and a row's split is a pure function of (keyCol,
+    * salt), never of partitioning, row order or cluster size. That
+    * determinism is the property that matters at scale: re-runs, resumes
+    * and incremental additions never migrate a document across the
+    * train/eval boundary (which would leak training data into eval), and
+    * membership can be recomputed from the id alone without storing an
+    * assignment table. Rows with a null key are dropped (same contract
+    * as the samplers — no id, no reproducible draw).
+    *
+    * Scale shape: pure map-side, one codegen'd hash + a literal
+    * when-chain; zero shuffle. Output appends `sample_key` and `split`
+    * (pre-existing columns of those names are overwritten).
+    */
+  def splitAssign(df: DataFrame, splits: Seq[(String, Double)],
+      keyCol: Column, salt: String): DataFrame = {
+    require(splits.nonEmpty, "empty split list")
+    require(splits.forall(_._2 > 0.0), s"non-positive split weight in $splits")
+    require(splits.map(_._1).distinct.length == splits.length,
+      s"duplicate split name in $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split weights sum to $total, expected 1.0")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // cumulative thresholds in declaration order; the last is pinned to
+    // SampleBuckets so rounding never leaves an unassigned bucket
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val threshes = cum.init.map(c => math.round(c * SampleBuckets)) :+
+      SampleBuckets.toLong
+    val chain = splits.zip(threshes).reverse.foldLeft(lit(null: String)) {
+      case (acc, ((name, _), t)) =>
+        when(col("sample_key") < t, lit(name)).otherwise(acc)
+    }
+    df.withColumn("sample_key", sampleKey(keyCol, salt))
+      .filter(col("sample_key").isNotNull)
+      .withColumn("split", chain)
+  }
+
   /** Temperature-flattened sampling rates (the mC4 / multilingual-T5
     * mixing rule, Xue et al. 2021 §3.1): sample stratum s with mixture
     * probability q_s ∝ p_s^alpha, where p_s is the stratum's natural

@@ -157,6 +157,73 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Incremental near-dup: new documents checked against a STANDING
+    * corpus' MinHash band index without re-banding (or re-reading the
+    * text of) the old corpus — the dedup stage an incremental crawl runs
+    * on [[graft.ops.Corpus.corpusDelta]]'s `added ∪ changed` set each
+    * snapshot, instead of re-deduping the whole corpus. Candidates are
+    * band-key matches between the new docs' bands and `index` (pass the
+    * LANDED output of [[minHashBands]] over the old corpus — that frame
+    * is the thing to persist between snapshots: 24 bytes x bands per
+    * doc); each candidate is then verified with exact shingle Jaccard,
+    * joining text back in by id — the old corpus is touched only for
+    * the candidate ids (a semi-join-sized read, not a scan). When no
+    * prebuilt index is passed, it is banded from `oldDocs` on the fly.
+    *
+    * Returns (doc_old, doc_new, jaccard) with jaccard >= threshold —
+    * cross-side pairs only. New-vs-new duplicates are deliberately out
+    * of scope (run [[minHashDuplicatePairs]] over the much smaller new
+    * batch for those); same-id pairs are excluded (a re-captured id is
+    * corpusDelta's `changed`, not a duplicate).
+    *
+    * Candidate recall equals the full-corpus run's on cross pairs: a
+    * band key is a pure per-document function, so index(old) ⋈ bands(new)
+    * sees exactly the cross-side subset of the full run's bucket
+    * collisions. `maxBucketSize` caps INDEX-side bucket fan-out (the
+    * standing corpus is where boilerplate mega-buckets live; the new
+    * batch is bounded by construction).
+    */
+  def minHashIncrementalPairs(oldDocs: DataFrame, newDocs: DataFrame,
+      p: MinHashParams = MinHashParams(),
+      index: Option[DataFrame] = None): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val rawIdx = index.getOrElse(minHashBands(oldDocs, p).toDF())
+      .select("doc_id", "band", "band_hash")
+    val idx =
+      if (p.maxBucketSize == Int.MaxValue) rawIdx
+      else {
+        val ok = rawIdx.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("n")).filter(col("n") <= p.maxBucketSize)
+          .select("band", "band_hash")
+        rawIdx.join(ok, Seq("band", "band_hash"), "left_semi")
+          .select("doc_id", "band", "band_hash")
+      }
+    val l = idx.toDF("doc_old", "band", "h")
+    val r = minHashBands(newDocs, p).toDF().toDF("doc_new", "band", "h")
+    val candidates = l.join(r, Seq("band", "h"))
+      .filter(col("doc_old") =!= col("doc_new"))
+      .select("doc_old", "doc_new").distinct()
+    val oldTexts = oldDocs
+      .select(col("doc_id").cast("long").as("doc_old"), col("text").as("text_a"))
+    val newTexts = newDocs
+      .select(col("doc_id").cast("long").as("doc_new"), col("text").as("text_b"))
+    val verified = candidates
+      .join(oldTexts, "doc_old").join(newTexts, "doc_new")
+      .select(col("doc_old"), col("doc_new"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, ta, tb) =>
+        val sa = shingles(ta, p.shingleSize)
+        val sb = shingles(tb, p.shingleSize)
+        val inter = sa.intersect(sb).size.toDouble
+        val union = sa.union(sb).size.toDouble
+        (a, b, if (union == 0) 0.0 else inter / union)
+      }.toDF("doc_old", "doc_new", "jaccard")
+    verified.filter(col("jaccard") >= p.jaccardThreshold)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy(col("doc_old"), col("doc_new"))
+  }
+
   // ---------- exact n-gram Jaccard ----------
 
   /** Exact n-gram-Jaccard near-duplicate pairs via an inverted index:

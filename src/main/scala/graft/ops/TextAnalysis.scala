@@ -16,6 +16,34 @@ object TextAnalysis {
   def wsTokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** Non-printing C0 control characters (except tab/LF/CR, which carry
+    * layout meaning in text corpora) plus DEL — the characters
+    * [[normalizeText]] strips. Kept as a plain character class so the
+    * DuckDB oracle can state the identical RE2 class.
+    */
+  val ControlCharClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Canonical text normalization for hash-keyed pipelines: Unicode NFC
+    * (the codegen'd `nfc_normalize` expression — composed and decomposed
+    * renderings of the same visible text must agree BEFORE any dedup
+    * hash, sample draw or shingle is computed, or "café" deduplicates
+    * against itself but not its decomposed twin) followed by stripping
+    * non-printing C0 controls + DEL (PDF/OCR and mojibake leftovers that
+    * survive charset decoding; tab/LF/CR stay). Appends `text_norm`;
+    * the original column is kept so audits can diff.
+    *
+    * Scale shape: one codegen'd projection over the columnar scan — zero
+    * shuffle, and already-NFC text (the overwhelming case) returns the
+    * input buffer without copying.
+    */
+  def normalizeText(df: DataFrame, textCol: String = "text",
+      stripControls: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val nfc = call_function("nfc_normalize", col(textCol))
+    df.withColumn("text_norm",
+      if (stripControls) regexp_replace(nfc, ControlCharClass, "") else nfc)
+  }
+
   /** Word-bigram array (the zip_with/slice formulation) — THE shared
     * definition: repetitionMetrics, Corpus.gopherRules and the q21/q24
     * oracles must all agree on it character for character.

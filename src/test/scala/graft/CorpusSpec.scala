@@ -141,6 +141,55 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nullKept == 0L)
   }
 
+  test("splitAssign: deterministic hash carve, growth-stable, nulls drop, bad configs fail") {
+    val sp = spark
+    import sp.implicits._
+    val splits = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
+    val df = (1L to 5000L).toDF("doc_id")
+    val out = Corpus.splitAssign(df, splits, col("doc_id"), "split-t1").cache()
+    // total preservation + interval semantics: split is exactly the
+    // sample_key interval, so proportions track the weights
+    assert(out.count() == 5000)
+    val bad = out.filter(
+      (col("split") === "train" && col("sample_key") >= 8000) ||
+      (col("split") === "validation" &&
+        (col("sample_key") < 8000 || col("sample_key") >= 9000)) ||
+      (col("split") === "test" && col("sample_key") < 9000)).count()
+    assert(bad == 0)
+    val shares = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / 5000).toMap
+    assert(math.abs(shares("train") - 0.8) < 0.03, shares.toString)
+    assert(math.abs(shares("validation") - 0.1) < 0.02, shares.toString)
+    assert(math.abs(shares("test") - 0.1) < 0.02, shares.toString)
+    // growth stability: assigning a SUBSET alone gives every id the same
+    // split as inside the full corpus (incremental additions never
+    // migrate a doc across the train/eval boundary)
+    val sub = Corpus.splitAssign((1L to 1000L).toDF("doc_id"), splits,
+        col("doc_id"), "split-t1")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val inFull = out.filter(col("doc_id") <= 1000)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub == inFull)
+    out.unpersist()
+    // null key rows drop (no id, no reproducible draw)
+    val withNull = df.select(when(col("doc_id") === 3L, lit(null))
+      .otherwise(col("doc_id")).cast("long").as("doc_id"))
+    assert(Corpus.splitAssign(withNull, splits, col("doc_id"), "split-t1")
+      .count() == 4999)
+    // config validation fails loudly
+    intercept[IllegalArgumentException] {
+      Corpus.splitAssign(df, Seq("a" -> 0.5, "b" -> 0.4), col("doc_id"), "s")
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.splitAssign(df, Seq("a" -> 0.5, "a" -> 0.5), col("doc_id"), "s")
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.splitAssign(df, Seq("a" -> 1.2, "b" -> -0.2), col("doc_id"), "s")
+    }
+  }
+
   test("temperatureRates: alpha flattens toward the tail; budget and cap semantics") {
     // natural masses 90/9/1 (x1000 tokens)
     val mass = Map("en" -> 90000L, "de" -> 9000L, "rm" -> 1000L)

@@ -91,6 +91,32 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byText("a").isPosInfinity) // single-char special case
   }
 
+  test("nfc_normalize: codegen surface equals java.text.Normalizer NFC; null passes through") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val vectors = Seq(
+      "café",            // e + combining acute -> é
+      "Ångström",   // ANGSTROM SIGN singleton -> Å
+      "already ascii",         // NFC no-op fast path
+      "mixed café and Å ring") // A + combining ring -> Å
+    val got = vectors.toDF("t")
+      .withColumn("n", expr("nfc_normalize(t)"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    vectors.foreach { v =>
+      val want = java.text.Normalizer.normalize(
+        v, java.text.Normalizer.Form.NFC)
+      assert(got(v) == want, s"vector ${v.codePoints().toArray.toSeq}")
+    }
+    assert(got("café") == "café")
+    assert(got("café").length == 4)
+    // null in -> null out
+    val nullRow = Seq(Option.empty[String]).toDF("t")
+      .withColumn("n", expr("nfc_normalize(t)")).head()
+    assert(nullRow.isNullAt(1))
+    // available via SparkSessionExtensions without explicit register
+    assert(spark.sql("SELECT nfc_normalize('x') AS n").head().getString(0) == "x")
+  }
+
   test("zero-norm and empty vectors -> 0.0") {
     assert(VectorOps.cosine(
       ArrayData.toArrayData(Array(0f, 0f)), ArrayData.toArrayData(Array(1f, 2f))) == 0.0)

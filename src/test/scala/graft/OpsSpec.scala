@@ -169,6 +169,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j > 0.5 && j < 1.0)
   }
 
+  test("minHashIncrementalPairs: exactly the full run's cross-side subset; prebuilt index identical") {
+    def mk(seed: Int) = (1 to 40).map(i => s"w$seed-$i").mkString(" ")
+    def near(t: String, k: Int) = t.replace(s"-$k ", s"-${k}x ")
+    // old side (< 10): an old-old pair (1,2) the incremental face must
+    // NOT emit; new side (>= 10): a new-new pair (14,15) it must also
+    // not emit; one genuine cross pair (3, 13); 4 and 16 unrelated
+    val rows = Seq(
+      1L -> mk(1), 2L -> near(mk(1), 7),
+      3L -> mk(2), 4L -> mk(9),
+      13L -> near(mk(2), 5), 14L -> mk(3), 15L -> near(mk(3), 11),
+      16L -> mk(8))
+    val all = docsDf(rows)
+    val p = Dedup.MinHashParams(jaccardThreshold = 0.5)
+    val full = Dedup.minHashDuplicatePairs(all, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val wantCross = full.filter { case (a, b, _) => (a < 10) != (b < 10) }
+      .map { case (a, b, j) => if (a < 10) (a, b, j) else (b, a, j) }.toSeq
+    assert(wantCross.map(t => (t._1, t._2)) == Seq((3L, 13L))) // non-vacuous
+    assert(full.exists { case (a, b, _) => a == 1L && b == 2L }) // old-old exists
+    assert(full.exists { case (a, b, _) => a == 14L && b == 15L }) // new-new exists
+    val oldDf = docsDf(rows.filter(_._1 < 10))
+    val newDf = docsDf(rows.filter(_._1 >= 10))
+    val inc = Dedup.minHashIncrementalPairs(oldDf, newDf, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(inc == wantCross)
+    // the landed-index path: band the old corpus once, pass the frame
+    val idx = Dedup.minHashBands(oldDf, p).toDF()
+    val inc2 = Dedup.minHashIncrementalPairs(oldDf, newDf, p,
+        index = Some(idx)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(inc2 == wantCross)
+  }
+
   // ---------- simhash ----------
 
   test("simHash: identical text -> hamming 0; small edit -> small hamming") {

@@ -404,6 +404,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Batched: true"), p)
   }
 
+  test("normalizeText: zero shuffle, codegen'd projection over the columnar scan") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(TextAnalysis.normalizeText(docs))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Batched: true"), p)
+    // the nfc expression stays inside whole-stage codegen (no UDF seam)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("splitAssign: zero shuffle — assignment is a pure map over the scan") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Corpus.splitAssign(docs,
+      Seq("train" -> 0.9, "test" -> 0.1), col("doc_id"), "pin"))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("semDedup: cluster assignment is map-side only (no Exchange)") {
     assume(sfPresent)
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
