@@ -362,6 +362,47 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(10)) >= 8),
         Dedup.MinHashParams(bands = 32, jaccardThreshold = 0.5))
     }),
+    // global token-budget curation: keep the best-quality prefix whose
+    // running token sum fits 12000 (~44% of the sf0.01 corpus, so the
+    // boundary bites mid-corpus); quality + token counts are the q09
+    // values, so the oracle re-derives the identical ordering key and
+    // replays the prefix rule as one ORDER-BY window
+    "q59_token_budget" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(table(s, dir, "documents"))
+      Corpus.tokenBudgetTake(q, budget = 12000L,
+        quality = col("quality"), id = col("doc_id"),
+        nTokens = col("n_tokens"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    // CCNet-style per-language buckets over the q09 quality score by
+    // EXACT order statistics (integer rank arithmetic, never quantile
+    // interpolation — interpolation ULPs differ across engines exactly
+    // at the straddling rows); quality ascends so labels read
+    // tail/middle/head
+    "q60_score_buckets" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(d)
+        .select(col("doc_id"), col("quality"))
+      Corpus.scoreBuckets(d.select(col("doc_id"), col("lang"))
+          .join(q, Seq("doc_id")),
+        stratum = col("lang"), score = col("quality"),
+        labels = Seq("tail", "middle", "head"))
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("stratum", "lang")
+        .orderBy(col("doc_id"))
+    }),
+    // quality-aware cluster representative: q20's exact near-dup
+    // clusters, keeper = highest q09 quality (tie: smallest doc_id) —
+    // the oracle replays both derivations and picks with one window
+    "q61_cluster_best" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.clusterBest(
+        Dedup.duplicateClusters(
+          Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.2)),
+        TextAnalysis.qualityScore(d).select(col("doc_id"), col("quality")))
+        .orderBy(col("cluster"))
+    }),
     // URL canonicalization + dedup: six URL variants per page group
     // (tracking params / :443 / fragment / case+trailing-slash must
     // collapse; a real query param must NOT; a userinfo URL must strip
@@ -1677,36 +1718,7 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 10
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "q20_dup_clusters" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents
-        |), s AS (
-        |  SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-        |      i -> array_to_string(toks[i:i+2], ' '))) END AS sh
-        |  FROM t
-        |), e AS (SELECT id, unnest(sh) AS g FROM s),
-        |sz AS (SELECT id, len(sh) AS n FROM s),
-        |p AS (
-        |  SELECT a.id AS doc_a, b.id AS doc_b, CAST(count(*) AS DOUBLE) AS inter
-        |  FROM e a JOIN e b ON a.g = b.g AND a.id < b.id
-        |  GROUP BY 1, 2
-        |), pairs AS (
-        |  SELECT doc_a, doc_b
-        |  FROM p JOIN sz sa ON sa.id = doc_a JOIN sz sb ON sb.id = doc_b
-        |  WHERE inter / (sa.n + sb.n - inter) >= 0.2
-        |), edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs
-        |), walk(id, lbl) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.id
-        |)
-        |SELECT id AS doc_id, min(lbl) AS cluster FROM walk
-        |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q20_dup_clusters" -> ClustersOracle.sql,
     "q09_quality_scores" -> QualityOracle.sql,
     "q10_lang_id" -> LangIdOracle.sql,
     "q21_repetition_metrics" ->
@@ -2138,6 +2150,62 @@ object SparkEntry {
         |FROM p JOIN sz sa ON sa.id = doc_old JOIN sz sb ON sb.id = doc_new
         |WHERE inter / (sa.n + sb.n - inter) >= 0.5
         |ORDER BY doc_old, doc_new""".stripMargin,
+    // the prefix rule replayed as ONE running-sum window over the
+    // re-derived q09 quality/token columns: tokens are non-negative, so
+    // the running sum is monotone and `cum <= budget` IS the prefix rule
+    "q59_token_budget" ->
+      (s"WITH q AS (\n${QualityOracle.sql}\n)" +
+        """, r AS (
+          |  SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |    CAST(sum(CAST(n_tokens AS BIGINT)) OVER (
+          |      ORDER BY quality DESC, doc_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_tokens
+          |  FROM q
+          |)
+          |SELECT doc_id, quality, n_tokens, cum_tokens
+          |FROM r WHERE cum_tokens <= 12000 ORDER BY doc_id""".stripMargin),
+    // exact order statistics re-derived: per-lang histogram over DISTINCT
+    // quality values, running count, cutoff = smallest score whose
+    // cumulative count reaches ceil(n*k/3) by integer rank arithmetic —
+    // never quantile interpolation, so the straddling rows can't diverge
+    "q60_score_buckets" ->
+      (s"WITH q AS (\n${QualityOracle.sql}\n)" +
+        """, b AS (
+          |  SELECT d.doc_id, d.lang, q.quality AS score
+          |  FROM documents d JOIN q ON d.doc_id = q.doc_id
+          |), h AS (SELECT lang, score, count(*) AS cnt FROM b GROUP BY 1, 2),
+          |c AS (
+          |  SELECT lang, score,
+          |    sum(cnt) OVER (PARTITION BY lang ORDER BY score
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    sum(cnt) OVER (PARTITION BY lang) AS n
+          |  FROM h
+          |), k AS (
+          |  SELECT lang,
+          |    min(CASE WHEN cum >= (n * 1 + 2) // 3 THEN score END) AS c0,
+          |    min(CASE WHEN cum >= (n * 2 + 2) // 3 THEN score END) AS c1
+          |  FROM c GROUP BY lang
+          |)
+          |SELECT b.doc_id, b.lang, b.score,
+          |  CASE WHEN b.score <= k.c0 THEN 'tail'
+          |       WHEN b.score <= k.c1 THEN 'middle'
+          |       ELSE 'head' END AS bucket
+          |FROM b JOIN k ON b.lang = k.lang
+          |ORDER BY doc_id""".stripMargin),
+    // q20's clusters + q09's quality both re-derived, keeper picked with
+    // one window: quality DESC, id ASC — exactly max-quality-then-min-id
+    "q61_cluster_best" ->
+      (ClustersOracle.cte +
+        s", q AS (\n${QualityOracle.sql}\n)" +
+        """, best AS (
+          |  SELECT c.cluster, c.doc_id, q.quality,
+          |    row_number() OVER (PARTITION BY c.cluster
+          |      ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+          |  FROM clusters c JOIN q ON c.doc_id = q.doc_id
+          |)
+          |SELECT cluster, doc_id, quality FROM best WHERE rn = 1
+          |ORDER BY cluster""".stripMargin),
     // exact re-derivation of every Gopher rule input (token counts from
     // raw text, dup ratios from lowercased tokens, the all-language stop
     // list) — identical double arithmetic, so the booleans must agree.
@@ -2614,6 +2682,45 @@ object SparkEntry {
     // queries (x01-x08, q17/q18, q27) — see XGolden for the mechanism and
     // the soundness argument; regenerate with graft.tools.XOracleGen
     XGolden.all
+}
+
+/** q20/q61 oracle prelude: exact trigram-shingle jaccard >= 0.2 pairs,
+  * symmetric edge closure, recursive min-label walk. `cte` ends with a
+  * `clusters(doc_id, cluster)` CTE both consumers select from.
+  */
+private object ClustersOracle {
+  val cte: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), s AS (
+      |  SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+      |  FROM t
+      |), e AS (SELECT id, unnest(sh) AS g FROM s),
+      |sz AS (SELECT id, len(sh) AS n FROM s),
+      |p AS (
+      |  SELECT a.id AS doc_a, b.id AS doc_b, CAST(count(*) AS DOUBLE) AS inter
+      |  FROM e a JOIN e b ON a.g = b.g AND a.id < b.id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM p JOIN sz sa ON sa.id = doc_a JOIN sz sb ON sb.id = doc_b
+      |  WHERE inter / (sa.n + sb.n - inter) >= 0.2
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |), walk(id, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.id
+      |), clusters AS (
+      |  SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY id
+      |)""".stripMargin
+  val sql: String =
+    cte + "\nSELECT doc_id, cluster FROM clusters ORDER BY doc_id"
 }
 
 /** q09 oracle: the exact DuckDB rendition of TextAnalysis.qualityScore. */

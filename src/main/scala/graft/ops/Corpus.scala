@@ -895,6 +895,193 @@ object Corpus {
       urlCol, textCol, saltParts)
   }
 
+  // ---------- global token-budget curation ----------
+
+  /** Shared narrow layout of [[tokenBudgetTake]]: project the corpus down
+    * to (id, quality, n_tokens) — ~24 bytes a row, never the text — and
+    * lay it out in global (quality DESC, id ASC) order as a RANGE
+    * exchange plus partition-LOCAL sorts (no single-partition global
+    * sort ever materializes). Exposed package-private so the plan shape
+    * is pinnable by PlanSpec: one `Exchange rangepartitioning` keyed on
+    * (quality, id), zero hash exchanges, zero global Sort.
+    *
+    * Rows with a null or NaN quality or a null id are unrankable and
+    * drop; token counts coalesce null to 0 and clamp negatives to 0
+    * (they are counts — the clamp is also what makes the running sum
+    * monotone, see [[tokenBudgetTake]]).
+    */
+  private[graft] def budgetLayout(docs: DataFrame, quality: Column,
+      id: Column, nTokens: Column, parts: Int): DataFrame = {
+    val p = if (parts > 0) parts
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs
+      .filter(id.isNotNull && quality.isNotNull &&
+        !isnan(quality.cast("double")))
+      .select(id.as("id"), quality.cast("double").as("quality"),
+        greatest(coalesce(nTokens.cast("long"), lit(0L)), lit(0L))
+          .as("n_tokens"))
+      .repartitionByRange(p, col("quality").desc, col("id").asc)
+      .sortWithinPartitions(col("quality").desc, col("id").asc)
+  }
+
+  /** Keep the highest-quality documents that fit a GLOBAL token budget:
+    * order the corpus by (quality DESC, id ASC) and keep the maximal
+    * prefix whose inclusive running token sum stays <= `budget` — the
+    * "best N tokens" stage that turns a scored corpus into a fixed-size
+    * training mix (the data-constrained regime of Muennighoff et al.
+    * 2023, arXiv:2305.16264, selects by quality under a token budget).
+    * Emits one row per KEPT document: (id, quality, n_tokens,
+    * cum_tokens); the caller semi-joins ids back to the corpus for text,
+    * so document bytes never enter this operator.
+    *
+    * The rule is exact, not approximate: the boundary tie inside an
+    * equal-quality class is broken by id ASC, so the kept set is a pure
+    * function of (scores, budget) and re-running on any cluster size
+    * reproduces it bit-identically. Because token counts are clamped
+    * non-negative the running sum is monotone, which (a) makes
+    * `cum_tokens <= budget` equivalent to the prefix rule an ORDER-BY
+    * window oracle re-derives, and (b) lets every task stop consuming
+    * its partition the moment the budget is crossed — the over-budget
+    * tail of the corpus is never even deserialized.
+    *
+    * Scale shape: the documents NEVER globally sort. Only the narrow
+    * [[budgetLayout]] projection range-exchanges; per-partition token
+    * sums (one long each) come to the driver, prefix offsets broadcast
+    * back, and a streaming mapPartitions pass emits running sums — two
+    * narrow jobs, O(partitions) driver state, O(1) task memory. The
+    * layout is localCheckpoint()ed between the two jobs because the
+    * range partitioner SAMPLES to place boundaries: an uncached
+    * recompute between jobs could re-sample different boundaries and
+    * misalign the offsets. The checkpoint freezes the partitioning (an
+    * executor loss fails the job loudly rather than silently recomputing
+    * a different layout; swap in reliable checkpointing at cluster scale
+    * if that tradeoff is wrong for the deployment).
+    */
+  def tokenBudgetTake(docs: DataFrame, budget: Long,
+      quality: Column = col("quality"), id: Column = col("doc_id"),
+      nTokens: Column =
+        size(TextAnalysis.wsTokens(coalesce(col("text"), lit("")))),
+      parts: Int = 0): DataFrame = {
+    require(budget >= 0L, s"budget $budget")
+    val spark = docs.sparkSession
+    val narrow = budgetLayout(docs, quality, id, nTokens, parts)
+      .localCheckpoint()
+    val nParts = narrow.rdd.getNumPartitions
+    val perPart = narrow
+      .select(spark_partition_id().as("pid"), col("n_tokens"))
+      .groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](math.max(nParts, 1))
+    var acc = 0L
+    var i = 0
+    while (i < offsets.length) {
+      offsets(i) = acc
+      acc += perPart.getOrElse(i, 0L)
+      i += 1
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      narrow.schema.fields(0), // id, whatever type the caller keys by
+      org.apache.spark.sql.types.StructField("quality",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val bc = spark.sparkContext.broadcast(offsets)
+    val b = budget
+    narrow.mapPartitions { it =>
+      var cum = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      if (cum > b) Iterator.empty // whole partition is past the budget
+      else it.map { r =>
+        cum += r.getLong(2)
+        org.apache.spark.sql.Row(r.get(0), r.getDouble(1), r.getLong(2), cum)
+      }.takeWhile(_.getLong(3) <= b)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  // ---------- per-stratum score buckets (CCNet head/middle/tail) ----------
+
+  /** Per-stratum score buckets by EXACT order statistics — the CCNet
+    * head/middle/tail split (Wenzek et al. 2020, arXiv:1911.00359 §4.3:
+    * documents bin by LM perplexity per language; CCNet estimates the
+    * cutoffs on a sample, this computes them exactly). For each cut
+    * fraction num/den the cutoff is the smallest score whose cumulative
+    * row count reaches ceil(n * num / den) of the stratum's n rows, and
+    * a row's bucket is the first cut whose cutoff its score does not
+    * exceed. Buckets read in ASCENDING score order: with score =
+    * perplexity the default labels ("head","middle","tail") match CCNet
+    * (lower perplexity = better = head); for a higher-is-better score
+    * pass ascending labels, e.g. ("tail","middle","head").
+    *
+    * Cut fractions are exact RATIONALS (num, den) and every cutoff is an
+    * ORDER STATISTIC — an actual score value picked by pure integer rank
+    * arithmetic, never an interpolated quantile — so a SQL oracle on
+    * another engine re-derives the assignment bit-for-bit (percentile
+    * INTERPOLATION differs across engines in the last ULP at exactly the
+    * rows that straddle a cutoff; rank arithmetic cannot). A tied score
+    * class lands WHOLE in its lowest eligible bucket by construction, so
+    * bucket sizes are n/3 only up to tie granularity — the documented
+    * price of an exactly-reproducible rule.
+    *
+    * Rows with a null id, null stratum, or null/NaN score drop. Emits
+    * (id, stratum, score, bucket).
+    *
+    * Scale shape: the corpus collapses map-side to (stratum, score)
+    * HISTOGRAM cells before the only wide ops — the per-stratum running
+    * count runs over distinct scores, not rows, so a 6-decimal score has
+    * at most ~10^6 cells per stratum no matter the corpus size (pick the
+    * score's precision with that in mind). Cutoffs collapse to one row
+    * per stratum and BROADCAST back; assignment is map-only. The
+    * document table itself never shuffles.
+    */
+  def scoreBuckets(docs: DataFrame, stratum: Column, score: Column,
+      cuts: Seq[(Int, Int)] = Seq((1, 3), (2, 3)),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      id: Column = col("doc_id")): DataFrame = {
+    require(cuts.nonEmpty, "at least one cut")
+    require(labels.size == cuts.size + 1,
+      s"${cuts.size} cuts need ${cuts.size + 1} labels, got ${labels.size}")
+    cuts.foreach { case (num, den) =>
+      require(num > 0 && den > 0 && num < den, s"cut $num/$den not in (0,1)")
+    }
+    require(cuts.sliding(2).forall {
+      case Seq((n1, d1), (n2, d2)) => n1.toLong * d2 < n2.toLong * d1
+      case _ => true
+    }, s"cuts $cuts must strictly ascend or a bucket interval is empty")
+
+    val W = org.apache.spark.sql.expressions.Window
+    val base = docs
+      .filter(id.isNotNull && stratum.isNotNull && score.isNotNull &&
+        !isnan(score.cast("double")))
+      .select(id.as("id"), stratum.as("stratum"),
+        score.cast("double").as("score"))
+    val hist = base.groupBy(col("stratum"), col("score"))
+      .agg(count(lit(1)).as("cnt"))
+    // histogram cells are unique per (stratum, score), so the running
+    // count has no within-frame ties to worry about
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(W.partitionBy(col("stratum"))
+        .orderBy(col("score"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(W.partitionBy(col("stratum"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val cutAggs = cuts.zipWithIndex.map { case ((num, den), j) =>
+      // rank threshold ceil(n*num/den) via integer `div` — exact at any n
+      min(when(col("cum") >= expr(s"(n * $num + ${den - 1}) div $den"),
+        col("score"))).as(s"c$j")
+    }
+    val cutoffs = cum.groupBy(col("stratum"))
+      .agg(cutAggs.head, cutAggs.tail: _*)
+    // first cut whose cutoff the score does not exceed; k_j is always in
+    // [1, n] so every c_j is a real score value, never null
+    val bucket = cuts.indices.foldRight(lit(labels.last): Column) {
+      (j, acc) =>
+        when(col("score") <= col(s"c$j"), lit(labels(j))).otherwise(acc)
+    }
+    base.join(broadcast(cutoffs), Seq("stratum"))
+      .select(col("id"), col("stratum"), col("score"), bucket.as("bucket"))
+  }
+
   /** Corpus-level n-gram document frequency, top k. Counting is DF (one
     * count per doc per distinct gram), the quantity dedup/decontamination
     * reason about. Shape at scale: map-side dedup (array_distinct) ->

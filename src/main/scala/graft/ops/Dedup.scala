@@ -414,6 +414,48 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Pick each duplicate cluster's REPRESENTATIVE by quality instead of
+    * by smallest id: keeper = the member with the highest quality score,
+    * quality ties broken by smallest id — "keep the best copy, not the
+    * first copy" (near-dup clusters routinely pair a clean original with
+    * truncated or boilerplate-wrapped mirrors, and the smallest-id keeper
+    * convention of [[duplicateClusters]] is arbitrary about which copy
+    * survives). Takes the (doc_id, cluster) frame [[duplicateClusters]]
+    * emits plus any per-id quality frame — e.g.
+    * [[graft.ops.TextAnalysis.qualityScore]] output — and emits one
+    * (cluster, doc_id, quality) keeper row per cluster that has at least
+    * one scored member.
+    *
+    * Members with a null quality — or no quality row at all — never
+    * contend, and a cluster whose every member is unscored emits nothing
+    * (surface unscored docs upstream; crowning one "best" would be
+    * fiction). On quality ties the smallest id wins: longs compare
+    * numerically, strings in Spark's UTF8String BYTE order — there is no
+    * driver-side path here, so the UTF-16 keeper divergence documented
+    * on [[duplicateClusters]] cannot reappear.
+    *
+    * Scale shape: two map-side-combinable aggregates (max quality per
+    * cluster, then min id among the maximal members) and two narrow
+    * equi-joins keyed on id/cluster — no window, no sort, text never
+    * enters. AQE broadcasts the one-row-per-cluster max frame when it is
+    * small; at any size every shuffled row is (cluster, id, quality).
+    */
+  def clusterBest(clusters: DataFrame, quality: DataFrame,
+      clusterCol: String = "cluster", idCol: String = "doc_id",
+      qualityCol: String = "quality"): DataFrame = {
+    val scored = clusters.select(col(idCol), col(clusterCol))
+      .join(quality.select(col(idCol), col(qualityCol))
+        .filter(col(qualityCol).isNotNull), Seq(idCol))
+    val best = scored.groupBy(col(clusterCol))
+      .agg(max(col(qualityCol)).as("graft_best_q"))
+    scored.join(best, Seq(clusterCol))
+      .filter(col(qualityCol) === col("graft_best_q"))
+      .groupBy(col(clusterCol), col("graft_best_q"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(clusterCol), col(idCol),
+        col("graft_best_q").as(qualityCol))
+  }
+
   /** Driver-side union-find with path halving over a collected edge list —
     * the small-graph fast path of [[duplicateClusters]]. Generic in the id
     * type so numeric and string ids share one implementation; returns

@@ -760,6 +760,132 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     // realized: 25 / 15 / 10 tokens = exactly 0.5 / 0.3 / 0.2
   }
 
+  // ---------- global token-budget curation ----------
+
+  test("tokenBudgetTake == brute-force prefix rule; boundary/zero/huge budgets; parts-invariant") {
+    val rnd = new scala.util.Random(77)
+    val sp = spark
+    import sp.implicits._
+    // coarse quality steps so ties are common — the id tie-break must bite
+    val rows = (1L to 120L).map { i =>
+      (i, rnd.nextInt(5) / 4.0, rnd.nextInt(30).toLong)
+    }
+    val df = rows.toDF("doc_id", "quality", "n_tokens").repartition(9)
+    val ordered = rows.sortBy { case (id, q, _) => (-q, id) }
+    val cums = ordered.scanLeft(0L)(_ + _._3).tail
+    val total = cums.last
+    for (budget <- Seq(0L, 1L, total / 3, cums(49), total, total + 100);
+         parts <- Seq(2, 7)) {
+      val expected = ordered.zip(cums).takeWhile(_._2 <= budget)
+        .map { case ((id, q, t), c) => (id, q, t, c) }
+      val got = Corpus.tokenBudgetTake(df, budget,
+          quality = col("quality"), id = col("doc_id"),
+          nTokens = col("n_tokens"), parts = parts)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+        .sortBy(x => (-x._2, x._1)).toSeq
+      assert(got == expected, s"budget=$budget parts=$parts")
+    }
+  }
+
+  test("tokenBudgetTake: null/NaN quality and null id drop; null tokens count 0; negatives clamp") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("quality", DoubleType),
+      StructField("n_tokens", LongType)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, 0.9, 5L),
+      Row(2L, 0.8, null), // null tokens -> 0
+      Row(3L, 0.7, -4L), // negative clamps to 0
+      Row(null, 0.99, 1L), // null id drops
+      Row(5L, null, 1L), // null quality drops
+      Row(6L, Double.NaN, 1L), // NaN quality drops
+      Row(7L, 0.6, 100L)), schema) // over budget
+    val got = Corpus.tokenBudgetTake(df, budget = 6L,
+        quality = col("quality"), id = col("doc_id"),
+        nTokens = col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 5L, 5L), (2L, 0L, 5L), (3L, 0L, 5L)))
+  }
+
+  test("tokenBudgetTake: default token counter is the q08 whitespace count") {
+    val df = docsDf(Seq((1L, "a b  c"), (2L, "d e")))
+      .withColumn("quality", lit(1.0) - col("doc_id") / lit(10.0))
+    val got = Corpus.tokenBudgetTake(df, budget = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L))) // doc 2 (cum 5) crosses the budget
+  }
+
+  // ---------- per-stratum score buckets ----------
+
+  test("scoreBuckets: exact thirds on distinct scores; tied class lands whole in its lowest bucket") {
+    val sp = spark
+    import sp.implicits._
+    val a = (1 to 9).map(i => (i.toLong, "a", i.toDouble)) // 3/3/3 split
+    // stratum b: hist (1.0 x4, 2.0, 3.0); n=6, ranks k1=2 k2=4 both land
+    // inside the tied class -> c0=c1=1.0: the whole class buckets low and
+    // the middle bucket is legitimately EMPTY
+    val b = Seq((11L, "b", 1.0), (12L, "b", 1.0), (13L, "b", 1.0),
+      (14L, "b", 1.0), (15L, "b", 2.0), (16L, "b", 3.0))
+    val got = Corpus.scoreBuckets((a ++ b).toDF("doc_id", "stratum", "score"),
+        stratum = col("stratum"), score = col("score"),
+        labels = Seq("lo", "mid", "hi"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert((1L to 3L).forall(got(_) == "lo"))
+    assert((4L to 6L).forall(got(_) == "mid"))
+    assert((7L to 9L).forall(got(_) == "hi"))
+    assert((11L to 14L).forall(got(_) == "lo"))
+    assert(got(15L) == "hi" && got(16L) == "hi")
+  }
+
+  test("scoreBuckets == brute-force rank rule on random corpora") {
+    val rnd = new scala.util.Random(41)
+    val sp = spark
+    import sp.implicits._
+    val rows = (1L to 200L).map { i =>
+      (i, s"s${rnd.nextInt(3)}", (rnd.nextInt(7) + 1).toDouble / 7.0)
+    }
+    // cutoff = k-th smallest where k = ceil(n*num/den): the smallest score
+    // whose cumulative count reaches k
+    def cutoff(scores: Seq[Double], num: Int, den: Int): Double = {
+      val k = (scores.size * num + den - 1) / den
+      scores.sorted.apply(k - 1)
+    }
+    val byStratum = rows.groupBy(_._2).map { case (st, rs) =>
+      st -> (cutoff(rs.map(_._3), 1, 3), cutoff(rs.map(_._3), 2, 3))
+    }
+    val expected = rows.map { case (id, st, sc) =>
+      val (c0, c1) = byStratum(st)
+      id -> (if (sc <= c0) "t" else if (sc <= c1) "m" else "h")
+    }.toMap
+    val got = Corpus.scoreBuckets(rows.toDF("doc_id", "stratum", "score")
+          .repartition(5),
+        stratum = col("stratum"), score = col("score"),
+        labels = Seq("t", "m", "h"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == expected)
+  }
+
+  test("scoreBuckets: rejects non-ascending cuts and mis-sized labels") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "a", 0.5)).toDF("doc_id", "stratum", "score")
+    intercept[IllegalArgumentException] {
+      Corpus.scoreBuckets(df, col("stratum"), col("score"),
+        cuts = Seq((2, 3), (1, 3)), labels = Seq("a", "b", "c"))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.scoreBuckets(df, col("stratum"), col("score"),
+        labels = Seq("only", "two"))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.scoreBuckets(df, col("stratum"), col("score"),
+        cuts = Seq((3, 3)), labels = Seq("a", "b"))
+    }
+  }
+
   test("perplexityFilter: natural text scores below gibberish; kept respects threshold") {
     val df = docsDf(Seq(
       (1L, "the cat sat on the mat and the dog was in the house"),

@@ -80,6 +80,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cut.count() == 0)
   }
 
+  test("clusterBest: highest-quality keeper, id tie-break; unscored members never contend") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "cluster")
+    val qSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("quality", DoubleType)))
+    val quality = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, 0.5), Row(2L, 0.9), Row(3L, 0.9), // tie at 0.9 -> id 2 wins
+      Row(11L, 0.4), // 10 unscored -> 11 wins its cluster
+      Row(20L, null), // null never contends; 21 absent -> cluster 20 silent
+      Row(99L, 1.0)), qSchema) // not in any cluster -> ignored
+    val got = Dedup.clusterBest(clusters, quality).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 0.9), (10L, 11L, 0.4)))
+  }
+
   test("duplicateClusters: chain and separate components get min-id labels") {
     val sp = spark
     import sp.implicits._

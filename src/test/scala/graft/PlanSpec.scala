@@ -469,6 +469,55 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!"Join".r.findFirstIn(p).isDefined, p)
   }
 
+  test("budgetLayout (tokenBudgetTake): one range exchange on the narrow projection, partition-local sort only") {
+    assume(sfPresent)
+    val q = TextAnalysis.qualityScore(spark.read.parquet(s"$sf/documents.parquet"))
+    val p = plan(graft.ops.Corpus.budgetLayout(q, col("quality"),
+      col("doc_id"), col("n_tokens"), parts = 4))
+    // the only exchange is the range partitioning of the ~24-byte
+    // (id, quality, n_tokens) projection; the sort after it is
+    // partition-LOCAL (global=false) — a true global sort would funnel
+    // the corpus through one task's sort at 100 TB
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("hashpartitioning") && !p.contains("SinglePartition"), p)
+    val sortLines = p.linesIterator.filter(_.contains("Sort [")).toVector
+    assert(sortLines.nonEmpty && sortLines.forall(_.contains("], false, 0")), p)
+  }
+
+  test("scoreBuckets: only (stratum, score) histogram cells shuffle; cutoffs broadcast back") {
+    assume(sfPresent)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % 7).cast("double").as("score"))
+    val p = plan(graft.ops.Corpus.scoreBuckets(d, stratum = col("lang"),
+      score = col("score"), labels = Seq("t", "m", "h")))
+    // histogram collapses map-side (partial_count before its exchange);
+    // every hash exchange keys on the stratum — the per-row table itself
+    // never shuffles because the one-row-per-stratum cutoffs broadcast
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("SinglePartition"), p)
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9#, ]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toVector
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("stratum")), s"$hashEx\n$p")
+    assert(hashEx.forall(k => !k.contains("doc_id")), s"$hashEx\n$p")
+  }
+
+  test("clusterBest: two map-side-combinable aggregates, no window, no sort") {
+    val sp = spark
+    import sp.implicits._
+    val clusters = (1L to 100L).map(i => (i, i % 10)).toDF("doc_id", "cluster")
+    val quality = (1L to 100L).map(i => (i, (i % 7).toDouble))
+      .toDF("doc_id", "quality")
+    val p = plan(graft.ops.Dedup.clusterBest(clusters, quality))
+    // max-per-cluster and min-id-among-maximal both combine map-side; a
+    // per-cluster Window would re-sort every group's members instead
+    assert(p.contains("partial_max") && p.contains("partial_min"), p)
+    assert(!p.contains("Window") && !p.contains("rangepartitioning")
+      && !p.contains("SinglePartition"), p)
+  }
+
   test("frontierNewBloom: exactly one join — bloom-negative rows bypass the shuffle") {
     val sp = spark
     import sp.implicits._
