@@ -3,7 +3,7 @@ package graft
 import graft.extract.Extractor
 import graft.fixtures.Fixtures
 import graft.model._
-import graft.ops.{Corpus, Dedup, Multimodal, Pii, SemDedup, Similarity, SubstringDedup, TextAnalysis, Web}
+import graft.ops.{Corpus, Dedup, Dsir, Multimodal, Pii, SemDedup, Similarity, SubstringDedup, TextAnalysis, Web}
 import graft.reflow.ExtractConfig
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -402,6 +402,46 @@ object SparkEntry {
           Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.2)),
         TextAnalysis.qualityScore(d).select(col("doc_id"), col("quality")))
         .orderBy(col("cluster"))
+    }),
+    // C4 cleaning heuristics, filter-as-flag. The driver's documents are
+    // single-line word salad with no punctuation — every rule would be
+    // vacuously false — so the query PLANTS the line structure the rules
+    // exist for (q07/q39/q56 precedent), identically in the oracle: a
+    // valid long sentence (the doc text + '.'), a too-short line, a
+    // javascript line, a cookie-policy line, an unterminated line, two
+    // clean sentence lines, a parity line varying the count, and lorem /
+    // '{' page poisons on doc_id % 5 / % 7
+    "q62_c4_filter" -> ((s, dir) => {
+      val planted = concat(
+        col("text"), lit("."),
+        lit("\nToo short line."),
+        lit("\nThis line mentions javascript so it must go."),
+        lit("\nThis site uses cookies to improve your experience."),
+        lit("\nThis line has no terminal punctuation"),
+        lit("\nHere is another perfectly fine sentence for the counter."),
+        lit("\nThis one counts twice. Because it has two sentences!"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("\nExtra even sentence to vary the count.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("\nLorem Ipsum dolor sit amet.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("\ncode { block }")).otherwise(lit("")))
+      Corpus.c4Filter(table(s, dir, "documents")
+          .select(col("doc_id"), planted.as("text")))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    // DSIR importance weights: target = every 7th doc, raw = the rest;
+    // 4096 hash buckets — the oracle re-derives md5 buckets, both
+    // smoothed histograms, the micro-log quantization and the integer sum
+    "q63_dsir_weights" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dsir.importanceWeights(
+        d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(7)) === 0),
+        buckets = 4096)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }),
     // URL canonicalization + dedup: six URL variants per page group
     // (tracking params / :443 / fragment / case+trailing-slash must
@@ -2206,6 +2246,106 @@ object SparkEntry {
           |)
           |SELECT cluster, doc_id, quality FROM best WHERE rn = 1
           |ORDER BY cluster""".stripMargin),
+    // every C4 rule re-derived: the line predicate (terminal punct after
+    // rtrim, >=5 words, no javascript/policy phrase), the regex sentence
+    // count over the CLEANED text, and the page rules over the ORIGINAL
+    "q62_c4_filter" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || '.'
+        |      || chr(10) || 'Too short line.'
+        |      || chr(10) || 'This line mentions javascript so it must go.'
+        |      || chr(10) || 'This site uses cookies to improve your experience.'
+        |      || chr(10) || 'This line has no terminal punctuation'
+        |      || chr(10) || 'Here is another perfectly fine sentence for the counter.'
+        |      || chr(10) || 'This one counts twice. Because it has two sentences!'
+        |      || CASE WHEN doc_id % 2 = 0
+        |           THEN chr(10) || 'Extra even sentence to vary the count.'
+        |           ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0
+        |           THEN chr(10) || 'Lorem Ipsum dolor sit amet.'
+        |           ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0
+        |           THEN chr(10) || 'code { block }'
+        |           ELSE '' END AS text
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS ls
+        |  FROM p
+        |), k AS (
+        |  SELECT doc_id, text,
+        |    list_filter(ls, l ->
+        |      regexp_matches(rtrim(l), '[.!?]["'']?$')
+        |      AND len(list_filter(string_split_regex(trim(l), '\s+'),
+        |            w -> w <> '')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')
+        |      AND NOT contains(lower(l), 'terms of use')
+        |      AND NOT contains(lower(l), 'privacy policy')
+        |      AND NOT contains(lower(l), 'cookie policy')
+        |      AND NOT contains(lower(l), 'uses cookies')
+        |      AND NOT contains(lower(l), 'use of cookies')
+        |      AND NOT contains(lower(l), 'use cookies')) AS kl
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, text,
+        |    coalesce(array_to_string(kl, chr(10)), '') AS text_clean,
+        |    CAST(len(kl) AS BIGINT) AS lines_kept,
+        |    CAST(len(regexp_extract_all(
+        |      coalesce(array_to_string(kl, chr(10)), '') || chr(10),
+        |      '[.!?]["'']?[ \t\n]')) AS BIGINT) AS n_sentences
+        |  FROM k
+        |)
+        |SELECT doc_id, text_clean, lines_kept, n_sentences,
+        |  (NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(text, '{')
+        |   AND n_sentences >= 3) AS kept
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // full DSIR re-derivation: md5 hash buckets, both add-one-smoothed
+    // gram histograms, the floor(x*1e6 + 0.5) micro-log quantization and
+    // the per-doc INTEGER sum — exact at every step, so the float ln is
+    // the only cross-engine op and it never meets a reduction order
+    "q63_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents
+        |), gr AS (
+        |  SELECT doc_id, toks || CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE [] END AS grams
+        |  FROM tok
+        |), g AS (SELECT doc_id, unnest(grams) AS g FROM gr),
+        |h AS (
+        |  SELECT doc_id,
+        |    ((CAST(CASE WHEN md5_number_upper(g) >= 9223372036854775808
+        |      THEN CAST(md5_number_upper(g) AS HUGEINT) - 18446744073709551616
+        |      ELSE CAST(md5_number_upper(g) AS HUGEINT) END AS BIGINT)
+        |      % 4096) + 4096) % 4096 AS b
+        |  FROM g
+        |), tc AS (SELECT b, count(*) AS c FROM h WHERE doc_id % 7 = 0 GROUP BY b),
+        |rc AS (SELECT b, count(*) AS c FROM h WHERE doc_id % 7 <> 0 GROUP BY b),
+        |tot AS (SELECT
+        |  (SELECT count(*) FROM h WHERE doc_id % 7 = 0) AS tt,
+        |  (SELECT count(*) FROM h WHERE doc_id % 7 <> 0) AS rt),
+        |lq AS (
+        |  SELECT bb.b,
+        |    CAST(floor((ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 4096))
+        |      - ln((coalesce(rc.c, 0) + 1.0) / (tot.rt + 4096))) * 1000000.0
+        |      + 0.5) AS BIGINT) AS lq
+        |  FROM (SELECT DISTINCT b FROM h) bb
+        |  LEFT JOIN tc ON tc.b = bb.b LEFT JOIN rc ON rc.b = bb.b, tot
+        |), sc AS (
+        |  SELECT h.doc_id, CAST(sum(lq.lq) AS BIGINT) AS score_micro
+        |  FROM h JOIN lq ON lq.b = h.b
+        |  WHERE h.doc_id % 7 <> 0
+        |  GROUP BY h.doc_id
+        |)
+        |SELECT d.doc_id AS doc_id, coalesce(sc.score_micro, 0) AS score_micro,
+        |  coalesce(sc.score_micro, 0) / 1000000.0 AS logw
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+        |LEFT JOIN sc ON sc.doc_id = d.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // exact re-derivation of every Gopher rule input (token counts from
     // raw text, dup ratios from lowercased tokens, the all-language stop
     // list) — identical double arithmetic, so the booleans must agree.

@@ -1082,6 +1082,74 @@ object Corpus {
       .select(col("id"), col("stratum"), col("score"), bucket.as("bucket"))
   }
 
+  // ---------- C4 cleaning heuristics ----------
+
+  /** C4's Common-Crawl cleaning heuristics (Raffel et al. 2020,
+    * arXiv:1910.10683 §2.2) as ONE map-only pass. Line level: keep only
+    * lines that (a) end in terminal punctuation — `.` `!` `?`, optionally
+    * followed by a closing quote — after right-trimming spaces, (b) have
+    * at least `minWordsPerLine` whitespace words, and (c) mention neither
+    * "javascript" nor any of the paper's cookie/policy boilerplate
+    * phrases (case-insensitive). Page level: drop the page when the
+    * ORIGINAL text contains "lorem ipsum" (case-insensitive) or a `{`
+    * (code), or when fewer than `minSentences` sentences survive line
+    * filtering. The paper's bad-words page rule is `pageDropWords`
+    * (default empty — the list is deployment policy, not engine
+    * semantics); its three-sentence-span dedup is the separate global
+    * dedup stage ([[dedupParagraphsGlobal]] / Dedup), as in the paper.
+    *
+    * Sentences are COUNTED, not split: occurrences of terminal
+    * punctuation (+ optional quote) followed by a space/tab/newline or
+    * end-of-text in the CLEANED text — a deterministic regex count a SQL
+    * oracle re-derives exactly, not an NLP sentence model.
+    *
+    * Emits every input row with (id, text_clean, lines_kept, n_sentences,
+    * kept) — filter-as-flag like [[gopherQualityFilter]], so audits can
+    * see WHY a page dropped; callers `.filter(col("kept"))` and swap
+    * text_clean in. Scale shape: zero shuffle, zero UDF, plan-pinned
+    * map-only. The higher-order array ops are interpreted (Spark's
+    * lambda expressions are CodegenFallback), so the expensive line
+    * predicate is STAGED into its own projection and evaluated once per
+    * row — Catalyst's CollapseProject keeps multi-use non-cheap
+    * expressions un-inlined, which the plan pin asserts by counting
+    * `lambdafunction` occurrences.
+    */
+  def c4Filter(docs: DataFrame, minWordsPerLine: Int = 5,
+      minSentences: Int = 3, pageDropWords: Seq[String] = Seq.empty,
+      id: Column = col("doc_id"), text: Column = col("text")): DataFrame = {
+    require(minWordsPerLine >= 0 && minSentences >= 0,
+      s"negative threshold: $minWordsPerLine/$minSentences")
+    val policyPhrases = Seq("javascript", "terms of use", "privacy policy",
+      "cookie policy", "uses cookies", "use of cookies", "use cookies")
+    val raw = coalesce(text, lit(""))
+    val lineOk = (l: Column) => {
+      val phraseHit = policyPhrases
+        .map(p => lower(l).contains(p)).reduce(_ || _)
+      rtrim(l).rlike("[.!?][\"']?$") &&
+        size(filter(split(trim(l), "\\s+"), w => w =!= "")) >=
+          minWordsPerLine && !phraseHit
+    }
+    val pageLower = lower(raw)
+    val pageDrop = (Seq("lorem ipsum").map(pageLower.contains(_)) ++
+      Seq(raw.contains("{")) ++
+      pageDropWords.map(w => pageLower.contains(w.toLowerCase)))
+      .reduce(_ || _)
+    docs
+      .select(id.as("id"), pageDrop.as("graft_page_drop"),
+        filter(split(raw, "\n"), lineOk).as("graft_kl"))
+      .select(col("id"), col("graft_page_drop"),
+        array_join(col("graft_kl"), "\n").as("text_clean"),
+        size(col("graft_kl")).cast("long").as("lines_kept"))
+      .select(col("id"), col("graft_page_drop"), col("text_clean"),
+        col("lines_kept"),
+        size(regexp_extract_all(concat(col("text_clean"), lit("\n")),
+          lit("[.!?][\"']?[ \t\n]"), lit(0))).cast("long").as("n_sentences"))
+      .select(col("id"), col("text_clean"), col("lines_kept"),
+        col("n_sentences"),
+        (!col("graft_page_drop") &&
+          col("n_sentences") >= minSentences).as("kept"))
+  }
+
   /** Corpus-level n-gram document frequency, top k. Counting is DF (one
     * count per doc per distinct gram), the quantity dedup/decontamination
     * reason about. Shape at scale: map-side dedup (array_distinct) ->

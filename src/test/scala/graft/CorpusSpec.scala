@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Corpus, Hashing, TextAnalysis}
+import graft.ops.{Corpus, Dsir, Hashing, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -884,6 +884,108 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       Corpus.scoreBuckets(df, col("stratum"), col("score"),
         cuts = Seq((3, 3)), labels = Seq("a", "b"))
     }
+  }
+
+  // ---------- C4 cleaning heuristics ----------
+
+  test("c4Filter: every line rule and page rule on hand vectors") {
+    val good1 = "This is a perfectly reasonable sentence of text."
+    val good2 = "Another good sentence follows right here too!"
+    val good3 = "A third one keeps the page over the minimum?"
+    val df = docsDf(Seq(
+      (1L, s"$good1\n$good2\n$good3"), // clean page: all kept
+      (2L, s"$good1\nshort one.\n$good2\n$good3"), // <5 words line drops
+      (3L, s"$good1\nno terminal punctuation here at all\n$good2\n$good3"),
+      (4L, s"$good1\nPlease enable JavaScript to view this.\n$good2\n$good3"),
+      (5L, s"$good1\nThis site uses cookies for tracking purposes.\n$good2\n$good3"),
+      (6L, s"$good1\n$good2\n$good3\nWe meant lorem ipsum as filler."), // page drop
+      (7L, s"$good1\n$good2\n$good3\nif (x) { return; }"), // '{' page drop
+      (8L, s"$good1\n$good2"), // only 2 sentences -> page drop
+      (9L, s"$good1\nShe said \"This ends in a quote.\"\n$good2\n$good3")))
+    val got = Corpus.c4Filter(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((s"$good1\n$good2\n$good3", 3L, 3L, true)))
+    // the offending line drops but the page survives on the 3 good ones
+    for (id <- 2L to 5L)
+      assert(got(id) == ((s"$good1\n$good2\n$good3", 3L, 3L, true)), s"doc $id")
+    // lorem/curly kill the PAGE even though their lines also failed/passed
+    assert(got(6L)._4 == false && got(6L)._2 == 4L) // lorem line itself is a valid line
+    assert(got(7L)._4 == false && got(7L)._2 == 3L)
+    assert(got(8L) == ((s"$good1\n$good2", 2L, 2L, false)))
+    // quote after terminal punct is a valid line end; quoted sentence
+    // inside the line adds to the count
+    assert(got(9L)._2 == 4L && got(9L)._4 == true)
+  }
+
+  test("c4Filter: pageDropWords and thresholds are honored; empty text survives as empty unkept row") {
+    val good = "This is a perfectly reasonable sentence of text."
+    val df = docsDf(Seq(
+      (1L, s"$good\nThe forbidden word BADTOKEN appears here.\n$good"),
+      (2L, s"$good\n$good\n$good"),
+      (3L, "")))
+    val got = Corpus.c4Filter(df, minWordsPerLine = 5, minSentences = 2,
+        pageDropWords = Seq("badtoken"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L)._3 == false) // page word hits in the ORIGINAL text
+    assert(got(2L) == ((3L, 3L, true)))
+    assert(got(3L) == ((0L, 0L, false)))
+  }
+
+  // ---------- DSIR importance weights ----------
+
+  test("dsir importanceWeights == brute-force hashed-ngram re-derivation") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("the", "cat", "sat", "dog", "ran", "code", "fn", "var")
+    def doc(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val targetRows = (1L to 20L).map(i => (i, doc(12)))
+    val target = targetRows.toDF("doc_id", "text")
+    val rawRows = (100L to 160L).map(i => (i, if (i == 150L) "" else doc(15)))
+    val raw = rawRows.toDF("doc_id", "text").repartition(5)
+    val B = 64
+    def grams(t: String): Seq[String] = {
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      toks ++ (if (toks.size >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq
+               else Seq.empty)
+    }
+    def bkt(g: String): Int = {
+      val m = (Hashing.md5Long(g) % B).toInt
+      if (m < 0) m + B else m
+    }
+    def hist(docs: Seq[(Long, String)]): Map[Int, Long] =
+      docs.flatMap(d => grams(d._2)).groupBy(bkt).map { case (b, gs) => b -> gs.size.toLong }
+    val tc = hist(targetRows)
+    val rc = hist(rawRows)
+    val tTot = tc.values.sum.toDouble + B
+    val rTot = rc.values.sum.toDouble + B
+    def lq(b: Int): Long = math.floor((math.log((tc.getOrElse(b, 0L) + 1.0) / tTot)
+      - math.log((rc.getOrElse(b, 0L) + 1.0) / rTot)) * 1e6 + 0.5).toLong
+    val expected = rawRows.map { case (id, t) =>
+      val s = grams(t).map(g => lq(bkt(g))).sum
+      id -> ((s, s / 1e6))
+    }.toMap
+    val got = Dsir.importanceWeights(raw, target, buckets = B)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (s, w)) =>
+      assert(got(id) == ((s, w)), s"doc $id: got ${got(id)} want ($s, $w)")
+    }
+    assert(got(150L) == ((0L, 0.0))) // empty doc scores exactly 0
+  }
+
+  test("dsir importanceWeights: target-like raw docs outweigh dissimilar ones") {
+    val sp = spark
+    import sp.implicits._
+    val target = (1L to 10L).map(i => (i, "the cat sat on the mat")).toDF("doc_id", "text")
+    val raw = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "var fn impl struct enum match")).toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(raw, target, buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(100L) > w(101L), w.toString)
   }
 
   test("perplexityFilter: natural text scores below gibberish; kept respects threshold") {

@@ -504,6 +504,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashEx.forall(k => !k.contains("doc_id")), s"$hashEx\n$p")
   }
 
+  test("c4Filter: map-only, and the expensive line predicate is evaluated ONCE per row") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Corpus.c4Filter(docs))
+    assert(!p.contains("Exchange"), p)
+    // higher-order array lambdas are CodegenFallback, so the line filter
+    // must be STAGED into one projection, not inlined into text_clean,
+    // lines_kept and n_sentences separately: the line-predicate lambda
+    // (the one carrying the rlike) appears exactly once in the plan. The
+    // inner word-count lambda rides inside it; the count is 2, not 6.
+    assert("RLIKE".r.findAllIn(p).length == 1, p)
+    assert("lambdafunction".r.findAllIn(p).length == 2, p)
+  }
+
+  test("dsir importanceWeights: the scoring pass is zero-shuffle over the (id, buckets) projection") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Dsir.importanceWeights(
+      docs.filter(col("doc_id") % 2 =!= 0), docs.filter(col("doc_id") % 2 === 0),
+      buckets = 128))
+    // the two fit passes already ran (histograms collapse map-side and
+    // broadcast back as one Long array); what executes per-row at corpus
+    // scale is this returned plan — a scan + gram/bucket projection +
+    // mapPartitions lookup, no exchange, text never leaves the scan task
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("MapPartitions"), p)
+  }
+
   test("clusterBest: two map-side-combinable aggregates, no window, no sort") {
     val sp = spark
     import sp.implicits._
