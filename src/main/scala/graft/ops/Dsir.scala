@@ -74,8 +74,13 @@ object Dsir {
       arr
     }
 
+    // the raw side's gram split + md5 bucketing feeds BOTH the fit
+    // histogram and the scoring pass — localCheckpoint it so that work
+    // (the dominant cost: one md5 per gram instance) runs once, and the
+    // int bucket arrays, not the text, are what's retained
+    val narrow = gramBuckets(raw).localCheckpoint()
     val tc = hist(gramBuckets(target))
-    val rc = hist(gramBuckets(raw))
+    val rc = hist(narrow)
     val tTot = tc.sum.toDouble + buckets
     val rTot = rc.sum.toDouble + buckets
     val lq = Array.tabulate(buckets) { b =>
@@ -83,8 +88,6 @@ object Dsir {
       math.floor(x * 1e6 + 0.5).toLong
     }
     val bc = spark.sparkContext.broadcast(lq)
-
-    val narrow = gramBuckets(raw)
     val outSchema = StructType(Seq(
       narrow.schema.fields(0), // id, whatever type the caller keys by
       StructField("score_micro", LongType, nullable = false),
