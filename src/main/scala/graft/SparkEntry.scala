@@ -3,7 +3,7 @@ package graft
 import graft.extract.Extractor
 import graft.fixtures.Fixtures
 import graft.model._
-import graft.ops.{Corpus, Dedup, Dsir, Multimodal, Pii, SemDedup, Similarity, SubstringDedup, TextAnalysis, Web}
+import graft.ops.{Clustering, Corpus, Dedup, Dsir, Multimodal, Pii, SemDedup, Similarity, SubstringDedup, TextAnalysis, Web}
 import graft.reflow.ExtractConfig
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -403,6 +403,23 @@ object SparkEntry {
         TextAnalysis.qualityScore(d).select(col("doc_id"), col("quality")))
         .orderBy(col("cluster"))
     }),
+    // integer-exact k-means: 3 Lloyd rounds + final assignment, every
+    // step integer arithmetic, so the oracle replays the ITERATION
+    // itself (unrolled CTEs, q47-pagerank style) — the first
+    // oracle-checkable clustering face (refineCentroids stays the
+    // spherical production face)
+    "q64_kmeans_micro" -> ((s, dir) =>
+      Clustering.kmeansMicro(table(s, dir, "embeddings"), k = 8, iters = 3)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))),
+    // cluster-balanced sampling: the k-means fit + per-cluster expected-
+    // target hash draw — big semantic clusters downsample, small ones
+    // keep everything; target 40 against sizes 51-73 bites every cluster
+    "q65_cluster_balanced_sample" -> ((s, dir) =>
+      Clustering.clusterBalancedSample(table(s, dir, "embeddings"),
+        k = 8, perClusterTarget = 40L, iters = 3)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))),
     // C4 cleaning heuristics, filter-as-flag. The driver's documents are
     // single-line word salad with no punctuation — every rule would be
     // vacuously false — so the query PLANTS the line structure the rules
@@ -2246,6 +2263,15 @@ object SparkEntry {
           |)
           |SELECT cluster, doc_id, quality FROM best WHERE rn = 1
           |ORDER BY cluster""".stripMargin),
+    // the whole Lloyd iteration re-derived: quantization, 3 unrolled
+    // assign+update rounds (exact integer L2 argmin with (d, c) ties,
+    // HUGEINT-safe sums, truncating //, empty clusters keep their
+    // centroid) and the final assignment — generated by KmeansOracle
+    "q64_kmeans_micro" -> KmeansOracle.sql(k = 8, iters = 3),
+    // the iteration prelude again + recomputed sizes, the
+    // floor(rate*10000+0.5) thresholds and the shared md5 sample rule
+    "q65_cluster_balanced_sample" -> KmeansOracle.balancedSampleSql(
+      k = 8, iters = 3, target = 40L, salt = "graft-cluster-sample-v1"),
     // every C4 rule re-derived: the line predicate (terminal punct after
     // rtrim, >=5 words, no javascript/policy phrase), the regex sentence
     // count over the CLEANED text, and the page rules over the ORIGINAL
@@ -2822,6 +2848,94 @@ object SparkEntry {
     // queries (x01-x08, q17/q18, q27) — see XGolden for the mechanism and
     // the soundness argument; regenerate with graft.tools.XOracleGen
     XGolden.all
+}
+
+/** q64 oracle generator: the integer Lloyd loop of
+  * graft.ops.Clustering.kmeansMicro unrolled into CTEs — one
+  * (assignment, update) pair per iteration plus a final assignment, all
+  * in exact integer arithmetic (the only float op is the one-time
+  * quantization both engines compute identically). Generated by a Scala
+  * loop because the rounds are mechanically identical; the q47 pagerank
+  * oracle set the unrolled-iteration precedent by hand.
+  */
+private object KmeansOracle {
+  private def assign(name: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT id, c, d FROM (
+       |    SELECT id, c, d, row_number() OVER (PARTITION BY id ORDER BY d, c) AS rn
+       |    FROM (SELECT q.id AS id, $cents.c AS c,
+       |      list_sum(list_transform(range(1, len(q.q) + 1),
+       |        i -> (q.q[i] - $cents.q[i]) * (q.q[i] - $cents.q[i]))) AS d
+       |      FROM q, $cents)) WHERE rn = 1)""".stripMargin
+
+  private def update(n: Int): String =
+    s"""u$n AS (
+       |  SELECT a$n.c AS c, comp.pos AS pos,
+       |    CAST(CAST(sum(comp.v) AS HUGEINT) // CAST(count(*) AS HUGEINT) AS BIGINT) AS cv
+       |  FROM a$n JOIN comp ON comp.id = a$n.id GROUP BY 1, 2),
+       |c$n AS (
+       |  SELECT c${n - 1}.c AS c, coalesce(l.ql, c${n - 1}.q) AS q
+       |  FROM c${n - 1} LEFT JOIN
+       |    (SELECT c, list(cv ORDER BY pos) AS ql FROM u$n GROUP BY c) l
+       |    ON l.c = c${n - 1}.c)""".stripMargin
+
+  /** Everything through the final assignment CTE `afinal(id, c, d)`. */
+  def prelude(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { n =>
+      assign(s"a$n", s"c${n - 1}") + ",\n" + update(n)
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS id,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+       |), comp AS (
+       |  SELECT id, u.i AS pos, u.v AS v
+       |  FROM (SELECT id, unnest(list_transform(range(1, len(q) + 1),
+       |    i -> {'i': i, 'v': q[i]})) AS u FROM q)
+       |), c0 AS (
+       |  SELECT (row_number() OVER (ORDER BY id)) - 1 AS c, q
+       |  FROM (SELECT id, q FROM q ORDER BY id LIMIT $k)
+       |),
+       |$rounds,
+       |${assign("afinal", s"c$iters")}""".stripMargin
+  }
+
+  def sql(k: Int, iters: Int): String =
+    prelude(k, iters) +
+      """
+        |SELECT id AS vec_id, CAST(c AS INT) AS cluster,
+        |  CAST(d AS BIGINT) AS dist_micro2
+        |FROM afinal ORDER BY vec_id""".stripMargin
+
+  /** q65: the kmeans prelude + recomputed cluster sizes, the
+    * floor(rate*10000 + 0.5) thresholds, and the md5 sample-key rule.
+    */
+  def balancedSampleSql(k: Int, iters: Int, target: Long,
+      salt: String): String = {
+    val h = s"md5_number_upper(CAST(afinal.id AS VARCHAR) || '$salt')"
+    prelude(k, iters) +
+      s""",
+         |sizes AS (SELECT c, count(*) AS n FROM afinal GROUP BY c),
+         |th AS (
+         |  SELECT c, CAST(floor(least(1.0, CAST($target AS DOUBLE) / n)
+         |    * 10000 + 0.5) AS BIGINT) AS t
+         |  FROM sizes
+         |), sk AS (
+         |  SELECT afinal.id, afinal.c, afinal.d,
+         |    (CAST(CASE WHEN $h >= 9223372036854775808
+         |      THEN CAST($h AS HUGEINT) - 18446744073709551616
+         |      ELSE CAST($h AS HUGEINT) END AS BIGINT)
+         |     & 1152921504606846975) % 10000 AS sample_key
+         |  FROM afinal
+         |)
+         |SELECT sk.id AS vec_id, CAST(sk.c AS INT) AS cluster,
+         |  CAST(sk.d AS BIGINT) AS dist_micro2, sk.sample_key
+         |FROM sk JOIN th ON th.c = sk.c
+         |WHERE sk.sample_key < th.t
+         |ORDER BY vec_id""".stripMargin
+  }
 }
 
 /** q20/q61 oracle prelude: exact trigram-shingle jaccard >= 0.2 pairs,

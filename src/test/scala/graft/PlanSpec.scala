@@ -532,6 +532,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("MapPartitions"), p)
   }
 
+  test("kmeansMicro assignment: zero-shuffle mapPartitions with broadcast centroids") {
+    assume(sfPresent)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.ops.Clustering.kmeansMicroFit(vecs, k = 4, iters = 1)
+    val p = plan(graft.ops.Clustering.assignMicro(vecs, cents))
+    // the fit already ran (per-round Long partial sums, k x dim to the
+    // driver); the per-row plan at corpus scale is scan -> quantize
+    // projection -> mapPartitions argmin. No exchange, no join.
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("MapPartitions"), p)
+    assert(!"Join".r.findFirstIn(p).isDefined, p)
+  }
+
   test("clusterBest: two map-side-combinable aggregates, no window, no sort") {
     val sp = spark
     import sp.implicits._
