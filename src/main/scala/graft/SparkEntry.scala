@@ -420,6 +420,47 @@ object SparkEntry {
         k = 8, perClusterTarget = 40L, iters = 3)
         .withColumnRenamed("id", "vec_id")
         .orderBy(col("vec_id"))),
+    // prototypicality pruning (SSL-prototypes / D4): same integer
+    // k-means fit, then each cluster's 30% nearest-to-centroid rows
+    // drop by exact integer rank — the oracle replays the fit AND the
+    // per-cluster rank cut
+    "q68_prototype_prune" -> ((s, dir) =>
+      Clustering.prototypePrune(table(s, dir, "embeddings"), k = 8,
+        dropNearestFrac = 0.3, iters = 3)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))),
+    // UT1-style domain blocklist with host-SUFFIX semantics: planted
+    // host families exercise the label-boundary rule (nottracker.net
+    // must NOT match entry tracker.net), the longest-match pick (deep
+    // subdomains), a suffix-as-PREFIX decoy (spam.example.good.org), a
+    // never-matching entry, mixed-case hosts, and null urls surviving
+    "q66_domain_blocklist" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val m = pmod(col("doc_id"), lit(8))
+      val host = when(m === 0, lit("ADS.Tracker.NET"))
+        .when(m === 1, lit("tracker.net"))
+        .when(m === 2, lit("nottracker.net"))
+        .when(m === 3, lit("a.b.spam.example"))
+        .when(m === 4, lit("ok.example"))
+        .when(m === 5, lit("www.ok.example"))
+        .when(m === 6, lit("deep.sub.ads.tracker.net"))
+        .otherwise(lit("spam.example.good.org"))
+      val withUrl = d.withColumn("url",
+        when(pmod(col("doc_id"), lit(31)) === 30, lit(null).cast("string"))
+          .otherwise(concat(lit("https://"), host, lit("/p/"),
+            col("doc_id").cast("string"))))
+      Web.domainBlocklist(withUrl,
+        Set("tracker.net", "spam.example", "malware.test"), "url")
+        .orderBy(col("doc_id"))
+    }),
+    // sliding-window chunking (the split side of sequence prep): 12-token
+    // windows at stride 8 over ~25-40-token docs — every doc multi-chunk,
+    // the final-window rule (no degenerate tail) exercised at both
+    // boundary parities
+    "q67_chunk_tokens" -> ((s, dir) =>
+      Corpus.chunkByTokens(table(s, dir, "documents"), maxTokens = 12,
+        overlap = 4)
+        .orderBy(col("doc_id"), col("chunk_id"))),
     // C4 cleaning heuristics, filter-as-flag. The driver's documents are
     // single-line word salad with no punctuation — every rule would be
     // vacuously false — so the query PLANTS the line structure the rules
@@ -2272,6 +2313,76 @@ object SparkEntry {
     // floor(rate*10000+0.5) thresholds and the shared md5 sample rule
     "q65_cluster_balanced_sample" -> KmeansOracle.balancedSampleSql(
       k = 8, iters = 3, target = 40L, salt = "graft-cluster-sample-v1"),
+    // the iteration prelude a third time + the per-cluster
+    // (dist, id)-rank window and the n * floor(frac*10000+0.5) // 10000
+    // integer drop count
+    "q68_prototype_prune" -> KmeansOracle.prototypePruneSql(
+      k = 8, iters = 3, dropThresh = 3000L),
+    // host re-derived by the q42 regex chain, every label-boundary
+    // suffix generated, matches filtered against the literal entry list;
+    // suffixes are generated longest-first so ms[1] IS the most specific
+    // matching entry, exactly the operator's walk
+    "q66_domain_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 31 = 30 THEN NULL
+        |      ELSE 'https://' || CASE doc_id % 8
+        |        WHEN 0 THEN 'ADS.Tracker.NET'
+        |        WHEN 1 THEN 'tracker.net'
+        |        WHEN 2 THEN 'nottracker.net'
+        |        WHEN 3 THEN 'a.b.spam.example'
+        |        WHEN 4 THEN 'ok.example'
+        |        WHEN 5 THEN 'www.ok.example'
+        |        WHEN 6 THEN 'deep.sub.ads.tracker.net'
+        |        ELSE 'spam.example.good.org' END
+        |        || '/p/' || CAST(doc_id AS VARCHAR)
+        |    END AS url
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, url,
+        |    CASE WHEN url IS NULL THEN NULL
+        |      ELSE regexp_replace(lower(regexp_extract(url,
+        |        '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1)),
+        |        ':[0-9]+$', '')
+        |    END AS host
+        |  FROM u
+        |), m AS (
+        |  SELECT doc_id, url, host,
+        |    list_filter(
+        |      list_transform(range(1, len(string_split(host, '.')) + 1),
+        |        i -> array_to_string(string_split(host, '.')[i:], '.')),
+        |      s -> list_contains(
+        |        ['tracker.net', 'spam.example', 'malware.test'], s)) AS ms
+        |  FROM h
+        |)
+        |SELECT doc_id, url, host,
+        |  CASE WHEN ms IS NULL OR len(ms) = 0 THEN NULL ELSE ms[1] END
+        |    AS blocked_by,
+        |  coalesce(len(ms) > 0, false) AS blocked
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // tokens by the shared \s+ rule, starts = multiples of the stride
+    // kept while the PREDECESSOR window hasn't reached the end, window
+    // text re-joined with single spaces; chunk_id = start // stride
+    // because starts are exactly the stride multiples
+    "q67_chunk_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    list_filter(range(0, greatest(len(toks), 1), 8),
+        |      st -> len(toks) > 0 AND (st = 0 OR st + 4 < len(toks))) AS starts
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, toks, n, unnest(starts) AS st FROM s
+        |)
+        |SELECT doc_id,
+        |  CAST(st // 8 AS INT) AS chunk_id,
+        |  CAST(st AS INT) AS start_tok,
+        |  CAST(least(n - st, 12) AS BIGINT) AS n_tok,
+        |  array_to_string(toks[st + 1 : st + 12], ' ') AS chunk
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
     // every C4 rule re-derived: the line predicate (terminal punct after
     // rtrim, >=5 words, no javascript/policy phrase), the regex sentence
     // count over the CLEANED text, and the page rules over the ORIGINAL
@@ -2908,6 +3019,25 @@ private object KmeansOracle {
         |SELECT id AS vec_id, CAST(c AS INT) AS cluster,
         |  CAST(d AS BIGINT) AS dist_micro2
         |FROM afinal ORDER BY vec_id""".stripMargin
+
+  /** q68: the kmeans prelude + the per-cluster prototypicality rank
+    * window (dist ASC, id ASC) and the integer drop count
+    * n * dropThresh // 10000 — both engines in pure integer arithmetic.
+    */
+  def prototypePruneSql(k: Int, iters: Int, dropThresh: Long): String =
+    prelude(k, iters) +
+      s""",
+         |ranked AS (
+         |  SELECT id, c, d,
+         |    CAST(row_number() OVER (PARTITION BY c ORDER BY d, id)
+         |      AS BIGINT) AS proto_rank,
+         |    count(*) OVER (PARTITION BY c) AS n
+         |  FROM afinal
+         |)
+         |SELECT id AS vec_id, CAST(c AS INT) AS cluster,
+         |  CAST(d AS BIGINT) AS dist_micro2, proto_rank,
+         |  proto_rank > (n * $dropThresh // 10000) AS kept
+         |FROM ranked ORDER BY vec_id""".stripMargin
 
   /** q65: the kmeans prelude + recomputed cluster sizes, the
     * floor(rate*10000 + 0.5) thresholds, and the md5 sample-key rule.

@@ -183,6 +183,48 @@ object Clustering {
       .filter(col("sample_key") < keepBelow)
   }
 
+  /** Prototypicality pruning (SSL-prototypes / D4): drop each cluster's
+    * most PROTOTYPICAL members — the rows nearest their centroid — and
+    * keep the informative tail. Sorscher et al. 2022 ("Beyond neural
+    * scaling laws") showed easy/prototypical examples are the right ones
+    * to prune when data is abundant; D4 (Tirumala et al. 2023) runs
+    * exactly this after SemDeDup. Built on [[kmeansMicro]], so distances
+    * are exact integers and the per-cluster cut is exactly replayable:
+    * rank every member by (dist_micro2 ASC, id ASC), drop ranks <=
+    * dropN where dropN = n * floor(dropNearestFrac * 10000 + 0.5) / 10000
+    * in pure Long arithmetic (the [[quantize]] rounding rule again — no
+    * float threshold ever compares against data). Filter-as-flag:
+    * (id, cluster, dist_micro2, proto_rank, kept), callers filter.
+    *
+    * Scale shape: the rank window partitions by cluster. k-means
+    * clusters are SIZE-BOUNDED by construction (corpus/k on average; a
+    * production k of 10^4-10^5 keeps partitions in the tens of
+    * millions), so the window is safe where capPerHost's host key was
+    * not; a pathologically collapsed clustering (most rows in one
+    * cluster) would need capPerHost's salted two-phase shape — documented
+    * seam, deliberately not paid on the common path. Only the 20-byte
+    * (id, cluster, dist) projection shuffles; text and vectors never do.
+    */
+  def prototypePrune(vecs: DataFrame, k: Int, dropNearestFrac: Double,
+      iters: Int = 3, scale: Long = MicroScale, id: Column = col("vec_id"),
+      vec: Column = col("embedding")): DataFrame = {
+    require(dropNearestFrac >= 0.0 && dropNearestFrac <= 1.0,
+      s"dropNearestFrac $dropNearestFrac")
+    val dropThresh = math.floor(dropNearestFrac * 10000 + 0.5).toLong
+    val asn = kmeansMicro(vecs, k, iters, scale, id, vec)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("dist_micro2"), col("id"))
+    val sizes = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    asn
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+      .withColumn("cluster_n", count(lit(1)).over(sizes))
+      // SQL `div`, not `/`: Column./ on longs is DOUBLE division, and the
+      // exactness contract wants the truncating integer quotient
+      .withColumn("kept",
+        col("proto_rank") > expr(s"cluster_n * ${dropThresh}L div 10000"))
+      .drop("cluster_n")
+  }
+
   private def quantized(vecs: DataFrame, scale: Long, id: Column,
       vec: Column): DataFrame =
     vecs.filter(id.isNotNull && vec.isNotNull)

@@ -1165,4 +1165,49 @@ object Corpus {
       .orderBy(col("doc_freq").desc, col("gram"))
       .limit(k)
   }
+
+  /** Sliding-window document chunking — the SPLIT side of sequence prep
+    * ([[packSequences]] is the concat side): every doc longer than
+    * `maxTokens` whitespace tokens becomes overlapping windows of
+    * exactly `maxTokens` tokens at stride `maxTokens - overlap`, plus
+    * one final window ending at the last token — the HF-tokenizers
+    * `stride` convention, chosen over "emit every start < n" because
+    * that rule's degenerate tail window (fully contained in its
+    * predecessor) adds rows that carry no new tokens. Emits one row per
+    * chunk: (id, chunk_id, start_tok, n_tok, chunk text) where chunk_id
+    * counts from 0 in token order and the text is the token window
+    * re-joined with single spaces (token-window chunking normalizes
+    * intra-chunk whitespace BY DEFINITION — the window is a token
+    * slice, not a byte slice). Docs with no tokens (empty/blank text)
+    * emit nothing: there is no window to train on. Null text behaves
+    * like empty (split of null is null; the guard filters it).
+    *
+    * Map-only: tokens, starts (an integer `sequence` + the
+    * predecessor-coverage filter), `posexplode`, slice + join — zero
+    * shuffle at any corpus size, and chunk rows inherit the input's
+    * partitioning for the downstream tokenize/pack stages.
+    */
+  def chunkByTokens(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got maxTokens=$maxTokens overlap=$overlap")
+    val stride = maxTokens - overlap
+    val toks = TextAnalysis.wsTokens(col(textCol))
+    // keep start s when it's the first window or its PREDECESSOR
+    // (s - stride) did not already reach the end — so the last kept
+    // window is the one that covers the final token
+    val starts = filter(
+      sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(stride)),
+      s => (size(col("toks")) > 0) &&
+        (s === 0 || s + lit(maxTokens - stride) < size(col("toks"))))
+    docs
+      .select(col(idCol), toks.as("toks"))
+      .select(col(idCol), col("toks"),
+        posexplode(starts).as(Seq("chunk_id", "start_tok")))
+      .select(col(idCol), col("chunk_id"), col("start_tok"),
+        least(size(col("toks")) - col("start_tok"), lit(maxTokens))
+          .cast("long").as("n_tok"),
+        array_join(slice(col("toks"), col("start_tok") + 1, lit(maxTokens)),
+          " ").as("chunk"))
+  }
 }

@@ -131,6 +131,32 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (id, _, sk) => assert(sk == key(id), s"id $id") }
   }
 
+  test("prototypePrune: per-cluster integer drop count over (dist, id) rank") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 50L).map { i =>
+      (i, Seq.fill(6)((rnd.nextDouble() - 0.5).toFloat))
+    }
+    val (_, refAsn) = refKmeans(rows, k = 3, iters = 3)
+    val got = Clustering.prototypePrune(vecsDf(rows).repartition(5), k = 3,
+        dropNearestFrac = 0.3, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getAs[Long]("proto_rank"), r.getAs[Boolean]("kept")))
+    assert(got.length == 50)
+    got.groupBy(_._2).foreach { case (c, members) =>
+      val n = members.length.toLong
+      val dropN = n * 3000L / 10000L
+      // rank must be the (dist ASC, id ASC) position within the cluster,
+      // against the brute-force reference assignment
+      val order = members.sortBy(m => (m._3, m._1)).map(_._1)
+      members.foreach { case (id, cl, d, rank, kept) =>
+        assert(refAsn(id) == ((cl, d)), s"id $id")
+        assert(rank == order.indexOf(id) + 1, s"id $id rank")
+        assert(kept == (rank > dropN), s"id $id kept")
+      }
+      assert(members.count(!_._5) == dropN, s"cluster $c drop count")
+    }
+  }
+
   test("centroid division truncates toward zero on negative sums") {
     // one cluster, two vectors summing to a negative odd total: -3 / 2
     // must be -1 (toward zero), not -2 (floor)

@@ -1000,4 +1000,47 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(1L))
   }
+
+  // ---------- chunkByTokens ----------
+
+  private def chunksOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+      r.getAs[Int]("start_tok"), r.getAs[Long]("n_tok"),
+      r.getAs[String]("chunk"))).sortBy(t => (t._1, t._2)).toSeq
+
+  test("chunkByTokens: stride windows + final window covering the last token, no degenerate tail") {
+    val toks21 = (1 to 21).map(i => s"t$i")
+    val df = docsDf(Seq((1L, toks21.mkString(" "))))
+    val got = chunksOf(Corpus.chunkByTokens(df, maxTokens = 12, overlap = 4))
+    // n=21, stride=8: windows [0,12), [8,20), [16,21) — start 16 kept
+    // because [8,20) missed token 21; a 4th window would be degenerate
+    assert(got == Seq(
+      (1L, 0, 0, 12L, toks21.slice(0, 12).mkString(" ")),
+      (1L, 1, 8, 12L, toks21.slice(8, 20).mkString(" ")),
+      (1L, 2, 16, 5L, toks21.slice(16, 21).mkString(" "))))
+    // exact-coverage parity: n=20 ends flush on window 2 — NO third window
+    val flush = chunksOf(Corpus.chunkByTokens(
+      docsDf(Seq((2L, (1 to 20).map(i => s"t$i").mkString(" ")))),
+      maxTokens = 12, overlap = 4))
+    assert(flush.map(c => (c._2, c._3, c._4)) == Seq((0, 0, 12L), (1, 8, 12L)))
+  }
+
+  test("chunkByTokens: short docs = one chunk; empty/blank/null text = no rows; overlap 0 tiles") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, Option("a b c")), (2L, Option("")),
+      (3L, Option("   ")), (4L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = chunksOf(Corpus.chunkByTokens(df, maxTokens = 12, overlap = 4))
+    assert(got == Seq((1L, 0, 0, 3L, "a b c")))
+    val tiled = chunksOf(Corpus.chunkByTokens(
+      docsDf(Seq((9L, (1 to 7).map(_.toString).mkString(" ")))),
+      maxTokens = 3, overlap = 0))
+    assert(tiled == Seq((9L, 0, 0, 3L, "1 2 3"), (9L, 1, 3, 3L, "4 5 6"),
+      (9L, 2, 6, 1L, "7")))
+    // whitespace runs collapse to the token stream, never empty tokens
+    val ws = chunksOf(Corpus.chunkByTokens(
+      docsDf(Seq((10L, "  a\t\tb \n c  "))), maxTokens = 2, overlap = 1))
+    assert(ws == Seq((10L, 0, 0, 2L, "a b"), (10L, 1, 1, 2L, "b c")))
+  }
 }

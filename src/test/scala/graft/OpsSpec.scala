@@ -1251,4 +1251,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runs(four).length == 6) // all C(4,2) pairs found unbounded
     assert(runs(four, maxDf = 2).isEmpty) // hot windows (df=4) cut
   }
+
+  // ---------- domainBlocklist ----------
+
+  private def blockRows(urls: Seq[(Long, String)], entries: Set[String]) = {
+    val sp = spark
+    import sp.implicits._
+    graft.ops.Web.domainBlocklist(urls.toDF("doc_id", "url"), entries, "url")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("blocked_by"))).toMap
+  }
+
+  test("domainBlocklist: label-boundary suffix match, longest entry wins, decoys pass") {
+    val got = blockRows(Seq(
+      (1L, "https://tracker.net/x"),           // exact
+      (2L, "https://sub.tracker.net/x"),       // subdomain
+      (3L, "https://NOTtracker.net/x"),        // boundary: must NOT match
+      (4L, "https://x.ads.tracker.net/x"),     // two entries match -> longest
+      (5L, "https://tracker.net.evil.org/x"),  // entry as PREFIX -> no match
+      (6L, "https://clean.example/x")),
+      Set("tracker.net", "ads.tracker.net"))
+    assert(got(1L) == Some("tracker.net"))
+    assert(got(2L) == Some("tracker.net"))
+    assert(got(3L) == None)
+    assert(got(4L) == Some("ads.tracker.net")) // most specific rule
+    assert(got(5L) == None)
+    assert(got(6L) == None)
+  }
+
+  test("domainBlocklist: null url survives unblocked; DataFrame face normalizes entries") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "https://Spam.Example/x"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "url")
+    val entries = Seq("  SPAM.example.  ", "", "ok.test").toDF("entry")
+    val got = graft.ops.Web.domainBlocklist(docs, entries)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[String]("host")), r.getAs[Boolean]("blocked")))).toMap
+    // hostOf lowercases; entry face trims/lowers/strips the trailing dot;
+    // the "" entry is dropped (it would otherwise match nothing anyway)
+    assert(got(1L) == ((Some("spam.example"), true)), got.toString)
+    assert(got(2L) == ((None, false)), got.toString)
+  }
 }

@@ -545,6 +545,42 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!"Join".r.findFirstIn(p).isDefined, p)
   }
 
+  test("prototypePrune: ONE hash exchange on the narrow assignment projection") {
+    assume(sfPresent)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ops.Clustering.prototypePrune(vecs, k = 4,
+      dropNearestFrac = 0.3, iters = 1))
+    // rank and count share the (cluster) partition spec, so ONE exchange
+    // of 20-byte (id, cluster, dist) rows feeds both Window passes;
+    // vectors never shuffle (the assignment face is mapPartitions)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange rangepartitioning")
+      && !p.contains("SinglePartition"), p)
+  }
+
+  test("chunkByTokens: map-only — generate, explode, slice, never shuffle") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Corpus.chunkByTokens(docs, maxTokens = 128,
+      overlap = 16))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p) // posexplode
+  }
+
+  test("domainBlocklist: zero shuffle — broadcast set probe, no join, no explode") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("url", org.apache.spark.sql.functions.concat_ws("",
+        org.apache.spark.sql.functions.lit("https://h"),
+        col("doc_id") % 7, org.apache.spark.sql.functions.lit(".example/p")))
+    val p = plan(graft.ops.Web.domainBlocklist(docs,
+      Set("example", "bad.test"), "url"))
+    assert(!p.contains("Exchange"), p)
+    assert(!"Join".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("Generate"), p)
+  }
+
   test("clusterBest: two map-side-combinable aggregates, no window, no sort") {
     val sp = spark
     import sp.implicits._
