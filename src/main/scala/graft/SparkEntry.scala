@@ -1437,6 +1437,32 @@ object SparkEntry {
           col("in_degree").cast("string")).as("facet"), col("url"))
       docs.union(frontier).orderBy(col("facet"), col("url"))
     }),
+    // BPE tokenizer train + encode end-to-end (XGolden contract: in-code
+    // corpus only). The pool shares morphology (low/lower/lowest,
+    // token/tokens/tokenizer) and 20 merges deliberately UNDER-shoot
+    // full-word merging, so the golden shows real subword splits
+    // (stems + suffix pieces) rather than one token per word; the
+    // deterministic word schedule + punctuation parity exercise the
+    // pre-tokenizer; the frozen rows pin the ENTIRE train->encode path —
+    // the frequency cut, the tie-broken merge order, the greedy
+    // rank-order replay and the cache
+    "x32_bpe_tokens" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val pool = Vector("low", "lower", "lowest", "newer", "newest",
+        "wide", "wider", "widest", "slow", "slower", "render", "renders",
+        "rendering", "token", "tokens", "tokenizer", "42", "2024", "a",
+        "the")
+      val docs = (0L until 24L).map { i =>
+        val words = (0 until 12).map { j =>
+          pool((((i * 7 + j * 5 + (i * j) % 11) % pool.length).toInt))
+        }
+        val punct = if (i % 3 == 0) "." else if (i % 3 == 1) "," else "!"
+        (i, words.mkString(" ") + punct)
+      }.toDF("doc_id", "text")
+      val merges = graft.ops.Bpe.fit(docs, numMerges = 20, minCount = 2)
+      graft.ops.Bpe.encode(docs, merges).orderBy(col("doc_id"))
+    }),
     // sitemap frontier seeding: robots.txt Sitemap advertisements name
     // the fixture files (urlset XML with entity-escaped locs + lastmod
     // variants, a text sitemap, a sitemapindex whose child refs must

@@ -559,6 +559,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       && !p.contains("SinglePartition"), p)
   }
 
+  test("bpe encode: zero-shuffle — broadcast ranks, per-task cache, no exchange") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the fit already ran (ONE map-side-combinable aggregation + driver
+    // merge loop over the bounded dict); the per-row encode plan at
+    // corpus scale must be scan -> project, nothing else
+    val p = plan(graft.ops.Bpe.encode(docs,
+      Seq(("t", "h"), ("th", "e▁"))))
+    assert(!p.contains("Exchange"), p)
+    assert(!"Join".r.findFirstIn(p).isDefined, p)
+  }
+
   test("chunkByTokens: map-only — generate, explode, slice, never shuffle") {
     assume(sfPresent)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
