@@ -461,6 +461,36 @@ object SparkEntry {
       Corpus.chunkByTokens(table(s, dir, "documents"), maxTokens = 12,
         overlap = 4)
         .orderBy(col("doc_id"), col("chunk_id"))),
+    // page-level opt-out consolidation (X-Robots-Tag + meta robots +
+    // TDMRep) for ua=ccbot: planted families exercise the whole grammar
+    // — global tokens, a foreign-ua scope extending over the REST of its
+    // header line, a fresh-scope second header line, case-insensitive
+    // scope match, the unavailable_after valued-directive exception, the
+    // meta `none` shorthand, tdm-reservation trim + policy passthrough,
+    // and all-null rows surviving
+    "q69_opt_out" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val m = pmod(col("doc_id"), lit(10))
+      val x = when(m === 0, lit("noai, noimageai"))
+        .when(m === 1, concat(lit("googlebot: noindex, nofollow"),
+          lit("\n"), lit("noai")))
+        .when(m === 2, lit("CCBot: noai"))
+        .when(m === 3, lit("noarchive, ccbot: noindex"))
+        .when(m === 4, lit("unavailable_after: 25 Jun 2026 15:00:00 PST, noai"))
+        .otherwise(lit(null).cast("string"))
+      val meta = when(m === 5, lit("none"))
+        .when(m === 6, lit("NOAI, nofollow"))
+        .otherwise(lit(null).cast("string"))
+      val tdmR = when(m === 7, lit(" 1 ")).when(m === 8, lit("0"))
+        .otherwise(lit(null).cast("string"))
+      val tdmP = when(m === 7, lit("https://example.com/tdmpolicy.json"))
+        .otherwise(lit(null).cast("string"))
+      Web.optOutSignals(
+        d.withColumn("x_robots_tag", x).withColumn("robots", meta)
+          .withColumn("tdm_reservation", tdmR).withColumn("tdm_policy", tdmP),
+        ua = "ccbot")
+        .orderBy(col("doc_id"))
+    }),
     // C4 cleaning heuristics, filter-as-flag. The driver's documents are
     // single-line word salad with no punctuation — every rule would be
     // vacuously false — so the query PLANTS the line structure the rules
@@ -1437,6 +1467,41 @@ object SparkEntry {
           col("in_degree").cast("string")).as("facet"), col("url"))
       docs.union(frontier).orderBy(col("facet"), col("url"))
     }),
+    // header-level opt-out INGEST end-to-end: fixture WARC with planted
+    // X-Robots-Tag / TDMRep headers -> responsesWithHeaders (repeated
+    // instances newline-joined, absent headers null) -> optOutSignals
+    // for ua=ccbot. Page 2's two SEPARATE X-Robots-Tag headers pin the
+    // per-header scope reset at the ingest seam (a comma-join would
+    // leak googlebot's scope over the second header's noai)
+    "x33_optout_ingest" -> ((s, dir) => {
+      val pages = Seq(
+        graft.sources.Warc.HttpFixture("https://a.test/1", "text/html",
+          "<html>one</html>".getBytes("UTF-8"),
+          extraHttpHeaders = Seq("X-Robots-Tag" -> "noai")),
+        graft.sources.Warc.HttpFixture("https://a.test/2", "text/html",
+          "<html>two</html>".getBytes("UTF-8"),
+          extraHttpHeaders = Seq(
+            "X-Robots-Tag" -> "googlebot: noindex, nofollow",
+            "X-Robots-Tag" -> "noai")),
+        graft.sources.Warc.HttpFixture("https://a.test/3", "text/html",
+          "<html>three</html>".getBytes("UTF-8"),
+          extraHttpHeaders = Seq(
+            "TDM-Reservation" -> "1",
+            "TDM-Policy" -> "https://a.test/policy.json")),
+        graft.sources.Warc.HttpFixture("https://a.test/4", "text/html",
+          "<html>four</html>".getBytes("UTF-8")))
+      val warc = graft.sources.Warc.writeWarcRecords(pages)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x33")
+      java.nio.file.Files.write(tmp.resolve("optout.warc"), warc)
+      val resp = graft.sources.Warc.responsesWithHeaders(s, tmp.toString,
+        Seq("x-robots-tag", "tdm-reservation", "tdm-policy"))
+        .withColumn("robots", lit(null).cast("string"))
+      Web.optOutSignals(resp, ua = "ccbot")
+        .select(col("url"), col("x_robots_tag"), col("tdm_reservation"),
+          col("noindex"), col("nofollow"), col("noai"),
+          col("tdm_reserved"), col("tdm_policy_url"), col("train_ok"))
+        .orderBy(col("url"))
+    }),
     // BPE tokenizer train + encode end-to-end (XGolden contract: in-code
     // corpus only). The pool shares morphology (low/lower/lowest,
     // token/tokens/tokenizer) and 20 merges deliberately UNDER-shoot
@@ -2386,6 +2451,86 @@ object SparkEntry {
         |    AS blocked_by,
         |  coalesce(len(ms) > 0, false) AS blocked
         |FROM m ORDER BY doc_id""".stripMargin,
+    // the X-Robots-Tag grammar re-derived structurally: explode header
+    // lines, then indexed segments; a segment's scope = the last
+    // non-null ua-prefix at or before it IN ITS LINE (last_value IGNORE
+    // NULLS window — scope extends rightward, resets per line), with
+    // unavailable_after excluded from scopehood; tokens kept when
+    // global or ccbot-scoped; meta tokens by the [,\s]+ rule; `none`
+    // shorthand, tdm trim rule and the reserved-qualified policy url
+    "q69_opt_out" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 10
+        |      WHEN 0 THEN 'noai, noimageai'
+        |      WHEN 1 THEN 'googlebot: noindex, nofollow' || chr(10) || 'noai'
+        |      WHEN 2 THEN 'CCBot: noai'
+        |      WHEN 3 THEN 'noarchive, ccbot: noindex'
+        |      WHEN 4 THEN 'unavailable_after: 25 Jun 2026 15:00:00 PST, noai'
+        |    END AS x_robots_tag,
+        |    CASE doc_id % 10 WHEN 5 THEN 'none' WHEN 6 THEN 'NOAI, nofollow'
+        |    END AS robots,
+        |    CASE doc_id % 10 WHEN 7 THEN ' 1 ' WHEN 8 THEN '0'
+        |    END AS tdm_reservation,
+        |    CASE doc_id % 10 WHEN 7 THEN 'https://example.com/tdmpolicy.json'
+        |    END AS tdm_policy
+        |  FROM documents
+        |), lx AS (
+        |  SELECT doc_id, u.i AS li, u.v AS ln FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(
+        |        range(1, len(string_split(x_robots_tag, chr(10))) + 1),
+        |        i -> {'i': i, 'v': string_split(x_robots_tag, chr(10))[i]})) AS u
+        |    FROM f WHERE x_robots_tag IS NOT NULL)
+        |), sx AS (
+        |  SELECT doc_id, li, u.i AS si, trim(u.v) AS seg FROM (
+        |    SELECT doc_id, li,
+        |      unnest(list_transform(range(1, len(string_split(ln, ',')) + 1),
+        |        i -> {'i': i, 'v': string_split(ln, ',')[i]})) AS u
+        |    FROM lx)
+        |), px AS (
+        |  SELECT doc_id, li, si,
+        |    CASE WHEN regexp_matches(seg, '^[A-Za-z0-9_.*-]+\s*:')
+        |          AND lower(regexp_extract(seg, '^([A-Za-z0-9_.*-]+)\s*:', 1))
+        |            <> 'unavailable_after'
+        |         THEN lower(regexp_extract(seg, '^([A-Za-z0-9_.*-]+)\s*:', 1))
+        |    END AS pfx,
+        |    lower(trim(CASE WHEN regexp_matches(seg, '^[A-Za-z0-9_.*-]+\s*:')
+        |          AND lower(regexp_extract(seg, '^([A-Za-z0-9_.*-]+)\s*:', 1))
+        |            <> 'unavailable_after'
+        |         THEN regexp_replace(seg, '^[A-Za-z0-9_.*-]+\s*:\s*', '')
+        |         ELSE seg END)) AS tok
+        |  FROM sx
+        |), scoped AS (
+        |  SELECT doc_id, tok,
+        |    last_value(pfx IGNORE NULLS) OVER (PARTITION BY doc_id, li
+        |      ORDER BY si ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS scope
+        |  FROM px
+        |), agg AS (
+        |  SELECT doc_id, list(DISTINCT tok) AS hts FROM scoped
+        |  WHERE tok <> '' AND (scope IS NULL OR scope = 'ccbot')
+        |  GROUP BY doc_id
+        |), j AS (
+        |  SELECT f.*, coalesce(agg.hts, []) AS ht,
+        |    string_split_regex(lower(coalesce(f.robots, '')), '[,\s]+') AS mt,
+        |    trim(coalesce(f.tdm_reservation, '')) = '1' AS rsv
+        |  FROM f LEFT JOIN agg ON agg.doc_id = f.doc_id
+        |)
+        |SELECT doc_id, x_robots_tag, robots, tdm_reservation, tdm_policy,
+        |  (list_contains(ht, 'noindex') OR list_contains(mt, 'noindex')
+        |    OR list_contains(ht, 'none') OR list_contains(mt, 'none')) AS noindex,
+        |  (list_contains(ht, 'nofollow') OR list_contains(mt, 'nofollow')
+        |    OR list_contains(ht, 'none') OR list_contains(mt, 'none')) AS nofollow,
+        |  (list_contains(ht, 'noarchive') OR list_contains(mt, 'noarchive')) AS noarchive,
+        |  (list_contains(ht, 'noai') OR list_contains(mt, 'noai')) AS noai,
+        |  (list_contains(ht, 'noimageai') OR list_contains(mt, 'noimageai')) AS noimageai,
+        |  rsv AS tdm_reserved,
+        |  CASE WHEN rsv AND trim(coalesce(tdm_policy, '')) <> ''
+        |    THEN trim(tdm_policy) END AS tdm_policy_url,
+        |  NOT (list_contains(ht, 'noai') OR list_contains(mt, 'noai') OR rsv)
+        |    AS train_ok
+        |FROM j ORDER BY doc_id""".stripMargin,
     // tokens by the shared \s+ rule, starts = multiples of the stride
     // kept while the PREDECESSOR window hasn't reached the end, window
     // text re-joined with single spaces; chunk_id = start // stride

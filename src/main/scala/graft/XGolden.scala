@@ -35,7 +35,7 @@ object XGolden {
     "x22_fetch_schedule", "x23_crawl_loop", "x24_redirect_edges",
     "x25_http_payload", "x26_revisit_stale", "x27_sitemap_index",
     "x28_conditional_fetch", "x29_revalidation", "x30_brotli_contract",
-    "x31_crawl_priority", "x32_bpe_tokens",
+    "x31_crawl_priority", "x32_bpe_tokens", "x33_optout_ingest",
     "q17_multimodal_meta", "q18_multimodal_frames", "q27_media_neardup")
 
   private def duckType(sparkType: String): String = sparkType match {

@@ -208,6 +208,95 @@ object Web {
     domainBlocklist(docs, normalized, urlCol)
   }
 
+  /** Consolidated per-page OPT-OUT signals — the consent layer between
+    * robots.txt (fetch-time, [[RobotsTxt]]) and corpus curation: HTTP
+    * `X-Robots-Tag` headers, HTML meta robots tokens, and the W3C TDM
+    * Reservation Protocol headers (`tdm-reservation`/`tdm-policy`),
+    * including the AI-specific tokens (`noai`, `noimageai`) that
+    * publishers ship today. Every input row survives with boolean flags
+    * appended (filter-as-flag): `noindex nofollow noarchive noai
+    * noimageai` (union of header + meta declarations applicable to
+    * `ua`), `tdm_reserved` (tdm-reservation == "1" after trim), and the
+    * one-stop `train_ok` = NOT(noai OR tdm_reserved) — index gating
+    * stays WebPrep's noindex business, TDM/AI consent is this one's.
+    *
+    * X-Robots-Tag grammar (Google's documented form, the de-facto
+    * spec): each header VALUE is a comma-separated directive list; a
+    * `useragent:` prefix sets the scope for THAT directive AND ALL
+    * FOLLOWING directives in the same header value; directives before
+    * any scope are global. `unavailable_after: <date>` is the one
+    * VALUED directive — its prefix is never a scope. Multiple header
+    * instances arrive newline-joined and each line's scope starts
+    * fresh (scopes must not leak across separately-sent headers). A
+    * directive applies when its scope is global or equals `ua`
+    * (case-insensitive). Meta robots uses the comma/space token rule
+    * of WebPrep's gate, plus the standard `none` = noindex,nofollow
+    * shorthand.
+    *
+    * Pure per-row string work: the parse is a tiny UDF kernel (the
+    * scope walk is sequential state — not a Column shape), zero
+    * shuffle, null-safe (null header/meta = no directives; null rows
+    * survive). The q69 oracle re-derives the ENTIRE grammar in SQL —
+    * line split, scope-extends-rightward, the unavailable_after
+    * exception, the none shorthand — over planted fixtures.
+    */
+  def optOutSignals(docs: DataFrame, ua: String,
+      xRobotsCol: String = "x_robots_tag",
+      metaRobotsCol: String = "robots",
+      tdmReservationCol: String = "tdm_reservation",
+      tdmPolicyCol: String = "tdm_policy"): DataFrame = {
+    val uaLower = ua.toLowerCase(java.util.Locale.ROOT)
+    val applicable = udf { (header: String) =>
+      if (header == null) Array.empty[String]
+      else header.split("\n").flatMap { line =>
+        var scope: String = null // null = global; resets per header line
+        line.split(",").flatMap { seg0 =>
+          val seg = seg0.trim
+          val colonAt = seg.indexOf(':')
+          val prefix = if (colonAt > 0) seg.substring(0, colonAt).trim else ""
+          val isScope = colonAt > 0 &&
+            prefix.matches("[A-Za-z0-9_.*-]+") &&
+            !prefix.equalsIgnoreCase("unavailable_after")
+          val directive =
+            if (isScope) {
+              scope = prefix.toLowerCase(java.util.Locale.ROOT)
+              seg.substring(colonAt + 1).trim
+            } else seg
+          val tok = directive.toLowerCase(java.util.Locale.ROOT)
+          if (tok.nonEmpty && (scope == null || scope == uaLower)) Some(tok)
+          else None
+        }
+      }
+    }
+    val metaToks = split(lower(coalesce(col(metaRobotsCol), lit(""))),
+      "[,\\s]+")
+    // stage the parse into its own projected column so the kernel runs
+    // ONCE per row, not once per flag (the q62 c4Filter precedent)
+    val hdrToks = col("__hdr_toks")
+    def declared(token: String): Column =
+      array_contains(hdrToks, token) || array_contains(metaToks, token) ||
+        (if (token == "noindex" || token == "nofollow")
+          array_contains(hdrToks, "none") || array_contains(metaToks, "none")
+        else lit(false))
+    val tdmReserved = trim(coalesce(col(tdmReservationCol), lit(""))) === "1"
+    docs
+      .withColumn("__hdr_toks", applicable(col(xRobotsCol)))
+      .withColumn("noindex", declared("noindex"))
+      .withColumn("nofollow", declared("nofollow"))
+      .withColumn("noarchive", declared("noarchive"))
+      .withColumn("noai", declared("noai"))
+      .withColumn("noimageai", declared("noimageai"))
+      .withColumn("tdm_reserved", tdmReserved)
+      // the policy URL is only defined while a reservation is asserted
+      // (TDMRep: tdm-policy qualifies tdm-reservation=1); empty -> null
+      .withColumn("tdm_policy_url",
+        when(tdmReserved &&
+          trim(coalesce(col(tdmPolicyCol), lit(""))) =!= "",
+          trim(col(tdmPolicyCol))))
+      .withColumn("train_ok", !(declared("noai") || tdmReserved))
+      .drop("__hdr_toks")
+  }
+
   /** [[domainBlocklist]] with an in-memory entry set (the post-collect
     * face; also the convenient one for inline lists).
     */

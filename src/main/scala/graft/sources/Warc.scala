@@ -51,7 +51,12 @@ object Warc {
       warcDate: String, httpStatus: Int, httpContentType: String,
       body: Array[Byte], httpLocation: String = "",
       refersTo: String = "", payloadError: String = "",
-      httpEtag: String = "", httpLastModified: String = "")
+      httpEtag: String = "", httpLastModified: String = "",
+      // opt-in extra HTTP response headers (see records(extraHeaders)):
+      // lowercase name -> newline-joined values (one line per header
+      // instance — the shape Web.optOutSignals' per-line scope reset
+      // expects); absent headers are absent keys
+      extra: Map[String, String] = Map.empty)
 
   private val CRLF = "\r\n"
 
@@ -381,7 +386,8 @@ object Warc {
     * Location, validators) always runs.
     */
   def records(in0: java.io.InputStream,
-      decodePayloads: Boolean = true): Iterator[WarcRecord] =
+      decodePayloads: Boolean = true,
+      extraHeaders: Seq[String] = Nil): Iterator[WarcRecord] =
     new Iterator[WarcRecord] {
       private val in = new java.io.BufferedInputStream(in0, 1 << 16)
       private var nextRec: WarcRecord = null
@@ -406,6 +412,7 @@ object Warc {
         var lastModified = ""
         var body = block
         var payloadError = ""
+        var extra = Map.empty[String, String]
         if (typ == "response" && block.length >= 5 &&
             new String(block, 0, 5, "US-ASCII") == "HTTP/") {
           // split the HTTP envelope: status line + headers + CRLFCRLF
@@ -422,6 +429,21 @@ object Warc {
           location = header("location")
           etag = header("etag")
           lastModified = header("last-modified")
+          if (extraHeaders.nonEmpty) {
+            // ALL instances of a repeatable header, one value per line —
+            // separately-sent headers must not share parse state
+            // downstream (X-Robots-Tag ua scopes reset per header)
+            def headerAll(name: String): String = lines.drop(1)
+              .filter(_.toLowerCase(java.util.Locale.ROOT)
+                .startsWith(name + ":"))
+              .map(l => l.substring(l.indexOf(':') + 1).trim)
+              .mkString("\n")
+            extra = extraHeaders.flatMap { n =>
+              val key = n.toLowerCase(java.util.Locale.ROOT)
+              val v = headerAll(key)
+              if (v.isEmpty) None else Some(key -> v)
+            }.toMap
+          }
           body = if (sep < 0) Array.emptyByteArray
           else java.util.Arrays.copyOfRange(block, sep + 4, block.length)
           // de-frame chunked transfer + inflate gzip/deflate BEFORE the
@@ -455,7 +477,7 @@ object Warc {
           // Common Crawl wraps the URI in <...> in some generators
           h.getOrElse("warc-target-uri", "").stripPrefix("<").stripSuffix(">"),
           h.getOrElse("warc-date", ""), status, httpCt, body, location,
-          refersTo, payloadError, etag, lastModified)
+          refersTo, payloadError, etag, lastModified, extra)
       }
 
       private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
@@ -516,10 +538,11 @@ object Warc {
   private def lazyRows[T >: Null <: AnyRef](in0: java.io.InputStream,
       failedAcc: Option[org.apache.spark.util.LongAccumulator],
       f: WarcRecord => Option[T],
-      decodePayloads: Boolean = true): Iterator[T] =
+      decodePayloads: Boolean = true,
+      extraHeaders: Seq[String] = Nil): Iterator[T] =
     new Iterator[T] {
       private val in = isGzip(in0)
-      private val it = records(in, decodePayloads)
+      private val it = records(in, decodePayloads, extraHeaders)
       private var nextRow: T = null
       private var done = false
       private var closed = false
@@ -638,6 +661,61 @@ object Warc {
       .flatMap { case (_, pds) => parseResponses(pds.open(), failedAcc) }
       .toDF("doc_id", "url", "content_type", "http_status", "fetch_ts",
         "html_bytes", "redirect", "etag", "last_modified")
+  }
+
+  /** [[responses]] plus opt-in RAW header columns — the ingest seam for
+    * header-level opt-out and policy signals ([[graft.ops.Web
+    * .optOutSignals]]: X-Robots-Tag, tdm-reservation, tdm-policy) or
+    * any other response header a pipeline wants to carry without a
+    * second pass over the crawl. One nullable string column per
+    * requested name (lowercased, '-' -> '_', so `x-robots-tag` lands as
+    * `x_robots_tag` — exactly optOutSignals' default input columns);
+    * repeated header instances arrive newline-joined, one line per
+    * instance, preserving the per-header scope-reset semantics. Kept
+    * SEPARATE from [[responses]] so the base reader's frozen gate
+    * schemas (x19/x25/x26) never churn: headers are a pay-for-what-you-
+    * ask column set, not a default.
+    */
+  def responsesWithHeaders(spark: SparkSession, path: String,
+      headerNames: Seq[String], minPartitions: Int = 0,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    require(headerNames.nonEmpty, "ask for at least one header (or use responses)")
+    val wanted = headerNames.map(_.toLowerCase(java.util.Locale.ROOT))
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(("doc_id", org.apache.spark.sql.types.StringType),
+        ("url", org.apache.spark.sql.types.StringType),
+        ("content_type", org.apache.spark.sql.types.StringType),
+        ("http_status", org.apache.spark.sql.types.IntegerType),
+        ("fetch_ts", org.apache.spark.sql.types.StringType),
+        ("html_bytes", org.apache.spark.sql.types.BinaryType),
+        ("redirect", org.apache.spark.sql.types.StringType),
+        ("etag", org.apache.spark.sql.types.StringType),
+        ("last_modified", org.apache.spark.sql.types.StringType))
+        .map { case (n, t) => org.apache.spark.sql.types.StructField(n, t) } ++
+      wanted.map(n => org.apache.spark.sql.types.StructField(
+        n.replace('-', '_'), org.apache.spark.sql.types.StringType)))
+    val rdd = spark.sparkContext
+      .binaryFiles(path, autoParts(spark, minPartitions))
+      .flatMap { case (_, pds) =>
+        lazyRows[org.apache.spark.sql.Row](pds.open(), failedAcc, { r =>
+          val isRedirect = r.httpStatus >= 300 && r.httpStatus < 400 &&
+            r.httpLocation.nonEmpty
+          val isRevalidation = r.httpStatus == 304
+          if (r.warcType != "response" ||
+              !(r.httpStatus == 200 || isRedirect || isRevalidation)) None
+          else if (r.httpStatus == 200 && r.payloadError.nonEmpty) {
+            failedAcc.foreach(_.add(1L)); None
+          } else
+            Some(org.apache.spark.sql.Row.fromSeq(
+              Seq(r.recordId, r.targetUri, r.httpContentType,
+                r.httpStatus, r.warcDate,
+                if (r.httpStatus == 200) r.body else Array.emptyByteArray,
+                r.httpLocation, r.httpEtag, r.httpLastModified) ++
+              wanted.map(n => r.extra.get(n).orNull)))
+        }, decodePayloads = true, extraHeaders = wanted)
+      }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** STREAMING WARC ingest for a continuously-landing crawl: as shards
@@ -888,7 +966,10 @@ object Warc {
       // cut the ENCODED body to this fraction and mark the record
       // `WARC-Truncated: length` (the Common Crawl payload-cap shape);
       // 1.0 = whole
-      truncateTo: Double = 1.0)
+      truncateTo: Double = 1.0,
+      // extra HTTP response headers, one instance per pair (so a
+      // repeated X-Robots-Tag renders as two separate header lines)
+      extraHttpHeaders: Seq[(String, String)] = Nil)
 
   /** Deterministic chunked framing for fixtures: fixed 7-octet chunks
     * (several per body, exercising multi-chunk reassembly), a chunk
@@ -990,6 +1071,8 @@ object Warc {
           else "Content-Length: " + encoded.length + CRLF) +
           (if (p.contentEncoding.nonEmpty)
             "Content-Encoding: " + p.contentEncoding + CRLF else "") +
+          p.extraHttpHeaders.map { case (k, v) => k + ": " + v + CRLF }
+            .mkString +
           CRLF).getBytes("US-ASCII"))
         http.write(encoded)
         record(Seq(

@@ -1279,6 +1279,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(6L) == None)
   }
 
+  test("optOutSignals: scope extends rightward, resets per header line; unavailable_after never a scope") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "otherbot: noai, noindex", null, null, null),
+      (2L, "noarchive, MyBot: noai", null, null, null),
+      (3L, "googlebot: noindex\nnoai", null, null, null),
+      (4L, "unavailable_after: 01 Jan 2027 00:00:00 GMT, noimageai", null, null, null),
+      (5L, null, "NONE", null, null),
+      (6L, null, null, " 1 ", "https://p.test/policy"),
+      (7L, null, null, "true", "https://p.test/policy"), // not "1" -> no reservation
+      (8L, null, null, null, null))
+      .toDF("doc_id", "x_robots_tag", "robots", "tdm_reservation", "tdm_policy")
+    val got = graft.ops.Web.optOutSignals(docs, ua = "mybot")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // 1: both directives scoped to otherbot -> nothing applies
+    assert(!got(1L).getAs[Boolean]("noai") && !got(1L).getAs[Boolean]("noindex"))
+    // 2: global noarchive + case-insensitive MyBot scope over noai
+    assert(got(2L).getAs[Boolean]("noarchive") && got(2L).getAs[Boolean]("noai"))
+    // 3: second header LINE starts a fresh global scope
+    assert(got(3L).getAs[Boolean]("noai") && !got(3L).getAs[Boolean]("noindex"))
+    // 4: the valued directive must not become a ua scope
+    assert(got(4L).getAs[Boolean]("noimageai"))
+    // 5: meta `none` shorthand, case-insensitive
+    assert(got(5L).getAs[Boolean]("noindex") && got(5L).getAs[Boolean]("nofollow")
+      && got(5L).getAs[Boolean]("train_ok"))
+    // 6: tdm trim rule + policy only under reservation
+    assert(got(6L).getAs[Boolean]("tdm_reserved")
+      && got(6L).getAs[String]("tdm_policy_url") == "https://p.test/policy"
+      && !got(6L).getAs[Boolean]("train_ok"))
+    // 7: "true" is not "1" — no reservation, no policy url
+    assert(!got(7L).getAs[Boolean]("tdm_reserved")
+      && got(7L).getAs[String]("tdm_policy_url") == null)
+    // 8: all-null row survives fully permissive
+    assert(got(8L).getAs[Boolean]("train_ok") && !got(8L).getAs[Boolean]("noai"))
+  }
+
   test("domainBlocklist: null url survives unblocked; DataFrame face normalizes entries") {
     val sp = spark
     import sp.implicits._

@@ -559,6 +559,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       && !p.contains("SinglePartition"), p)
   }
 
+  test("optOutSignals: zero shuffle — per-row string parse, no join, no exchange") {
+    assume(sfPresent)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("x_robots_tag",
+        org.apache.spark.sql.functions.lit("noai"))
+      .withColumn("robots", org.apache.spark.sql.functions.lit("none"))
+      .withColumn("tdm_reservation",
+        org.apache.spark.sql.functions.lit("1"))
+      .withColumn("tdm_policy",
+        org.apache.spark.sql.functions.lit("https://p.test/x"))
+    val p = plan(graft.ops.Web.optOutSignals(docs, ua = "ccbot"))
+    assert(!p.contains("Exchange"), p)
+    assert(!"Join".r.findFirstIn(p).isDefined, p)
+  }
+
   test("bpe encode: zero-shuffle — broadcast ranks, per-task cache, no exchange") {
     assume(sfPresent)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
