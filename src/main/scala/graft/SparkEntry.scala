@@ -443,7 +443,9 @@ object SparkEntry {
         .when(m === 3, lit("a.b.spam.example"))
         .when(m === 4, lit("ok.example"))
         .when(m === 5, lit("www.ok.example"))
-        .when(m === 6, lit("deep.sub.ads.tracker.net"))
+        // trailing-dot FQDN: legal, resolves to the same host — must
+        // still hit the list (the suffix walk normalizes it away)
+        .when(m === 6, lit("deep.sub.ads.tracker.net."))
         .otherwise(lit("spam.example.good.org"))
       val withUrl = d.withColumn("url",
         when(pmod(col("doc_id"), lit(31)) === 30, lit(null).cast("string"))
@@ -476,7 +478,10 @@ object SparkEntry {
           lit("\n"), lit("noai")))
         .when(m === 2, lit("CCBot: noai"))
         .when(m === 3, lit("noarchive, ccbot: noindex"))
-        .when(m === 4, lit("unavailable_after: 25 Jun 2026 15:00:00 PST, noai"))
+        // two VALUED directives back to back: neither prefix may become
+        // a scope, so the trailing noai stays global
+        .when(m === 4, lit("max-image-preview: none, " +
+          "unavailable_after: 25 Jun 2026 15:00:00 PST, noai"))
         .otherwise(lit(null).cast("string"))
       val meta = when(m === 5, lit("none"))
         .when(m === 6, lit("NOAI, nofollow"))
@@ -2424,7 +2429,7 @@ object SparkEntry {
         |        WHEN 3 THEN 'a.b.spam.example'
         |        WHEN 4 THEN 'ok.example'
         |        WHEN 5 THEN 'www.ok.example'
-        |        WHEN 6 THEN 'deep.sub.ads.tracker.net'
+        |        WHEN 6 THEN 'deep.sub.ads.tracker.net.'
         |        ELSE 'spam.example.good.org' END
         |        || '/p/' || CAST(doc_id AS VARCHAR)
         |    END AS url
@@ -2437,14 +2442,18 @@ object SparkEntry {
         |        ':[0-9]+$', '')
         |    END AS host
         |  FROM u
+        |), n AS (
+        |  SELECT doc_id, url, host,
+        |    regexp_replace(host, '\.+$', '') AS probed
+        |  FROM h
         |), m AS (
         |  SELECT doc_id, url, host,
         |    list_filter(
-        |      list_transform(range(1, len(string_split(host, '.')) + 1),
-        |        i -> array_to_string(string_split(host, '.')[i:], '.')),
+        |      list_transform(range(1, len(string_split(probed, '.')) + 1),
+        |        i -> array_to_string(string_split(probed, '.')[i:], '.')),
         |      s -> list_contains(
         |        ['tracker.net', 'spam.example', 'malware.test'], s)) AS ms
-        |  FROM h
+        |  FROM n
         |)
         |SELECT doc_id, url, host,
         |  CASE WHEN ms IS NULL OR len(ms) = 0 THEN NULL ELSE ms[1] END
@@ -2466,7 +2475,7 @@ object SparkEntry {
         |      WHEN 1 THEN 'googlebot: noindex, nofollow' || chr(10) || 'noai'
         |      WHEN 2 THEN 'CCBot: noai'
         |      WHEN 3 THEN 'noarchive, ccbot: noindex'
-        |      WHEN 4 THEN 'unavailable_after: 25 Jun 2026 15:00:00 PST, noai'
+        |      WHEN 4 THEN 'max-image-preview: none, unavailable_after: 25 Jun 2026 15:00:00 PST, noai'
         |    END AS x_robots_tag,
         |    CASE doc_id % 10 WHEN 5 THEN 'none' WHEN 6 THEN 'NOAI, nofollow'
         |    END AS robots,
@@ -2492,12 +2501,14 @@ object SparkEntry {
         |  SELECT doc_id, li, si,
         |    CASE WHEN regexp_matches(seg, '^[A-Za-z0-9_.*-]+\s*:')
         |          AND lower(regexp_extract(seg, '^([A-Za-z0-9_.*-]+)\s*:', 1))
-        |            <> 'unavailable_after'
+        |            NOT IN ('unavailable_after', 'max-snippet',
+        |              'max-image-preview', 'max-video-preview')
         |         THEN lower(regexp_extract(seg, '^([A-Za-z0-9_.*-]+)\s*:', 1))
         |    END AS pfx,
         |    lower(trim(CASE WHEN regexp_matches(seg, '^[A-Za-z0-9_.*-]+\s*:')
         |          AND lower(regexp_extract(seg, '^([A-Za-z0-9_.*-]+)\s*:', 1))
-        |            <> 'unavailable_after'
+        |            NOT IN ('unavailable_after', 'max-snippet',
+        |              'max-image-preview', 'max-video-preview')
         |         THEN regexp_replace(seg, '^[A-Za-z0-9_.*-]+\s*:\s*', '')
         |         ELSE seg END)) AS tok
         |  FROM sx

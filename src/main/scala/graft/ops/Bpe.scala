@@ -47,6 +47,11 @@ object Bpe {
     */
   val PreTokenPattern: String = TextAnalysis.BpeTokenPattern
 
+  // compiled once — encodeText runs per ROW in the distributed encode,
+  // and Pattern.compile per row is pure wasted CPU on the hot path
+  private val PreTokenRegex: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(PreTokenPattern)
+
   /** End-of-word marker appended to each pre-token's final symbol
     * (Sennrich's `</w>` convention) so merges distinguish word-final
     * from word-internal contexts. U+2581 LOWER ONE EIGHTH BLOCK, the
@@ -183,7 +188,7 @@ object Bpe {
     */
   def encodeText(text: String, ranks: Map[(String, String), Int],
       cache: mutable.Map[String, Vector[String]]): Vector[String] = {
-    val m = java.util.regex.Pattern.compile(PreTokenPattern).matcher(text)
+    val m = PreTokenRegex.matcher(text)
     val out = Vector.newBuilder[String]
     while (m.find()) {
       val w = m.group()

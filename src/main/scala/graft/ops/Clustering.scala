@@ -44,7 +44,10 @@ object Clustering {
       floor(x.cast("double") * lit(scale.toDouble) + lit(0.5)).cast("long"))
 
   /** Deterministic integer Lloyd fit: seeds are the k smallest ids'
-    * quantized vectors, each round assigns every vector to the centroid
+    * quantized vectors (ids must be UNIQUE — the driver's vec_id is; a
+    * duplicated id would make the seed pick among its duplicates
+    * engine- and partitioning-dependent), each round assigns every
+    * vector to the centroid
     * with the smallest exact integer squared-L2 distance (ties -> the
     * smallest centroid index) and recomputes each centroid component as
     * `sum / count` in Long arithmetic (truncation toward zero — the
@@ -167,20 +170,26 @@ object Clustering {
       salt: String = "graft-cluster-sample-v1", scale: Long = MicroScale,
       id: Column = col("vec_id"), vec: Column = col("embedding")): DataFrame = {
     require(perClusterTarget >= 0, s"target $perClusterTarget")
-    graft.functions.GraftFunctions.register(vecs.sparkSession) // sampleKey -> md5_long
+    val spark = vecs.sparkSession
+    graft.functions.GraftFunctions.register(spark) // sampleKey -> md5_long
+    import spark.implicits._
     val asn = kmeansMicro(vecs, k, iters, scale, id, vec)
       .localCheckpoint() // sizes + filter read it; assignment runs once
     val sizes = asn.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val threshOf = sizes.map { case (c, n) =>
+    val threshOf = sizes.toSeq.map { case (c, n) =>
       val rate = math.min(1.0, perClusterTarget.toDouble / n)
       c -> math.floor(rate * Corpus.SampleBuckets + 0.5).toLong
     }
-    val keepBelow = threshOf.foldLeft(lit(0L)) { case (acc, (c, t)) =>
-      when(col("cluster") === c, lit(t)).otherwise(acc)
-    }
-    asn.withColumn("sample_key", Corpus.sampleKey(col("id"), salt))
-      .filter(col("sample_key") < keepBelow)
+    // thresholds attach via a broadcast join on the k-row table — a
+    // when()-chain would nest k CaseWhens deep and break Catalyst
+    // (StackOverflow / 64KB codegen) at production k of 10^4+
+    val thresh = broadcast(threshOf.toDF("cluster", "keep_below"))
+    asn.join(thresh, Seq("cluster"))
+      .withColumn("sample_key", Corpus.sampleKey(col("id"), salt))
+      .filter(col("sample_key") < col("keep_below"))
+      .select(col("id"), col("cluster"), col("dist_micro2"),
+        col("sample_key"))
   }
 
   /** Prototypicality pruning (SSL-prototypes / D4): drop each cluster's
@@ -229,6 +238,10 @@ object Clustering {
       vec: Column): DataFrame =
     vecs.filter(id.isNotNull && vec.isNotNull)
       .select(id.cast("long").as("id"), quantize(vec, scale).as("q"))
+      // post-cast guards: a non-castable id nulls under the long cast,
+      // and a null ELEMENT nulls its quantized cell — either would NPE
+      // the typed Lloyd loop instead of being excluded like null rows
+      .filter(col("id").isNotNull && !exists(col("q"), _.isNull))
 
   private def dist2(c: Array[Long], q: Array[Long]): Long = {
     var d = 0L

@@ -224,8 +224,11 @@ object Web {
     * spec): each header VALUE is a comma-separated directive list; a
     * `useragent:` prefix sets the scope for THAT directive AND ALL
     * FOLLOWING directives in the same header value; directives before
-    * any scope are global. `unavailable_after: <date>` is the one
-    * VALUED directive — its prefix is never a scope. Multiple header
+    * any scope are global. The VALUED directives (`unavailable_after:
+    * <date>`, `max-snippet: <n>`, `max-image-preview: <setting>`,
+    * `max-video-preview: <n>` — Google's documented set) also contain a
+    * colon but their prefix is never a scope; misreading one as a scope
+    * would silently discard every directive after it. Multiple header
     * instances arrive newline-joined and each line's scope starts
     * fresh (scopes must not leak across separately-sent headers). A
     * directive applies when its scope is global or equals `ua`
@@ -240,6 +243,13 @@ object Web {
     * line split, scope-extends-rightward, the unavailable_after
     * exception, the none shorthand — over planted fixtures.
     */
+  /** The X-Robots-Tag directives that legitimately CONTAIN a colon
+    * (Google's documented valued-directive set) — their prefix must
+    * never be read as a user-agent scope.
+    */
+  val ValuedDirectives: Set[String] = Set("unavailable_after",
+    "max-snippet", "max-image-preview", "max-video-preview")
+
   def optOutSignals(docs: DataFrame, ua: String,
       xRobotsCol: String = "x_robots_tag",
       metaRobotsCol: String = "robots",
@@ -256,7 +266,8 @@ object Web {
           val prefix = if (colonAt > 0) seg.substring(0, colonAt).trim else ""
           val isScope = colonAt > 0 &&
             prefix.matches("[A-Za-z0-9_.*-]+") &&
-            !prefix.equalsIgnoreCase("unavailable_after")
+            !ValuedDirectives.contains(
+              prefix.toLowerCase(java.util.Locale.ROOT))
           val directive =
             if (isScope) {
               scope = prefix.toLowerCase(java.util.Locale.ROOT)
@@ -306,7 +317,12 @@ object Web {
     // longest-first suffix walk: the full host is the longest possible
     // match, each dropped label shortens it, so the FIRST set hit is the
     // most specific matching entry
-    val blockedBy = udf { (host: String) =>
+    val blockedBy = udf { (host0: String) =>
+      // a trailing-dot FQDN (https://ads.tracker.net./x — legal, and
+      // resolvers treat it as ads.tracker.net) must not evade the list:
+      // normalize the probed host exactly like the entries were
+      val host = if (host0 == null) null
+        else host0.replaceAll("\\.+$", "")
       if (host == null || host.isEmpty) None
       else {
         val set = bc.value

@@ -598,33 +598,43 @@ object Warc {
     * REFRESHED validators the server sent with the 304 (RFC 9110
     * §15.4.5 allows updating them).
     */
+  /** THE response gate, shared by [[responses]] and
+    * [[responsesWithHeaders]] so the keep/shape rules (which statuses
+    * land, when a payload failure counts, whose body is content) can
+    * never diverge between the two readers.
+    */
+  private def responseTuple(r: WarcRecord,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator])
+      : Option[(String, String, String, Int, String, Array[Byte],
+        String, String, String)] = {
+    val isRedirect = r.httpStatus >= 300 && r.httpStatus < 400 &&
+      r.httpLocation.nonEmpty
+    val isRevalidation = r.httpStatus == 304
+    if (r.warcType != "response" ||
+        !(r.httpStatus == 200 || isRedirect || isRevalidation)) None
+    // a payload failure only matters when the body is the CONTENT: a
+    // redirect's (discarded) error-page body must not cost the edge,
+    // and a 304 has no body by definition
+    else if (r.httpStatus == 200 && r.payloadError.nonEmpty) {
+      failedAcc.foreach(_.add(1L)); None
+    } else
+      Some((r.recordId, r.targetUri, r.httpContentType,
+        r.httpStatus, r.warcDate,
+        // only a 200's body is content; a redirect's is an error
+        // page and a 304's is empty by spec
+        if (r.httpStatus == 200) r.body else Array.emptyByteArray,
+        r.httpLocation,
+        // the HTTP validators a conditional refetch needs
+        // (If-None-Match / If-Modified-Since — see
+        // WebPrep.planWithValidators)
+        r.httpEtag, r.httpLastModified))
+  }
+
   private def parseResponses(in0: java.io.InputStream,
       failedAcc: Option[org.apache.spark.util.LongAccumulator])
       : Iterator[(String, String, String, Int, String, Array[Byte],
         String, String, String)] =
-    lazyRows(in0, failedAcc, { r =>
-      val isRedirect = r.httpStatus >= 300 && r.httpStatus < 400 &&
-        r.httpLocation.nonEmpty
-      val isRevalidation = r.httpStatus == 304
-      if (r.warcType != "response" ||
-          !(r.httpStatus == 200 || isRedirect || isRevalidation)) None
-      // a payload failure only matters when the body is the CONTENT: a
-      // redirect's (discarded) error-page body must not cost the edge,
-      // and a 304 has no body by definition
-      else if (r.httpStatus == 200 && r.payloadError.nonEmpty) {
-        failedAcc.foreach(_.add(1L)); None
-      } else
-        Some((r.recordId, r.targetUri, r.httpContentType,
-          r.httpStatus, r.warcDate,
-          // only a 200's body is content; a redirect's is an error
-          // page and a 304's is empty by spec
-          if (r.httpStatus == 200) r.body else Array.emptyByteArray,
-          r.httpLocation,
-          // the HTTP validators a conditional refetch needs
-          // (If-None-Match / If-Modified-Since — see
-          // WebPrep.planWithValidators)
-          r.httpEtag, r.httpLastModified))
-    })
+    lazyRows(in0, failedAcc, responseTuple(_, failedAcc))
 
   /** The crawl-ingest operator: every HTTP-200 `response` record of
     * every WARC file under `path` (glob ok; `.warc` and `.warc.gz`
@@ -699,19 +709,8 @@ object Warc {
       .binaryFiles(path, autoParts(spark, minPartitions))
       .flatMap { case (_, pds) =>
         lazyRows[org.apache.spark.sql.Row](pds.open(), failedAcc, { r =>
-          val isRedirect = r.httpStatus >= 300 && r.httpStatus < 400 &&
-            r.httpLocation.nonEmpty
-          val isRevalidation = r.httpStatus == 304
-          if (r.warcType != "response" ||
-              !(r.httpStatus == 200 || isRedirect || isRevalidation)) None
-          else if (r.httpStatus == 200 && r.payloadError.nonEmpty) {
-            failedAcc.foreach(_.add(1L)); None
-          } else
-            Some(org.apache.spark.sql.Row.fromSeq(
-              Seq(r.recordId, r.targetUri, r.httpContentType,
-                r.httpStatus, r.warcDate,
-                if (r.httpStatus == 200) r.body else Array.emptyByteArray,
-                r.httpLocation, r.httpEtag, r.httpLastModified) ++
+          responseTuple(r, failedAcc).map(t =>
+            org.apache.spark.sql.Row.fromSeq(t.productIterator.toSeq ++
               wanted.map(n => r.extra.get(n).orNull)))
         }, decodePayloads = true, extraHeaders = wanted)
       }

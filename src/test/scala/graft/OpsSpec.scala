@@ -1269,7 +1269,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "https://NOTtracker.net/x"),        // boundary: must NOT match
       (4L, "https://x.ads.tracker.net/x"),     // two entries match -> longest
       (5L, "https://tracker.net.evil.org/x"),  // entry as PREFIX -> no match
-      (6L, "https://clean.example/x")),
+      (6L, "https://clean.example/x"),
+      (7L, "https://ads.tracker.net./x")),     // trailing-dot FQDN evasion
       Set("tracker.net", "ads.tracker.net"))
     assert(got(1L) == Some("tracker.net"))
     assert(got(2L) == Some("tracker.net"))
@@ -1277,6 +1278,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == Some("ads.tracker.net")) // most specific rule
     assert(got(5L) == None)
     assert(got(6L) == None)
+    assert(got(7L) == Some("ads.tracker.net")) // the dot can't evade the list
   }
 
   test("optOutSignals: scope extends rightward, resets per header line; unavailable_after never a scope") {
@@ -1287,6 +1289,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "noarchive, MyBot: noai", null, null, null),
       (3L, "googlebot: noindex\nnoai", null, null, null),
       (4L, "unavailable_after: 01 Jan 2027 00:00:00 GMT, noimageai", null, null, null),
+      (9L, "max-snippet: 20, max-image-preview: none, noai", null, null, null),
       (5L, null, "NONE", null, null),
       (6L, null, null, " 1 ", "https://p.test/policy"),
       (7L, null, null, "true", "https://p.test/policy"), // not "1" -> no reservation
@@ -1302,6 +1305,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L).getAs[Boolean]("noai") && !got(3L).getAs[Boolean]("noindex"))
     // 4: the valued directive must not become a ua scope
     assert(got(4L).getAs[Boolean]("noimageai"))
+    // 9: Google's OTHER valued directives (max-*) must not scope either
+    assert(got(9L).getAs[Boolean]("noai") && !got(9L).getAs[Boolean]("train_ok"))
     // 5: meta `none` shorthand, case-insensitive
     assert(got(5L).getAs[Boolean]("noindex") && got(5L).getAs[Boolean]("nofollow")
       && got(5L).getAs[Boolean]("train_ok"))
