@@ -983,6 +983,22 @@ object SparkEntry {
       Similarity.cosineNearDupPairsExact(
         feats.select(col("vec_id"), col("embedding")), threshold = 0.999)
     }),
+    // perceptual-hash image dedup (the LAION stage): same planted-dup
+    // fixture as q27, but paired by 64-bit aHash + radius-2 hamming
+    // banding instead of feature cosine — planted byte-identical dups
+    // MUST land at hamming 0; the frozen rows also pin the aHash kernel
+    // (grid luminance -> mean threshold -> MSB-first packing) end to end
+    "q70_image_ahash_dedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val media = Multimodal.syntheticMediaFor(
+        extractedWithMedia(s).select(col("doc_id"), col("spans")))
+      val planted = media
+        .filter(pmod(call_function("md5_long", col("media_ref")), lit(2)) === 0)
+        .withColumn("doc_id", concat(lit("dup-"), col("doc_id")))
+        .withColumn("media_ref", concat(lit("dup-"), col("media_ref")))
+      Multimodal.imageNearDupByHash(media.unionByName(planted),
+        maxHamming = 2)
+    }),
     // ---- extraction pipeline facets (rows-only; SURVEY.md §2) ----
     "x01_extract_spans" -> ((s, dir) =>
       explodedSpans(extracted(s)).orderBy(col("doc_id"), col("offset"))),

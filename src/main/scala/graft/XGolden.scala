@@ -36,7 +36,8 @@ object XGolden {
     "x25_http_payload", "x26_revisit_stale", "x27_sitemap_index",
     "x28_conditional_fetch", "x29_revalidation", "x30_brotli_contract",
     "x31_crawl_priority", "x32_bpe_tokens", "x33_optout_ingest",
-    "q17_multimodal_meta", "q18_multimodal_frames", "q27_media_neardup")
+    "q17_multimodal_meta", "q18_multimodal_frames", "q27_media_neardup",
+    "q70_image_ahash_dedup")
 
   private def duckType(sparkType: String): String = sparkType match {
     case "string" => "VARCHAR"

@@ -617,18 +617,33 @@ object Dedup {
     * so prod configs should keep h small.
     */
   def simHashDuplicatePairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < SimHashBits, s"maxHamming=$maxHamming")
     val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, simHash(t)) }
+      .toDF("id", "sig")
+    hammingNearDupPairs(sigs, maxHamming)
+  }
+
+  /** The SIGNATURE-GENERIC hamming pairing layer under
+    * [[simHashDuplicatePairs]], exposed because any 64-bit
+    * locality-preserving signature wants exactly it (text SimHash,
+    * image aHash — [[Multimodal.imageNearDupByHash]]): radius-derived
+    * banding (maxHamming + 1 bands → recall 1.0 by pigeonhole), band
+    * join, exact popcount verify. `sigs` = (id: long, sig: long) rows;
+    * output (doc_a, doc_b, hamming) with doc_a < doc_b.
+    */
+  def hammingNearDupPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < SimHashBits, s"maxHamming=$maxHamming")
+    val spark = sigs.sparkSession
     import spark.implicits._
     val nBands = maxHamming + 1
     // near-even band widths covering all SimHashBits bits
     val widths = Array.tabulate(nBands)(b =>
       SimHashBits / nBands + (if (b < SimHashBits % nBands) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
-    val sigs = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .map { case (id, t) => (id, simHash(t)) }
-      .toDF("id", "sig")
-    val banded = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("id"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .select(col("id"), col("sig"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),

@@ -698,6 +698,58 @@ object Multimodal {
     }.toDF("doc_id", "media_ref", "embedding")
   }
 
+  /** Perceptual average-hash (aHash) per media payload — the classic
+    * image-dedup signature (LAION's pipeline used perceptual hashing for
+    * exactly this stage): the payload's 8x8 grid-luminance features
+    * ([[extractFeatures]] dim=64 — the SAME decode seam every media
+    * operator shares, so BMP/PNG/GIF/JPEG stills and AVI/MP4 first
+    * frames all hash through one kernel), each cell thresholded against
+    * the grid mean, 64 bits packed MSB-first in row-major cell order.
+    * Emits extractFeatures' rows plus `ahash` (long). Failure seam
+    * inherited: a non-decodable payload degrades to its deterministic
+    * hash-feature stand-in (counted via failedAcc), so its aHash is a
+    * stable pseudo-signature rather than a dropped row.
+    *
+    * The threshold fold is pure Column work over the feature array —
+    * the mean is STAGED into its own projected column so the 64-step
+    * fold doesn't recompute it per bit (the q62/optOutSignals staging
+    * rule).
+    */
+  def perceptualHash(media: DataFrame,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val feats = extractFeatures(media, dim = 64, failedAcc = failedAcc)
+    val f = col("embedding")
+    feats
+      .withColumn("__mean",
+        aggregate(f, lit(0.0d), (acc, x) => acc + x) / size(f))
+      .withColumn("ahash",
+        aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) =>
+          shiftleft(acc, 1) + when(
+            element_at(f, i + 1) > col("__mean"), lit(1L)).otherwise(lit(0L))))
+      .drop("__mean")
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: aHash each payload,
+    * then the signature-generic hamming layer
+    * ([[Dedup.hammingNearDupPairs]] — radius-derived banding, recall
+    * 1.0 by pigeonhole, exact popcount verify). Pair ids are
+    * `md5_long(doc_id:media_ref)` — the q27 vec-id convention, so the
+    * cosine-feature and hash-based dedups name the same payloads the
+    * same way. Scale shape: the band join shuffles 16-byte (id, sig)
+    * rows; payload bytes never leave the feature-extraction scan task.
+    */
+  def imageNearDupByHash(media: DataFrame, maxHamming: Int = 2,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(media.sparkSession)
+    val sigs = perceptualHash(media, failedAcc)
+      .select(call_function("md5_long",
+        concat(col("doc_id"), lit(":"), col("media_ref"))).as("id"),
+        col("ahash").as("sig"))
+    Dedup.hammingNearDupPairs(sigs, maxHamming)
+  }
+
   /** Single-payload feature kernel (see extractFeatures). */
   def featureVector(bytes: Array[Byte], dim: Int): Array[Float] = {
     val h = decodeMeta(bytes)

@@ -1252,6 +1252,56 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runs(four, maxDf = 2).isEmpty) // hot windows (df=4) cut
   }
 
+  // ---------- perceptual hash ----------
+
+  test("perceptualHash: column fold == driver kernel (grid mean threshold, MSB-first)") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (1L to 6L).map { i =>
+      (s"d$i", s"m$i", "image", Multimodal.bmpPayload(i * 17, 24, 16))
+    }
+    val media = rows.toDF("doc_id", "media_ref", "kind", "bytes")
+    val got = Multimodal.perceptualHash(media)
+      .collect().map(r => r.getAs[String]("doc_id") -> r.getAs[Long]("ahash"))
+      .toMap
+    rows.foreach { case (id, _, _, bytes) =>
+      val f = Multimodal.featureVector(bytes, 64)
+      val mean = f.map(_.toDouble).sum / 64
+      val expect = f.foldLeft(0L)((acc, x) =>
+        (acc << 1) | (if (x.toDouble > mean) 1L else 0L))
+      assert(got(id) == expect, s"doc $id")
+    }
+  }
+
+  test("imageNearDupByHash == brute-force hamming over the same hashes; identical payloads pair at 0") {
+    val sp = spark
+    import sp.implicits._
+    val base = (1L to 8L).map { i =>
+      (s"d$i", s"m$i", "image", Multimodal.bmpPayload(i * 31, 24, 16))
+    }
+    // byte-identical duplicate of d3 under a different identity
+    val rows = base :+ (("dup-d3", "dup-m3", "image",
+      base(2)._4.clone()))
+    val media = rows.toDF("doc_id", "media_ref", "kind", "bytes")
+    val got = Multimodal.imageNearDupByHash(media, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def vecId(doc: String, ref: String) = Hashing.md5Long(s"$doc:$ref")
+    val hashes = rows.map { case (d, m, _, b) =>
+      val f = Multimodal.featureVector(b, 64)
+      val mean = f.map(_.toDouble).sum / 64
+      vecId(d, m) -> f.foldLeft(0L)((acc, x) =>
+        (acc << 1) | (if (x.toDouble > mean) 1L else 0L))
+    }
+    val expect = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+    assert(got == expect, s"got $got expect $expect")
+    val dupPair = Set(vecId("d3", "m3"), vecId("dup-d3", "dup-m3"))
+    assert(expect.exists(p => Set(p._1, p._2) == dupPair && p._3 == 0L),
+      "identical payloads must pair at hamming 0")
+  }
+
   // ---------- domainBlocklist ----------
 
   private def blockRows(urls: Seq[(Long, String)], entries: Set[String]) = {
