@@ -463,6 +463,25 @@ object SparkEntry {
       Corpus.chunkByTokens(table(s, dir, "documents"), maxTokens = 12,
         overlap = 4)
         .orderBy(col("doc_id"), col("chunk_id"))),
+    // the ALLOCATION pipeline end-to-end (the post-prepare half of
+    // curation): blocklist -> per-host caps -> global quality budget ->
+    // split carve, over 5 planted hosts with one blocklisted. Every
+    // stage has its own green oracle (q66/q43/q59/q57); this one pins
+    // the COMPOSITION — stage order, column handoffs, and that the
+    // blocked host never consumes host or token budget
+    "q71_allocation_pipeline" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val withUrl = d.withColumn("url",
+        concat(lit("https://h"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".example/p/"), col("doc_id").cast("string")))
+      graft.pipeline.CorpusPrep.allocate(withUrl,
+        blocklist = Set("h3.example"),
+        maxDocsPerHost = Some(60L), maxTokensPerHost = Some(2500L),
+        tokenBudget = 5000L,
+        splits = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1),
+        salt = "graft-alloc-v1")
+        .orderBy(col("doc_id"))
+    }),
     // page-level opt-out consolidation (X-Robots-Tag + meta robots +
     // TDMRep) for ua=ccbot: planted families exercise the whole grammar
     // — global tokens, a foreign-ua scope extending over the REST of its
@@ -2476,6 +2495,56 @@ object SparkEntry {
         |    AS blocked_by,
         |  coalesce(len(ms) > 0, false) AS blocked
         |FROM m ORDER BY doc_id""".stripMargin,
+    // the four allocation stages re-derived as one CTE chain: hosts are
+    // exactly 'h{m}.example' (two labels) and the only entry is
+    // 'h3.example', so the generic label-suffix rule reduces to host
+    // equality (no entry can be a proper suffix of another planted
+    // host); then q43's prefix-cut windows, q59's quality running sum
+    // (quality computed for ALL docs — it's row-local — and joined to
+    // the survivors), and q57's md5 split rule with 8000/9000 pinned-
+    // last thresholds
+    "q71_allocation_pipeline" ->
+      (s"WITH q AS (\n${QualityOracle.sql}\n)" +
+        """, u AS (
+          |  SELECT doc_id, text,
+          |    'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host
+          |  FROM documents
+          |), b AS (
+          |  SELECT doc_id, text, host,
+          |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+          |      x -> x <> '')) AS BIGINT) AS n_tok
+          |  FROM u WHERE host <> 'h3.example'
+          |), c AS (
+          |  SELECT doc_id FROM (
+          |    SELECT doc_id,
+          |      row_number() OVER (PARTITION BY host ORDER BY doc_id) AS r,
+          |      sum(n_tok) OVER (PARTITION BY host ORDER BY doc_id
+          |        ROWS UNBOUNDED PRECEDING) AS cum
+          |    FROM b)
+          |  WHERE r <= 60 AND cum <= 2500
+          |), r AS (
+          |  SELECT q.doc_id, q.quality,
+          |    CAST(q.n_tokens AS BIGINT) AS n_tokens,
+          |    CAST(sum(CAST(q.n_tokens AS BIGINT)) OVER (
+          |      ORDER BY q.quality DESC, q.doc_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_tokens
+          |  FROM q JOIN c ON c.doc_id = q.doc_id
+          |), t AS (
+          |  SELECT * FROM r WHERE cum_tokens <= 5000
+          |), sk AS (
+          |  SELECT doc_id, quality, n_tokens, cum_tokens,
+          |    (CAST(CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || 'graft-alloc-v1') >= 9223372036854775808
+          |      THEN CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || 'graft-alloc-v1') AS HUGEINT) - 18446744073709551616
+          |      ELSE CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || 'graft-alloc-v1') AS HUGEINT) END AS BIGINT)
+          |     & 1152921504606846975) % 10000 AS sample_key
+          |  FROM t
+          |)
+          |SELECT doc_id, quality, n_tokens, cum_tokens, sample_key,
+          |  CASE WHEN sample_key < 8000 THEN 'train'
+          |       WHEN sample_key < 9000 THEN 'validation'
+          |       ELSE 'test' END AS split
+          |FROM sk ORDER BY doc_id""".stripMargin),
     // the X-Robots-Tag grammar re-derived structurally: explode header
     // lines, then indexed segments; a segment's scope = the last
     // non-null ua-prefix at or before it IN ITS LINE (last_value IGNORE

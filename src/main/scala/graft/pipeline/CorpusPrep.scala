@@ -181,4 +181,51 @@ object CorpusPrep {
         "MinHashParams.numHashes/bands or lower the threshold")
     (st.last._2, auditRow)
   }
+
+  /** The ALLOCATION half of corpus curation — what runs AFTER
+    * [[prepare]]'s content filtering to turn a clean corpus into a
+    * training allocation under explicit budgets, in the order every
+    * published recipe applies them:
+    *
+    *  1. domain blocklist ([[graft.ops.Web.domainBlocklist]] — host-
+    *     suffix semantics, the UT1 gate) — consent/safety cuts come
+    *     before any budget math so a blocked host never consumes budget;
+    *  2. per-host cap ([[Corpus.capPerHost]] — RefinedWeb-style doc and
+    *     token budgets per host, deterministic smallest-doc_id prefix);
+    *  3. global token budget ([[Corpus.tokenBudgetTake]] — keep the
+    *     best-quality prefix by the q09 quality score until the budget
+    *     is spent);
+    *  4. split assignment ([[Corpus.splitAssign]] — the growth-stable
+    *     md5 train/validation/test carve).
+    *
+    * Emits tokenBudgetTake's narrow allocation rows plus `sample_key`
+    * and `split`: (doc_id, quality, n_tokens, cum_tokens, sample_key,
+    * split). Every stage is individually oracle-checked (q66, q43, q59,
+    * q57); the composed end-to-end contract is gate q71. Scale shape is
+    * the stages' own: one broadcast-set map for the blocklist, the
+    * salted two-phase host windows, the 24-byte range exchange + prefix
+    * pass for the budget, a pure map for the split.
+    */
+  def allocate(docs: DataFrame, blocklist: Set[String],
+      maxDocsPerHost: Option[Long] = None,
+      maxTokensPerHost: Option[Long] = None,
+      tokenBudget: Long = Long.MaxValue,
+      splits: Seq[(String, Double)] = Seq(
+        "train" -> 0.9, "validation" -> 0.05, "test" -> 0.05),
+      salt: String = "graft-alloc-v1"): DataFrame = {
+    val unblocked = graft.ops.Web
+      .domainBlocklist(docs, blocklist, "url")
+      .filter(!col("blocked"))
+      .drop("blocked", "blocked_by", "host")
+    val capped =
+      if (maxDocsPerHost.isEmpty && maxTokensPerHost.isEmpty) unblocked
+      else Corpus.capPerHost(unblocked, maxDocsPerHost, maxTokensPerHost)
+    val scored = graft.ops.TextAnalysis.qualityScore(
+      capped.select(col("doc_id"), col("text")))
+    val taken = Corpus.tokenBudgetTake(scored, tokenBudget,
+      quality = col("quality"), id = col("doc_id"),
+      nTokens = col("n_tokens"))
+    Corpus.splitAssign(taken.withColumnRenamed("id", "doc_id"), splits,
+      col("doc_id"), salt)
+  }
 }

@@ -645,4 +645,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         1767229200L + math.floor(3600.0 / math.log(3.0)).toLong)
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
+
+  test("allocate: blocked host consumes no budget; caps and split compose in order") {
+    val sp = spark
+    import sp.implicits._
+    // 3 hosts x 20 docs, ~10 tokens each; host b2 blocklisted
+    val docs = (1L to 60L).map { i =>
+      val host = s"h${i % 3}.test"
+      (i, (1 to 10).map(j => s"w${i}x$j").mkString(" "),
+        s"https://$host/p/$i")
+    }.toDF("doc_id", "text", "url")
+    def run(block: Set[String]) =
+      graft.pipeline.CorpusPrep.allocate(docs, block,
+        maxDocsPerHost = Some(15L), maxTokensPerHost = Some(120L),
+        tokenBudget = 200L,
+        splits = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
+        .collect().map(r => (r.getLong(0), r.getAs[String]("split"))).toSeq
+    val blocked = run(Set("h2.test"))
+    val open = run(Set.empty[String])
+    assert(blocked.forall { case (id, _) => id % 3 != 2 }, blocked.toString)
+    // freeing h2's budget can only ADD unblocked-host docs, never drop one
+    val openIds = open.map(_._1).toSet
+    assert(blocked.map(_._1).toSet.filter(openIds).subsetOf(openIds))
+    assert(blocked.map(_._1).toSet.size >= open.count(_._1 % 3 != 2),
+      s"blocked run must keep at least the open run's unblocked docs: " +
+        s"${blocked.map(_._1).toSet} vs $open")
+    // splits valid and deterministic per the shared md5 rule
+    blocked.foreach { case (id, split) =>
+      val key = (graft.ops.Hashing.md5Long(s"${id}graft-alloc-v1")
+        & ((1L << 60) - 1)) % 10000L
+      val expect = if (key < 8000) "train"
+        else if (key < 9000) "validation" else "test"
+      assert(split == expect, s"doc $id")
+    }
+    // per-host doc cap binds: 120 tokens / 10 per doc = 12 < 15 docs
+    val perHost = blocked.groupBy(_._1 % 3).view.mapValues(_.size).toMap
+    assert(perHost.values.forall(_ <= 12), perHost.toString)
+  }
 }
