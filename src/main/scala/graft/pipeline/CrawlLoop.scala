@@ -85,6 +85,14 @@ object CrawlLoop {
       // of its host forever; trap rows never enter the fetched log, so
       // flipping the flag later reconsiders them
       trapFilter: Boolean = true,
+      // host-suffix blocklist (Web.domainBlocklist semantics: an entry
+      // blocks the host and every subdomain) applied to every cycle's
+      // frontier BEFORE the robots gate — consent/safety enforcement
+      // belongs at FETCH time, not just curation time: a blocked host
+      // never consumes politeness budget, robots fetches, or bandwidth.
+      // Like trapFilter, blocked urls never enter the fetched log, so
+      // editing the list later reconsiders them
+      blocklist: Set[String] = Set.empty,
       // rank the frontier by link in-degree (WebPrep.frontierRanked's
       // OPIC-style signal): the landed frontier carries an `in_degree`
       // column (edge-row count, accumulated across cycles — a deferred
@@ -282,7 +290,17 @@ object CrawlLoop {
           frontier.filter(!coalesce(
             graft.ops.Web.isUrlTrap(col("url")), lit(true)))
         else frontier
-      val gated = WebPrep.frontierGated(trapFree, robotsTxt, cfg.userAgent)
+      val blockFree =
+        if (cfg.blocklist.isEmpty) trapFree
+        else {
+          // select-restore the frontier's own columns: domainBlocklist
+          // appends (and would clobber) host/flag columns
+          val cols = trapFree.columns
+          graft.ops.Web.domainBlocklist(trapFree, cfg.blocklist, "url")
+            .filter(!col("blocked"))
+            .select(cols.head, cols.tail: _*)
+        }
+      val gated = WebPrep.frontierGated(blockFree, robotsTxt, cfg.userAgent)
         .persist()
       // the fetched-set key: raw url strings, or the 8-byte md5_long
       // layout under cfg.hashedUrlKeys (both sides of the diff are

@@ -403,6 +403,43 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("url").collect().map(_.getString(0)).toSet.contains(trap))
   }
 
+  test("blocklist: a blocked host's subdomain never enters the plan or fetch log; flag off crawls it") {
+    val sp = spark
+    import sp.implicits._
+    val badUrl = "https://ads.blocked.example/pixel"
+    val web = Seq(
+      ("https://crawl.example/start",
+        "<html><body><article><p>Startseite mit Inhalt hier.</p>" +
+          "<a href=\"/echt\">echt</a><a href=\"" + badUrl + "\">ad</a>" +
+          "</article></body></html>"),
+      ("https://crawl.example/echt",
+        "<html><body><article><p>Echte Seite mit Inhalt.</p></article></body></html>"),
+      (badUrl,
+        "<html><body><article><p>Werbepixel Inhalt.</p></article></body></html>"))
+      .toDF("url", "html")
+    val seeds = Seq("https://crawl.example/start").toDF("url")
+    val robots = Seq(
+      ("crawl.example", "User-Agent: *\nDisallow:\n"),
+      ("ads.blocked.example", "User-Agent: *\nDisallow:\n"))
+      .toDF("host", "robots_txt")
+    val cfg = freshCfg(cycles = 10).copy(blocklist = Set("blocked.example"))
+    CrawlLoop.run(spark, web, seeds, robots, cfg)
+    val urls = CrawlLoop.readDocs(spark, cfg)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urls == Set("https://crawl.example/start",
+      "https://crawl.example/echt"), urls)
+    // suffix semantics reached fetch time: the SUBDOMAIN of the entry
+    // never even entered the fetch log (editing the list reconsiders it)
+    val fetched = spark.read.parquet(cfg.outDir + "/fetched")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(!fetched.exists(_.contains("blocked.example")), fetched)
+    // empty blocklist (the default): the same crawl fetches it
+    val cfg2 = freshCfg(cycles = 10)
+    CrawlLoop.run(spark, web, seeds, robots, cfg2)
+    assert(CrawlLoop.readDocs(spark, cfg2)
+      .select("url").collect().map(_.getString(0)).toSet.contains(badUrl))
+  }
+
   test("hashedUrlKeys: the md5_long key layout crawls the identical corpus, frontier and metrics") {
     val (web, seeds, robots) = siteFrames()
     val a = freshCfg(cycles = 10)
