@@ -439,4 +439,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(spark.table("gopher_stream")) ==
       sortedRows(graft.ops.Corpus.gopherQualityFilter(rows.toDF("doc_id", "text"))))
   }
+
+  test("consent ops are streaming-safe: blocklist + optOutSignals gate a stream == the batch gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (url, x_robots_tag) rows: a blocked subdomain, an AI opt-out, a
+    // clean page — both gates are stateless per-row work, so they must
+    // run unchanged on an unbounded stream (no watermark, no state)
+    val rows = Seq(
+      (1L, "https://ads.tracker.test/x", null),
+      (2L, "https://ok.test/a", "noai"),
+      (3L, "https://ok.test/b", null),
+      (4L, "https://sub.ads.tracker.test/y", null))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Web.optOutSignals(
+        graft.ops.Web.domainBlocklist(df, Set("tracker.test"), "url")
+          .withColumn("robots", org.apache.spark.sql.functions.lit(null)
+            .cast("string"))
+          .withColumn("tdm_reservation",
+            org.apache.spark.sql.functions.lit(null).cast("string"))
+          .withColumn("tdm_policy",
+            org.apache.spark.sql.functions.lit(null).cast("string")),
+        ua = "ccbot")
+        .filter(!col("blocked") && col("train_ok"))
+        .select("doc_id", "url")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = gate(mem.toDF.toDF("doc_id", "url", "x_robots_tag"))
+      .writeStream.format("memory").queryName("consent_stream")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("consent_stream")
+      .collect().map(_.getLong(0)).toSet
+    val batch = gate(rows.toDF("doc_id", "url", "x_robots_tag"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got == Set(3L), got)
+  }
 }
