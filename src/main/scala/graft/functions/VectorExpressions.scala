@@ -167,7 +167,14 @@ object LmOps {
 
 /** Static hash kernel for generated code. */
 object HashOps {
-  def md5Long(s: UTF8String): Long = graft.ops.Hashing.md5Long(s.toString)
+  // hash the UTF8String's own UTF-8 bytes: identical digest to
+  // md5Long(s.toString) (which re-encoded through UTF-16), minus the
+  // String round-trip — md5_long sits under every hash-keyed operator,
+  // so this is the hot path of the gram/dedup family
+  def md5Long(s: UTF8String): Long = {
+    val b = s.getBytes
+    graft.ops.Hashing.md5Long(b, 0, b.length)
+  }
 }
 
 /** Static unicode-normalization kernel for generated code. */

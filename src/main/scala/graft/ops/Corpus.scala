@@ -37,7 +37,8 @@ object Corpus {
   private def gramHashes(df: DataFrame, n: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val toks = TextAnalysis.wsTokens(lower(col("text")))
-    df.select(col("doc_id"), explode(wordGrams(toks, n)).as("gram"))
+    Partitioning.spreadSmall(df.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(wordGrams(toks, n)).as("gram"))
       .select(col("doc_id"), call_function("md5_long", col("gram")).as("g"))
   }
 
@@ -330,7 +331,7 @@ object Corpus {
   def gopherQualityFilter(df: DataFrame,
       t: GopherThresholds = GopherThresholds()): DataFrame = {
     val rules = gopherRules(t)
-    df.select(
+    Partitioning.spreadSmall(df.select(col("doc_id"), col("text"))).select(
       (Seq(col("doc_id"),
         size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens")) ++
         rules.map { case (name, c) => c.as(name) } :+
@@ -597,8 +598,9 @@ object Corpus {
     */
   def perplexityFilter(docs: DataFrame, maxScore: Double): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"),
-      round(expr("lm_score(text)"), 6).as("lm_score"))
+    Partitioning.spreadSmall(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        round(expr("lm_score(text)"), 6).as("lm_score"))
       .withColumn("kept", col("lm_score") <= maxScore)
   }
 
@@ -615,7 +617,8 @@ object Corpus {
     // all aggregates are EXACT integer sums; ratios divide two longs at
     // the end — no order-dependent double summation, so the result is
     // bit-identical on any partitioning (and to the SQL oracle)
-    docs.select(stratum.as("stratum"), n.cast("long").as("n_tok"),
+    Partitioning.spreadSmall(docs.toDF())
+      .select(stratum.as("stratum"), n.cast("long").as("n_tok"),
       length(col("text")).cast("long").as("n_char"),
       (n - size(array_distinct(loToks))).cast("long").as("n_dup"))
       .groupBy(col("stratum"))
@@ -645,8 +648,10 @@ object Corpus {
     */
   def removeBoilerplateLines(docs: DataFrame, maxDocFreq: Long): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val lines = docs.select(col("doc_id"),
-      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val lines = Partitioning.spreadSmall(
+        docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .withColumn("h", call_function("md5_long", col("line")))
     val hot = lines.select(col("doc_id"), col("h")).distinct()
       .groupBy("h").agg(count(lit(1)).as("line_df"))
@@ -710,8 +715,10 @@ object Corpus {
     */
   private def dedupParagraphsKeyed(docs: DataFrame, minChars: Int,
       hashKey: Boolean): DataFrame = {
-    val lines = docs.select(col("doc_id"),
-      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val lines = Partitioning.spreadSmall(
+        docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
     val candidates0 = lines.filter(length(col("line")) >= minChars)
     val (candidates, joinKey) =
       if (hashKey)
@@ -748,7 +755,7 @@ object Corpus {
     */
   def hostSummary(docs: DataFrame, urlCol: String = "url",
       textCol: String = "text"): DataFrame =
-    docs.select(
+    Partitioning.spreadSmall(docs.select(col(urlCol), col(textCol))).select(
         coalesce(graft.ops.Web.hostOf(col(urlCol)), lit("")).as("host"),
         // a null text cell counts 0 tokens, matching the host side's
         // null handling — size() on a null array is -1 under legacy
@@ -1134,7 +1141,7 @@ object Corpus {
       Seq(raw.contains("{")) ++
       pageDropWords.map(w => pageLower.contains(w.toLowerCase)))
       .reduce(_ || _)
-    docs
+    Partitioning.spreadSmall(docs.toDF())
       .select(id.as("id"), pageDrop.as("graft_page_drop"),
         filter(split(raw, "\n"), lineOk).as("graft_kl"))
       .select(col("id"), col("graft_page_drop"),
@@ -1160,7 +1167,8 @@ object Corpus {
     */
   def ngramDocFreqTopK(df: DataFrame, n: Int = 2, k: Int = 50): DataFrame = {
     val toks = TextAnalysis.wsTokens(lower(col("text")))
-    df.select(explode(wordGrams(toks, n)).as("gram"))
+    Partitioning.spreadSmall(df.select(col("text")))
+      .select(explode(wordGrams(toks, n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("gram"))
       .limit(k)
@@ -1200,7 +1208,7 @@ object Corpus {
       sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(stride)),
       s => (size(col("toks")) > 0) &&
         (s === 0 || s + lit(maxTokens - stride) < size(col("toks"))))
-    docs
+    Partitioning.spreadSmall(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), toks.as("toks"))
       .select(col(idCol), col("toks"),
         posexplode(starts).as(Seq("chunk_id", "start_tok")))

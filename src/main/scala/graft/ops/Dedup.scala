@@ -30,7 +30,8 @@ object Dedup {
     * document size.
     */
   def exactDuplicateGroups(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    Partitioning.spreadSmall(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
       .filter(col("n_docs") > 1)
@@ -40,7 +41,8 @@ object Dedup {
     * the hash, no row_number over the full corpus).
     */
   def dedupExact(docs: DataFrame): DataFrame = {
-    val withFp = docs.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val withFp = Partitioning.spreadSmall(docs)
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
     val keepers = withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     withFp.join(keepers, Seq("fp", "doc_id"), "left_semi").drop("fp")
   }
@@ -95,7 +97,9 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = p.numHashes / p.bands
-    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    Partitioning.spreadSmall(
+        docs.select(col("doc_id").cast("long"), col("text")))
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val sig = minHashSignature(shingles(text, p.shingleSize), p.numHashes)
@@ -251,7 +255,8 @@ object Dedup {
     // sides of the self-join) and Catalyst does not dedupe identical
     // DataFrame subtrees — without this the text is re-scanned and
     // re-shingled per use. 16 bytes/shingle, far smaller than the corpus.
-    val exploded = docs.select(col("doc_id").cast("long"), col("text"))
+    val exploded = Partitioning.spreadSmall(
+        docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         shingles(t, n).iterator.map(s => (id, Hashing.fnv1a(s)))
@@ -524,7 +529,8 @@ object Dedup {
       maxDocFreq: Int = Int.MaxValue, sortOutput: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
+    val sigs = Partitioning.spreadSmall(
+        docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         TextAnalysis.winnowSignature(t).distinct.iterator.map(h => (id, h))
@@ -619,7 +625,9 @@ object Dedup {
   def simHashDuplicatePairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    val sigs = Partitioning.spreadSmall(
+        docs.select(col("doc_id").cast("long"), col("text")))
+      .as[(Long, String)]
       .map { case (id, t) => (id, simHash(t)) }
       .toDF("id", "sig")
     hammingNearDupPairs(sigs, maxHamming)

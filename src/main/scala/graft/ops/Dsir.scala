@@ -54,24 +54,18 @@ object Dsir {
     graft.functions.GraftFunctions.register(spark)
 
     def gramBuckets(df: DataFrame): DataFrame = {
-      val toks = filter(split(lower(coalesce(text, lit(""))), "\\s+"),
+      val t0 = col("graft_text")
+      val toks = filter(split(lower(coalesce(t0, lit(""))), "\\s+"),
         t => t =!= "")
       val bigrams = when(size(toks) >= 2,
         transform(sequence(lit(1), size(toks) - 1),
           i => concat_ws(" ", slice(toks, i, lit(2)))))
         .otherwise(array().cast("array<string>"))
-      df.select(id.as("id"),
-        transform(concat(toks, bigrams),
-          g => pmod(call_function("md5_long", g), lit(buckets)).cast("int"))
-          .as("bs"))
-    }
-
-    def hist(b: DataFrame): Array[Long] = {
-      val arr = new Array[Long](buckets)
-      b.select(explode(col("bs")).as("b")).groupBy(col("b"))
-        .agg(count(lit(1)).as("c")).collect()
-        .foreach(r => arr(r.getInt(0)) = r.getLong(1))
-      arr
+      Partitioning.spreadSmall(df.select(id.as("id"), text.as("graft_text")))
+        .select(col("id"),
+          transform(concat(toks, bigrams),
+            g => pmod(call_function("md5_long", g), lit(buckets)).cast("int"))
+            .as("bs"))
     }
 
     // the raw side's gram split + md5 bucketing feeds BOTH the fit
@@ -79,8 +73,19 @@ object Dsir {
     // (the dominant cost: one md5 per gram instance) runs once, and the
     // int bucket arrays, not the text, are what's retained
     val narrow = gramBuckets(raw).localCheckpoint()
-    val tc = hist(gramBuckets(target))
-    val rc = hist(narrow)
+    // ONE histogram job for both sides (r8): the target and raw
+    // histograms used to be two separate collect actions; a side tag +
+    // one groupBy halves the fit's job count and the result is the same
+    // two bucket-count arrays (the agg is exact integer counting)
+    val tc = new Array[Long](buckets)
+    val rc = new Array[Long](buckets)
+    gramBuckets(target).select(lit(0).as("side"), col("bs"))
+      .unionByName(narrow.select(lit(1).as("side"), col("bs")))
+      .select(col("side"), explode(col("bs")).as("b"))
+      .groupBy(col("side"), col("b")).agg(count(lit(1)).as("c")).collect()
+      .foreach { r =>
+        (if (r.getInt(0) == 0) tc else rc)(r.getInt(1)) = r.getLong(2)
+      }
     val tTot = tc.sum.toDouble + buckets
     val rTot = rc.sum.toDouble + buckets
     val lq = Array.tabulate(buckets) { b =>

@@ -61,10 +61,19 @@ object Hashing {
     * oracle and gate-checked for exact equality. Slower than fnv1a; use
     * only where oracle-reproducibility is the point.
     */
-  def md5Long(s: String): Long = {
+  def md5Long(s: String): Long =
+    md5Long(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0, -1)
+
+  /** [[md5Long]] over a UTF-8 byte slice — the allocation-free face for
+    * hot loops (winnowing windows, gram kernels) that already hold the
+    * encoded bytes: identical output to `md5Long(new String(...))` for
+    * any slice that is valid UTF-8 on its own. `len < 0` = to the end.
+    */
+  def md5Long(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = md5Digest.get()
     md.reset()
-    val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(bytes, off, if (len < 0) bytes.length - off else len)
+    val b = md.digest()
     var h = 0L
     var i = 7
     while (i >= 0) { h = (h << 8) | (b(i) & 0xFFL); i -= 1 }

@@ -94,7 +94,12 @@ object LinkGraph {
         col("graft_m").isNull.as("done"))
       .localCheckpoint()
     var covered = 1L
-    while (covered < maxHops) {
+    // early exit (r8): once every chain is resolved, a further doubling
+    // round is the identity (advanced is empty) — probing the already-
+    // checkpointed state for one unresolved row costs a fraction of a
+    // join round, and real redirect chains are nearly all <= 3 hops
+    while (covered < maxHops &&
+        !state.filter(!col("done")).isEmpty) {
       val a = state.alias("a")
       val b = state.alias("b")
       val advanced = a.filter(!col("a.done"))

@@ -82,7 +82,7 @@ object Pii {
     */
   def piiScrub(df: DataFrame): DataFrame = {
     val texts = stagedTexts(col("text"))
-    df.select(
+    Partitioning.spreadSmall(df.select(col("doc_id"), col("text"))).select(
       (col("doc_id") +:
         Stages.zip(texts.init).map { case ((name, pat, _), t) =>
           count(t, pat).as(name)

@@ -64,7 +64,8 @@ object Similarity extends Serializable {
     val qb = spark.sparkContext.broadcast(q)
 
     val partial: Dataset[Scored] =
-      corpus.select(col("vec_id").cast("long"), col("embedding"))
+      Partitioning.spreadSmall(
+          corpus.select(col("vec_id").cast("long"), col("embedding")))
         .as[(Long, Seq[Float])]
         .mapPartitions { it =>
           val qs = qb.value
@@ -409,7 +410,8 @@ object Similarity extends Serializable {
     import spark.implicits._
     val lp = new LazyPlanes(bits, seed, tables)
     // persisted: both sides of the bucket self-join read the signatures
-    val bucketed = vecs.select(col("vec_id").cast("long"), col("embedding"))
+    val bucketed = Partitioning.spreadSmall(
+        vecs.select(col("vec_id").cast("long"), col("embedding")))
       .as[(Long, Seq[Float])]
       .flatMap { case (id, e) =>
         val v = asArray(e)
@@ -446,7 +448,11 @@ object Similarity extends Serializable {
     // norms hoisted OUT of the O(n^2) pair loop: vec_norm is FP-identical
     // to the per-side factors inside cosine_sim, so dot/(na*nb) returns
     // bit-equal cosines at a third of the array traversals per pair
-    val l = vecs.select(col("vec_id").cast("long").as("a"), col("embedding").as("ea"))
+    // the stream side of the broadcast nested-loop join inherits the
+    // scan's partitioning — spread a tiny input so the O(n^2) pair loop
+    // uses every core instead of one task (identity at scale)
+    val l = Partitioning.spreadSmall(
+        vecs.select(col("vec_id").cast("long").as("a"), col("embedding").as("ea")))
       .withColumn("na", expr("vec_norm(ea)"))
     val r = vecs.select(col("vec_id").cast("long").as("b"), col("embedding").as("eb"))
       .withColumn("nb", expr("vec_norm(eb)"))

@@ -48,8 +48,9 @@ object SubstringDedup {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
-    val w = docs
-      .select(col("doc_id").cast("long").as("id"), toks.as("toks"))
+    val w = Partitioning.spreadSmall(
+        docs.select(col("doc_id").cast("long").as("id"), col("text")))
+      .select(col("id"), toks.as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= k) // sequence(0, n-k) would run descending on n < k
       .select(col("id"), posexplode(

@@ -74,7 +74,7 @@ object TextAnalysis {
     val toks = wsTokens(lower(col("text")))
     val n = size(toks)
     val grams = wordBigrams(toks)
-    df.select(
+    Partitioning.spreadSmall(df.select(col("doc_id"), col("text"))).select(
       col("doc_id"),
       n.cast("long").as("n_tokens"),
       round(when(n > 0, (n - size(array_distinct(toks))).cast("double") / n)
@@ -92,7 +92,7 @@ object TextAnalysis {
   val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   def tokenCounts(df: DataFrame): DataFrame =
-    df.select(
+    Partitioning.spreadSmall(df.select(col("doc_id"), col("text"))).select(
       col("doc_id"),
       size(wsTokens(col("text"))).as("ws_tokens"),
       size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)))
@@ -123,7 +123,8 @@ object TextAnalysis {
     val toks = lower(col("text"))
     val tokens = wsTokens(toks)
     val langs = Stopwords.keys.toSeq.sorted
-    val scored = df.select(
+    val scored = Partitioning.spreadSmall(
+      df.select(col("doc_id"), col("text"))).select(
       (Seq(col("doc_id"), col("text")) ++
         langs.map(l => stopwordHits(tokens, l).as(s"hits_$l"))): _*)
     val best = langs.map(l =>
@@ -161,7 +162,7 @@ object TextAnalysis {
     val stopRatio = stopHits / safeTok
     val wordLenBand = when(meanWordLen.between(2.0, 14.0), 1.0).otherwise(0.0)
 
-    df.select(
+    Partitioning.spreadSmall(df.select(col("doc_id"), col("text"))).select(
       col("doc_id"),
       nTok.as("n_tokens"),
       round(alphaRatio, 6).as("alpha_ratio"),
@@ -200,10 +201,42 @@ object TextAnalysis {
     val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
     if (norm.length < k) return Vector(Hashing.md5Long(norm))
     val hashes = new Array[Long](norm.length - k + 1)
-    var i = 0
-    while (i + k <= norm.length) {
-      hashes(i) = Hashing.md5Long(norm.substring(i, i + k))
-      i += 1
+    // hash each k-char window as a slice of the ONE UTF-8 encoding of
+    // norm instead of substring+getBytes per position (two allocations
+    // per window on the hottest loop of the winnow family). Identical
+    // digests: a BMP char's UTF-8 bytes don't depend on its neighbours,
+    // so byte-range [off(i), off(i+k)) == norm.substring(i, i+k) bytes.
+    // Surrogate pairs break that equivalence (a split pair encodes as
+    // '?' under String.getBytes) — fall back to the substring path.
+    var hasSurrogate = false
+    var ci = 0
+    while (ci < norm.length && !hasSurrogate) {
+      if (Character.isSurrogate(norm.charAt(ci))) hasSurrogate = true
+      ci += 1
+    }
+    if (!hasSurrogate) {
+      val bytes = norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val off = new Array[Int](norm.length + 1)
+      var bi = 0
+      var j = 0
+      while (j < norm.length) {
+        off(j) = bi
+        val c = norm.charAt(j)
+        bi += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
+        j += 1
+      }
+      off(norm.length) = bi
+      var i = 0
+      while (i + k <= norm.length) {
+        hashes(i) = Hashing.md5Long(bytes, off(i), off(i + k) - off(i))
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i + k <= norm.length) {
+        hashes(i) = Hashing.md5Long(norm.substring(i, i + k))
+        i += 1
+      }
     }
     val out = Vector.newBuilder[Long]
     var last = Long.MinValue

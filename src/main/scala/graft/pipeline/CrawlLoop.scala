@@ -251,8 +251,12 @@ object CrawlLoop {
     // trims the measured fixed per-cycle barrier cost (each was a
     // driver-synchronous job launch + parquet commit in sequence); a
     // failure in any write still aborts the cycle BEFORE its metrics
-    // row, so the cycle stays the idempotent Overwrite retry unit
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    // row, so the cycle stays the idempotent Overwrite retry unit.
+    // Pool sized for the single merged barrier below (3 lineage counts +
+    // extraction count + 3 writes in flight at once — guide §2.6
+    // back-fill: later jobs' tasks fill executors the earlier jobs'
+    // stragglers free up)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     def awaitAll(fs: Seq[scala.concurrent.Future[_]]): Unit = {
@@ -262,6 +266,12 @@ object CrawlLoop {
         scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
       rs.foreach(_.get)
     }
+    // frontier_in of cycle N is BY CONSTRUCTION the row count of the
+    // frontier dir cycle N-1 landed — i.e. last cycle's frontier_out
+    // metric. Carrying it in a driver var saves the per-cycle footer
+    // count job; a resumed run has no in-memory value for its first
+    // cycle and falls back to the footer read once.
+    var prevFrontierOut: Option[Long] = None
     try {
     while (cycle < cfg.cycles && continue) {
       val t0 = System.nanoTime()
@@ -329,17 +339,22 @@ object CrawlLoop {
         else WebPrep.frontierNew(gated, fetchedLog)
           .filter(col("url").isNotNull)
       ).persist()
-      // the three lineage counts overlap (same barrier-trim as the
-      // writes): frontier.count is a footer read of the landed dir,
-      // gated/toFetch race to fill the shared gated cache — Spark's
-      // block-level cache locking makes that safe
-      var frontierIn = 0L
+      // the three lineage counts START here but are awaited at the
+      // single merged barrier below (with the extraction count and the
+      // three writes): every per-cycle action used to be its own
+      // driver-synchronous barrier — counts, then fetchedN, then writes,
+      // then footer re-counts — and at fixture scale the fixed job-launch
+      // cost of those barriers WAS the crawl wall (x23/x31). The counts
+      // race to fill the shared gated/toFetch caches with the downstream
+      // jobs — Spark's block-level cache locking makes that safe
+      var frontierIn = prevFrontierOut.getOrElse(0L)
       var gatedN = 0L
       var toFetchN = 0L
-      awaitAll(Seq(
-        scala.concurrent.Future { frontierIn = frontier.count() },
+      val countFutures = (if (prevFrontierOut.isEmpty)
+        Seq(scala.concurrent.Future { frontierIn = frontier.count() })
+      else Nil) ++ Seq(
         scala.concurrent.Future { gatedN = gated.count() },
-        scala.concurrent.Future { toFetchN = toFetch.count() }))
+        scala.concurrent.Future { toFetchN = toFetch.count() })
       // under priority ranking the horizon cap keeps the TOP-in-degree
       // urls of each host (fetchSchedule's priorityCol contract; the
       // salted two-phase superset argument holds for any priority)
@@ -377,7 +392,12 @@ object CrawlLoop {
         .withColumn("doc_id", col("url"))
       val extracted = graft.html.HtmlExtract
         .extractAll(pages, "doc_id", "html", Some("url")).toDF().persist()
-      val fetchedN = extracted.count()
+      // fetchedN joins the merged barrier too: its first materialization
+      // races the corpus/frontier writes to fill the extracted cache,
+      // which the cache locking already serializes per block
+      var fetchedN = 0L
+      val fetchedFuture =
+        scala.concurrent.Future { fetchedN = extracted.count() }
       val corpus = WebPrep.prepareExtracted(extracted)
       // the log records ATTEMPTS (the politeness plan), not extraction
       // output: a dead url or a page whose extraction failed must not
@@ -411,10 +431,19 @@ object CrawlLoop {
             .select(col("url"))
         else WebPrep.frontierExtracted(extracted)
           .select(col("url")).union(rollover).distinct()
-      // the three landed writes overlap (see the pool note above)
-      awaitAll(Seq(
+      // kept/frontier-out counts ride the writes as observe() metrics
+      // (CollectMetrics counts exactly the rows the write lands — the
+      // same value the old footer re-read returned, without two more
+      // post-write jobs), and EVERYTHING — lineage counts, extraction
+      // count, three writes — meets at ONE merged barrier: the cycle
+      // pays one driver-synchronous wait instead of four
+      val keptObs = org.apache.spark.sql.Observation(s"graft-kept-$cycle")
+      val frontierObs =
+        org.apache.spark.sql.Observation(s"graft-frontier-$cycle")
+      awaitAll(countFutures ++ Seq(fetchedFuture,
         scala.concurrent.Future {
-          corpus.write.mode(SaveMode.Overwrite).format(cfg.format)
+          corpus.observe(keptObs, count(lit(1)).as("n"))
+            .write.mode(SaveMode.Overwrite).format(cfg.format)
             .save(s"${docsDir(cfg)}/cycle=$cycle")
         },
         scala.concurrent.Future {
@@ -422,22 +451,13 @@ object CrawlLoop {
             .save(s"${fetchedDir(cfg)}/cycle=$cycle")
         },
         scala.concurrent.Future {
-          frontierNext.write.mode(SaveMode.Overwrite).format(cfg.format)
+          frontierNext.observe(frontierObs, count(lit(1)).as("n"))
+            .write.mode(SaveMode.Overwrite).format(cfg.format)
             .save(s"${frontierDir(cfg)}/cycle=$cycle")
         }))
-      // footer-only counts of what was just landed (no recompute),
-      // overlapped for the same barrier reason
-      var keptN = 0L
-      var frontierOutN = 0L
-      awaitAll(Seq(
-        scala.concurrent.Future {
-          keptN = spark.read.format(cfg.format)
-            .load(s"${docsDir(cfg)}/cycle=$cycle").count()
-        },
-        scala.concurrent.Future {
-          frontierOutN = spark.read.format(cfg.format)
-            .load(s"${frontierDir(cfg)}/cycle=$cycle").count()
-        }))
+      val keptN = keptObs.get("n").asInstanceOf[Long]
+      val frontierOutN = frontierObs.get("n").asInstanceOf[Long]
+      prevFrontierOut = Some(frontierOutN)
       val status = if (toFetchN == 0) "exhausted" else "done"
       val wallMs = (System.nanoTime() - t0) / 1000000
       spark.createDataset(Seq(CycleMetric(cfg.runId, cycle, frontierIn,

