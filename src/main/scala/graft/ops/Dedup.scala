@@ -279,9 +279,21 @@ object Dedup {
     // that are mostly boilerplate would then score near 0 and slip the
     // production near-dup net entirely.
     val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = filtered.toDF("a", "g")
-      .join(filtered.toDF("b", "g"), Seq("g"))
-      .filter(col("a") < col("b"))
+    // pair enumeration via ONE exchange of the (id, g) index (groupBy g
+    // + in-group pair generation) instead of the two-sided self-join —
+    // the join shuffled the same index twice and sort-merged it; the
+    // generated pair volume is identical (ids are distinct per shingle,
+    // sorted so a < b)
+    val inter = filtered.groupBy(col("g"))
+      .agg(collect_list(col("id")).as("ids"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids0 =>
+        val ids = ids0.toArray
+        java.util.Arrays.sort(ids)
+        ids.indices.iterator.flatMap(i =>
+          (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j))))
+      }
+      .toDF("a", "b")
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     val pairs = inter
       .join(broadcast(sizes.toDF("a", "na")), "a")
@@ -547,6 +559,12 @@ object Dedup {
           .filter(col("df") > maxDocFreq).select(col("f"))
         sigs.join(broadcast(hot), Seq("f"), "left_anti").select("id", "f")
       }
+    // NOTE (r8): a grouped collect_list pair-generation rewrite (the
+    // ngramJaccardPairs shape) was tried and REVERTED here — winnow
+    // fingerprints of boilerplate-heavy corpora are hot-key skewed, and
+    // one giant fingerprint group generating all its pairs in a single
+    // task lost 5x to the join, whose sort-merge streams the same pairs
+    // through the whole partition's worth of CPUs
     val l = kept.toDF("a", "f")
     val r = kept.toDF("b", "f")
     val pairs = l.join(r, Seq("f")).filter(col("a") < col("b"))

@@ -26,6 +26,20 @@ object Partitioning {
     // streaming frames can't be probed via .rdd (and micro-batch inputs
     // are partitioned by the source) — the spread is a batch-only aid
     if (df.isStreaming) return df
+    // probing partition count (.rdd) physically plans the whole upstream
+    // subtree — cheap on a scan, but composed pipelines (CorpusPrep)
+    // call operators on DEEP mid-pipeline frames where that planning is
+    // pure overhead AND any upstream shuffle already re-established
+    // spark.sql.shuffle.partitions parallelism. A cheap logical-plan
+    // walk skips the probe whenever a shuffle-introducing node (or an
+    // explicit repartition, e.g. an outer spreadSmall) sits below.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val alreadyParallel = df.queryExecution.logical.exists {
+      case _: Repartition | _: RepartitionOperation => true
+      case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct => true
+      case _ => false
+    }
+    if (alreadyParallel) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }

@@ -78,7 +78,11 @@ object CorpusPrep {
   def stages(docs: DataFrame, evalCorpus: Option[DataFrame] = None,
       cfg: PrepConfig = PrepConfig()): Seq[(String, DataFrame)] = {
     val out = Seq.newBuilder[(String, DataFrame)]
-    var cur = docs
+    // kernel spread at the pipeline entry (identity at scale): the
+    // quality gate's regex/token expressions otherwise run serial on a
+    // tiny input's single scan partition, and every later stage inherits
+    // the spread layout
+    var cur = graft.ops.Partitioning.spreadSmall(docs)
     out += ("input" -> cur)
     if (cfg.piiRedact) {
       cur = Pii.redactText(cur)

@@ -43,6 +43,7 @@ object BenchExtra {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     args.toList match {
       case "winnow" :: _ => winnow(sfDir, cpus)
+      case "prep" :: _ => prep(sfDir, cpus)
       case "grams" :: _ => grams(sfDir, cpus)
       case "crawl" :: _ => crawl(cpus)
       case other => sys.error(s"unknown BenchExtra command: $other")
@@ -70,6 +71,35 @@ object BenchExtra {
         noop(graft.ops.Dedup.winnowOverlapPairs(docs, minShared = 10))
       }
       println(f"[winnow] round $r kernel_only=$tSig%.2f s full_q30=$tFull%.2f s")
+    }
+    spark.stop()
+  }
+
+  /** q26 stage isolation: cumulative wall per CorpusPrep stage. */
+  private def prep(sfDir: String, cpus: Int): Unit = {
+    val spark = session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions.pmod
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    (1 to 2).foreach { r =>
+      spark.catalog.clearCache()
+      val stages = graft.pipeline.CorpusPrep.stages(
+        docs = d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        evalCorpus = Some(d.filter(pmod(col("doc_id"), lit(20)) === 0)),
+        cfg = graft.pipeline.CorpusPrep.PrepConfig(
+          quality = Some(graft.ops.Corpus.GopherThresholds(minTokens = 20,
+            maxDupWordRatio = 0.7, maxDup2GramRatio = 0.15,
+            minStopwordRatio = 0.01, minAlphaRatio = 0.6)),
+          nearDedup = Some(graft.ops.Dedup.MinHashParams(bands = 32,
+            jaccardThreshold = 0.5)),
+          decontaminateN = 4,
+          sampleRates = Map("en" -> 0.9, "de" -> 0.7),
+          sampleDefaultRate = 0.5))
+      stages.foreach { case (name, df) =>
+        spark.sparkContext.setJobDescription(s"prep: $name")
+        val t = timed(noop(df))
+        println(f"[prep] round $r $name%-16s cumulative=$t%.2f s")
+      }
     }
     spark.stop()
   }
