@@ -150,6 +150,9 @@ object Bpe {
     */
   def encodeWord(word: String, ranks: Map[(String, String), Int])
       : Vector[String] = {
+    // unreachable through the pre-token regex, but this is a public
+    // method: an empty word has no symbols (ADVICE r7 — `s.last` threw)
+    if (word.isEmpty) return Vector.empty
     var syms: Vector[String] = {
       val s = codePointSymbols(word).toVector
       s.init :+ (s.last + EndOfWord)

@@ -86,7 +86,9 @@ object Clustering {
             counts(best) += 1
             val row = sums(best)
             var j = 0
-            val m = math.min(dim, q.length)
+            // argmin already required q.length == dim; keep the sum loop
+            // on the same guarantee rather than a silent prefix
+            val m = dim
             while (j < m) { row(j) += q(j); j += 1 }
           }
           (0 until cs.length).iterator.filter(counts(_) > 0)
@@ -245,9 +247,14 @@ object Clustering {
         .filter(col("id").isNotNull && !exists(col("q"), _.isNull)))
 
   private def dist2(c: Array[Long], q: Array[Long]): Long = {
+    // fail loudly on dimension corruption (ADVICE r7): a ragged or
+    // truncated embedding would otherwise silently cluster on a prefix
+    // distance, unlike null elements, which the quantized filter drops
+    require(q.length == c.length,
+      s"embedding dimension ${q.length} != centroid dimension ${c.length}")
     var d = 0L
     var j = 0
-    val m = math.min(c.length, q.length)
+    val m = c.length
     while (j < m) { val x = c(j) - q(j); d += x * x; j += 1 }
     d
   }

@@ -658,6 +658,13 @@ object Dedup {
     * banding (maxHamming + 1 bands → recall 1.0 by pigeonhole), band
     * join, exact popcount verify. `sigs` = (id: long, sig: long) rows;
     * output (doc_a, doc_b, hamming) with doc_a < doc_b.
+    *
+    * Cache lifetime (ADVICE r7): the 16-byte/row signature frame is
+    * persisted so both sides of the band join read one computation; the
+    * returned frame is lazy, so the operator cannot unpersist it itself
+    * — the object-level caller-owned-lifetime contract applies
+    * (long-lived sessions `spark.catalog.clearCache()` between operator
+    * instances).
     */
   def hammingNearDupPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < SimHashBits, s"maxHamming=$maxHamming")

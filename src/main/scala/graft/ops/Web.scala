@@ -136,7 +136,8 @@ object Web {
     * 8-byte md5_long keys instead.
     */
   def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame = {
-    val withCanon = docs
+    val withCanon = Partitioning.spreadSmall(
+        docs.select(col("doc_id"), col(urlCol)))
       .select(col("doc_id"), canonicalUrl(col(urlCol)).as("canonical_url"))
     val nonNull = withCanon.filter(col("canonical_url").isNotNull)
     val keepers = nonNull.groupBy(col("canonical_url"))
@@ -162,7 +163,8 @@ object Web {
     */
   def urlDedupAtScale(docs: DataFrame, urlCol: String = "url"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val withCanon = docs
+    val withCanon = Partitioning.spreadSmall(
+        docs.select(col("doc_id"), col(urlCol)))
       .select(col("doc_id"), canonicalUrl(col(urlCol)).as("canonical_url"))
     val nonNull = withCanon.filter(col("canonical_url").isNotNull)
       .withColumn("url_h", expr("md5_long(canonical_url)"))

@@ -112,4 +112,8 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Bpe.encodeWord("a😀b", ranks) // a😀b
     assert(got == Vector("a", "😀", "b▁"), got.toString)
   }
+
+  test("encodeWord on the empty word yields no symbols (ADVICE r7)") {
+    assert(Bpe.encodeWord("", Map.empty) == Vector.empty)
+  }
 }

@@ -166,4 +166,17 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cents = Clustering.kmeansMicroFit(vecsDf(rows), k = 1, iters = 1)
     assert(cents(0).toSeq == Seq(-1L), cents(0).toSeq.toString)
   }
+
+  test("ragged embedding dimension fails loudly instead of prefix-clustering (ADVICE r7)") {
+    val rows = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(3.0f))) // truncated vector — dimension corruption
+    val ex = intercept[org.apache.spark.SparkException] {
+      Clustering.kmeansMicroFit(vecsDf(rows), k = 1, iters = 1)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("dimension")), ex.toString)
+  }
 }

@@ -664,9 +664,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val blocked = run(Set("h2.test"))
     val open = run(Set.empty[String])
     assert(blocked.forall { case (id, _) => id % 3 != 2 }, blocked.toString)
-    // freeing h2's budget can only ADD unblocked-host docs, never drop one
-    val openIds = open.map(_._1).toSet
-    assert(blocked.map(_._1).toSet.filter(openIds).subsetOf(openIds))
+    // freeing h2's budget can only ADD unblocked-host docs, never drop
+    // one: every unblocked doc the open run kept must survive in the
+    // blocked run too (real containment — the previous form was a
+    // tautology, ADVICE r7)
+    assert(open.filter(_._1 % 3 != 2).map(_._1).toSet
+      .subsetOf(blocked.map(_._1).toSet),
+      s"open run's unblocked docs must be contained in the blocked run: " +
+        s"$open vs $blocked")
     assert(blocked.map(_._1).toSet.size >= open.count(_._1 % 3 != 2),
       s"blocked run must keep at least the open run's unblocked docs: " +
         s"${blocked.map(_._1).toSet} vs $open")
