@@ -372,10 +372,16 @@ object Dedup {
     val (aCol, bCol) =
       if (numericIds) (col(idACol).cast("long"), col(idBCol).cast("long"))
       else (col(idACol).cast("string"), col(idBCol).cast("string"))
-    // undirected edge list, both directions
+    // undirected edge list, both directions. NO distinct (r8): every
+    // pair operator in this file emits unique (a, b) rows (they are
+    // aggregation outputs), so the two-direction union is already
+    // duplicate-free and the distinct was a pure extra exchange; for
+    // arbitrary caller edge frames duplicates are harmless anyway —
+    // union-find is idempotent per edge and the pointer-jumping
+    // min-aggregations absorb repeats (they only made the
+    // driverUnionFindMax gate count conservative).
     val edges = pairs.select(aCol.as("src"), bCol.as("dst"))
       .union(pairs.select(bCol.as("src"), aCol.as("dst")))
-      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Hybrid: the pair set is tiny relative to the corpus for any sane
     // near-dup threshold (it's the DUPLICATES, not the documents), so up

@@ -61,7 +61,11 @@ object TextAnalysis {
     */
   def allStopwordHits(lowerTokens: Column): Column = {
     val words = Stopwords.values.flatten.toSeq.distinct
-    size(filter(lowerTokens, t => words.map(w => t === w).reduce(_ || _)))
+    // isin over the union list: same per-token decision as the
+    // equality-OR chain (null in => null => filtered out), but the
+    // optimizer turns it into one InSet hash probe instead of a
+    // 40-comparison tree — smaller plan, faster codegen and eval
+    size(filter(lowerTokens, t => t.isin(words: _*)))
   }
 
   /** Repetition metrics (Gopher-style quality rules): fraction of
@@ -113,7 +117,7 @@ object TextAnalysis {
     */
   def stopwordHits(tokens: Column, lang: String): Column = {
     val words = Stopwords(lang)
-    size(filter(tokens, t => words.map(w => t === w).reduce(_ || _)))
+    size(filter(tokens, t => t.isin(words: _*)))
   }
 
   /** n-gram-free language ID heuristic: language with the most stopword
