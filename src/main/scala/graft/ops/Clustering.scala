@@ -238,13 +238,12 @@ object Clustering {
 
   private def quantized(vecs: DataFrame, scale: Long, id: Column,
       vec: Column): DataFrame =
-    Partitioning.spreadSmall(
-      vecs.filter(id.isNotNull && vec.isNotNull)
-        .select(id.cast("long").as("id"), quantize(vec, scale).as("q"))
-        // post-cast guards: a non-castable id nulls under the long cast,
-        // and a null ELEMENT nulls its quantized cell — either would NPE
-        // the typed Lloyd loop instead of being excluded like null rows
-        .filter(col("id").isNotNull && !exists(col("q"), _.isNull)))
+    vecs.filter(id.isNotNull && vec.isNotNull)
+      .select(id.cast("long").as("id"), quantize(vec, scale).as("q"))
+      // post-cast guards: a non-castable id nulls under the long cast,
+      // and a null ELEMENT nulls its quantized cell — either would NPE
+      // the typed Lloyd loop instead of being excluded like null rows
+      .filter(col("id").isNotNull && !exists(col("q"), _.isNull))
 
   private def dist2(c: Array[Long], q: Array[Long]): Long = {
     // fail loudly on dimension corruption (ADVICE r7): a ragged or

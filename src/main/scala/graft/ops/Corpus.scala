@@ -648,9 +648,7 @@ object Corpus {
     */
   def removeBoilerplateLines(docs: DataFrame, maxDocFreq: Long): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val lines = Partitioning.spreadSmall(
-        docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
+    val lines = docs.select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .withColumn("h", call_function("md5_long", col("line")))
     val hot = lines.select(col("doc_id"), col("h")).distinct()
@@ -715,10 +713,8 @@ object Corpus {
     */
   private def dedupParagraphsKeyed(docs: DataFrame, minChars: Int,
       hashKey: Boolean): DataFrame = {
-    val lines = Partitioning.spreadSmall(
-        docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
     val candidates0 = lines.filter(length(col("line")) >= minChars)
     val (candidates, joinKey) =
       if (hashKey)

@@ -57,8 +57,7 @@ object SemDedup {
       return spark.emptyDataset[(Long, Long, Seq[Float])]
         .toDF("vec_id", "cluster_id", "embedding")
     val cb = spark.sparkContext.broadcast(cents)
-    Partitioning.spreadSmall(
-        vecs.select(col("vec_id").cast("long"), col("embedding")))
+    vecs.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val cs = cb.value // sorted by centroid id (seedCentroids orderBy)
@@ -119,8 +118,7 @@ object SemDedup {
       return spark.emptyDataset[(Long, Long, Boolean, Option[Long])]
         .toDF("vec_id", "cluster_id", "is_dup", "dup_of")
     val cb = spark.sparkContext.broadcast(cents)
-    val asn = Partitioning.spreadSmall(
-        vecs.select(col("vec_id").cast("long"), col("embedding")))
+    val asn = vecs.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val cs = cb.value
@@ -171,8 +169,7 @@ object SemDedup {
     }
     // unit-normalized ONCE and persisted as doubles: every Lloyd round
     // reads the converted form instead of re-normalizing per iteration
-    val corp = Partitioning.spreadSmall(
-        vecs.select(col("vec_id").cast("long"), col("embedding")))
+    val corp = vecs.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .map { case (id, e) => (id, unit(e.map(_.toDouble).toArray)) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
