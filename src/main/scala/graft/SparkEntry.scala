@@ -174,7 +174,10 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, threshold = 0.2)),
     "q20_dup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(
-        Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, threshold = 0.2))),
+        // clustering consumes the pair SET; the global pair sort is the
+        // q19 gate dump's, not part of this computation
+        Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3,
+          threshold = 0.2, sortOutput = false))),
     "q21_repetition_metrics" -> ((s, dir) =>
       TextAnalysis.repetitionMetrics(table(s, dir, "documents"))
         .orderBy(col("doc_id"))),
@@ -384,8 +387,13 @@ object SparkEntry {
       val d = table(s, dir, "documents")
       val q = TextAnalysis.qualityScore(d)
         .select(col("doc_id"), col("quality"))
+      // scoreBuckets traverses its input twice (the histogram pass and
+      // the final bucket join) and Catalyst does not dedupe the shared
+      // subtree — checkpoint the NARROW scored frame (~24 bytes/row, the
+      // tokenBudgetTake materialization shape) so the quality regex pass
+      // over the text pays once, not twice
       Corpus.scoreBuckets(d.select(col("doc_id"), col("lang"))
-          .join(q, Seq("doc_id")),
+          .join(q, Seq("doc_id")).localCheckpoint(),
         stratum = col("lang"), score = col("quality"),
         labels = Seq("tail", "middle", "head"))
         .withColumnRenamed("id", "doc_id")
@@ -399,8 +407,13 @@ object SparkEntry {
       val d = table(s, dir, "documents")
       Dedup.clusterBest(
         Dedup.duplicateClusters(
-          Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.2)),
-        TextAnalysis.qualityScore(d).select(col("doc_id"), col("quality")))
+          Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.2,
+            sortOutput = false)),
+        // clusterBest reads the quality frame twice (max-per-cluster agg
+        // + the keeper rejoin); checkpoint the narrow (id, quality)
+        // projection so the quality regex pass over the text pays once
+        TextAnalysis.qualityScore(d).select(col("doc_id"), col("quality"))
+          .localCheckpoint())
         .orderBy(col("cluster"))
     }),
     // integer-exact k-means: 3 Lloyd rounds + final assignment, every

@@ -37,14 +37,21 @@ object Dedup {
       .filter(col("n_docs") > 1)
 
   /** Exact-dedup'd corpus: keep the min doc_id per fingerprint (window-free
-    * formulation: aggregate keeper then semi-join — two narrow shuffles on
-    * the hash, no row_number over the full corpus).
+    * formulation: aggregate keeper ids from a NARROW (fp, doc_id)
+    * projection, then semi-join the corpus on doc_id — two narrow
+    * shuffles on hash/id, no row_number over the full corpus, and the
+    * normalize+md5 fingerprint pass runs ONCE (a (fp, doc_id)-keyed
+    * semi-join would re-fingerprint every row on the probe side).
+    * Assumes `doc_id` is the corpus key (unique) — the same contract
+    * every dedup operator here states.
     */
   def dedupExact(docs: DataFrame): DataFrame = {
-    val withFp = Partitioning.spreadSmall(docs)
-      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-    val keepers = withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    withFp.join(keepers, Seq("fp", "doc_id"), "left_semi").drop("fp")
+    val spread = Partitioning.spreadSmall(docs)
+    val keepers = spread
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    spread.join(keepers, Seq("doc_id"), "left_semi")
   }
 
   // ---------- MinHash + LSH ----------
@@ -118,7 +125,8 @@ object Dedup {
     * The self-join is per-bucket; bucket sizes are bounded by real
     * duplicate-cluster sizes, not corpus size.
     */
-  def minHashDuplicatePairs(docs: DataFrame, p: MinHashParams = MinHashParams()): DataFrame = {
+  def minHashDuplicatePairs(docs: DataFrame, p: MinHashParams = MinHashParams(),
+      sortOutput: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // persisted: both sides of the bucket self-join read the signatures;
@@ -156,9 +164,12 @@ object Dedup {
         val union = sa.union(sb).size.toDouble
         (a, b, if (union == 0) 0.0 else inter / union)
       }.toDF("doc_a", "doc_b", "jaccard")
-    verified.filter(col("jaccard") >= p.jaccardThreshold)
+    val out = verified.filter(col("jaccard") >= p.jaccardThreshold)
       .withColumn("jaccard", round(col("jaccard"), 6))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // global sort is for the deterministic gate dump; consumers that only
+    // need the pair SET (duplicateClusters in CorpusPrep) skip it — a
+    // total order over all pairs is a needless full-shuffle at scale
+    if (sortOutput) out.orderBy(col("doc_a"), col("doc_b")) else out
   }
 
   /** Incremental near-dup: new documents checked against a STANDING

@@ -57,13 +57,21 @@ object SubstringDedup {
         transform(sequence(lit(0), col("n") - k),
           i => call_function("md5_long", concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
         .as(Seq("pos", "h")))
-    val cut =
-      if (maxWindowDocFreq == Int.MaxValue) w
-      else {
-        val hot = w.groupBy("h").agg(countDistinct("id").as("df"))
-          .filter(col("df") > maxWindowDocFreq).select("h")
-        w.join(hot, Seq("h"), "left_anti")
-      }
+    val cut = {
+      val kept =
+        if (maxWindowDocFreq == Int.MaxValue) w
+        else {
+          val hot = w.groupBy("h").agg(countDistinct("id").as("df"))
+            .filter(col("df") > maxWindowDocFreq).select("h")
+          w.join(hot, Seq("h"), "left_anti")
+        }
+      // persisted: BOTH sides of the self-join read the window hashes and
+      // Catalyst does not dedupe identical subtrees — without this the
+      // tokenize + md5-per-window pass runs twice (the ngramJaccardPairs
+      // `exploded` convention; 24-byte rows, O(total tokens), and the
+      // same caller-owned cache lifetime documented on Dedup)
+      kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val a = cut.select(col("h"), col("id").as("doc_a"), col("pos").as("pa"))
     val b = cut.select(col("h"), col("id").as("doc_b"), col("pos").as("pb"))
     val hits = a.join(b, "h").filter(col("doc_a") < col("doc_b"))

@@ -102,7 +102,9 @@ object CorpusPrep {
       cur = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cfg.nearDedup.foreach { p =>
       val clusters = Dedup.duplicateClusters(
-        Dedup.minHashDuplicatePairs(cur, p),
+        // clustering only consumes the pair SET — skip the gate dump's
+        // global (doc_a, doc_b) sort (one less range exchange + sort)
+        Dedup.minHashDuplicatePairs(cur, p, sortOutput = false),
         driverUnionFindMax = cfg.driverUnionFindMax)
       val losers = clusters.filter(col("doc_id") =!= col("cluster"))
         .select("doc_id")
