@@ -266,13 +266,23 @@ object Dedup {
     // sides of the self-join) and Catalyst does not dedupe identical
     // DataFrame subtrees — without this the text is re-scanned and
     // re-shingled per use. 16 bytes/shingle, far smaller than the corpus.
+    // The shingle set is built as Column expressions (split/transform/
+    // array_distinct — the [[shingles]] semantics exactly: lowercase,
+    // whitespace split, n-token windows, whole-text fallback under n
+    // tokens) instead of a typed flatMap: no per-row object codec, and
+    // the hash is the codegen'd xxhash64 — WHICH 64-bit hash keys the
+    // index is free to vary (jaccard counts distinct shingles; the
+    // oracle re-derives it from the shingle TEXT), collision odds are
+    // the documented n^2/2^64 either way.
+    val toksC = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val shC = when(size(toksC) < n, array(concat_ws(" ", toksC)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toksC) - n),
+        i => concat_ws(" ", slice(toksC, i + 1, lit(n))))))
     val exploded = Partitioning.spreadSmall(
-        docs.select(col("doc_id").cast("long"), col("text")))
-      .as[(Long, String)]
-      .flatMap { case (id, t) =>
-        shingles(t, n).iterator.map(s => (id, Hashing.fnv1a(s)))
-      }
-      .toDF("id", "g")
+        docs.select(col("doc_id").cast("long").as("id"), col("text")))
+      .select(col("id"), explode(shC).as("graft_sh"))
+      .select(col("id"), xxhash64(col("graft_sh")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered =
       if (maxDocFreq == Int.MaxValue) exploded

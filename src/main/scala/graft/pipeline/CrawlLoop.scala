@@ -278,11 +278,23 @@ object CrawlLoop {
       // the per-cycle rules (the static-overload caller sees one frame
       // every cycle; a refresh seam sees its cycle's)
       val robotsTxt = robotsOf(cycle)
+      // the landed-table schemas are fully determined by cfg (the
+      // scaladoc already requires a fresh outDir when a schema-changing
+      // flag flips), so the per-cycle reads declare them explicitly —
+      // schema inference re-read a parquet footer every cycle, pure
+      // driver-side fixed cost in the per-cycle barrier
+      val frontierSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType) +:
+        (if (cfg.priorityByInDegree)
+          Seq(org.apache.spark.sql.types.StructField("in_degree",
+            org.apache.spark.sql.types.LongType))
+        else Nil))
       val frontier0 =
         if (cycle == 0)
           seeds.select(graft.ops.Web.canonicalUrl(col("url")).as("url"))
             .filter(col("url").isNotNull).distinct()
-        else spark.read.format(cfg.format)
+        else spark.read.format(cfg.format).schema(frontierSchema)
           .load(s"${frontierDir(cfg)}/cycle=${cycle - 1}")
       // under priority ranking every frontier frame carries in_degree;
       // seeds start at 0 (nothing links them yet — they are fetched
@@ -316,9 +328,18 @@ object CrawlLoop {
       // layout under cfg.hashedUrlKeys (both sides of the diff are
       // already canonical — seeds/frontier rows pass canonicalUrl before
       // landing, so hashing needs no re-canonicalization)
+      val fetchedSchema = org.apache.spark.sql.types.StructType(Seq(
+        if (cfg.hashedUrlKeys)
+          org.apache.spark.sql.types.StructField("url_h",
+            org.apache.spark.sql.types.LongType)
+        else org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cycle",
+          org.apache.spark.sql.types.IntegerType)))
       val fetchedLog =
         if (exists(spark, fetchedDir(cfg)))
-          spark.read.format(cfg.format).load(fetchedDir(cfg))
+          spark.read.format(cfg.format).schema(fetchedSchema)
+            .load(fetchedDir(cfg))
             // COMPLETED cycles only: a crashed attempt of THIS cycle may
             // have landed its own fetched/cycle=N before dying ahead of
             // the metrics row — reading it back would make the retry see
