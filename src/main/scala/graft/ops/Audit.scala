@@ -24,6 +24,9 @@ object Audit {
       salt: String, aCol: String = "a", bCol: String = "b")(
       approx: DataFrame => DataFrame, exact: DataFrame => DataFrame): DataFrame = {
     require(sampleRate > 0.0 && sampleRate <= 1.0, s"sampleRate $sampleRate")
+    // sampleKey builds a call_function("md5_long") — register it here
+    // instead of relying on an upstream operator having done so
+    graft.functions.GraftFunctions.register(rows.sparkSession)
     val sample = rows
       .filter(Corpus.sampleKey(idCol, salt) <
         math.round(sampleRate * Corpus.SampleBuckets))

@@ -30,16 +30,22 @@ object Corpus {
   }
 
   /** (doc_id, g) rows: one row per DISTINCT n-gram hash per doc. Grams are
-    * deduped map-side (array_distinct) BEFORE the explode, and only the
-    * 8-byte md5_long hash leaves the projection — at corpus scale nothing
+    * deduped map-side (array_distinct) BEFORE the explode, and only an
+    * 8-byte hash leaves the projection — at corpus scale nothing
     * wider than (int64, int64) ever crosses an exchange.
     */
   private def gramHashes(df: DataFrame, n: Int): DataFrame = {
+    // still registered here: session-level md5_long consumers downstream
+    // of decontaminate (Audit.pairRecall's sample keys) ride this call
     graft.functions.GraftFunctions.register(df.sparkSession)
     val toks = TextAnalysis.wsTokens(lower(col("text")))
+    // xxhash64, not md5_long: the hash only keys the overlap join (the
+    // oracle counts shared grams from gram TEXT), so any 64-bit hash
+    // gives the identical result at the documented n^2/2^64 collision
+    // odds — and xxhash64 is an order of magnitude cheaper per gram
     Partitioning.spreadSmall(df.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(wordGrams(toks, n)).as("gram"))
-      .select(col("doc_id"), call_function("md5_long", col("gram")).as("g"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
   }
 
   /** Benchmark decontamination (the published GPT-3 appendix-C shape:

@@ -83,13 +83,47 @@ object Dedup {
     */
   def minHashSignature(sh: Set[String], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
+    val seeds = Hashing.mixedSeeds(numHashes)
     sh.foreach { s =>
       val base = Hashing.fnv1a(s)
       var i = 0
       while (i < numHashes) {
-        val h = Hashing.seeded(base, i.toLong)
+        // == Hashing.seeded(base, i) with the seed mix hoisted out of
+        // the (shingle x hash) double loop
+        val h = Hashing.mix(base ^ seeds(i))
         if (h < sig(i)) sig(i) = h
         i += 1
+      }
+    }
+    sig
+  }
+
+  /** [[minHashSignature]] straight from text: bit-identical mins — a
+    * duplicate shingle cannot change a min, so the distinct-set
+    * materialization (sliding windows + mkString + toSet per document)
+    * is skipped and each window hashes incrementally over its tokens
+    * ([[Hashing.fnv1aWindow]] == fnv1a of the joined shingle string).
+    */
+  private[ops] def minHashSignatureFromText(text: String, n: Int,
+      numHashes: Int): Array[Long] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val seeds = Hashing.mixedSeeds(numHashes)
+    def update(base: Long): Unit = {
+      var i = 0
+      while (i < numHashes) {
+        val h = Hashing.mix(base ^ seeds(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    if (toks.length < n) update(Hashing.fnv1a(toks.mkString(" ")))
+    else {
+      var s = 0
+      while (s + n <= toks.length) {
+        update(Hashing.fnv1aWindow(toks, s, n))
+        s += 1
       }
     }
     sig
@@ -109,7 +143,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val sig = minHashSignature(shingles(text, p.shingleSize), p.numHashes)
+          val sig = minHashSignatureFromText(text, p.shingleSize, p.numHashes)
           (0 until p.bands).iterator.map { b =>
             var h = 0xcbf29ce484222325L
             var i = b * rows

@@ -49,6 +49,35 @@ object Hashing {
 
   def seeded(h: Long, seed: Long): Long = mix(h ^ mix(seed))
 
+  /** mix(0), mix(1), ..., mix(n-1) — the seed table [[seeded]] mixes per
+    * call, hoisted: a minhash signature evaluates seeded(base, i) for
+    * every (shingle, i) pair, and recomputing mix(i) inside that double
+    * loop doubled its finalizer work. Values are exactly seeded's, so
+    * signatures built from this table are bit-identical.
+    */
+  private val mixedSeedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  def mixedSeeds(n: Int): Array[Long] =
+    mixedSeedCache.computeIfAbsent(n, m => Array.tabulate(m)(i => mix(i.toLong)))
+
+  /** FNV-1a of the n tokens `toks(start until start+n)` joined by a single
+    * space, computed incrementally — the same hash [[fnv1a]] returns for
+    * `toks.slice(start, start+n).mkString(" ")` without building the
+    * string.
+    */
+  def fnv1aWindow(toks: Array[String], start: Int, n: Int): Long = {
+    var h = FnvOffset
+    var j = 0
+    while (j < n) {
+      if (j > 0) { h ^= ' '.toLong; h *= FnvPrime }
+      val t = toks(start + j)
+      var c = 0
+      while (c < t.length) { h ^= t.charAt(c).toLong; h *= FnvPrime; c += 1 }
+      j += 1
+    }
+    h
+  }
+
   private val md5Digest =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))

@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * array, as three relational steps that parallelize trivially:
   *
   *  1. hash every k-token window -> (doc, pos, h) rows. Map-side; the
-  *     hash is the codegen'd md5_long, so only 24-byte rows ever shuffle
-  *     (never token text) AND the DuckDB oracle can recompute it
-  *     (md5_number_upper).
+  *     hash is the codegen'd xxhash64, so only 24-byte rows ever shuffle
+  *     (never token text). The oracle recomputes windows with its own
+  *     hash — matches are window-TEXT equality either way (no hash
+  *     reaches the output), so the engine hash is free to be the cheap
+  *     one at the usual 2^-64 collision odds.
   *  2. self-join windows on h with doc_a < doc_b. A shared run of L
   *     tokens produces L-k+1 hits on the SAME alignment diagonal
   *     (pos_a - pos_b).
@@ -54,8 +56,11 @@ object SubstringDedup {
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= k) // sequence(0, n-k) would run descending on n < k
       .select(col("id"), posexplode(
+        // xxhash64, not md5_long: the hash only keys the alignment join
+        // (matches ⇔ equal window text absent 2^-64 collisions; no hash
+        // reaches the output), and it is ~10x cheaper per window
         transform(sequence(lit(0), col("n") - k),
-          i => call_function("md5_long", concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+          i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
         .as(Seq("pos", "h")))
     val cut = {
       val kept =
