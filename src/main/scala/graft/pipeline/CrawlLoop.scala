@@ -374,8 +374,18 @@ object CrawlLoop {
       val countFutures = (if (prevFrontierOut.isEmpty)
         Seq(scala.concurrent.Future { frontierIn = frontier.count() })
       else Nil) ++ Seq(
-        scala.concurrent.Future { gatedN = gated.count() },
-        scala.concurrent.Future { toFetchN = toFetch.count() })
+        // ONE job for both lineage counts (a tagged union over the two
+        // cached frames) instead of two — same exact counts of the same
+        // frames, one less per-cycle job launch; the scan fills the
+        // shared gated/toFetch caches exactly like the two counts did
+        scala.concurrent.Future {
+          val cs = gated.select(lit(0).as("graft_k"))
+            .unionByName(toFetch.select(lit(1).as("graft_k")))
+            .groupBy(col("graft_k")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          gatedN = cs.getOrElse(0, 0L)
+          toFetchN = cs.getOrElse(1, 0L)
+        })
       // under priority ranking the horizon cap keeps the TOP-in-degree
       // urls of each host (fetchSchedule's priorityCol contract; the
       // salted two-phase superset argument holds for any priority)
